@@ -1,0 +1,110 @@
+"""Analyzers: text → token stream.
+
+Re-implements the behavioral contract of the reference's default analysis
+chain (reference: ``indices/analysis/AnalysisModule.java:248-260`` registers
+``standard`` = Unicode UAX#29-style word break + lowercase, no stopwords,
+``max_token_length=255`` per ``StandardAnalyzerProvider.java:54-56``), plus a
+code-aware variant (word_delimiter-style sub-token splitting) used for source
+code per the project north star.
+
+Pure-Python ``tokenize()`` is the single source of truth — the Spark side
+wraps it in a vectorized pandas UDF (Arrow batches, no per-row Python serde),
+and tests / fixture generation call it directly so index-time and query-time
+analysis are byte-identical by construction (mirrors the reference running
+the same analyzer in ``TransportAnalyzeAction`` and the index write path).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_TOKEN_LENGTH = 255  # StandardAnalyzerProvider.java:54 default
+
+# UAX#29 approximation: word chars incl. underscore (ExtendNumLet joins
+# snake_case, as Lucene's StandardTokenizer does); apostrophes/dots split.
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+# code-aware sub-token boundaries: underscore, camelCase humps, letter<->digit
+_CODE_SPLIT_RE = re.compile(
+    r"_+"                       # snake_case
+    r"|(?<=[a-z0-9])(?=[A-Z])"  # fooBar -> foo|Bar
+    r"|(?<=[A-Z])(?=[A-Z][a-z])"  # HTTPServer -> HTTP|Server
+    r"|(?<=[A-Za-z])(?=[0-9])"  # utf8 -> utf|8
+    r"|(?<=[0-9])(?=[A-Za-z])"  # 8bit -> 8|bit
+)
+
+
+def _chunk255(tok: str) -> Iterator[str]:
+    # Lucene splits (not truncates) tokens longer than max_token_length
+    if len(tok) <= MAX_TOKEN_LENGTH:
+        yield tok
+    else:
+        for i in range(0, len(tok), MAX_TOKEN_LENGTH):
+            yield tok[i : i + MAX_TOKEN_LENGTH]
+
+
+def tokenize_standard(text: str) -> list[str]:
+    """standard analyzer: UAX#29-ish word break + lowercase."""
+    if not text:
+        return []
+    out: list[str] = []
+    for m in _WORD_RE.finditer(text):
+        for t in _chunk255(m.group(0).lower()):
+            out.append(t)
+    return out
+
+
+def tokenize_standard_code(text: str) -> list[str]:
+    """standard + word_delimiter-style code splitting (sub-tokens only).
+
+    ``parseHTTPResponse_v2`` → [parse, http, response, v, 2]. Splitting
+    happens before lowercasing so camel humps are visible.
+    """
+    if not text:
+        return []
+    out: list[str] = []
+    for m in _WORD_RE.finditer(text):
+        for sub in _CODE_SPLIT_RE.split(m.group(0)):
+            if not sub:
+                continue
+            for t in _chunk255(sub.lower()):
+                out.append(t)
+    return out
+
+
+def _ngrams(tokens: list[str], n: int) -> list[str]:
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def tokenize_standard_code_ngram(text: str, n: int = 2) -> list[str]:
+    """code tokens + appended word n-gram shingles (index_phrases-style fast
+    path, reference ``TextFieldMapper.java:318-321``)."""
+    toks = tokenize_standard_code(text)
+    return toks + _ngrams(toks, n)
+
+
+ANALYZERS = {
+    "standard": tokenize_standard,
+    "standard_code": tokenize_standard_code,
+    "standard_code_ngram": tokenize_standard_code_ngram,
+}
+
+
+def tokenize(text: str, analyzer: str = "standard") -> list[str]:
+    return ANALYZERS[analyzer](text)
+
+
+def analyze_udf(analyzer: str = "standard"):
+    """Vectorized pandas UDF: content:string → tokens:array<string>."""
+    fn = ANALYZERS[analyzer]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _analyze(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: fn(x) if x is not None else [])
+
+    return _analyze

@@ -1,0 +1,118 @@
+"""Posting-list block codec: delta + variable-byte, 128-doc blocks, block-max.
+
+Re-implements (natively, in numpy — fully vectorized, no per-element Python)
+the behavioral layout of the reference's posting format: 128-doc blocks with
+per-block skip metadata and max impacts (reference wires Lucene's
+``Lucene99PostingsFormat`` at ``index/codec/CodecService.java:71-78`` /
+``PerFieldMappingPostingFormatCodec.java:87-95``; block size 128 and
+block-max impacts are public Lucene layout). We use varbyte instead of
+FOR-bitpacking — simpler, numpy-friendly, and the VByte/FastLanes literature
+(PAPERS.md) shows both decode at memory bandwidth for our block sizes.
+
+Block row layout (columns of the ``postings`` table):
+    field, term, bucket, block_seq, first_doc, last_doc, n,
+    max_tf, max_impact, docs_vb (binary), tfs_vb (binary)
+
+``docs_vb`` encodes gaps: [doc0 - block_base] + diffs; ``block_base`` is
+``first_doc`` so the first stored gap is 0 and is elided (n-1 gaps).
+``max_impact`` = max over the block of tf/(tf + k1*(1-b+b*dl/avgdl)) so the
+query-time upper bound for block-max WAND is ``idf*(k1+1)*max_impact``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128-style varbyte encode of a uint64 array."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + #thresholds <= v
+    nbytes = 1 + (v[:, None] >= _THRESHOLDS[None, :]).sum(axis=1)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    maxb = int(nbytes.max())
+    for j in range(maxb):
+        mask = nbytes > j
+        idx = offsets[mask] + j
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
+        out[idx] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Vectorized decode → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    pos_in_group = np.arange(b.size) - np.repeat(starts, lengths)
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos_in_group.astype(np.uint64)
+    )
+    return np.add.reduceat(contrib, starts)
+
+
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """Encode one block (sorted doc_ids + parallel tfs) → (docs_vb, tfs_vb)."""
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    gaps = np.diff(d)  # first gap elided (first_doc stored in-row)
+    return varbyte_encode(gaps), varbyte_encode(np.asarray(tfs, dtype=np.uint64))
+
+
+def decode_block(first_doc: int, docs_vb: bytes, tfs_vb: bytes, n: int):
+    """Decode one block → (doc_ids int64[n], tfs int64[n])."""
+    gaps = varbyte_decode(docs_vb)
+    doc_ids = np.empty(n, dtype=np.int64)
+    doc_ids[0] = first_doc
+    if n > 1:
+        np.cumsum(gaps.astype(np.int64), out=doc_ids[1:])
+        doc_ids[1:] += first_doc
+    tfs = varbyte_decode(tfs_vb).astype(np.int64)
+    return doc_ids, tfs
+
+
+def make_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    impacts: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+):
+    """Chunk one term's sorted postings into block rows.
+
+    Returns a list of tuples
+    ``(block_seq, first_doc, last_doc, n, max_tf, max_impact, docs_vb, tfs_vb)``.
+    ``impacts`` is the idf-free BM25 factor per posting (see module doc).
+    """
+    order = np.argsort(doc_ids, kind="stable")
+    d = np.asarray(doc_ids, dtype=np.int64)[order]
+    t = np.asarray(tfs, dtype=np.int64)[order]
+    imp = np.asarray(impacts, dtype=np.float64)[order]
+    rows = []
+    for seq, s in enumerate(range(0, d.size, block_size)):
+        e = min(s + block_size, d.size)
+        docs_vb, tfs_vb = encode_block(d[s:e], t[s:e])
+        rows.append(
+            (
+                seq,
+                int(d[s]),
+                int(d[e - 1]),
+                int(e - s),
+                int(t[s:e].max()),
+                float(imp[s:e].max()),
+                docs_vb,
+                tfs_vb,
+            )
+        )
+    return rows

@@ -1,0 +1,89 @@
+"""Tokenizer contract tests (mirror the reference's indices.analyze/ YAML
+suites: exact token sequences, incl. the 255-char max_token_length boundary
+of StandardAnalyzerProvider.java:54)."""
+
+from opensearch_spark.analysis import tokenize
+from opensearch_spark.analysis.analyzer import (
+    tokenize_standard,
+    tokenize_standard_code,
+    tokenize_standard_code_ngram,
+)
+
+
+def test_standard_basic():
+    assert tokenize_standard("The QUICK brown-fox 42!") == [
+        "the",
+        "quick",
+        "brown",
+        "fox",
+        "42",
+    ]
+
+
+def test_standard_keeps_snake_case_like_uax29():
+    assert tokenize_standard("foo_bar baz") == ["foo_bar", "baz"]
+
+
+def test_standard_empty_and_none():
+    assert tokenize_standard("") == []
+    assert tokenize_standard("   \n\t ") == []
+
+
+def test_standard_unicode():
+    assert tokenize_standard("Größe café 北京") == ["größe", "café", "北京"]
+
+
+def test_max_token_length_splits_at_255():
+    tok = "a" * 600
+    out = tokenize_standard(tok)
+    assert [len(t) for t in out] == [255, 255, 90]
+
+
+def test_code_camel_snake_digits():
+    assert tokenize_standard_code("parseHTTPResponse_v2") == [
+        "parse",
+        "http",
+        "response",
+        "v",
+        "2",
+    ]
+    assert tokenize_standard_code("utf8Decoder") == ["utf", "8", "decoder"]
+
+
+def test_code_paths_and_dots():
+    assert tokenize_standard_code("org.apache.spark.sql") == [
+        "org",
+        "apache",
+        "spark",
+        "sql",
+    ]
+
+
+def test_ngram_shingles():
+    assert tokenize_standard_code_ngram("a b c", n=2) == [
+        "a",
+        "b",
+        "c",
+        "a b",
+        "b c",
+    ]
+
+
+def test_registry_dispatch():
+    assert tokenize("FooBar", "standard_code") == ["foo", "bar"]
+    assert tokenize("FooBar", "standard") == ["foobar"]
+
+
+def test_analyze_udf_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from opensearch_spark.analysis import analyze_udf
+
+    rows = [("import os\ndef fooBar(x): return x_y",), ("",), (None,)]
+    df = spark.createDataFrame(rows, ["content"])
+    got = [
+        r[0]
+        for r in df.select(analyze_udf("standard_code")(F.col("content"))).collect()
+    ]
+    assert got[0] == tokenize_standard_code(rows[0][0])
+    assert got[1] == [] and got[2] == []
