@@ -87,32 +87,39 @@ def make_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     impacts: np.ndarray,
+    dls: np.ndarray | None = None,
     block_size: int = BLOCK_SIZE,
 ):
     """Chunk one term's sorted postings into block rows.
 
-    Returns a list of tuples
-    ``(block_seq, first_doc, last_doc, n, max_tf, max_impact, docs_vb, tfs_vb)``.
-    ``impacts`` is the idf-free BM25 factor per posting (see module doc).
+    Returns a list of tuples ``(block_seq, first_doc, last_doc, n, max_tf,
+    max_impact, docs_vb, tfs_vb[, dls_vb])``. ``impacts`` is the idf-free
+    BM25 factor per posting (see module doc). ``dls`` (per-posting doc
+    length) makes blocks fully self-contained for scoring — no norms
+    broadcast or docs-table join at query time (the Lucene analog keeps a
+    per-segment norms file; inlining costs ~1 byte/posting varbyte and keeps
+    the hot path join-free at 10^12-doc scale).
     """
     order = np.argsort(doc_ids, kind="stable")
     d = np.asarray(doc_ids, dtype=np.int64)[order]
     t = np.asarray(tfs, dtype=np.int64)[order]
     imp = np.asarray(impacts, dtype=np.float64)[order]
+    dl = None if dls is None else np.asarray(dls, dtype=np.int64)[order]
     rows = []
     for seq, s in enumerate(range(0, d.size, block_size)):
         e = min(s + block_size, d.size)
         docs_vb, tfs_vb = encode_block(d[s:e], t[s:e])
-        rows.append(
-            (
-                seq,
-                int(d[s]),
-                int(d[e - 1]),
-                int(e - s),
-                int(t[s:e].max()),
-                float(imp[s:e].max()),
-                docs_vb,
-                tfs_vb,
-            )
+        row = (
+            seq,
+            int(d[s]),
+            int(d[e - 1]),
+            int(e - s),
+            int(t[s:e].max()),
+            float(imp[s:e].max()),
+            docs_vb,
+            tfs_vb,
         )
+        if dl is not None:
+            row = row + (varbyte_encode(dl[s:e].astype(np.uint64)),)
+        rows.append(row)
     return rows

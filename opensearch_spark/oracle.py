@@ -1,0 +1,76 @@
+"""DuckDB-runnable oracle SQL generators.
+
+For every gated query in ``__spark_entry__.queries()`` there is an
+equivalent ANSI-ish SQL statement here. The BM25 formula string is shared
+with the Spark plan (``scoring.bm25.bm25_sql_expr``) so both engines compute
+the same float64 expression; scores are rounded to 4 decimals on both sides
+and ties broken by ascending doc_id, making the top-k set deterministic.
+
+The oracle tokenizer — ``string_split_regex(text, '\\s+')`` — matches the
+``standard`` analyzer exactly on the ``documents`` table (its text is
+lowercase space-separated words; asserted in tests).
+"""
+
+from __future__ import annotations
+
+K1 = 1.2
+B = 0.75
+
+# CTE prelude: tokens, doc lengths, collection stats over `documents`
+TOK_CTES = """
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM documents
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS N,
+           (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+)
+"""
+
+
+def _terms_list(terms: list[str]) -> str:
+    inner = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"({inner})"
+
+
+def bm25_term(tf="tf", dl="dl", df="df", N="N", avgdl="avgdl",
+              k1: float = K1, b: float = B, boost: float = 1.0) -> str:
+    s = (
+        f"ln(1.0 + ({N} - {df} + 0.5) / ({df} + 0.5)) * ({k1} + 1.0) * {tf} "
+        f"/ ({tf} + {k1} * (1.0 - {b} + {b} * {dl} / {avgdl}))"
+    )
+    if boost != 1.0:
+        s = f"{boost} * {s}"
+    return s
+
+
+def match_sql(terms: list[str], k: int = 10, n_required: int = 1,
+              boost: float = 1.0, extra_filter: str = "") -> str:
+    """Top-k BM25 match. n_required=1 → OR; =len(terms) → AND; else msm."""
+    tl = _terms_list(sorted(set(terms)))
+    return f"""
+WITH {TOK_CTES},
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM tok2
+    WHERE term IN {tl} GROUP BY doc_id, term
+),
+dfreq AS (
+    SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+    WHERE term IN {tl} GROUP BY term
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum({bm25_term(boost=boost)}) AS raw_score,
+           count(*) AS nt
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scored {('JOIN documents USING (doc_id)') if extra_filter else ''}
+WHERE nt >= {n_required} {('AND ' + extra_filter) if extra_filter else ''}
+ORDER BY round(raw_score, 4) DESC, doc_id
+LIMIT {k}
+"""

@@ -1,0 +1,535 @@
+"""Query execution over an InvertedIndex — the Spark projection of the
+reference's search lifecycle (SURVEY.md §3.1):
+
+DSL → AST → (analyze query text, resolve term stats) → term-pruned posting
+scan → per-partition top-k (block-max WAND, ``wand.py``) or exhaustive
+DataFrame plan → global ``ORDER BY score LIMIT k`` (TakeOrderedAndProject =
+``SearchPhaseController`` merge) → fetch join for hit content.
+
+Scoring modes:
+- exhaustive: decode → float64 BM25 as a Catalyst SQL expression → groupBy
+  sum. This is the oracle-comparable mode and the scoring oracle for WAND.
+- wand: block-max pruned; identical results (strict-bound skips).
+
+Global stats by construction = the reference's DFS_QUERY_THEN_FETCH
+semantics; with 1 shard the reference's query_then_fetch coincides (§3.1),
+so rank identity is well-defined.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from opensearch_spark.analysis import tokenize
+from opensearch_spark.index.build import InvertedIndex
+from opensearch_spark.search import queries as Q
+
+SCORE_COLS = ("doc_id", "score")
+
+
+def _bm25_weight(N: int, df: np.ndarray, k1: float, boost: float) -> np.ndarray:
+    idf = np.log(1.0 + (N - df.astype(np.float64) + 0.5) / (df + 0.5))
+    return boost * idf * (k1 + 1.0)
+
+
+class Searcher:
+    def __init__(self, spark: SparkSession, index: InvertedIndex,
+                 preload_dictionary: bool = False):
+        self.spark = spark
+        self.index = index
+        self.k1 = float(index.meta["k1"])
+        self.b = float(index.meta["b"])
+        self.avgdl = float(index.avgdl)
+        self.N = int(index.doc_count)
+        self.field = index.meta["field"]
+        self._dict_pd: pd.DataFrame | None = None
+        self._part_cache: dict[str, int] = {}
+        if preload_dictionary:
+            # driver-side term→df map; fine up to ~10M terms. At larger
+            # vocabularies keep the Spark-filter path (default).
+            self._dict_pd = (
+                index.dictionary(spark).toPandas().set_index("term")
+            )
+
+    # ---------- term statistics ----------
+    def analyze(self, text: str) -> list[str]:
+        return tokenize(text, self.index.analyzer)
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """df per term; absent terms omitted (like a missing Lucene term)."""
+        uniq = list(dict.fromkeys(terms))
+        if not uniq:
+            return {}
+        if self._dict_pd is not None:
+            found = self._dict_pd.index.intersection(uniq)
+            return {t: int(self._dict_pd.loc[t, "df"]) for t in found}
+        rows = (
+            self.index.dictionary(self.spark)
+            .where(F.col("term").isin(uniq))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    # ---------- posting scans ----------
+    def _blocks_for_terms(self, terms: list[str]) -> DataFrame:
+        return self.index.postings_for_terms(self.spark, terms)
+
+    def _flat_postings(self, terms: list[str]) -> DataFrame:
+        """Decoded (term, doc_id, tf, dl) for the given terms — vectorized
+        block decode in mapInPandas."""
+        blocks = self._blocks_for_terms(terms)
+
+        def decode(batches):
+            from opensearch_spark.index.codec import varbyte_decode
+
+            for pdf in batches:
+                outs = []
+                for term, first_doc, n, dvb, tvb, lvb in zip(
+                    pdf["term"], pdf["first_doc"], pdf["n"],
+                    pdf["docs_vb"], pdf["tfs_vb"], pdf["dls_vb"],
+                ):
+                    gaps = varbyte_decode(dvb).astype(np.int64)
+                    docs = np.empty(n, dtype=np.int64)
+                    docs[0] = first_doc
+                    if n > 1:
+                        np.cumsum(gaps, out=docs[1:])
+                        docs[1:] += first_doc
+                    outs.append(pd.DataFrame({
+                        "term": term,
+                        "doc_id": docs,
+                        "tf": varbyte_decode(tvb).astype(np.int64),
+                        "dl": varbyte_decode(lvb).astype(np.int64),
+                    }))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return blocks.mapInPandas(decode, "term string, doc_id long, tf long, dl long")
+
+    # ---------- scoring: match ----------
+    def _match_exhaustive(self, q: Q.Match) -> DataFrame:
+        terms = self.analyze(q.text)
+        dfs = self.term_dfs(terms)
+        live = [t for t in dict.fromkeys(terms) if t in dfs]
+        n_required = self._n_required(q, live, terms)
+        if not live or (q.operator == "and" and len(live) < len(set(terms))):
+            return self._empty_scores()
+        flat = self._flat_postings(live)
+        stats = self.spark.createDataFrame(
+            [(t, dfs[t]) for t in live], "term string, df long"
+        )
+        scored = flat.join(F.broadcast(stats), "term").withColumn(
+            "tscore",
+            F.expr(
+                f"{q.boost} * ln(1.0 + ({self.N} - df + 0.5) / (df + 0.5)) "
+                f"* ({self.k1} + 1.0) * tf "
+                f"/ (tf + {self.k1} * (1.0 - {self.b} + {self.b} * dl / {self.avgdl}))"
+            ),
+        )
+        agg = scored.groupBy("doc_id").agg(
+            F.sum("tscore").alias("score"), F.count("*").alias("_nt")
+        )
+        if n_required > 1:
+            agg = agg.where(F.col("_nt") >= n_required)
+        return agg.select("doc_id", "score")
+
+    def _n_required(self, q: Q.Match, live: list[str], terms: list[str]) -> int:
+        if q.operator == "and":
+            return len(set(terms))
+        return max(q.minimum_should_match, 1) if q.minimum_should_match else 1
+
+    def _match_wand(self, q: Q.Match, k: int) -> DataFrame:
+        from opensearch_spark.search.wand import wand_partition_fn
+
+        terms = self.analyze(q.text)
+        dfs = self.term_dfs(terms)
+        live = [t for t in dict.fromkeys(terms) if t in dfs]
+        if not live or (q.operator == "and" and len(live) < len(set(terms))):
+            return self._empty_scores()
+        n_required = self._n_required(q, live, terms)
+        weights = _bm25_weight(
+            self.N, np.array([dfs[t] for t in live]), self.k1, q.boost
+        )
+        term_idx = self.spark.createDataFrame(
+            [(t, i) for i, t in enumerate(live)], "term string, term_idx int"
+        )
+        blocks = self._blocks_for_terms(live).join(F.broadcast(term_idx), "term")
+        # per-bucket UB = Σ_t max row-UB — used to order buckets so θ rises fast
+        w_expr = F.element_at(
+            F.array(*[F.lit(float(x)) for x in weights]), F.col("term_idx") + 1
+        )
+        rows = blocks.withColumn("_ub", w_expr * F.col("max_impact"))
+        # two-level agg: max per (bucket,term), sum per bucket
+        bucket_ub = (
+            rows.groupBy("bucket", "term_idx").agg(F.max("_ub").alias("_tu"))
+            .groupBy("bucket").agg(F.sum("_tu").alias("bucket_ub"))
+        )
+        ordered = (
+            rows.join(bucket_ub, "bucket")
+            .repartition(F.pmod(F.col("bucket"), F.lit(self.index.n_parts)))
+            .sortWithinPartitions(F.desc("bucket_ub"), "bucket", "term_idx")
+        )
+        fn = wand_partition_fn(
+            list(weights), k, self.k1, self.b, self.avgdl, n_required
+        )
+        part_topk = ordered.select(
+            "bucket", "term_idx", "first_doc", "n", "max_impact",
+            "docs_vb", "tfs_vb", "dls_vb",
+        ).mapInPandas(fn, "doc_id long, score double")
+        return part_topk
+
+    def _empty_scores(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id long, score double")
+
+    # ---------- filter context ----------
+    def _docs_predicate(self, q) -> F.Column | None:
+        """Catalyst predicate over the docs table for keyword/range/etc —
+        pushed to the parquet scan (PushedFilters)."""
+        if isinstance(q, Q.Term):
+            return F.col(q.field) == F.lit(q.value)
+        if isinstance(q, Q.Terms):
+            return F.col(q.field).isin(q.values)
+        if isinstance(q, Q.Range):
+            c = F.col(q.field)
+            conds = []
+            if q.gt is not None:
+                conds.append(c > F.lit(q.gt))
+            if q.gte is not None:
+                conds.append(c >= F.lit(q.gte))
+            if q.lt is not None:
+                conds.append(c < F.lit(q.lt))
+            if q.lte is not None:
+                conds.append(c <= F.lit(q.lte))
+            return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
+        if isinstance(q, Q.Exists):
+            return F.col(q.field).isNotNull()
+        if isinstance(q, Q.Ids):
+            return F.col("doc_id").isin(q.values)
+        if isinstance(q, Q.MatchAll):
+            return F.lit(True)
+        if isinstance(q, Q.MatchNone):
+            return F.lit(False)
+        if isinstance(q, Q.Prefix) and q.field != self.field:
+            return F.col(q.field).startswith(q.value)
+        if isinstance(q, Q.Wildcard) and q.field != self.field:
+            return F.col(q.field).like(q.value.replace("*", "%").replace("?", "_"))
+        if isinstance(q, Q.Regexp) and q.field != self.field:
+            return F.col(q.field).rlike("^(" + q.value + ")$")
+        return None
+
+    def matching_docs(self, q) -> DataFrame:
+        """Filter context: DataFrame of matching doc_id (no score)."""
+        pred = self._docs_predicate(q)
+        if pred is not None:
+            return self.index.docs(self.spark).where(pred).select("doc_id")
+        return self.score(q).select("doc_id")
+
+    # ---------- term expansion (multi-term queries) ----------
+    def expand_terms(self, q) -> list[str]:
+        """prefix/wildcard/regexp/fuzzy → concrete term set via the
+        dictionary (the reference's FST/automaton walk becomes a pruned
+        dictionary scan)."""
+        d = self.index.dictionary(self.spark)
+        if isinstance(q, Q.Prefix):
+            rows = d.where(F.col("term").startswith(q.value)).select("term").collect()
+        elif isinstance(q, Q.Wildcard):
+            pat = "^" + re.escape(q.value).replace("\\*", ".*").replace("\\?", ".") + "$"
+            rows = d.where(F.col("term").rlike(pat)).select("term").collect()
+        elif isinstance(q, Q.Regexp):
+            rows = d.where(F.col("term").rlike("^(" + q.value + ")$")).select("term").collect()
+        elif isinstance(q, Q.Fuzzy):
+            v = q.value
+            if q.fuzziness is None:  # AUTO (libs/core Fuzziness): 0-2,3-5,6+ → 0,1,2
+                fz = 0 if len(v) <= 2 else (1 if len(v) <= 5 else 2)
+            else:
+                fz = q.fuzziness
+            lo, hi = len(v) - fz, len(v) + fz
+            rows = (
+                d.where(F.length("term").between(lo, hi))
+                .where(F.levenshtein(F.col("term"), F.lit(v)) <= fz)
+                .select("term").collect()
+            )
+        else:
+            raise TypeError(type(q))
+        return sorted(r["term"] for r in rows)
+
+    # ---------- scoring dispatch ----------
+    def score(self, q) -> DataFrame:
+        """Query context: DataFrame (doc_id, score). Exhaustive plans —
+        WAND is applied at top level by ``search()``."""
+        if isinstance(q, Q.MatchAll):
+            return self.index.docs(self.spark).select(
+                "doc_id", F.lit(float(q.boost)).alias("score"))
+        if isinstance(q, Q.MatchNone):
+            return self._empty_scores()
+        if isinstance(q, Q.Match):
+            return self._match_exhaustive(q)
+        if isinstance(q, Q.MultiMatch):
+            frames = [
+                self._match_exhaustive(Q.Match(field=f, text=q.text, boost=q.boost))
+                for f in q.fields
+            ]
+            if q.type == "most_fields":
+                return self._sum_union(frames)
+            return self._dismax_union(frames, q.tie_breaker)
+        if isinstance(q, Q.Term) and q.field == self.field:
+            return self._match_exhaustive(
+                Q.Match(field=q.field, text=q.value, boost=q.boost))
+        if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regexp, Q.Fuzzy)) and q.field == self.field:
+            terms = self.expand_terms(q)
+            if not terms:
+                return self._empty_scores()
+            # constant_score rewrite (the reference's default for multi-term)
+            docs = self._flat_postings(terms).select("doc_id").distinct()
+            return docs.select("doc_id", F.lit(float(q.boost)).alias("score"))
+        if isinstance(q, Q.TermsSet):
+            dfs = self.term_dfs(q.values)
+            live = [t for t in q.values if t in dfs]
+            if not live:
+                return self._empty_scores()
+            m = Q.Match(field=q.field, text=" ".join(live), boost=q.boost,
+                        minimum_should_match=q.minimum_should_match)
+            return self._match_exhaustive(m)
+        if isinstance(q, Q.MatchPhrase):
+            return self._phrase(q)
+        if isinstance(q, Q.Bool):
+            return self._bool(q)
+        if isinstance(q, Q.ConstantScore):
+            return self.matching_docs(q.filter).select(
+                "doc_id", F.lit(float(q.boost)).alias("score"))
+        if isinstance(q, Q.DisMax):
+            return self._dismax_union([self.score(s) for s in q.queries], q.tie_breaker)
+        if isinstance(q, Q.Boosting):
+            pos = self.score(q.positive)
+            neg = self.matching_docs(q.negative).withColumn("_neg", F.lit(1))
+            return (
+                pos.join(neg, "doc_id", "left")
+                .withColumn(
+                    "score",
+                    F.when(F.col("_neg").isNotNull(),
+                           F.col("score") * F.lit(q.negative_boost))
+                    .otherwise(F.col("score")),
+                )
+                .select("doc_id", "score")
+            )
+        if isinstance(q, Q.FunctionScore):
+            sub = self.score(q.query)
+            new = F.expr(q.script)
+            if q.boost_mode == "multiply":
+                new = F.col("score") * new
+            elif q.boost_mode == "sum":
+                new = F.col("score") + new
+            return sub.withColumn("score", new.cast("double")).select("doc_id", "score")
+        if isinstance(q, Q.MoreLikeThis):
+            return self._more_like_this(q)
+        if isinstance(q, (Q.Term, Q.Terms, Q.Range, Q.Exists, Q.Ids)):
+            # keyword-field query in scoring context → constant score
+            return self.matching_docs(q).select(
+                "doc_id", F.lit(float(q.boost)).alias("score"))
+        raise TypeError(f"unsupported query: {type(q)}")
+
+    # ---------- composition helpers ----------
+    def _sum_union(self, frames: list[DataFrame]) -> DataFrame:
+        u = reduce(DataFrame.unionByName, frames)
+        return u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    def _dismax_union(self, frames: list[DataFrame], tie: float) -> DataFrame:
+        u = reduce(DataFrame.unionByName, frames)
+        agg = u.groupBy("doc_id").agg(
+            F.max("score").alias("_mx"), F.sum("score").alias("_sm"))
+        return agg.select(
+            "doc_id",
+            (F.col("_mx") + F.lit(tie) * (F.col("_sm") - F.col("_mx"))).alias("score"),
+        )
+
+    def _bool(self, q: Q.Bool) -> DataFrame:
+        must_frames = [self.score(c) for c in q.must]
+        should_frames = [self.score(c) for c in q.should]
+        msm = q.minimum_should_match
+        if msm is None:
+            msm = 0 if (q.must or q.filter) else 1
+
+        base = None
+        if must_frames:
+            base = must_frames[0].withColumnRenamed("score", "_s0")
+            for i, fdf in enumerate(must_frames[1:], 1):
+                base = base.join(
+                    fdf.withColumnRenamed("score", f"_s{i}"), "doc_id", "inner")
+            total = reduce(
+                lambda a, b: a + b,
+                [F.col(f"_s{i}") for i in range(len(must_frames))],
+            )
+            base = base.select("doc_id", total.alias("score"))
+
+        should_agg = None
+        if should_frames:
+            tagged = [
+                fdf.withColumn("_cl", F.lit(i)) for i, fdf in enumerate(should_frames)
+            ]
+            u = reduce(DataFrame.unionByName, tagged)
+            should_agg = u.groupBy("doc_id").agg(
+                F.sum("score").alias("_ss"),
+                F.countDistinct("_cl").alias("_nm"),
+            )
+            if msm:
+                should_agg = should_agg.where(F.col("_nm") >= msm)
+
+        if base is not None and should_agg is not None:
+            out = base.join(should_agg, "doc_id", "inner" if msm else "left").select(
+                "doc_id",
+                (F.col("score") + F.coalesce(F.col("_ss"), F.lit(0.0))).alias("score"),
+            )
+        elif base is not None:
+            out = base
+        elif should_agg is not None:
+            out = should_agg.select("doc_id", F.col("_ss").alias("score"))
+        else:
+            out = self.index.docs(self.spark).select(
+                "doc_id", F.lit(0.0).alias("score"))
+
+        for f in q.filter:
+            out = out.join(self.matching_docs(f), "doc_id", "left_semi")
+        for mn in q.must_not:
+            out = out.join(self.matching_docs(mn), "doc_id", "left_anti")
+        if q.boost != 1.0:
+            out = out.withColumn("score", F.col("score") * F.lit(q.boost))
+        return out
+
+    # ---------- phrase ----------
+    def _phrase(self, q: Q.MatchPhrase) -> DataFrame:
+        """Exact phrase via the positions table: docs where term_i appears at
+        pos p+i for all i (self-join adjacency; slop v2). Scored like Lucene
+        PhraseQuery: BM25 with tf = phrase frequency, idf summed over terms."""
+        terms = self.analyze(q.text)
+        if not terms:
+            return self._empty_scores()
+        pos = self.index.positions(self.spark)
+        parts = None
+        frames = []
+        for i, t in enumerate(terms):
+            frames.append(
+                pos.where(F.col("term") == t)
+                .select("doc_id", F.explode("positions").alias("pos"))
+                .withColumn("_p0", F.col("pos") - F.lit(i))
+                .select("doc_id", "_p0")
+            )
+        j = frames[0]
+        for fdf in frames[1:]:
+            j = j.join(fdf, ["doc_id", "_p0"], "inner")
+        ptf = j.groupBy("doc_id").agg(F.count("*").alias("ptf"))
+        dfs = self.term_dfs(terms)
+        if len(dfs) < len(set(terms)):
+            return self._empty_scores()
+        idf_sum = float(
+            sum(np.log(1.0 + (self.N - d + 0.5) / (d + 0.5)) for d in
+                (dfs[t] for t in terms))
+        )
+        dl = self.index.docs(self.spark).select("doc_id", "dl")
+        return (
+            ptf.join(dl, "doc_id")
+            .withColumn(
+                "score",
+                F.expr(
+                    f"{q.boost} * {idf_sum!r} * ({self.k1} + 1.0) * ptf "
+                    f"/ (ptf + {self.k1} * (1.0 - {self.b} + {self.b} * dl / {self.avgdl}))"
+                ),
+            )
+            .select("doc_id", "score")
+        )
+
+    # ---------- more_like_this ----------
+    def _more_like_this(self, q: Q.MoreLikeThis) -> DataFrame:
+        flat_all = self._flat_for_docs(q.like_ids)
+        dic = self.index.dictionary(self.spark)
+        cand = (
+            flat_all.groupBy("term").agg(F.sum("tf").alias("_tf"))
+            .where(F.col("_tf") >= q.min_term_freq)
+            .join(dic.select("term", "df"), "term")
+            .where(F.col("df") >= q.min_doc_freq)
+            .withColumn(
+                "_tfidf",
+                F.col("_tf") * F.log(
+                    1.0 + (F.lit(float(self.N)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            )
+            .orderBy(F.desc("_tfidf"), "term")
+            .limit(q.max_query_terms)
+        )
+        terms = [r["term"] for r in cand.select("term").collect()]
+        if not terms:
+            return self._empty_scores()
+        out = self._match_exhaustive(
+            Q.Match(field=q.field, text=" ".join(terms), boost=q.boost))
+        # exclude the example docs themselves (reference behavior: include=false)
+        return out.where(~F.col("doc_id").isin([int(x) for x in q.like_ids]))
+
+    def _flat_for_docs(self, doc_ids: list[int]) -> DataFrame:
+        """(term, tf) rows of the given docs — re-analyze their content
+        (cheap for a handful of example docs)."""
+        from opensearch_spark.analysis import analyze_udf
+
+        docs = self.index.docs(self.spark).where(
+            F.col("doc_id").isin([int(x) for x in doc_ids]))
+        toks = docs.select(
+            "doc_id", F.explode(analyze_udf(self.index.analyzer)(F.col(self.field))).alias("term"))
+        return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+    # ---------- entry points ----------
+    def search(self, q, k: int = 10, mode: str = "auto",
+               round_scores: int | None = None, margin: int = 50) -> DataFrame:
+        """Top-k (doc_id, score), ties broken by ascending doc_id (Lucene
+        behavior). ``round_scores`` rounds for oracle comparison; candidates
+        are over-fetched by ``margin`` then re-ranked on the rounded score so
+        rounding cannot flip the cut (see bench/oracle notes)."""
+        use_wand = mode == "wand" or (mode == "auto" and isinstance(q, Q.Match))
+        kk = k + margin if round_scores is not None else k
+        if use_wand and isinstance(q, Q.Match):
+            scores = self._match_wand(q, kk)
+        else:
+            scores = self.score(q)
+        top = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(kk)
+        if round_scores is not None:
+            top = (
+                top.withColumn("score", F.round(F.col("score"), round_scores))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+        else:
+            top = top.limit(k)
+        return top
+
+    def fetch(self, hits: DataFrame, columns: list[str] | None = None) -> DataFrame:
+        """Fetch phase (FetchPhase.java analog): broadcast-join the tiny
+        top-k frame back to the docs table for stored fields."""
+        docs = self.index.docs(self.spark)
+        cols = columns or [c for c in docs.columns if c not in ("doc_id",)]
+        return F.broadcast(hits).join(docs.select("doc_id", *cols), "doc_id")
+
+    def explain(self, q: Q.Match) -> DataFrame:
+        """Per-hit score breakdown (TransportExplainAction analog): one row
+        per (doc, term) with idf / tf-part / norm components."""
+        terms = self.analyze(q.text)
+        dfs = self.term_dfs(terms)
+        live = [t for t in dict.fromkeys(terms) if t in dfs]
+        if not live:
+            return self.spark.createDataFrame(
+                [], "doc_id long, term string, idf double, tf long, dl long, tscore double")
+        flat = self._flat_postings(live)
+        stats = self.spark.createDataFrame(
+            [(t, dfs[t]) for t in live], "term string, df long")
+        return (
+            flat.join(F.broadcast(stats), "term")
+            .withColumn("idf", F.expr(f"ln(1.0 + ({self.N} - df + 0.5) / (df + 0.5))"))
+            .withColumn(
+                "tscore",
+                F.expr(
+                    f"ln(1.0 + ({self.N} - df + 0.5) / (df + 0.5)) * ({self.k1} + 1.0) * tf "
+                    f"/ (tf + {self.k1} * (1.0 - {self.b} + {self.b} * dl / {self.avgdl}))"
+                ),
+            )
+            .select("doc_id", "term", "idf", "tf", "dl", "tscore")
+        )

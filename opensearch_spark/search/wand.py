@@ -1,0 +1,165 @@
+"""Block-max top-k pruning — the one operator Catalyst cannot express
+(SURVEY.md §4.1): the reference enables it via ``track_total_hits`` →
+``totalHitsThreshold`` (``TopDocsCollectorContext.java:350``) with Lucene's
+block-max WAND machinery.
+
+Our variant is *vectorized* block-max pruning (the reference is
+document-at-a-time; we are block-at-a-time with numpy — strictly more
+SIMD-friendly, see the ICDE'25 columnar-inverted-index paper in PAPERS.md):
+
+- postings are chunked into doc-id-range **buckets** (build-time), so every
+  doc's postings for all query terms live in the same bucket;
+- per Spark task: iterate its buckets in descending score upper-bound,
+  maintaining the running top-k threshold θ;
+  - **bucket skip**: Σ_t max-impact-UB(t, bucket) < θ → skip whole bucket
+    (and for AND/msm: skip buckets missing required terms);
+  - **block skip**: UB(block) + Σ_{t'≠t} UB(t', bucket) < θ → skip block;
+  - surviving blocks: decode (vectorized varbyte) → per-posting scores →
+    sort-by-doc + reduceat aggregation → merge into running top-k, raise θ.
+- global: per-task top-k frames → ``ORDER BY score DESC, doc_id LIMIT k``
+  (Spark's TakeOrderedAndProject = the reference's ``TopDocs.merge``
+  coordinator step, ``SearchPhaseController.java:175-241``).
+
+Exactness: all skips use strict upper bounds (< θ), so results are identical
+to exhaustive scoring — verified by the oracle-comparison tests.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from opensearch_spark.index.codec import varbyte_decode
+
+
+class _TopK:
+    """Running top-k of (score desc, doc_id asc), numpy-based."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.docs = np.empty(0, dtype=np.int64)
+        self.scores = np.empty(0, dtype=np.float64)
+
+    @property
+    def threshold(self) -> float:
+        if self.scores.size < self.k:
+            return -np.inf
+        return float(self.scores[-1])
+
+    def merge(self, docs: np.ndarray, scores: np.ndarray) -> None:
+        d = np.concatenate([self.docs, docs])
+        s = np.concatenate([self.scores, scores])
+        order = np.lexsort((d, -s))[: self.k]
+        self.docs, self.scores = d[order], s[order]
+
+
+def _score_bucket(
+    group: pd.DataFrame,
+    weights: np.ndarray,
+    k1: float,
+    b: float,
+    avgdl: float,
+    n_required: int,
+    theta: float,
+):
+    """Exact per-doc scores for one bucket, with block-level skipping.
+
+    Returns (doc_ids, scores) or None if fully skipped.
+    """
+    tidx = group["term_idx"].to_numpy()
+    ub_rows = weights[tidx] * group["max_impact"].to_numpy()
+    # per-term max UB within bucket → bucket-level UB
+    n_terms = weights.size
+    term_ub = np.zeros(n_terms)
+    np.maximum.at(term_ub, tidx, ub_rows)
+    present = term_ub > 0
+    if int(present.sum()) < n_required:
+        return None  # bucket cannot satisfy AND/msm
+    bucket_ub = float(term_ub.sum())
+    if bucket_ub < theta:
+        return None
+    # block skip: ub(block) + (bucket_ub - term_ub[t]) < theta
+    keep = ub_rows + (bucket_ub - term_ub[tidx]) >= theta
+    if not keep.any():
+        return None
+    g = group.loc[keep]
+    doc_parts, score_parts = [], []
+    for first_doc, n, w_t, dvb, tvb, lvb in zip(
+        g["first_doc"].to_numpy(),
+        g["n"].to_numpy(),
+        weights[g["term_idx"].to_numpy()],
+        g["docs_vb"].to_numpy(),
+        g["tfs_vb"].to_numpy(),
+        g["dls_vb"].to_numpy(),
+    ):
+        gaps = varbyte_decode(dvb).astype(np.int64)
+        docs = np.empty(n, dtype=np.int64)
+        docs[0] = first_doc
+        if n > 1:
+            np.cumsum(gaps, out=docs[1:])
+            docs[1:] += first_doc
+        tf = varbyte_decode(tvb).astype(np.float64)
+        dl = varbyte_decode(lvb).astype(np.float64)
+        score_parts.append(w_t * (tf / (tf + k1 * (1.0 - b + b * dl / avgdl))))
+        doc_parts.append(docs)
+    all_docs = np.concatenate(doc_parts)
+    all_scores = np.concatenate(score_parts)
+    order = np.argsort(all_docs, kind="stable")
+    all_docs, all_scores = all_docs[order], all_scores[order]
+    starts = np.flatnonzero(np.concatenate(([True], all_docs[1:] != all_docs[:-1])))
+    uniq_docs = all_docs[starts]
+    sums = np.add.reduceat(all_scores, starts)
+    if n_required > 1:
+        counts = np.diff(np.concatenate((starts, [all_docs.size])))
+        ok = counts >= n_required
+        uniq_docs, sums = uniq_docs[ok], sums[ok]
+    return uniq_docs, sums
+
+
+def wand_partition_fn(
+    weights: list[float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    n_required: int,
+):
+    """Build the mapInPandas function: block rows (sorted by bucket within
+    the partition, descending bucket_ub) → this partition's top-k."""
+    w = np.asarray(weights, dtype=np.float64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        topk = _TopK(k)
+        pending: list[pd.DataFrame] = []
+        pending_bucket = None
+
+        def flush():
+            if not pending:
+                return
+            group = pd.concat(pending, ignore_index=True) if len(pending) > 1 else pending[0]
+            res = _score_bucket(group, w, k1, b, avgdl, n_required, topk.threshold)
+            if res is not None:
+                topk.merge(*res)
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            buckets = pdf["bucket"].to_numpy()
+            bounds = np.flatnonzero(
+                np.concatenate(([True], buckets[1:] != buckets[:-1]))
+            )
+            for i, s in enumerate(bounds):
+                e = bounds[i + 1] if i + 1 < bounds.size else len(pdf)
+                chunk = pdf.iloc[s:e]
+                bkt = buckets[s]
+                if pending_bucket is not None and bkt != pending_bucket:
+                    flush()
+                    pending.clear()
+                pending.append(chunk)
+                pending_bucket = bkt
+        flush()
+        yield pd.DataFrame({"doc_id": topk.docs, "score": topk.scores})
+
+    return run

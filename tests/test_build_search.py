@@ -1,0 +1,161 @@
+"""End-to-end: build index over sf0.001 documents → match queries →
+compare against an exhaustive DuckDB BM25 oracle; WAND vs exhaustive
+rank-identity; per-row sha256 invariant; micro-corpus hand-checked scores."""
+
+import math
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.index.build import IndexConfig, InvertedIndex, build_index
+from opensearch_spark.oracle import match_sql
+from opensearch_spark.search import Match, Searcher
+
+DOCS = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001") + "/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx") / "documents_index")
+    corpus = spark.read.parquet(DOCS)
+    idx = build_index(
+        spark,
+        corpus,
+        out,
+        IndexConfig(field="text", analyzer="standard", id_col="doc_id",
+                    keyword_cols=("lang", "source"), n_parts=4,
+                    bucket_span=64, with_positions=True),
+    )
+    return idx
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, index):
+    return Searcher(spark, index)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    return con
+
+
+def oracle_rows(duck, sql):
+    return sorted(duck.sql(sql).fetchall())
+
+
+def spark_rows(df):
+    return sorted((r["doc_id"], r["score"]) for r in df.collect())
+
+
+def test_stats_match_duckdb(index, duck):
+    n, sumdl = duck.sql(
+        "SELECT count(*), sum(len(string_split_regex(trim(text), '\\s+'))) FROM documents"
+    ).fetchone()
+    assert index.doc_count == n
+    assert index.meta["sum_dl"] == sumdl
+    assert index.avgdl == pytest.approx(sumdl / n, abs=0)
+
+
+def test_sha256_invariant(spark, index):
+    corpus = spark.read.parquet(DOCS)
+    assert index.verify_sha256(spark, corpus, field="text") == 0
+
+
+def test_docs_and_dictionary_consistent(spark, index, duck):
+    d = index.dictionary(spark)
+    # df of a known term matches duckdb
+    row = duck.sql("""
+        SELECT term, count(DISTINCT doc_id) FROM (
+          SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents
+        ) WHERE term = 'spark' GROUP BY term
+    """).fetchone()
+    got = d.where(F.col("term") == "spark").collect()[0]
+    assert got["df"] == row[1]
+
+
+@pytest.mark.parametrize(
+    "text,op,msm",
+    [
+        ("spark table", "or", 0),
+        ("spark table", "and", 0),
+        ("merge sort window batch", "or", 3),
+        ("spark", "or", 0),
+        ("nonexistentterm42", "or", 0),
+        ("spark nonexistentterm42", "or", 0),
+    ],
+)
+def test_match_vs_duckdb_oracle(searcher, duck, text, op, msm):
+    terms = searcher.analyze(text)
+    n_req = len(set(terms)) if op == "and" else max(msm, 1)
+    want = oracle_rows(duck, match_sql(terms, k=10, n_required=n_req))
+    q = Match(field="text", text=text, operator=op, minimum_should_match=msm)
+    got = spark_rows(searcher.search(q, k=10, mode="exhaustive", round_scores=4))
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "text,op",
+    [("spark table", "or"), ("spark table", "and"),
+     ("merge sort window batch fast slow", "or"), ("the a value", "or")],
+)
+def test_wand_identical_to_exhaustive(searcher, text, op):
+    q = Match(field="text", text=text, operator=op)
+    ex = spark_rows(searcher.search(q, k=10, mode="exhaustive", round_scores=4))
+    wd = spark_rows(searcher.search(q, k=10, mode="wand", round_scores=4))
+    assert wd == ex
+
+
+def test_fetch_phase(spark, searcher):
+    q = Match(field="text", text="spark table")
+    hits = searcher.search(q, k=5)
+    fetched = searcher.fetch(hits, ["text", "lang"])
+    rows = fetched.collect()
+    assert len(rows) == 5
+    assert all(r["text"] is not None for r in rows)
+
+
+def test_explain_components(searcher):
+    q = Match(field="text", text="spark")
+    ex = searcher.explain(q)
+    r = ex.orderBy("doc_id").first()
+    # idf consistent with dictionary df
+    df = searcher.term_dfs(["spark"])["spark"]
+    want = math.log(1 + (searcher.N - df + 0.5) / (df + 0.5))
+    assert r["idf"] == pytest.approx(want, abs=1e-12)
+
+
+def test_micro_corpus_hand_scores(spark, tmp_path):
+    """FIXTURES.md §5-style: 5 docs, hand-computed BM25 (exact mode)."""
+    rows = [
+        ("d0", "spark spark index"),
+        ("d1", "spark query"),
+        ("d2", "index merge sort query"),
+        ("d3", "bm25 scoring spark bm25"),
+        ("d4", "merge"),
+    ]
+    corpus = spark.createDataFrame(rows, "name string, body string")
+    idx = build_index(
+        spark, corpus, str(tmp_path / "micro"),
+        IndexConfig(field="body", analyzer="standard", order_cols=("name",),
+                    n_parts=2, bucket_span=4),
+    )
+    s = Searcher(spark, idx)
+    assert idx.doc_count == 5 and idx.avgdl == pytest.approx(14 / 5)
+
+    def hand(tf, dl, df):
+        idf = math.log(1 + (5 - df + 0.5) / (df + 0.5))
+        return idf * 2.2 * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 2.8))
+
+    got = {r["doc_id"]: r["score"]
+           for r in s.search(Match(field="body", text="spark"), k=10).collect()}
+    assert got[0] == pytest.approx(hand(2, 3, 3), abs=1e-12)  # d0
+    assert got[1] == pytest.approx(hand(1, 2, 3), abs=1e-12)  # d1
+    assert got[3] == pytest.approx(hand(1, 4, 3), abs=1e-12)  # d3
+    assert set(got) == {0, 1, 3}
+    # deterministic doc_id order by name
+    names = {r["doc_id"]: r["name"] for r in idx.docs(spark).collect()}
+    assert names == {0: "d0", 1: "d1", 2: "d2", 3: "d3", 4: "d4"}
