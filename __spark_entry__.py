@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship query (BM25 top-10 via the block-max-WAND engine)
+               over the sf0.001 documents table.
+``queries``  — one entry per implemented operator from SURVEY.md §2
+               (full-text search, aggregations, joins, ingest functions,
+               dedup/similarity/text-analysis pipeline ops).
+``oracle_sql`` — DuckDB twins; keys without an oracle are genuinely
+               non-SQL-expressible (LSH probing, engine-internal paths) and
+               get the driver's rows-only check; their semantics are
+               verified in tests/ against brute-force baselines instead.
 """
 
 from __future__ import annotations
@@ -15,24 +19,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 match query with block-max WAND over sf0.001."""
+    from opensearch_spark.entry_queries import get_searcher
+    from opensearch_spark.search import Match
+
+    s = get_searcher(spark, "/root/testdata/sf0.001")
+    return s.search(
+        Match(field="text", text="spark table merge"), k=10, mode="wand",
+        round_scores=4,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from opensearch_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from opensearch_spark.entry_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`queries` carries per-operator wall seconds; `index_build` is the full
+inverted-index build (docs+postings+dictionary+stats) over the documents
+table, and `index_build_docs_per_sec` reports throughput. Scaling-efficiency
+runs (local[8] vs local[32]) live in scripts/scaling_bench.py with results
+recorded in BENCH.md / BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    "search_match_or",
+    "search_match_and",
+    "search_bool",
+    "search_phrase",
+    "search_dis_max",
+    "agg_terms",
+    "agg_date_histogram",
+    "agg_stats",
+    "agg_cardinality",
+    "agg_top_hits",
+    "join_has_child",
+    "ingest_pipeline",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "sim_cosine_topk",
+]
+
+
+def main() -> None:
+    from opensearch_spark.entry_queries import QUERIES, get_searcher
+    from opensearch_spark.index.build import IndexConfig, build_index
+    from opensearch_spark.session import get_spark
+
+    spark = get_spark("opensearch_spark_bench", master=f"local[{CPUS}]")
+    timings: dict[str, float] = {}
+
+    # --- index build throughput (fresh build, not the cached one) ---
+    corpus = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs = corpus.count()
+    build_dir = "/tmp/opensearch_spark_bench_index"
+    shutil.rmtree(build_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(
+        spark, corpus, build_dir,
+        IndexConfig(field="text", analyzer="standard", id_col="doc_id",
+                    keyword_cols=("lang", "source"), n_parts=8,
+                    bucket_span=1 << 12, with_positions=True),
+    )
+    build_sec = time.perf_counter() - t0
+    timings["index_build"] = round(build_sec, 4)
+
+    # warm the shared searcher cache so query timings exclude the build
+    get_searcher(spark, SF_DIR)
+
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    query_total = round(sum(v for k, v in timings.items() if k != "index_build"), 4)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "index_build_sec + headline operator wall-clock (sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extra": {
+            "n_docs": n_docs,
+            "index_build_docs_per_sec": round(n_docs / build_sec, 2),
+            "query_total_sec": query_total,
+            "cpus": int(CPUS),
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1004 @@
+"""Driver-contract query catalogue: every implemented operator from
+SURVEY.md §2 exposed as (spark, sf_dir) → DataFrame, each with a DuckDB
+oracle SQL twin (same column names, rounded floats, deterministic
+tie-breaks) for the correctness gate.
+
+Sections: full-text search (engine path over the ``documents`` table),
+aggregations (metric/bucket/pipeline over the TPC-H-ish tables), joins,
+ingest functions, and training-data-pipeline ops (dedup / similarity /
+text stats over ``documents``/``embeddings``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Window as W
+
+from opensearch_spark import oracle as O
+from opensearch_spark.index.build import IndexConfig, InvertedIndex, build_index
+from opensearch_spark.search import (
+    Bool, Boosting, ConstantScore, DisMax, Fuzzy, Match, MatchPhrase,
+    MoreLikeThis, Prefix, Range, Searcher, Term, TermsSet, Wildcard,
+)
+
+_INDEX_CACHE: dict[str, Searcher] = {}
+INDEX_ROOT = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/opensearch_spark_indexes")
+
+
+def get_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Build (or reuse) the inverted index for sf_dir's documents table."""
+    key = os.path.abspath(sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    out = os.path.join(
+        INDEX_ROOT, hashlib.sha256(key.encode()).hexdigest()[:16])
+    corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = corpus.count()
+    meta_path = os.path.join(out, "meta.json")
+    if os.path.exists(meta_path):
+        idx = InvertedIndex(out)
+        if idx.doc_count != n:
+            idx = None
+    else:
+        idx = None
+    if idx is None:
+        idx = build_index(
+            spark, corpus, out,
+            IndexConfig(field="text", analyzer="standard", id_col="doc_id",
+                        keyword_cols=("lang", "source"), n_parts=8,
+                        bucket_span=1 << 12, with_positions=True),
+        )
+    s = Searcher(spark, idx)
+    _INDEX_CACHE[key] = s
+    return s
+
+
+def _docs(spark, sf_dir, name="documents"):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# full-text search (engine path)
+# --------------------------------------------------------------------------
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+@q("search_match_or", O.match_sql(["spark", "table", "merge"], k=10))
+def search_match_or(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.search(Match(field="text", text="spark table merge"),
+                    k=10, mode="wand", round_scores=4)
+
+
+@q("search_match_and", O.match_sql(["spark", "table"], k=10, n_required=2))
+def search_match_and(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.search(Match(field="text", text="spark table", operator="and"),
+                    k=10, mode="wand", round_scores=4)
+
+
+@q("search_match_msm",
+  O.match_sql(["merge", "sort", "window", "batch"], k=10, n_required=3))
+def search_match_msm(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.search(
+        Match(field="text", text="merge sort window batch", minimum_should_match=3),
+        k=10, mode="wand", round_scores=4)
+
+
+@q("search_bool", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark','vector') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark','vector') GROUP BY term),
+scored AS (SELECT tf.doc_id, sum({O.bm25_term()}) AS raw_score, count(*) AS nt
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY tf.doc_id)
+SELECT s.doc_id, round(s.raw_score, 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+WHERE s.nt >= 1 AND d.lang = 'en' AND d.source <> 'src0'
+ORDER BY round(s.raw_score, 4) DESC, doc_id LIMIT 10
+""")
+def search_bool(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    query = Bool(
+        should=[Match(field="text", text="spark vector")],
+        filter=[Term(field="lang", value="en")],
+        must_not=[Term(field="source", value="src0")],
+    )
+    return s.search(query, k=10, mode="exhaustive", round_scores=4)
+
+
+@q("search_term_keyword", """
+SELECT doc_id, 1.0 AS score FROM documents WHERE lang = 'de' ORDER BY doc_id
+""")
+def search_term_keyword(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.score(Term(field="lang", value="de")).orderBy("doc_id")
+
+
+@q("search_range_keyword", """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= 100 AND n_chars < 200 ORDER BY doc_id
+""")
+def search_range_keyword(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    hits = s.matching_docs(Range(field="n_chars", gte=100, lt=200))
+    return hits.join(s.index.docs(spark).select("doc_id", "n_chars"), "doc_id") \
+               .orderBy("doc_id")
+
+
+@q("search_prefix", f"""
+WITH {O.TOK_CTES}
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok2
+WHERE term LIKE 'sp%' ORDER BY doc_id
+""")
+def search_prefix(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.score(Prefix(field="text", value="sp")).orderBy("doc_id")
+
+
+@q("search_wildcard", f"""
+WITH {O.TOK_CTES}
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok2
+WHERE regexp_matches(term, '^s.*w$') ORDER BY doc_id
+""")
+def search_wildcard(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.score(Wildcard(field="text", value="s*w")).orderBy("doc_id")
+
+
+@q("search_fuzzy", f"""
+WITH {O.TOK_CTES}
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok2
+WHERE length(term) BETWEEN 4 AND 6 AND levenshtein(term, 'spark') <= 1
+ORDER BY doc_id
+""")
+def search_fuzzy(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.score(Fuzzy(field="text", value="spark", fuzziness=1)).orderBy("doc_id")
+
+
+@q("search_phrase", f"""
+WITH {O.TOK_CTES},
+pos AS (
+    SELECT doc_id,
+           unnest(string_split_regex(text, '\\s+')) AS term,
+           unnest(range(len(string_split_regex(text, '\\s+')))) AS p
+    FROM documents
+),
+m AS (
+    SELECT a.doc_id, count(*) AS ptf
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    WHERE a.term = 'spark' AND b.term = 'table'
+    GROUP BY a.doc_id
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark','table') GROUP BY term),
+idfsum AS (SELECT sum(ln(1.0 + (stats.N - df + 0.5) / (df + 0.5))) AS idf_sum
+           FROM dfreq CROSS JOIN stats)
+SELECT m.doc_id,
+       round(idf_sum * (1.2 + 1.0) * ptf
+             / (ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
+FROM m JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN idfsum
+ORDER BY score DESC, doc_id LIMIT 10
+""")
+def search_phrase(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.search(MatchPhrase(field="text", text="spark table"),
+                    k=10, mode="exhaustive", round_scores=4)
+
+
+@q("search_dis_max", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark','table') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark','table') GROUP BY term),
+per_term AS (SELECT tf.doc_id, tf.term, {O.bm25_term()} AS ts
+             FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+agg AS (SELECT doc_id, max(ts) AS mx, sum(ts) AS sm FROM per_term GROUP BY doc_id)
+SELECT doc_id, round(mx + 0.3 * (sm - mx), 4) AS score FROM agg
+ORDER BY round(mx + 0.3 * (sm - mx), 4) DESC, doc_id LIMIT 10
+""")
+def search_dis_max(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    query = DisMax(
+        queries=[Match(field="text", text="spark"), Match(field="text", text="table")],
+        tie_breaker=0.3)
+    return s.search(query, k=10, round_scores=4)
+
+
+@q("search_boosting", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'table' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'table'),
+scored AS (SELECT tf.doc_id, {O.bm25_term()} AS raw
+           FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+SELECT s.doc_id,
+       round(CASE WHEN d.lang = 'zh' THEN s.raw * 0.5 ELSE s.raw END, 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY round(CASE WHEN d.lang = 'zh' THEN s.raw * 0.5 ELSE s.raw END, 4) DESC,
+         doc_id LIMIT 10
+""")
+def search_boosting(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    query = Boosting(positive=Match(field="text", text="table"),
+                     negative=Term(field="lang", value="zh"), negative_boost=0.5)
+    return s.search(query, k=10, round_scores=4)
+
+
+@q("search_constant_score", """
+SELECT doc_id, 2.5 AS score FROM documents WHERE n_chars >= 300 ORDER BY doc_id
+""")
+def search_constant_score(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.score(ConstantScore(filter=Range(field="n_chars", gte=300), boost=2.5)) \
+            .orderBy("doc_id")
+
+
+@q("search_function_score", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'spark' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'spark'),
+scored AS (SELECT tf.doc_id, {O.bm25_term()} AS raw
+           FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+SELECT doc_id, round(raw * 2.0 + 1.0, 4) AS score FROM scored
+ORDER BY round(raw * 2.0 + 1.0, 4) DESC, doc_id LIMIT 10
+""")
+def search_function_score(spark, sf_dir):
+    from opensearch_spark.search import FunctionScore
+
+    s = get_searcher(spark, sf_dir)
+    query = FunctionScore(query=Match(field="text", text="spark"),
+                          script="score * 2.0 + 1.0")
+    return s.search(query, k=10, round_scores=4)
+
+
+@q("search_terms_set",
+  O.match_sql(["merge", "sort", "window"], k=10, n_required=2))
+def search_terms_set(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    query = TermsSet(field="text", values=["merge", "sort", "window"],
+                     minimum_should_match=2)
+    return s.search(query, k=10, mode="exhaustive", round_scores=4)
+
+
+@q("search_collapse", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark','batch') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark','batch') GROUP BY term),
+scored AS (SELECT tf.doc_id, round(sum({O.bm25_term()}), 4) AS score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY tf.doc_id),
+ranked AS (SELECT d.lang, s.doc_id, s.score,
+                  row_number() OVER (PARTITION BY d.lang
+                                     ORDER BY s.score DESC, s.doc_id) AS rn
+           FROM scored s JOIN documents d USING (doc_id))
+SELECT lang, doc_id, score FROM ranked WHERE rn = 1 ORDER BY lang
+""")
+def search_collapse(spark, sf_dir):
+    """Field collapse (CollapseBuilder.java): best hit per lang."""
+    s = get_searcher(spark, sf_dir)
+    scores = s.score(Match(field="text", text="spark batch")) \
+              .withColumn("score", F.round("score", 4))
+    docs = s.index.docs(spark).select("doc_id", "lang")
+    w = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scores.join(docs, "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("lang", "doc_id", "score").orderBy("lang"))
+
+
+@q("search_after", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'value' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'value'),
+scored AS (SELECT tf.doc_id, round({O.bm25_term()}, 4) AS score
+           FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10
+""")
+def search_after(spark, sf_dir):
+    """Cursor pagination (SearchAfterBuilder.java): page 2 via the page-1
+    cursor — WHERE (score, doc_id) after cursor, no deep offset scan."""
+    s = get_searcher(spark, sf_dir)
+    scores = s.score(Match(field="text", text="value")) \
+              .withColumn("score", F.round("score", 4))
+    page1 = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+    if len(page1) < 10:
+        return scores.limit(0)
+    cs, cd = page1[-1]["score"], page1[-1]["doc_id"]
+    after = scores.where(
+        (F.col("score") < F.lit(cs))
+        | ((F.col("score") == F.lit(cs)) & (F.col("doc_id") > F.lit(cd))))
+    return after.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+@q("search_rescore", f"""
+WITH {O.TOK_CTES},
+tf1 AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'table' GROUP BY doc_id),
+df1 AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'table'),
+s1 AS (SELECT tf1.doc_id, {O.bm25_term(tf='tf1.tf')} AS raw1
+       FROM tf1 CROSS JOIN df1 JOIN dl ON tf1.doc_id = dl.doc_id CROSS JOIN stats),
+win AS (SELECT * FROM s1 ORDER BY round(raw1,4) DESC, doc_id LIMIT 20),
+tf2 AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'join' GROUP BY doc_id),
+df2 AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'join'),
+s2 AS (SELECT tf2.doc_id, {O.bm25_term(tf='tf2.tf')} AS raw2
+       FROM tf2 CROSS JOIN df2 JOIN dl ON tf2.doc_id = dl.doc_id CROSS JOIN stats)
+SELECT w.doc_id, round(w.raw1 + 2.0 * coalesce(s2.raw2, 0.0), 4) AS score
+FROM win w LEFT JOIN s2 ON w.doc_id = s2.doc_id
+ORDER BY round(w.raw1 + 2.0 * coalesce(s2.raw2, 0.0), 4) DESC, w.doc_id LIMIT 10
+""")
+def search_rescore(spark, sf_dir):
+    """Rescore (QueryRescorer.java): re-rank the top window_size=20 hits of
+    'table' with query_weight*s1 + rescore_weight*s2 of 'join'."""
+    s = get_searcher(spark, sf_dir)
+    s1 = s.score(Match(field="text", text="table"))
+    win = (s1.withColumn("_r", F.round("score", 4))
+           .orderBy(F.desc("_r"), F.asc("doc_id")).limit(20)
+           .select("doc_id", F.col("score").alias("_s1")))
+    s2 = s.score(Match(field="text", text="join")).withColumnRenamed("score", "_s2")
+    out = (F.broadcast(win).join(s2, "doc_id", "left")
+           .select("doc_id",
+                   F.round(F.col("_s1") + 2.0 * F.coalesce("_s2", F.lit(0.0)), 4)
+                   .alias("score")))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+@q("search_more_like_this")  # rows-only: term selection not 1:1 in SQL
+def search_more_like_this(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    query = MoreLikeThis(field="text", like_ids=[0, 1], max_query_terms=10,
+                         min_term_freq=1, min_doc_freq=2)
+    return s.search(query, k=10, mode="exhaustive", round_scores=4)
+
+
+# --------------------------------------------------------------------------
+# aggregations — metric / bucket (search/aggregations/*) as DataFrame plans
+# --------------------------------------------------------------------------
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+@q("agg_terms", """
+SELECT event_type, count(*) AS doc_count FROM events
+GROUP BY event_type ORDER BY doc_count DESC, event_type LIMIT 5
+""")
+def agg_terms(spark, sf_dir):
+    """terms agg (TermsAggregationBuilder): top-N buckets by count. Exact —
+    no shard_size over-fetch/error bounds needed (noted semantic diff)."""
+    return (_t(spark, sf_dir, "events").groupBy("event_type")
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("event_type")).limit(5))
+
+
+@q("agg_multi_terms", """
+SELECT l_returnflag, l_linestatus, count(*) AS doc_count,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def agg_multi_terms(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("doc_count"),
+                 F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                         .cast("double"), 2).alias("sum_qty"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+@q("agg_rare_terms", """
+SELECT o_orderpriority AS term, count(*) AS doc_count FROM orders
+GROUP BY o_orderpriority HAVING count(*) <= 13000 ORDER BY term
+""")
+def agg_rare_terms(spark, sf_dir):
+    """rare_terms (RareTermsAggregationBuilder): buckets with doc_count<=N."""
+    return (_t(spark, sf_dir, "orders").groupBy(F.col("o_orderpriority").alias("term"))
+            .agg(F.count("*").alias("doc_count"))
+            .where(F.col("doc_count") <= 13000).orderBy("term"))
+
+
+@q("agg_histogram", """
+SELECT CAST(floor(o_totalprice / 50000.0) * 50000 AS DOUBLE) AS bucket,
+       count(*) AS doc_count
+FROM orders GROUP BY bucket ORDER BY bucket
+""")
+def agg_histogram(spark, sf_dir):
+    return (_t(spark, sf_dir, "orders")
+            .groupBy((F.floor(F.col("o_totalprice") / 50000.0) * 50000)
+                     .cast("double").alias("bucket"))
+            .agg(F.count("*").alias("doc_count")).orderBy("bucket"))
+
+
+@q("agg_date_histogram", """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS doc_count,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY day ORDER BY day
+""")
+def agg_date_histogram(spark, sf_dir):
+    """date_histogram (DateHistogramAggregator): calendar-day buckets."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                       .alias("day"))
+            .agg(F.count("*").alias("doc_count"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                         .cast("double"), 4).alias("sum_value"))
+            .orderBy("day"))
+
+
+@q("agg_range", """
+SELECT CASE WHEN l_quantity < 10 THEN '*-10'
+            WHEN l_quantity < 25 THEN '10-25'
+            WHEN l_quantity < 40 THEN '25-40'
+            ELSE '40-*' END AS range_bucket,
+       count(*) AS doc_count
+FROM lineitem GROUP BY range_bucket ORDER BY range_bucket
+""")
+def agg_range(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = (F.when(F.col("l_quantity") < 10, "*-10")
+              .when(F.col("l_quantity") < 25, "10-25")
+              .when(F.col("l_quantity") < 40, "25-40")
+              .otherwise("40-*")).alias("range_bucket")
+    return (li.groupBy(bucket).agg(F.count("*").alias("doc_count"))
+            .orderBy("range_bucket"))
+
+
+@q("agg_stats", """
+SELECT l_returnflag,
+       count(*) AS cnt,
+       round(CAST(min(l_extendedprice) AS DOUBLE), 2) AS min_price,
+       round(CAST(max(l_extendedprice) AS DOUBLE), 2) AS max_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4) AS avg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def agg_stats(spark, sf_dir):
+    """stats agg — sums over exact decimals so partial-agg order can't
+    perturb the float result (the reference uses Kahan compensation for the
+    same reason, CompensatedSum.java)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    return (li.groupBy("l_returnflag")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.min("l_extendedprice").cast("double"), 2).alias("min_price"),
+                 F.round(F.max("l_extendedprice").cast("double"), 2).alias("max_price"),
+                 F.round(dec.cast("double"), 2).alias("sum_price"),
+                 F.round(dec.cast("double") / F.count("*"), 4).alias("avg_price"))
+            .orderBy("l_returnflag"))
+
+
+@q("agg_extended_stats", """
+SELECT l_linestatus,
+       count(*) AS cnt,
+       round((CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+             / count(*), 4) AS variance_pop
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+""")
+def agg_extended_stats(spark, sf_dir):
+    """extended_stats: population variance from exact decimal moments —
+    deterministic across partial-agg orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_quantity").cast("decimal(18,2)")
+    s1 = F.sum(d).cast("double")
+    s2 = F.sum(d * d).cast("double")
+    n = F.count("*")
+    return (li.groupBy("l_linestatus")
+            .agg(n.alias("cnt"),
+                 F.round((s2 - s1 * s1 / n) / n, 4).alias("variance_pop"))
+            .orderBy("l_linestatus"))
+
+
+@q("agg_percentiles", """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def agg_percentiles(spark, sf_dir):
+    """percentiles agg — exact interpolated (the reference's t-digest is
+    approximate; we use Spark's exact percentile; approx_percentile exists
+    as the sketch path at scale)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"))
+            .orderBy("o_orderpriority"))
+
+
+@q("agg_cardinality", """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS uniq_parts
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def agg_cardinality(spark, sf_dir):
+    """cardinality agg. Gate uses exact countDistinct; the reference's
+    HLL++ (HyperLogLogPlusPlus.java) maps to approx_count_distinct — same
+    sketch family — exercised in tests with tolerance instead (different
+    hash seeds make value-equality meaningless)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("uniq_parts"))
+            .orderBy("l_returnflag"))
+
+
+@q("agg_weighted_avg", """
+SELECT l_returnflag,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS wavg
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def agg_weighted_avg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("decimal(18,2)")
+    w = F.col("l_quantity").cast("decimal(18,2)")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.sum(v * w).cast("double")
+                         / F.sum(w).cast("double"), 4).alias("wavg"))
+            .orderBy("l_returnflag"))
+
+
+@q("agg_filters", """
+SELECT count(*) FILTER (WHERE event_type = 'click') AS clicks,
+       count(*) FILTER (WHERE event_type = 'view') AS views,
+       count(*) FILTER (WHERE value > 50.0) AS high_value
+FROM events
+""")
+def agg_filters(spark, sf_dir):
+    """filters agg (FiltersAggregator): named conditional buckets."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(F.when(F.col("value") > 50.0, 1)).alias("high_value"))
+
+
+@q("agg_missing", """
+SELECT count(*) FILTER (WHERE nullif(l_returnflag, 'N') IS NULL) AS missing_count,
+       count(*) FILTER (WHERE nullif(l_returnflag, 'N') IS NOT NULL) AS present_count
+FROM lineitem
+""")
+def agg_missing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_x", F.nullif(F.col("l_returnflag"), F.lit("N")))
+    return li.agg(F.count(F.when(F.col("_x").isNull(), 1)).alias("missing_count"),
+                  F.count("_x").alias("present_count"))
+
+
+@q("agg_composite", """
+SELECT lang, source, count(*) AS doc_count FROM documents
+GROUP BY lang, source
+HAVING (lang, source) > ('de', 'src3')
+ORDER BY lang, source LIMIT 10
+""")
+def agg_composite(spark, sf_dir):
+    """composite agg (CompositeAggregator): paginated multi-source group-by
+    with after-key — WHERE key-tuple > cursor, ordered, limited."""
+    d = _docs(spark, sf_dir)
+    g = d.groupBy("lang", "source").agg(F.count("*").alias("doc_count"))
+    after = (F.col("lang") > "de") | ((F.col("lang") == "de") & (F.col("source") > "src3"))
+    return g.where(after).orderBy("lang", "source").limit(10)
+
+
+@q("agg_significant_terms", """
+WITH fg AS (SELECT event_type, count(*) AS fg_count FROM events
+            WHERE value > 90.0 GROUP BY event_type),
+bg AS (SELECT event_type, count(*) AS bg_count FROM events GROUP BY event_type),
+tot AS (SELECT (SELECT count(*) FROM events WHERE value > 90.0) AS fg_total,
+               (SELECT count(*) FROM events) AS bg_total)
+SELECT f.event_type, f.fg_count, b.bg_count,
+       round(((f.fg_count * 1.0 / fg_total) - (b.bg_count * 1.0 / bg_total))
+             * ((f.fg_count * 1.0 / fg_total) / (b.bg_count * 1.0 / bg_total)), 6) AS jlh
+FROM fg f JOIN bg b USING (event_type) CROSS JOIN tot
+ORDER BY jlh DESC, event_type
+""")
+def agg_significant_terms(spark, sf_dir):
+    """significant_terms with the JLH heuristic (fg/bg rate product)."""
+    ev = _t(spark, sf_dir, "events")
+    fg = ev.where(F.col("value") > 90.0).groupBy("event_type") \
+           .agg(F.count("*").alias("fg_count"))
+    bg = ev.groupBy("event_type").agg(F.count("*").alias("bg_count"))
+    fg_total = ev.where(F.col("value") > 90.0).count()
+    bg_total = ev.count()
+    fgp = F.col("fg_count") / F.lit(float(fg_total))
+    bgp = F.col("bg_count") / F.lit(float(bg_total))
+    return (fg.join(bg, "event_type")
+            .select("event_type", "fg_count", "bg_count",
+                    F.round((fgp - bgp) * (fgp / bgp), 6).alias("jlh"))
+            .orderBy(F.desc("jlh"), "event_type"))
+
+
+@q("agg_top_hits", """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events)
+SELECT event_type, event_id, round(value, 4) AS value
+FROM ranked WHERE rn <= 2 ORDER BY event_type, event_id
+""")
+def agg_top_hits(spark, sf_dir):
+    """top_hits agg (InternalTopHits): best 2 docs per bucket."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+            .select("event_type", "event_id", F.round("value", 4).alias("value"))
+            .orderBy("event_type", "event_id"))
+
+
+# ---- pipeline aggs (window functions over bucket frames, SURVEY §2.8) ----
+@q("agg_cumulative_sum", """
+WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                      count(*) AS doc_count
+               FROM events GROUP BY day)
+SELECT day, doc_count,
+       sum(doc_count) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS cum_count
+FROM daily ORDER BY day
+""")
+def agg_cumulative_sum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                        .alias("day")).agg(F.count("*").alias("doc_count")))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.withColumn("cum_count", F.sum("doc_count").over(w)).orderBy("day")
+
+
+@q("agg_derivative", """
+WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                      count(*) AS doc_count
+               FROM events GROUP BY day)
+SELECT day, doc_count,
+       doc_count - lag(doc_count) OVER (ORDER BY day) AS deriv
+FROM daily ORDER BY day
+""")
+def agg_derivative(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                        .alias("day")).agg(F.count("*").alias("doc_count")))
+    w = W.orderBy("day")
+    return daily.withColumn(
+        "deriv", F.col("doc_count") - F.lag("doc_count").over(w)).orderBy("day")
+
+
+@q("agg_moving_fn", """
+WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                      count(*) AS doc_count
+               FROM events GROUP BY day)
+SELECT day, doc_count,
+       round(avg(doc_count * 1.0) OVER (ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+FROM daily ORDER BY day
+""")
+def agg_moving_fn(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                        .alias("day")).agg(F.count("*").alias("doc_count")))
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return daily.withColumn(
+        "mov_avg", F.round(F.avg(F.col("doc_count") * 1.0).over(w), 4)).orderBy("day")
+
+
+@q("agg_bucket_selector", """
+SELECT user_id, count(*) AS doc_count FROM events
+GROUP BY user_id HAVING count(*) >= 30 ORDER BY user_id
+""")
+def agg_bucket_selector(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id").agg(F.count("*").alias("doc_count"))
+            .where(F.col("doc_count") >= 30).orderBy("user_id"))
+
+
+@q("agg_bucket_sort", """
+SELECT user_id, count(*) AS doc_count FROM events
+GROUP BY user_id ORDER BY doc_count DESC, user_id LIMIT 5
+""")
+def agg_bucket_sort(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id").agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("user_id")).limit(5))
+
+
+# --------------------------------------------------------------------------
+# joins (SURVEY §2.5) — the reference's narrow join-likes, Spark-native
+# --------------------------------------------------------------------------
+@q("join_has_child", """
+SELECT c.c_custkey, c.c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+ORDER BY c.c_custkey
+""")
+def join_has_child(spark, sf_dir):
+    """has_child (HasChildQueryBuilder): parents with a matching child —
+    left-semi join, strictly more general than the reference's same-shard
+    global-ordinals join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+
+@q("join_has_parent", """
+SELECT o.o_orderkey FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+ORDER BY o.o_orderkey LIMIT 100
+""")
+def join_has_parent(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+            .select("o_orderkey").orderBy("o_orderkey").limit(100))
+
+
+@q("join_terms_lookup", """
+SELECT l.l_orderkey, l.l_partkey FROM lineitem l
+WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 25)
+ORDER BY l.l_orderkey, l.l_partkey LIMIT 100
+""")
+def join_terms_lookup(spark, sf_dir):
+    """terms lookup (TermsLookup.java): term set fetched from another table
+    → broadcast semi join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") == 25)
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+            .select("l_orderkey", "l_partkey")
+            .orderBy("l_orderkey", "l_partkey").limit(100))
+
+
+# --------------------------------------------------------------------------
+# ingest processors ≈ scalar function library (SURVEY §2.10)
+# --------------------------------------------------------------------------
+@q("ingest_pipeline", """
+SELECT event_id,
+       upper(event_type) AS event_type_up,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       round(value * 1.1, 4) AS value_adj,
+       json_extract_string(props, '$.k') AS prop_k,
+       regexp_extract(event_type, '^([a-z]+)', 1) AS etype_word,
+       concat(CAST(user_id AS VARCHAR), ':', event_type) AS user_tag
+FROM events ORDER BY event_id LIMIT 200
+""")
+def ingest_pipeline(spark, sf_dir):
+    """ingest-common processors as a transform chain: uppercase, date,
+    json, gsub/grok→regexp_extract, convert, set/concat
+    (IngestCommonModulePlugin.java:81-111 → built-ins, SURVEY §2.10)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.select(
+        "event_id",
+        F.upper("event_type").alias("event_type_up"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 1.1, 4).alias("value_adj"),
+        F.get_json_object("props", "$.k").alias("prop_k"),
+        F.regexp_extract("event_type", "^([a-z]+)", 1).alias("etype_word"),
+        F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type"))
+         .alias("user_tag"),
+    ).orderBy("event_id").limit(200))
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline ops: dedup / similarity / text analysis
+# --------------------------------------------------------------------------
+from opensearch_spark.ml import dedup as D  # noqa: E402
+from opensearch_spark.ml import similarity as S  # noqa: E402
+from opensearch_spark.ml import textstats as TS  # noqa: E402
+
+# shared SQL fragments mirroring ml.dedup exactly
+_SH2 = """
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(len(string_split_regex(trim(text), '\\s+')) - 1),
+               i -> string_split_regex(trim(text), '\\s+')[i + 1] || ' '
+                    || string_split_regex(trim(text), '\\s+')[i + 2]))) AS shingle
+    FROM documents
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+"""
+
+
+@q("dedup_exact", """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY text ORDER BY doc_id
+""")
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir), "text").orderBy("doc_id")
+
+
+@q("dedup_ngram_jaccard", f"""
+WITH {_SH2},
+inter AS (
+    SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id)
+SELECT a, b, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
+FROM inter JOIN sz x ON inter.a = x.doc_id JOIN sz y ON inter.b = y.doc_id
+WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5
+ORDER BY a, b
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    sh = D.shingles(_docs(spark, sf_dir), "text", n=2)
+    return D.jaccard_pairs(sh, threshold=0.5).orderBy("a", "b")
+
+
+def _minhash_oracle() -> str:
+    perms = D.perm_constants()
+    vals = ", ".join(f"({j}, {a}, {b})" for j, a, b in perms)
+    return f"""
+WITH {_SH2},
+perms(j, a, b) AS (VALUES {vals}),
+x AS (SELECT doc_id, shingle,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {D.MOD_X} AS x
+      FROM sh),
+sig AS (SELECT doc_id, j, min((a * x + b) % {D.MOD_H}) AS mh
+        FROM x CROSS JOIN perms GROUP BY doc_id, j),
+banded AS (
+    SELECT doc_id, j // {D.BAND_ROWS} AS band,
+           string_agg(j || ':' || mh, ',' ORDER BY j || ':' || mh) AS sig
+    FROM sig GROUP BY doc_id, j // {D.BAND_ROWS}),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM banded l JOIN banded r
+           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+inter AS (SELECT c.a, c.b, count(*) AS i
+          FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                      JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+          GROUP BY c.a, c.b)
+SELECT a, b, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
+FROM inter JOIN sz x ON inter.a = x.doc_id JOIN sz y ON inter.b = y.doc_id
+WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5
+ORDER BY a, b
+"""
+
+
+@q("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "text", n=2, threshold=0.5).orderBy("a", "b")
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n       ".join(
+        f"sum(((h >> {i}) & 1) * 2 - 1) AS s{i}" for i in range(32))
+    bits = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {2 ** i}::BIGINT ELSE 0 END)" for i in range(32))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+      FROM toks WHERE tok <> ''),
+sums AS (SELECT doc_id,
+       {sums}
+       FROM h GROUP BY doc_id)
+SELECT doc_id, ({bits}) AS simhash FROM sums ORDER BY doc_id
+"""
+
+
+@q("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir), "text").orderBy("doc_id")
+
+
+@q("dedup_simhash_pairs")  # rows-only: pair set verified vs brute force in tests
+def dedup_simhash_pairs(spark, sf_dir):
+    fp = D.simhash(_docs(spark, sf_dir), "text")
+    return D.simhash_pairs(fp, max_hamming=6).orderBy("a", "b")
+
+
+@q("text_token_stats", """
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+                  length(trim(text)) AS chars
+           FROM documents)
+SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_unique,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS unique_ratio,
+       round((chars - (len(toks) - 1)) * 1.0 / len(toks), 6) AS mean_token_len
+FROM t ORDER BY doc_id
+""")
+def text_token_stats(spark, sf_dir):
+    return TS.token_stats(_docs(spark, sf_dir), "text").orderBy("doc_id")
+
+
+@q("text_quality", f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+x AS (SELECT doc_id, len(toks) AS n,
+             len(list_distinct(toks)) AS nd,
+             len(list_intersect(toks,
+                 {TS.STOPWORDS_EN!r})) AS n_stop
+      FROM t)
+SELECT doc_id, n AS n_tokens, n_stop AS n_stopwords,
+       round((CASE WHEN n BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+             + round(0.3 * nd / n, 6)
+             + (CASE WHEN n_stop >= 1 THEN 0.3 ELSE 0.0 END), 6) AS quality
+FROM x ORDER BY doc_id
+""")
+def text_quality(spark, sf_dir):
+    return TS.quality_score(_docs(spark, sf_dir), "text").orderBy("doc_id")
+
+
+@q("text_fingerprint", """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(trim(text), '\\s+'))), ' ')) AS fingerprint
+FROM documents ORDER BY doc_id
+""")
+def text_fingerprint(spark, sf_dir):
+    return TS.fingerprint(_docs(spark, sf_dir), "text").orderBy("doc_id")
+
+
+def _langid_oracle() -> str:
+    hit_cols = []
+    for lang in sorted(TS.LANG_MARKERS):
+        hit_cols.append(
+            f"len(list_intersect(list_distinct(toks), "
+            f"{TS.LANG_MARKERS[lang]!r})) AS h_{lang}")
+    # sequential argmax identical to textstats.lang_id (later wins strictly)
+    best, best_n = "'und'", "0"
+    for lang in sorted(TS.LANG_MARKERS):
+        best = f"CASE WHEN h_{lang} > {best_n} THEN '{lang}' ELSE {best} END"
+        best_n = f"greatest(h_{lang}, {best_n})"
+    return f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+x AS (SELECT doc_id, {', '.join(hit_cols)} FROM t)
+SELECT doc_id, ({best}) AS pred_lang FROM x ORDER BY doc_id
+"""
+
+
+@q("text_lang_id", _langid_oracle())
+def text_lang_id(spark, sf_dir):
+    return TS.lang_id(_docs(spark, sf_dir), "text").orderBy("doc_id")
+
+
+@q("sim_cosine_topk", """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (SELECT e.vec_id,
+                 unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+                 unnest(q.qe) AS y
+          FROM embeddings e CROSS JOIN q),
+s AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+      FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 4) AS cosine
+FROM s WHERE vec_id <> 0
+ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 4) DESC, vec_id LIMIT 10
+""")
+def sim_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return S.cosine_topk(emb, qv, k=10, exclude_id=0)
+
+
+@q("sim_lsh_topk")  # rows-only: recall vs brute force asserted in tests
+def sim_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return S.lsh_topk(emb, qv, k=10, n_planes=8, exclude_id=0)
+
+
+@q("sim_near_dup_pairs")  # rows-only: verified vs exact pairs in tests
+def sim_near_dup_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=0.9).orderBy("a", "b")

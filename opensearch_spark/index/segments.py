@@ -1,0 +1,192 @@
+"""Segmented, resumable index build with per-segment lineage manifests.
+
+The reference's durability model — translog + fsynced checkpoints per shard
+(``index/translog/Translog.java:103-117``, ``Checkpoint.java``,
+``LocalCheckpointTracker.java``) and write-once segments merged in the
+background (``OpenSearchTieredMergePolicy.java``) — projected onto Spark:
+
+- a **segment** = one doc_id range of the corpus, built independently and
+  written write-once under ``segments/seg_<i>/`` as sorted flat postings
+  (term, doc_id, tf[, positions]) + a docs slice;
+- a **manifest** JSON per segment (rows, content-sha signature, attempt),
+  written temp-file + fsync + atomic-rename AFTER the data — the same
+  two-phase discipline as ``Translog.java:277-283``. A crash between data
+  and manifest re-runs that segment idempotently (overwrite of the same
+  path).
+- ``resume``: committed segments are skipped — restartable at segment
+  granularity, which is exactly the north-rule checkpoint requirement;
+- ``merge_segments``: k-way merge-sort of all segment postings into the
+  global blocked posting lists — expressed as one Spark shuffle-sort over
+  (term, bucket) groups (Spark's sort IS the k-way merge; the tiered-merge
+  policy's job is done by the shuffle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from opensearch_spark.analysis import analyze_udf
+from opensearch_spark.index.build import (
+    BLOCK_SCHEMA,
+    IndexConfig,
+    InvertedIndex,
+    _atomic_write_json,
+    _block_encode_fn,
+    assign_doc_ids,
+)
+
+
+def _manifest_path(out_dir: str, seg: int) -> str:
+    return os.path.join(out_dir, "manifest", f"seg_{seg}.json")
+
+
+def read_manifest(out_dir: str) -> dict[int, dict]:
+    mdir = os.path.join(out_dir, "manifest")
+    out = {}
+    if not os.path.isdir(mdir):
+        return out
+    for f in os.listdir(mdir):
+        if f.startswith("seg_") and f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                m = json.load(fh)
+            if m.get("status") == "committed":
+                out[int(m["segment_id"])] = m
+    return out
+
+
+def build_segments(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    config: IndexConfig = IndexConfig(),
+    n_segments: int = 4,
+    fail_after: int | None = None,
+) -> list[int]:
+    """Build (or resume) per-segment postings. Returns committed segment ids.
+
+    ``fail_after`` aborts after N newly committed segments — used by tests
+    to exercise crash/resume.
+    """
+    cfg = config
+    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+    if cfg.id_col is None:
+        with_ids = assign_doc_ids(corpus, list(cfg.order_cols))
+    else:
+        with_ids = corpus.withColumn("doc_id", F.col(cfg.id_col).cast("long"))
+    total = with_ids.count()
+    seg_span = (total + n_segments - 1) // n_segments
+    with_seg = with_ids.withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(seg_span)).cast("int"))
+    with_seg = with_seg.persist()
+
+    committed = read_manifest(out_dir)
+    done_now = 0
+    segs = sorted(
+        r["segment_id"] for r in with_seg.select("segment_id").distinct().collect())
+    for seg in segs:
+        if seg in committed:
+            continue
+        part = with_seg.where(F.col("segment_id") == seg)
+        analyzed = part.withColumn(
+            "_tokens", analyze_udf(cfg.analyzer)(F.col(cfg.field)))
+        seg_dir = os.path.join(out_dir, "segments", f"seg_{seg}")
+        docs = analyzed.select(
+            "doc_id",
+            *[c for c in part.columns if c not in ("doc_id", "segment_id")],
+            F.size("_tokens").alias("dl"),
+            F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
+        )
+        docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+        flat = (
+            analyzed.select("doc_id", F.posexplode("_tokens").alias("pos", "term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"))
+        )
+        flat = flat.join(
+            analyzed.select("doc_id", F.size("_tokens").alias("dl")), "doc_id")
+        (flat.repartition(max(2, cfg.n_parts), "term")
+             .sortWithinPartitions("term", "doc_id")
+             .write.mode("overwrite").parquet(os.path.join(seg_dir, "postings")))
+        sig = docs.agg(
+            F.expr(
+                "bit_xor(cast(conv(substr(content_sha256, 1, 15), 16, 10) as bigint))"
+            ).alias("sig"),
+            F.count("*").alias("rows"),
+        ).collect()[0]
+        prev_attempt = 0
+        mp = _manifest_path(out_dir, seg)
+        if os.path.exists(mp):
+            with open(mp) as fh:
+                prev_attempt = json.load(fh).get("attempt", 0)
+        _atomic_write_json(mp, {
+            "segment_id": seg,
+            "rows": int(sig["rows"]),
+            "sha256_xor_sig": int(sig["sig"]) if sig["sig"] is not None else 0,
+            "status": "committed",
+            "attempt": prev_attempt + 1,
+        })
+        done_now += 1
+        if fail_after is not None and done_now >= fail_after:
+            with_seg.unpersist()
+            raise RuntimeError(f"injected failure after {done_now} segments")
+    with_seg.unpersist()
+    return sorted(set(committed) | set(segs))
+
+
+def merge_segments(
+    spark: SparkSession, out_dir: str, config: IndexConfig = IndexConfig()
+) -> InvertedIndex:
+    """Merge all committed segments into the global index tables
+    (docs/postings/dictionary/stats/meta) — the global merge-sort step."""
+    cfg = config
+    committed = read_manifest(out_dir)
+    if not committed:
+        raise ValueError("no committed segments to merge")
+    seg_dirs = [os.path.join(out_dir, "segments", f"seg_{s}") for s in sorted(committed)]
+    docs = spark.read.parquet(*[os.path.join(d, "docs") for d in seg_dirs])
+    flat = spark.read.parquet(*[os.path.join(d, "postings") for d in seg_dirs])
+    docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+
+    stats = docs.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
+    doc_count, sum_dl = int(stats["n"]), int(stats["s"] or 0)
+    avgdl = sum_dl / doc_count if doc_count else 0.0
+    spark.createDataFrame(
+        [(doc_count, sum_dl, float(avgdl))],
+        "doc_count long, sum_dl long, avgdl double",
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
+
+    (flat.groupBy("term").agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+         .write.mode("overwrite").parquet(os.path.join(out_dir, "dictionary")))
+
+    bucketed = flat.withColumn(
+        "bucket", (F.col("doc_id") / F.lit(cfg.bucket_span)).cast("long"))
+    blocks = bucketed.groupBy("term", "bucket").applyInPandas(
+        _block_encode_fn(cfg.k1, cfg.b, avgdl), BLOCK_SCHEMA)
+    blocks = blocks.withColumn(
+        "part", F.pmod(F.xxhash64("term"), F.lit(cfg.n_parts)).cast("int"))
+    (blocks.repartition(cfg.n_parts, "part")
+           .sortWithinPartitions("term", "bucket", "block_seq")
+           .write.mode("overwrite").partitionBy("part")
+           .parquet(os.path.join(out_dir, "postings")))
+
+    meta = dict(asdict(cfg), doc_count=doc_count, sum_dl=sum_dl, avgdl=avgdl)
+    meta["order_cols"] = list(cfg.order_cols)
+    meta["keyword_cols"] = list(cfg.keyword_cols)
+    _atomic_write_json(os.path.join(out_dir, "meta.json"), meta)
+    return InvertedIndex(out_dir)
+
+
+def build_resumable(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    config: IndexConfig = IndexConfig(),
+    n_segments: int = 4,
+) -> InvertedIndex:
+    """build_segments + merge_segments in one call (resume-safe)."""
+    build_segments(spark, corpus, out_dir, config, n_segments)
+    return merge_segments(spark, out_dir, config)

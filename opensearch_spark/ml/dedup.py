@@ -1,0 +1,208 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All cross-engine-deterministic: the string→int hash is the first 8 hex
+chars of md5 (identical in Spark, DuckDB, Python), and minhash permutations
+use fixed literal (a, b) constants, so the DuckDB oracle can replicate every
+step bit-for-bit.
+
+Scale notes (100 TB): exact dedup is one hash-shuffle groupBy; minhash-LSH
+is explode(shingles) → groupBy(doc) signatures → explode(bands) →
+band-bucket self-join (candidates only — never the O(n²) cross join) →
+exact-jaccard verify on candidates. Skewed buckets (boilerplate docs) are
+bounded by banding; AQE skew-join handles the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# minhash permutation constants — fixed, shared with the SQL oracle
+MOD_X = 1000003            # reduce 32-bit token hash into safe mul range
+MOD_H = 999999937          # prime < 2^30
+N_HASHES = 16
+BAND_ROWS = 4              # 4 bands × 4 rows
+
+
+def perm_constants(n: int = N_HASHES) -> list[tuple[int, int, int]]:
+    """(j, a_j, b_j) — deterministic, no RNG (sandbox + reproducibility)."""
+    out = []
+    for j in range(n):
+        a = (2654435761 * (j + 1) + 1) % MOD_H
+        b = (40503 * (j + 1) + 7) % MOD_H
+        out.append((j, a or 1, b))
+    return out
+
+
+def str_hash32(col):
+    """First-8-hex-of-md5 as int64 ∈ [0, 2^32) — mirrors DuckDB
+    ``('0x'||substr(md5(s),1,8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct text."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, "dup_count")
+    )
+
+
+def shingles(df: DataFrame, text_col: str, n: int = 3,
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc (whitespace tokens)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    if n == 1:
+        sh = toks
+    else:
+        # shingle i = tokens[i..i+n-1], i in 0..len-n
+        sh = F.expr(
+            f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {n - 1}, 0)), "
+            f"i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n})))"
+        )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs among docs sharing ≥1 shingle.
+
+    candidates via shingle-bucket self-join (never n²); |∪| from per-doc
+    shingle counts: |A∪B| = |A| + |B| − |A∩B|.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES,
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc, j) → min over shingles of (a_j·x + b_j) mod MOD_H."""
+    spark = sh.sparkSession
+    perms = spark.createDataFrame(perm_constants(n_hashes), "j int, a long, b long")
+    x = sh.withColumn("x", str_hash32(F.col("shingle")) % MOD_X)
+    return (
+        x.crossJoin(F.broadcast(perms))
+        .withColumn("h", (F.col("a") * F.col("x") + F.col("b")) % MOD_H)
+        .groupBy(id_col, "j")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
+                      n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS,
+                      threshold: float = 0.5, id_col: str = "doc_id") -> DataFrame:
+    """MinHash + LSH banding → candidate pairs → exact-jaccard verify."""
+    sh = shingles(df, text_col, n, id_col).persist()
+    sig = minhash_signatures(sh, n_hashes, id_col)
+    banded = (
+        sig.withColumn("band", (F.col("j") / band_rows).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list(
+            F.concat_ws(":", F.col("j"), F.col("mh"))))).alias("sig"))
+    )
+    a = banded.select(F.col(id_col).alias("a"), "band", "sig")
+    b = banded.select(F.col(id_col).alias("b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"]).where(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+    # verify candidates with exact jaccard
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        cand.join(sa, "a").join(sb, ["b", "shingle"])
+        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, text_col: str, bits: int = 32,
+            id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over whitespace tokens (md5-derived bit vectors);
+    bit i of the fingerprint = sign of Σ_tokens (2·bit_i(h(token)) − 1)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = toks.withColumn("h", str_hash32(F.col("tok")))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = h.groupBy(id_col).agg(*aggs)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        fp = bit if fp is None else (fp + bit)
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(fp: DataFrame, max_hamming: int = 3,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ k via pigeonhole banding:
+    split 32 bits into k+1 bands — equal in ≥1 band guaranteed — then verify.
+    (Never an O(n²) cross join; this is the scale path.)"""
+    n_bands = max_hamming + 1
+    width = 32 // n_bands
+    bands = []
+    for bidx in range(n_bands):
+        shift = bidx * width
+        w = width + (32 - n_bands * width if bidx == n_bands - 1 else 0)
+        mask = (1 << w) - 1
+        bands.append(
+            fp.select(
+                F.col(id_col),
+                "simhash",
+                F.lit(bidx).alias("band"),
+                F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    a = allb.select(F.col(id_col).alias("a"), F.col("simhash").alias("fa"), "band", "key")
+    b = allb.select(F.col(id_col).alias("b"), F.col("simhash").alias("fb"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"]).where(F.col("a") < F.col("b"))
+        .select("a", "b", "fa", "fb").distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

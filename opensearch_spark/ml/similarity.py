@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline. The
+  dot/norm fold runs JVM-side via ``F.zip_with`` + ``F.aggregate`` (no
+  explode shuffle, no Python); global top-k is Spark's
+  TakeOrderedAndProject, so at 100 TB this is one scan + a tiny merge.
+- ``lsh_topk``: random-hyperplane LSH bucket path — candidates share the
+  query's sign-bucket (multi-probe over 1-bit flips), exact re-rank inside.
+  Hyperplanes are deterministic (md5-hash-derived), no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from opensearch_spark.ml.dedup import MOD_H
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_scores(df: DataFrame, query_vec: list[float],
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = _dot(F.col(vec_col), q)
+    norm_a = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    norm_q = F.sqrt(F.aggregate(q, F.lit(0.0), lambda acc, v: acc + v * v))
+    return df.select(
+        F.col(id_col),
+        F.round(dot / (norm_a * norm_q), 4).alias("cosine"),
+    )
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                exclude_id: int | None = None) -> DataFrame:
+    s = cosine_scores(df, query_vec, vec_col, id_col)
+    if exclude_id is not None:
+        s = s.where(F.col(id_col) != exclude_id)
+    return s.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (j, d) derived
+    from md5 — uniform in [-1, 1], no RNG."""
+    import hashlib
+
+    out = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((h / float(2 ** 32)) * 2.0 - 1.0)
+        out.append(row)
+    return out
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Sign-pattern bucket id of a vector column."""
+    bucket = F.lit(0)
+    for j, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        d = _dot(F.col(vec_col), arr)
+        bucket = bucket + F.when(d > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             n_planes: int = 8, vec_col: str = "embedding",
+             id_col: str = "vec_id", multiprobe: int = 1,
+             exclude_id: int | None = None) -> DataFrame:
+    """ANN: restrict to the query's LSH bucket (± multiprobe 1-bit flips),
+    exact cosine re-rank inside. Recall measured in tests vs cosine_topk."""
+    dim = len(query_vec)
+    planes = hyperplanes(n_planes, dim)
+
+    def sign_bucket(vec):
+        b = 0
+        for j, p in enumerate(planes):
+            if sum(x * y for x, y in zip(vec, p)) > 0:
+                b |= 1 << j
+        return b
+
+    qb = sign_bucket(query_vec)
+    probes = {qb} | ({qb ^ (1 << j) for j in range(n_planes)}
+                     if multiprobe else set())
+    bucketed = df.withColumn("_bkt", _bucket_expr(vec_col, planes))
+    cand = bucketed.where(F.col("_bkt").isin(sorted(probes)))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col, exclude_id)
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             n_planes: int = 8, vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH-bucket self-join + exact
+    verify (the embedding analog of minhash_lsh_pairs)."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    planes = hyperplanes(n_planes, int(first["d"]))
+    b = df.withColumn("_bkt", _bucket_expr(vec_col, planes))
+    norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    b = b.withColumn("_nrm", norm)
+    l = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                 F.col("_nrm").alias("na"), "_bkt")
+    r = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                 F.col("_nrm").alias("nb"), "_bkt")
+    cand = l.join(r, "_bkt").where(F.col("a") < F.col("b"))
+    return (
+        cand.withColumn(
+            "cosine", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,85 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting. All built-in-function plans
+(JVM-side, codegen) — no UDFs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS_EN = ["the", "a", "an", "of", "to", "and", "in", "is", "it", "for"]
+
+# tiny per-language marker lists for the n-gram/stopword-heuristic langid
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "les", "et"],
+    "es": ["el", "los", "las", "y"],
+    "zh": ["de5", "shi4", "le5", "zai4"],
+}
+
+
+def _toks(text_col: str):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
+    """token count / distinct count / unique ratio / mean token length."""
+    toks = _toks(text_col)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        nd.alias("n_unique"),
+        F.round(nd / n, 6).alias("unique_ratio"),
+        F.round(
+            (F.length(F.trim(F.col(text_col))) - (n - 1)) / n, 6
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: length band + uniqueness + stopword
+    presence (the classic Gopher/C4-style filters, SQL-expressible)."""
+    toks = _toks(text_col)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.array_intersect(toks, sw))
+    score = (
+        F.when((n >= 10) & (n <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.round(0.3 * nd / n, 6)
+        + F.when(n_stop >= 1, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
+    """OpenRefine-style fingerprint: md5 of the sorted distinct token set —
+    catches token-order/duplication variants that exact dedup misses."""
+    toks = _toks(text_col)
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: argmax over per-language hit counts,
+    deterministic tie-break by language code; 'und' when nothing hits."""
+    toks = _toks(text_col)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        hits = F.size(F.array_intersect(F.array_distinct(toks), markers))
+        scores.append((lang, hits))
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang, hits in scores:  # later langs only win strictly more hits
+        cond = hits > best_n
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, hits).otherwise(best_n)
+    return df.select(F.col(id_col), best.alias("pred_lang"))

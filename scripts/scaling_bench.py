@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north rule's two-cluster-size
+criterion, sandbox-proxied as two parallelism levels: run the IDENTICAL
+index-build job at local[N] and local[4N] on the same input and report
+throughput at both + efficiency = (thr@4N / thr@N) / 4.
+
+Each measurement runs in a fresh subprocess (own JVM) so the two levels
+can't share executor state. Results land in BENCH.md.
+
+Usage: python scripts/scaling_bench.py [n_low] [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+CHILD = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from opensearch_spark.session import get_spark
+from opensearch_spark.datagen import generate_corpus
+from opensearch_spark.index.build import IndexConfig, build_index
+
+cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); out = sys.argv[3]
+spark = get_spark("scaling_bench", master=f"local[{{cores}}]",
+                  shuffle_partitions=max(8, cores))
+corpus = generate_corpus(spark, n_docs, n_partitions=max(32, cores * 2))
+corpus = corpus.persist(); corpus.count()   # materialize: time indexing, not gen
+build_dir = out + f"/idx_{{cores}}"
+shutil.rmtree(build_dir, ignore_errors=True)
+t0 = time.perf_counter()
+build_index(spark, corpus, build_dir,
+            IndexConfig(field="content", analyzer="standard_code",
+                        order_cols=("repo", "path", "commit"),
+                        n_parts=max(8, cores), bucket_span=1 << 13))
+sec = time.perf_counter() - t0
+print(json.dumps({{"cores": cores, "sec": sec, "docs_per_sec": n_docs / sec}}))
+spark.stop()
+"""
+
+
+def run(cores: int, n_docs: int, tmp: str, repo: str) -> dict:
+    script = CHILD.format(repo=repo)
+    p = subprocess.run(
+        [sys.executable, "-c", script, str(cores), str(n_docs), tmp],
+        capture_output=True, text=True, timeout=1800,
+    )
+    line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 40000
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as tmp:
+        lo = run(n_low, n_docs, tmp, repo)
+        hi = run(n_low * 4, n_docs, tmp, repo)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+    print(json.dumps({
+        "n_docs": n_docs,
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency": round(eff, 4),
+        "target": ">= 0.8 per BASELINE.json (N vs 4N parallelism proxy)",
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()
