@@ -995,7 +995,7 @@ def sim_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in
           emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return S.lsh_topk(emb, qv, k=10, n_planes=8, exclude_id=0)
+    return S.lsh_topk(emb, qv, k=10, n_planes=6, multiprobe=2, exclude_id=0)
 
 
 @q("sim_near_dup_pairs")  # rows-only: verified vs exact pairs in tests

@@ -87,8 +87,12 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         return b
 
     qb = sign_bucket(query_vec)
-    probes = {qb} | ({qb ^ (1 << j) for j in range(n_planes)}
-                     if multiprobe else set())
+    probes = {qb}
+    if multiprobe >= 1:
+        probes |= {qb ^ (1 << j) for j in range(n_planes)}
+    if multiprobe >= 2:
+        probes |= {qb ^ (1 << i) ^ (1 << j)
+                   for i in range(n_planes) for j in range(i + 1, n_planes)}
     bucketed = df.withColumn("_bkt", _bucket_expr(vec_col, planes))
     cand = bucketed.where(F.col("_bkt").isin(sorted(probes)))
     return cosine_topk(cand, query_vec, k, vec_col, id_col, exclude_id)

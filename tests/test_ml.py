@@ -1,0 +1,138 @@
+"""Dedup / similarity / multimodal semantics vs brute-force baselines."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.ml import dedup as D
+from opensearch_spark.ml import similarity as S
+from opensearch_spark.ml.multimodal import extract_features, fake_decode, frame_sample
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_simhash_banded_pairs_equal_bruteforce(spark, docs):
+    fp = D.simhash(docs.limit(120), "text").persist()
+    banded = {(r["a"], r["b"]) for r in D.simhash_pairs(fp, max_hamming=6).collect()}
+    rows = fp.collect()
+    brute = set()
+    for i, ra in enumerate(rows):
+        for rb in rows[i + 1:]:
+            a, b = sorted((ra["doc_id"], rb["doc_id"]))
+            if bin(ra["simhash"] ^ rb["simhash"]).count("1") <= 6:
+                brute.add((a, b))
+    assert banded == brute
+
+
+def test_minhash_candidates_are_true_jaccard(spark, docs):
+    pairs = D.minhash_lsh_pairs(docs, "text", n=2, threshold=0.5).collect()
+    # verified jaccard really >= threshold, and LSH pairs ⊆ exact pairs
+    sh = D.shingles(docs, "text", n=2)
+    exact = {(r["a"], r["b"]): r["jaccard"]
+             for r in D.jaccard_pairs(sh, 0.5).collect()}
+    for r in pairs:
+        assert (r["a"], r["b"]) in exact
+        assert r["jaccard"] == exact[(r["a"], r["b"])]
+
+
+def test_lsh_topk_recall(spark, emb):
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, qv, k=10, exclude_id=0).collect()]
+    approx = [r["vec_id"] for r in
+              S.lsh_topk(emb, qv, k=10, n_planes=6, multiprobe=2,
+                         exclude_id=0).collect()]
+    recall = len(set(exact) & set(approx)) / 10.0
+    assert recall >= 0.4  # multiprobe LSH on 500 vecs; exactness not expected
+    # every LSH hit carries its true cosine (re-rank is exact)
+    exact_all = {r["vec_id"]: r["cosine"]
+                 for r in S.cosine_scores(emb, qv).collect()}
+    for r in S.lsh_topk(emb, qv, k=10, n_planes=6, multiprobe=2,
+                        exclude_id=0).collect():
+        assert r["cosine"] == exact_all[r["vec_id"]]
+
+
+def test_embedding_near_dup_bucket_subset_of_exact(spark, emb):
+    sub = emb.limit(150)
+    got = {(r["a"], r["b"]) for r in
+           S.embedding_near_dup_pairs(sub, threshold=0.8).collect()}
+    rows = sub.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    brute = set()
+    for i, a in enumerate(sorted(vecs)):
+        for b in sorted(vecs)[i + 1:]:
+            va, vb = vecs[a], vecs[b]
+            c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if round(c, 4) >= 0.8:
+                brute.add((a, b))
+    assert got <= brute  # LSH may miss; must never invent
+
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [(i, "image", bytes([i] * (100 + i)), 8, 8) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary, width int, height int")
+    feats = extract_features(df).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["feat"]) == 2 * 2 * 3  # grid² cells × RGB
+        assert r["n_bytes"] == 100 + r["doc_id"]
+    # deterministic: same payload → same features
+    again = extract_features(df).collect()
+    assert sorted((r["doc_id"], tuple(r["feat"])) for r in feats) == \
+           sorted((r["doc_id"], tuple(r["feat"])) for r in again)
+    # decode parity with direct call
+    img = fake_decode(bytes([0] * 100), 8, 8)
+    assert img.shape == (8, 8, 3)
+
+
+def test_multimodal_real_decoder_stub():
+    from opensearch_spark.ml.multimodal import real_decode
+
+    with pytest.raises(NotImplementedError):
+        real_decode(b"x", 1, 1)
+
+
+def test_frame_sample(spark):
+    df = spark.createDataFrame(
+        [(1, "video", bytes(6 * 1024), 0, 0)],
+        "doc_id long, media_type string, payload binary, width int, height int")
+    idx = [r["frame_idx"] for r in frame_sample(df, every_n=2).collect()]
+    assert idx == [0, 2, 4]  # 6 KiB → 6 fake frames (0..5), step 2
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    rows = [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["dup_count"])
+           for r in D.exact_dedup(df, "text").collect()}
+    assert got == {(1, 3), (3, 1)}
+
+
+def test_textstats_quality_and_fingerprint(spark):
+    from opensearch_spark.ml.textstats import fingerprint, lang_id, quality_score
+
+    rows = [(1, "the cat sat of the mat now then"),
+            (2, "der die das und etwas"),
+            (3, "zz qq ww")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = {r["doc_id"]: r for r in quality_score(df, "text").collect()}
+    assert q[1]["n_stopwords"] >= 2 and q[1]["quality"] > q[3]["quality"]
+    langs = {r["doc_id"]: r["pred_lang"] for r in lang_id(df, "text").collect()}
+    assert langs[1] == "en" and langs[2] == "de" and langs[3] == "und"
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df, "text").collect()}
+    df2 = spark.createDataFrame([(9, "mat the of cat sat now then the")],
+                                "doc_id long, text string")
+    fp9 = fingerprint(df2, "text").first()["fingerprint"]
+    assert fp9 == fp[1]  # order/duplication-invariant

@@ -1,0 +1,98 @@
+"""Resumable segmented build (crash → resume → merge ≡ direct build) and
+streaming micro-batch ingest (NRT refresh model)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.index.build import IndexConfig, build_index
+from opensearch_spark.index.segments import (
+    build_segments,
+    merge_segments,
+    read_manifest,
+)
+from opensearch_spark.search import Match, Searcher
+
+DOCS = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001") + "/documents.parquet"
+CFG = IndexConfig(field="text", analyzer="standard", id_col="doc_id",
+                  n_parts=4, bucket_span=64)
+
+
+def test_crash_resume_merge_equals_direct_build(spark, tmp_path):
+    corpus = spark.read.parquet(DOCS)
+    seg_dir = str(tmp_path / "seg_idx")
+
+    # crash after 2 segments
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_segments(spark, corpus, seg_dir, CFG, n_segments=4, fail_after=2)
+    m = read_manifest(seg_dir)
+    assert len(m) == 2
+    assert all(v["status"] == "committed" for v in m.values())
+
+    # resume: only remaining segments run; attempts stay 1 for committed
+    build_segments(spark, corpus, seg_dir, CFG, n_segments=4)
+    m2 = read_manifest(seg_dir)
+    assert len(m2) == 4
+    assert sum(v["rows"] for v in m2.values()) == corpus.count()
+    assert all(m2[s]["attempt"] == 1 for s in m)  # untouched on resume
+
+    idx = merge_segments(spark, seg_dir, CFG)
+
+    # identical results to the one-shot build
+    direct = build_index(spark, corpus, str(tmp_path / "direct_idx"), CFG)
+    q = Match(field="text", text="spark table merge")
+    a = sorted((r["doc_id"], round(r["score"], 10)) for r in
+               Searcher(spark, idx).search(q, k=10).collect())
+    b = sorted((r["doc_id"], round(r["score"], 10)) for r in
+               Searcher(spark, direct).search(q, k=10).collect())
+    assert a == b
+    # byte-level: same postings content signature
+    pa = idx.postings(spark).agg(F.sum(F.crc32(F.col("docs_vb"))).alias("s")).first()["s"]
+    pb = direct.postings(spark).agg(F.sum(F.crc32(F.col("docs_vb"))).alias("s")).first()["s"]
+    assert pa == pb
+
+
+def test_rerun_is_idempotent(spark, tmp_path):
+    corpus = spark.read.parquet(DOCS).limit(50)
+    seg_dir = str(tmp_path / "idem")
+    build_segments(spark, corpus, seg_dir, CFG, n_segments=2)
+    m1 = read_manifest(seg_dir)
+    build_segments(spark, corpus, seg_dir, CFG, n_segments=2)  # no-op
+    m2 = read_manifest(seg_dir)
+    assert m1 == m2
+
+
+def test_streaming_microbatch_ingest(spark, tmp_path):
+    from opensearch_spark.streaming.ingest import start_streaming_index
+
+    src = str(tmp_path / "drops")
+    os.makedirs(src)
+    corpus = spark.read.parquet(DOCS).limit(60)
+    # three "arriving" files
+    for i in range(3):
+        corpus.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(src, f"drop_{i}"))
+    # flatten: streaming source wants files in one dir
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(glob.glob(os.path.join(src, "drop_*", "*.parquet"))):
+        shutil.copy(f, os.path.join(flat, f"f{i}.parquet"))
+
+    out = str(tmp_path / "stream_idx")
+    q = start_streaming_index(spark, flat, corpus.schema, out, CFG,
+                              trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    m = read_manifest(out)
+    assert sum(v["rows"] for v in m.values()) == 60
+    idx = merge_segments(spark, out, CFG)
+    assert idx.doc_count == 60
+    s = Searcher(spark, idx)
+    hits = s.search(Match(field="text", text="spark"), k=5).collect()
+    assert len(hits) > 0
