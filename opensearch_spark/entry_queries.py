@@ -20,38 +20,63 @@ from pyspark.sql import Window as W
 from opensearch_spark import oracle as O
 from opensearch_spark.index.build import IndexConfig, InvertedIndex, build_index
 from opensearch_spark.search import (
-    Bool, Boosting, ConstantScore, DisMax, Fuzzy, Match, MatchPhrase,
-    MoreLikeThis, Prefix, Range, Searcher, Term, TermsSet, Wildcard,
+    Bool, Boosting, ConstantScore, DisMax, Fuzzy, Ids, Match, MatchAll,
+    MatchBoolPrefix, MatchPhrase, MatchPhrasePrefix, MoreLikeThis, MultiMatch,
+    Prefix, Range, Regexp, Searcher, SpanNear, Term, Terms, TermsSet, Wildcard,
+    highlight_field, parse_query_string, rank_metrics, term_suggest, with_ranks,
 )
 
 _INDEX_CACHE: dict[str, Searcher] = {}
 INDEX_ROOT = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/opensearch_spark_indexes")
 
 
+TITLE_TOKENS = 8  # derived second analyzed field: first 8 tokens of text
+
+
+def with_title(corpus: DataFrame) -> DataFrame:
+    """Multi-field mapping (TypeParsers.java multi-fields): derive a second
+    analyzed field from the same source value."""
+    return corpus.withColumn(
+        "title",
+        F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, TITLE_TOKENS), " "),
+    )
+
+
+def _load_or_build(spark, corpus, out, cfg, n) -> InvertedIndex:
+    meta_path = os.path.join(out, "meta.json")
+    if os.path.exists(meta_path):
+        idx = InvertedIndex(out)
+        if idx.doc_count == n:
+            return idx
+    return build_index(spark, corpus, out, cfg)
+
+
 def get_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
-    """Build (or reuse) the inverted index for sf_dir's documents table."""
+    """Build (or reuse) the inverted indexes (text + derived title field)
+    for sf_dir's documents table."""
     key = os.path.abspath(sf_dir)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     out = os.path.join(
         INDEX_ROOT, hashlib.sha256(key.encode()).hexdigest()[:16])
-    corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = with_title(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
     n = corpus.count()
-    meta_path = os.path.join(out, "meta.json")
-    if os.path.exists(meta_path):
-        idx = InvertedIndex(out)
-        if idx.doc_count != n:
-            idx = None
-    else:
-        idx = None
-    if idx is None:
-        idx = build_index(
-            spark, corpus, out,
-            IndexConfig(field="text", analyzer="standard", id_col="doc_id",
-                        keyword_cols=("lang", "source"), n_parts=8,
-                        bucket_span=1 << 12, with_positions=True),
-        )
-    s = Searcher(spark, idx)
+    idx = _load_or_build(
+        spark, corpus, out,
+        IndexConfig(field="text", analyzer="standard", id_col="doc_id",
+                    keyword_cols=("lang", "source"), n_parts=8,
+                    bucket_span=1 << 12, with_positions=True), n)
+    idx_title = _load_or_build(
+        spark, corpus.select("doc_id", "title"), out + "_title",
+        IndexConfig(field="title", analyzer="standard", id_col="doc_id",
+                    n_parts=4, bucket_span=1 << 12), n)
+    # serving posture at test scale: pin index tables + driver-side term
+    # dictionary (documented thresholds in Searcher/InvertedIndex.cache)
+    idx.cache(spark)
+    idx_title.cache(spark)
+    s_title = Searcher(spark, idx_title, preload_dictionary=True)
+    s = Searcher(spark, idx, preload_dictionary=True,
+                 extra_fields={"title": s_title})
     _INDEX_CACHE[key] = s
     return s
 
@@ -369,6 +394,409 @@ def search_more_like_this(spark, sf_dir):
     query = MoreLikeThis(field="text", like_ids=[0, 1], max_query_terms=10,
                          min_term_freq=1, min_doc_freq=2)
     return s.search(query, k=10, mode="exhaustive", round_scores=4)
+
+
+# ---- title-field CTEs (multi-field mapping: first 8 tokens of text) ----
+_TITLE_CTES = """
+ttok AS (
+    SELECT doc_id, unnest(list_slice(string_split_regex(trim(text), '\\s+'), 1, 8)) AS term
+    FROM documents
+),
+ttok2 AS (SELECT doc_id, term FROM ttok WHERE term <> ''),
+tdl AS (SELECT doc_id, count(*) AS dl FROM ttok2 GROUP BY doc_id),
+tstats AS (
+    SELECT (SELECT count(*) FROM documents) AS N,
+           (SELECT sum(dl) FROM tdl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+)
+"""
+
+
+def _mm_oracle(kind: str) -> str:
+    comb = ("greatest(coalesce(a.s, -1e18), coalesce(b.s, -1e18))"
+            if kind == "best" else
+            "coalesce(a.s, 0.0) + coalesce(b.s, 0.0)")
+    return f"""
+WITH {O.TOK_CTES},
+{_TITLE_CTES},
+tf_a AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+         WHERE term IN ('merge','spark') GROUP BY doc_id, term),
+df_a AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+         WHERE term IN ('merge','spark') GROUP BY term),
+sa AS (SELECT tf_a.doc_id, sum({O.bm25_term(tf='tf_a.tf')}) AS s
+       FROM tf_a JOIN df_a USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY tf_a.doc_id),
+tf_b AS (SELECT doc_id, term, count(*) AS tf FROM ttok2
+         WHERE term IN ('merge','spark') GROUP BY doc_id, term),
+df_b AS (SELECT term, count(DISTINCT doc_id) AS df FROM ttok2
+         WHERE term IN ('merge','spark') GROUP BY term),
+sb AS (SELECT tf_b.doc_id,
+              sum(ln(1.0 + (tstats.N - df + 0.5) / (df + 0.5)) * (1.2 + 1.0) * tf_b.tf
+                  / (tf_b.tf + 1.2 * (1.0 - 0.75 + 0.75 * tdl.dl / tstats.avgdl))) AS s
+       FROM tf_b JOIN df_b USING (term) JOIN tdl USING (doc_id) CROSS JOIN tstats
+       GROUP BY tf_b.doc_id)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, round({comb}, 4) AS score
+FROM sa a FULL OUTER JOIN sb b ON a.doc_id = b.doc_id
+ORDER BY round({comb}, 4) DESC, coalesce(a.doc_id, b.doc_id) LIMIT 10
+"""
+
+
+@q("search_match_all", """
+SELECT doc_id, 1.0 AS score FROM documents ORDER BY doc_id
+""")
+def search_match_all(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.score(MatchAll()).orderBy("doc_id")
+
+
+@q("search_terms_keyword", """
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE lang IN ('de', 'fr') ORDER BY doc_id
+""")
+def search_terms_keyword(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.score(Terms(field="lang", values=["de", "fr"])).orderBy("doc_id")
+
+
+@q("search_ids", """
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE doc_id IN (1, 2, 3, 5, 8) ORDER BY doc_id
+""")
+def search_ids(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.score(Ids(values=[1, 2, 3, 5, 8])).orderBy("doc_id")
+
+
+@q("search_exists", """
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE lang IS NOT NULL ORDER BY doc_id
+""")
+def search_exists(spark, sf_dir):
+    from opensearch_spark.search import Exists
+
+    s = get_searcher(spark, sf_dir)
+    return s.score(Exists(field="lang")).orderBy("doc_id")
+
+
+@q("search_regexp", f"""
+WITH {O.TOK_CTES}
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok2
+WHERE regexp_matches(term, '^s.*k$') ORDER BY doc_id
+""")
+def search_regexp(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.score(Regexp(field="text", value="s.*k")).orderBy("doc_id")
+
+
+@q("search_multi_match_best", _mm_oracle("best"))
+def search_multi_match_best(spark, sf_dir):
+    """multi_match best_fields over (text, title) — per-field BM25 with
+    per-field stats, combined with max (MultiMatchQueryBuilder.java:130)."""
+    s = get_searcher(spark, sf_dir)
+    return s.search(MultiMatch(fields=["text", "title"], text="spark merge"),
+                    k=10, mode="exhaustive", round_scores=4)
+
+
+@q("search_multi_match_most", _mm_oracle("most"))
+def search_multi_match_most(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.search(
+        MultiMatch(fields=["text", "title"], text="spark merge", type="most_fields"),
+        k=10, mode="exhaustive", round_scores=4)
+
+
+@q("search_match_phrase_prefix", f"""
+WITH {O.TOK_CTES},
+pos AS (
+    SELECT doc_id,
+           unnest(string_split_regex(text, '\\s+')) AS term,
+           unnest(range(len(string_split_regex(text, '\\s+')))) AS p
+    FROM documents
+),
+m AS (
+    SELECT a.doc_id, count(DISTINCT a.p) AS ptf
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    WHERE a.term = 'spark' AND b.term LIKE 'ta%'
+    GROUP BY a.doc_id
+),
+df_fixed AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'spark'),
+df_exp AS (SELECT max(ln(1.0 + (stats.N - df + 0.5) / (df + 0.5))) AS max_idf
+           FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+                 WHERE term LIKE 'ta%' GROUP BY term) CROSS JOIN stats),
+idfsum AS (SELECT ln(1.0 + (stats.N - df_fixed.df + 0.5) / (df_fixed.df + 0.5))
+                  + df_exp.max_idf AS idf_sum
+           FROM df_fixed CROSS JOIN df_exp CROSS JOIN stats)
+SELECT m.doc_id,
+       round(idf_sum * (1.2 + 1.0) * ptf
+             / (ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
+FROM m JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN idfsum
+ORDER BY score DESC, doc_id LIMIT 10
+""")
+def search_match_phrase_prefix(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.search(
+        MatchPhrasePrefix(field="text", text="spark ta", max_expansions=1000),
+        k=10, mode="exhaustive", round_scores=4)
+
+
+@q("search_match_bool_prefix", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'merge' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'merge'),
+bm AS (SELECT tf.doc_id, {O.bm25_term()} AS s
+       FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+pref AS (SELECT DISTINCT doc_id, 1.0 AS s FROM tok2 WHERE term LIKE 'so%')
+SELECT coalesce(bm.doc_id, pref.doc_id) AS doc_id,
+       round(coalesce(bm.s, 0.0) + coalesce(pref.s, 0.0), 4) AS score
+FROM bm FULL OUTER JOIN pref ON bm.doc_id = pref.doc_id
+ORDER BY round(coalesce(bm.s, 0.0) + coalesce(pref.s, 0.0), 4) DESC,
+         coalesce(bm.doc_id, pref.doc_id) LIMIT 10
+""")
+def search_match_bool_prefix(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.search(MatchBoolPrefix(field="text", text="merge so"),
+                    k=10, mode="exhaustive", round_scores=4)
+
+
+_POS_CTE = """
+pos AS (
+    SELECT doc_id,
+           unnest(string_split_regex(text, '\\s+')) AS term,
+           unnest(range(len(string_split_regex(text, '\\s+')))) AS p
+    FROM documents
+)
+"""
+
+
+@q("search_span_near", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT a.doc_id, 1.0 AS score
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = 'spark' AND b.term = 'table'
+  AND b.p > a.p AND (b.p - a.p) - 1 <= 3
+ORDER BY a.doc_id
+""")
+def search_span_near(spark, sf_dir):
+    """span_near in_order slop=3 (SpanNearQueryBuilder.java)."""
+    s = get_searcher(spark, sf_dir)
+    return s.score(SpanNear(field="text", clauses=["spark", "table"],
+                            slop=3, in_order=True)).orderBy("doc_id")
+
+
+@q("search_span_near_unordered", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT a.doc_id, 1.0 AS score
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = 'key' AND b.term = 'value'
+  AND a.p <> b.p AND greatest(a.p, b.p) - least(a.p, b.p) - 1 <= 2
+ORDER BY a.doc_id
+""")
+def search_span_near_unordered(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.score(SpanNear(field="text", clauses=["key", "value"],
+                            slop=2, in_order=False)).orderBy("doc_id")
+
+
+@q("search_query_string", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark','table') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark','table') GROUP BY term),
+branch1 AS (SELECT tf.doc_id, sum({O.bm25_term()}) AS s, count(*) AS nt
+            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+            GROUP BY tf.doc_id HAVING count(*) = 2),
+branch2 AS (SELECT doc_id, 1.0 AS s FROM documents WHERE lang = 'de')
+SELECT coalesce(b1.doc_id, b2.doc_id) AS doc_id,
+       round(coalesce(b1.s, 0.0) + coalesce(b2.s, 0.0), 4) AS score
+FROM branch1 b1 FULL OUTER JOIN branch2 b2 ON b1.doc_id = b2.doc_id
+ORDER BY round(coalesce(b1.s, 0.0) + coalesce(b2.s, 0.0), 4) DESC,
+         coalesce(b1.doc_id, b2.doc_id) LIMIT 10
+""")
+def search_query_string(spark, sf_dir):
+    """query_string syntax (QueryStringQueryBuilder.java) through the PEG
+    parser → same AST → same executor."""
+    s = get_searcher(spark, sf_dir)
+    ast = parse_query_string("spark AND table OR lang:de", default_field="text")
+    return s.search(ast, k=10, mode="exhaustive", round_scores=4)
+
+
+@q("search_lmdirichlet", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark','table') GROUP BY doc_id, term),
+cf AS (SELECT term, count(*) AS cf FROM tok2
+       WHERE term IN ('spark','table') GROUP BY term),
+tot AS (SELECT count(*) AS total FROM tok2)
+SELECT tf.doc_id,
+       round(sum(ln(1.0 + tf / (2000.0 * ((cf + 1.0) / (total + 1.0))))
+                 + ln(2000.0 / (dl + 2000.0))), 4) AS score
+FROM tf JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+GROUP BY tf.doc_id, dl.dl
+ORDER BY score DESC, tf.doc_id LIMIT 10
+""")
+def search_lmdirichlet(spark, sf_dir):
+    """LMDirichlet alternative similarity (SimilarityProviders.java)."""
+    s = get_searcher(spark, sf_dir)
+    scores = s.score_lm_dirichlet(Match(field="text", text="spark table"), mu=2000.0)
+    return (scores.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
+@q("search_suggest_term", f"""
+WITH {O.TOK_CTES},
+vocab AS (SELECT term AS suggestion, count(DISTINCT doc_id) AS df
+          FROM tok2 GROUP BY term),
+inputs(term) AS (VALUES ('spagk'), ('tabel')),
+cand AS (
+    SELECT i.term, v.suggestion, levenshtein(v.suggestion, i.term) AS distance, v.df
+    FROM inputs i CROSS JOIN vocab v
+    WHERE abs(length(v.suggestion) - length(i.term)) <= 2
+      AND v.suggestion <> i.term
+      AND levenshtein(v.suggestion, i.term) <= 2
+),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY term
+                    ORDER BY distance, df DESC, suggestion) AS rank FROM cand)
+SELECT term, suggestion, distance, df, rank FROM ranked
+WHERE rank <= 3 ORDER BY term, rank
+""")
+def search_suggest_term(spark, sf_dir):
+    """Term suggester (TermSuggestionBuilder.java): spell-correct the two
+    misspelled input terms against the dictionary."""
+    s = get_searcher(spark, sf_dir)
+    return term_suggest(s, "spagk tabel", size=3, max_edits=2,
+                        suggest_mode="missing").orderBy("term", "rank")
+
+
+@q("search_highlight", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('merge','spark') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('merge','spark') GROUP BY term),
+scored AS (SELECT tf.doc_id, round(sum({O.bm25_term()}), 4) AS score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id),
+top5 AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 5)
+SELECT t.doc_id, t.score,
+       regexp_replace(d.text, '\\b(merge|spark)\\b', '<em>\\1</em>', 'g') AS highlight
+FROM top5 t JOIN documents d USING (doc_id) ORDER BY t.doc_id
+""")
+def search_highlight(spark, sf_dir):
+    """Highlighting as a fetch sub-phase over the top-k only."""
+    s = get_searcher(spark, sf_dir)
+    terms = s.analyze("spark merge")
+    hits = s.search(Match(field="text", text="spark merge"),
+                    k=5, mode="exhaustive", round_scores=4)
+    fetched = s.fetch(hits, columns=["text"])
+    return (highlight_field(fetched, "text", terms)
+            .select("doc_id", "score", "highlight").orderBy("doc_id"))
+
+
+@q("search_rank_eval", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('merge','spark','table') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('merge','spark','table') GROUP BY term),
+scored AS (SELECT tf.doc_id, round(sum({O.bm25_term()}), 4) AS score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id),
+ranked AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+relevant AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = 3),
+j AS (SELECT r.rank, CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM ranked r LEFT JOIN relevant rel USING (doc_id))
+SELECT round(sum(hit) / 10.0, 6) AS precision_at_k,
+       round(sum(hit) * 1.0 / greatest((SELECT count(*) FROM relevant), 1), 6)
+           AS recall_at_k,
+       round(coalesce(1.0 / min(CASE WHEN hit = 1 THEN rank END), 0.0), 6) AS mrr,
+       round(sum(CASE WHEN hit = 1 THEN 1.0 / log2(rank + 1.0) ELSE 0.0 END), 6)
+           AS dcg_at_k
+FROM j
+""")
+def search_rank_eval(spark, sf_dir):
+    """rank-eval module metrics over the engine's own top-10: relevance =
+    docs containing all three query terms."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Match(field="text", text="spark table merge"),
+                    k=10, mode="exhaustive", round_scores=4)
+    ranked = with_ranks(hits)
+    terms = ["merge", "spark", "table"]
+    flat = s._flat_postings(terms)
+    relevant = (flat.select("doc_id", "term").distinct()
+                .groupBy("doc_id").count().where(F.col("count") == 3)
+                .select("doc_id"))
+    return rank_metrics(ranked, relevant, k=10)
+
+
+@q("search_sort_field", f"""
+WITH {O.TOK_CTES},
+m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = 'value')
+SELECT d.doc_id, d.n_chars FROM m JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+""")
+def search_sort_field(spark, sf_dir):
+    """Top-k by field sort (TopFieldCollector / FieldSortBuilder):
+    ORDER BY field LIMIT k → Spark TakeOrderedAndProject."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.matching_docs(Match(field="text", text="value"))
+    docs = s.index.docs(spark).select("doc_id", "n_chars")
+    return (hits.join(docs, "doc_id")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(10))
+
+
+@q("search_fetch", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark','vector') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark','vector') GROUP BY term),
+scored AS (SELECT tf.doc_id, round(sum({O.bm25_term()}), 4) AS score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id),
+top3 AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 3)
+SELECT t.doc_id, t.score, d.lang, d.source
+FROM top3 t JOIN documents d USING (doc_id) ORDER BY t.doc_id
+""")
+def search_fetch(spark, sf_dir):
+    """Fetch phase (FetchPhase.java): broadcast-join top-k back to stored
+    fields — the second network round-trip of the reference lifecycle."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Match(field="text", text="spark vector"),
+                    k=3, mode="exhaustive", round_scores=4)
+    return s.fetch(hits, columns=["lang", "source"]).orderBy("doc_id")
+
+
+@q("search_explain", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'spark' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'spark')
+SELECT tf.doc_id, 'spark' AS term,
+       round(ln(1.0 + (stats.N - df + 0.5) / (df + 0.5)), 6) AS idf,
+       tf.tf, dl.dl,
+       round({O.bm25_term()}, 6) AS tscore
+FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+ORDER BY tf.doc_id LIMIT 20
+""")
+def search_explain(spark, sf_dir):
+    """Explain (TransportExplainAction.java): per-(doc, term) score
+    components."""
+    s = get_searcher(spark, sf_dir)
+    return (s.explain(Match(field="text", text="spark"))
+            .withColumn("idf", F.round("idf", 6))
+            .withColumn("tscore", F.round("tscore", 6))
+            .orderBy("doc_id").limit(20))
+
+
+@q("search_slice", """
+SELECT doc_id, 1.0 AS score FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id
+""")
+def search_slice(spark, sf_dir):
+    """Sliced scroll (SliceBuilder.java): slice i of N = hash-mod partition
+    of the docID space — native partition pruning in Spark."""
+    s = get_searcher(spark, sf_dir)
+    return (s.index.docs(spark).where(F.pmod(F.col("doc_id"), F.lit(4)) == 1)
+            .select("doc_id", F.lit(1.0).alias("score")).orderBy("doc_id"))
 
 
 # --------------------------------------------------------------------------
@@ -784,7 +1212,9 @@ def ingest_pipeline(spark, sf_dir):
     """ingest-common processors as a transform chain: uppercase, date,
     json, gsub/grok→regexp_extract, convert, set/concat
     (IngestCommonModulePlugin.java:81-111 → built-ins, SURVEY §2.10)."""
-    ev = _t(spark, sf_dir, "events")
+    # top-k first (TakeOrderedAndProject on the narrow key), THEN the wide
+    # projection — at 100 TB the per-row functions run on 200 rows, not all.
+    ev = _t(spark, sf_dir, "events").orderBy("event_id").limit(200)
     return (ev.select(
         "event_id",
         F.upper("event_type").alias("event_type_up"),
@@ -794,7 +1224,7 @@ def ingest_pipeline(spark, sf_dir):
         F.regexp_extract("event_type", "^([a-z]+)", 1).alias("etype_word"),
         F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type"))
          .alias("user_tag"),
-    ).orderBy("event_id").limit(200))
+    ).orderBy("event_id"))
 
 
 # --------------------------------------------------------------------------

@@ -153,6 +153,9 @@ def build_index(
             else []
         ),
     )
+    # flat feeds the positions write, the dictionary agg AND the block
+    # encode — persist so the explode+groupBy shuffle runs once
+    flat_cached = flat = flat.persist()
     if cfg.with_positions:
         flat.select("term", "doc_id", "positions").write.mode("overwrite").parquet(
             os.path.join(out_dir, "positions")
@@ -199,6 +202,7 @@ def build_index(
     )
 
     analyzed.unpersist()
+    flat_cached.unpersist()
     meta = dict(asdict(cfg), doc_count=doc_count, sum_dl=sum_dl, avgdl=avgdl)
     meta["order_cols"] = list(cfg.order_cols)
     meta["keyword_cols"] = list(cfg.keyword_cols)
@@ -224,6 +228,22 @@ class InvertedIndex:
         self.path = path
         with open(os.path.join(path, "meta.json")) as f:
             self.meta = json.load(f)
+        self._cached: dict[str, DataFrame] = {}
+
+    def cache(self, spark: SparkSession) -> "InvertedIndex":
+        """Pin the index tables in executor memory (`df.persist()`), the
+        analog of the reference's filesystem/page cache + filter bitset
+        cache (`indices/IndicesQueryCache.java`). Optional: sized for
+        query-serving deployments where the postings fit cluster memory;
+        the uncached path streams from parquet and scales to any size."""
+        names = ["docs", "postings", "dictionary"]
+        if self.meta.get("with_positions"):
+            names.append("positions")
+        for n in names:
+            if n not in self._cached:
+                self._cached[n] = spark.read.parquet(
+                    os.path.join(self.path, n)).persist()
+        return self
 
     @property
     def n_parts(self) -> int:
@@ -241,17 +261,22 @@ class InvertedIndex:
     def avgdl(self) -> float:
         return float(self.meta["avgdl"])
 
+    def _table(self, spark: SparkSession, name: str) -> DataFrame:
+        if name in self._cached:
+            return self._cached[name]
+        return spark.read.parquet(os.path.join(self.path, name))
+
     def docs(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "docs"))
+        return self._table(spark, "docs")
 
     def postings(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "postings"))
+        return self._table(spark, "postings")
 
     def dictionary(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "dictionary"))
+        return self._table(spark, "dictionary")
 
     def positions(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "positions"))
+        return self._table(spark, "positions")
 
     def postings_for_terms(self, spark: SparkSession, terms: list[str]) -> DataFrame:
         """Term-pruned posting-block scan: directory pruning via ``part`` +

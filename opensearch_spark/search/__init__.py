@@ -9,9 +9,13 @@ from opensearch_spark.search.queries import (  # noqa: F401
     Ids,
     Match,
     MatchAll,
+    MatchBoolPrefix,
     MatchNone,
     MatchPhrase,
+    MatchPhrasePrefix,
     MoreLikeThis,
+    MultiMatch,
+    SpanNear,
     Prefix,
     Query,
     Range,
@@ -23,3 +27,10 @@ from opensearch_spark.search.queries import (  # noqa: F401
     from_dsl,
 )
 from opensearch_spark.search.executor import Searcher  # noqa: F401
+from opensearch_spark.search.query_string import parse_query_string  # noqa: F401
+from opensearch_spark.search.suggest import term_suggest  # noqa: F401
+from opensearch_spark.search.highlight import (  # noqa: F401
+    highlight_field,
+    highlight_fragments,
+)
+from opensearch_spark.search.rankeval import rank_metrics, with_ranks  # noqa: F401

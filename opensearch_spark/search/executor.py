@@ -37,16 +37,41 @@ def _bm25_weight(N: int, df: np.ndarray, k1: float, boost: float) -> np.ndarray:
     return boost * idf * (k1 + 1.0)
 
 
+def _levenshtein_leq(a: str, b: str, limit: int) -> bool:
+    """Banded Levenshtein with early exit at ``limit`` (the reference's
+    Lucene automaton accept test, driver-side)."""
+    if abs(len(a) - len(b)) > limit:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        best = i
+        for j, cb in enumerate(b, 1):
+            c = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            cur.append(c)
+            best = min(best, c)
+        if best > limit:
+            return False
+        prev = cur
+    return prev[-1] <= limit
+
+
 class Searcher:
     def __init__(self, spark: SparkSession, index: InvertedIndex,
-                 preload_dictionary: bool = False):
+                 preload_dictionary: bool = False,
+                 extra_fields: dict[str, "Searcher"] | None = None):
         self.spark = spark
         self.index = index
         self.k1 = float(index.meta["k1"])
         self.b = float(index.meta["b"])
         self.avgdl = float(index.avgdl)
         self.N = int(index.doc_count)
+        self.sum_dl = int(index.meta.get("sum_dl", 0))
         self.field = index.meta["field"]
+        # per-field sub-searchers (multi_match / per-field similarity):
+        # the reference keeps one Lucene field per mapper; we keep one
+        # index per analyzed field and route by field name
+        self.extra_fields = dict(extra_fields or {})
         self._dict_pd: pd.DataFrame | None = None
         self._part_cache: dict[str, int] = {}
         if preload_dictionary:
@@ -59,6 +84,30 @@ class Searcher:
     # ---------- term statistics ----------
     def analyze(self, text: str) -> list[str]:
         return tokenize(text, self.index.analyzer)
+
+    def _searcher_for(self, field: str) -> "Searcher":
+        if field == self.field:
+            return self
+        if field in self.extra_fields:
+            return self.extra_fields[field]
+        raise KeyError(f"no index for analyzed field {field!r}")
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """(df, cf) per term; absent terms omitted."""
+        uniq = list(dict.fromkeys(terms))
+        if not uniq:
+            return {}
+        if self._dict_pd is not None:
+            found = self._dict_pd.index.intersection(uniq)
+            return {t: (int(self._dict_pd.loc[t, "df"]),
+                        int(self._dict_pd.loc[t, "cf"])) for t in found}
+        rows = (
+            self.index.dictionary(self.spark)
+            .where(F.col("term").isin(uniq))
+            .select("term", "df", "cf")
+            .collect()
+        )
+        return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """df per term; absent terms omitted (like a missing Lucene term)."""
@@ -234,6 +283,8 @@ class Searcher:
         """prefix/wildcard/regexp/fuzzy → concrete term set via the
         dictionary (the reference's FST/automaton walk becomes a pruned
         dictionary scan)."""
+        if self._dict_pd is not None:
+            return self._expand_terms_local(q)
         d = self.index.dictionary(self.spark)
         if isinstance(q, Q.Prefix):
             rows = d.where(F.col("term").startswith(q.value)).select("term").collect()
@@ -258,6 +309,31 @@ class Searcher:
             raise TypeError(type(q))
         return sorted(r["term"] for r in rows)
 
+    def _expand_terms_local(self, q) -> list[str]:
+        """Driver-side expansion over the preloaded dictionary (the small-
+        vocabulary fast path; the Spark scan above is the scale path)."""
+        vocab = self._dict_pd.index
+        if isinstance(q, Q.Prefix):
+            hits = vocab[vocab.str.startswith(q.value)]
+        elif isinstance(q, Q.Wildcard):
+            pat = "^" + re.escape(q.value).replace("\\*", ".*").replace("\\?", ".") + "$"
+            hits = vocab[vocab.str.match(pat)]
+        elif isinstance(q, Q.Regexp):
+            pat = "^(" + q.value + ")$"
+            hits = vocab[vocab.str.match(pat)]
+        elif isinstance(q, Q.Fuzzy):
+            v = q.value
+            if q.fuzziness is None:  # AUTO (libs/core Fuzziness)
+                fz = 0 if len(v) <= 2 else (1 if len(v) <= 5 else 2)
+            else:
+                fz = q.fuzziness
+            cand = vocab[(vocab.str.len() >= len(v) - fz)
+                         & (vocab.str.len() <= len(v) + fz)]
+            hits = [t for t in cand if _levenshtein_leq(t, v, fz)]
+        else:
+            raise TypeError(type(q))
+        return sorted(hits)
+
     # ---------- scoring dispatch ----------
     def score(self, q) -> DataFrame:
         """Query context: DataFrame (doc_id, score). Exhaustive plans —
@@ -268,15 +344,28 @@ class Searcher:
         if isinstance(q, Q.MatchNone):
             return self._empty_scores()
         if isinstance(q, Q.Match):
+            if q.field != self.field and q.field in self.extra_fields:
+                return self.extra_fields[q.field].score(q)
+            if q.field != self.field:
+                # match on a keyword column: keyword analyzer is a no-op, so
+                # this degenerates to a term query (reference behavior)
+                return self.score(Q.Term(field=q.field, value=q.text, boost=q.boost))
             return self._match_exhaustive(q)
         if isinstance(q, Q.MultiMatch):
             frames = [
-                self._match_exhaustive(Q.Match(field=f, text=q.text, boost=q.boost))
+                self._searcher_for(f)._match_exhaustive(
+                    Q.Match(field=f, text=q.text, boost=q.boost))
                 for f in q.fields
             ]
             if q.type == "most_fields":
                 return self._sum_union(frames)
             return self._dismax_union(frames, q.tie_breaker)
+        if isinstance(q, Q.MatchPhrasePrefix):
+            return self._phrase_prefix(q)
+        if isinstance(q, Q.MatchBoolPrefix):
+            return self._bool_prefix(q)
+        if isinstance(q, Q.SpanNear):
+            return self._span_near(q)
         if isinstance(q, Q.Term) and q.field == self.field:
             return self._match_exhaustive(
                 Q.Match(field=q.field, text=q.value, boost=q.boost))
@@ -441,6 +530,111 @@ class Searcher:
             )
             .select("doc_id", "score")
         )
+
+    # ---------- phrase-prefix / bool-prefix / span ----------
+    def _phrase_prefix(self, q: Q.MatchPhrasePrefix) -> DataFrame:
+        """match_phrase_prefix: fixed terms at offsets 0..n-2, any prefix
+        expansion of the last term at offset n-1. ptf counts matches over
+        any expansion; idf = Σ idf(fixed) + max idf(expansion)."""
+        terms = self.analyze(q.text)
+        if not terms:
+            return self._empty_scores()
+        fixed, last = terms[:-1], terms[-1]
+        exps = self.expand_terms(Q.Prefix(field=q.field, value=last))[: q.max_expansions]
+        if not exps:
+            return self._empty_scores()
+        pos = self.index.positions(self.spark)
+        j = None
+        for i, t in enumerate(fixed):
+            f_i = (pos.where(F.col("term") == t)
+                   .select("doc_id", F.explode("positions").alias("pos"))
+                   .withColumn("_p0", F.col("pos") - F.lit(i)).select("doc_id", "_p0"))
+            j = f_i if j is None else j.join(f_i, ["doc_id", "_p0"], "inner")
+        last_f = (pos.where(F.col("term").isin(exps))
+                  .select("doc_id", F.explode("positions").alias("pos"))
+                  .withColumn("_p0", F.col("pos") - F.lit(len(fixed)))
+                  .select("doc_id", "_p0").distinct())
+        j = last_f if j is None else j.join(last_f, ["doc_id", "_p0"], "inner")
+        ptf = j.groupBy("doc_id").agg(F.count("*").alias("ptf"))
+        dfs = self.term_dfs(fixed + exps)
+        if any(t not in dfs for t in fixed):
+            return self._empty_scores()
+        idf = lambda d: np.log(1.0 + (self.N - d + 0.5) / (d + 0.5))  # noqa: E731
+        idf_sum = float(sum(idf(dfs[t]) for t in fixed)
+                        + max(idf(dfs[t]) for t in exps if t in dfs))
+        dl = self.index.docs(self.spark).select("doc_id", "dl")
+        return (ptf.join(dl, "doc_id").withColumn(
+            "score",
+            F.expr(f"{q.boost} * {idf_sum!r} * ({self.k1} + 1.0) * ptf "
+                   f"/ (ptf + {self.k1} * (1.0 - {self.b} + {self.b} * dl / {self.avgdl}))"),
+        ).select("doc_id", "score"))
+
+    def _bool_prefix(self, q: Q.MatchBoolPrefix) -> DataFrame:
+        """match_bool_prefix: BM25 should-sum over fixed terms + the last
+        term as a constant-score prefix clause (Lucene prefix scores 1)."""
+        terms = self.analyze(q.text)
+        if not terms:
+            return self._empty_scores()
+        fixed, last = terms[:-1], terms[-1]
+        frames = []
+        if fixed:
+            frames.append(self._match_exhaustive(
+                Q.Match(field=q.field, text=" ".join(fixed), boost=q.boost)))
+        pref = self.score(Q.Prefix(field=q.field, value=last, boost=q.boost))
+        frames.append(pref)
+        return self._sum_union(frames)
+
+    def _span_near(self, q: Q.SpanNear) -> DataFrame:
+        """span_near over term clauses via the positions table; constant
+        score (filter-context operator, see SpanNear docstring)."""
+        n = len(q.clauses)
+        if n == 0:
+            return self._empty_scores()
+        pos = self.index.positions(self.spark)
+        frames = []
+        for i, t in enumerate(q.clauses):
+            frames.append(pos.where(F.col("term") == t)
+                          .select("doc_id", F.explode("positions").alias(f"_p{i}")))
+        j = frames[0]
+        for i in range(1, n):
+            j = j.join(frames[i], "doc_id", "inner")
+        conds = []
+        if q.in_order:
+            for i in range(1, n):
+                conds.append(F.col(f"_p{i}") > F.col(f"_p{i-1}"))
+        else:
+            for i in range(n):
+                for k2 in range(i + 1, n):
+                    conds.append(F.col(f"_p{i}") != F.col(f"_p{k2}"))
+        ps = [F.col(f"_p{i}") for i in range(n)]
+        span = (F.greatest(*ps) if n > 1 else ps[0]) - (F.least(*ps) if n > 1 else ps[0])
+        conds.append(span - F.lit(n - 1) <= F.lit(q.slop))
+        for c in conds:
+            j = j.where(c)
+        return j.select("doc_id").distinct().select(
+            "doc_id", F.lit(float(q.boost)).alias("score"))
+
+    # ---------- alternative similarity: LMDirichlet ----------
+    def score_lm_dirichlet(self, q: Q.Match, mu: float = 2000.0) -> DataFrame:
+        """LMDirichlet similarity (SimilarityProviders.java:198-210 wiring;
+        public Lucene LMDirichletSimilarity math): per matching term
+        score = ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)), p=(cf+1)/(sum_dl+1)."""
+        terms = self.analyze(q.text)
+        stats = self.term_stats(terms)
+        live = [t for t in dict.fromkeys(terms) if t in stats]
+        if not live:
+            return self._empty_scores()
+        flat = self._flat_postings(live)
+        cf_df = self.spark.createDataFrame(
+            [(t, stats[t][1]) for t in live], "term string, cf long")
+        denom = float(self.sum_dl + 1)
+        scored = flat.join(F.broadcast(cf_df), "term").withColumn(
+            "tscore",
+            F.expr(f"{q.boost} * (ln(1.0 + tf / ({mu!r} * ((cf + 1.0) / {denom!r}))) "
+                   f"+ ln({mu!r} / (dl + {mu!r})))"),
+        )
+        return (scored.groupBy("doc_id").agg(F.sum("tscore").alias("score"))
+                .select("doc_id", "score"))
 
     # ---------- more_like_this ----------
     def _more_like_this(self, q: Q.MoreLikeThis) -> DataFrame:

@@ -1,0 +1,75 @@
+"""Highlighting (SURVEY §2.4): snippet extraction around query matches.
+
+Reference: ``search/fetch/subphase/highlight/{UnifiedHighlighter,
+PlainHighlighter,FastVectorHighlighter}.java`` — a fetch sub-phase that
+re-analyzes (plain) or reuses offsets (unified/fvh) on the top-k hits only.
+
+Spark projection: highlighting runs AFTER the top-k cut, on the fetched
+hits frame — k rows, never the corpus — so a plain Catalyst
+``regexp_replace`` (whole-field tagging) or the pandas fragmenter
+(windowed snippets) are both O(k)."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+def _term_pattern(terms: list[str]) -> str:
+    alts = "|".join(re.escape(t)
+                    for t in sorted(set(terms), key=lambda t: (-len(t), t)))
+    return r"\b(" + alts + r")\b"
+
+
+def highlight_field(hits: DataFrame, field: str, terms: list[str],
+                    pre_tag: str = "<em>", post_tag: str = "</em>",
+                    out_col: str = "highlight") -> DataFrame:
+    """Whole-field tagging: wrap every term occurrence (case-sensitive over
+    the analyzed lowercase field) in pre/post tags. Catalyst-native."""
+    pat = _term_pattern(terms)
+    return hits.withColumn(
+        out_col, F.regexp_replace(F.col(field), pat, pre_tag + "$1" + post_tag))
+
+
+def highlight_fragments(hits: DataFrame, field: str, terms: list[str],
+                        fragment_size: int = 100, number_of_fragments: int = 3,
+                        pre_tag: str = "<em>", post_tag: str = "</em>",
+                        out_col: str = "fragments") -> DataFrame:
+    """Windowed snippets (PlainHighlighter behavior): up to N fragments of
+    ~fragment_size chars centered on match runs, best-first by match count.
+    Pandas UDF over the k-row hits frame."""
+    pat = re.compile(_term_pattern(terms))
+
+    def frags(s: pd.Series) -> pd.Series:
+        out = []
+        for text in s:
+            if text is None:
+                out.append([])
+                continue
+            spans = [(m.start(), m.end()) for m in pat.finditer(text)]
+            if not spans:
+                out.append([])
+                continue
+            windows: list[tuple[int, int, int]] = []  # (n_matches, start, end)
+            used: set[int] = set()
+            for st, _e in spans:
+                if st in used:
+                    continue
+                w0 = max(0, st - fragment_size // 2)
+                w1 = min(len(text), w0 + fragment_size)
+                n = sum(1 for a, _b in spans if w0 <= a < w1)
+                for a, _b in spans:
+                    if w0 <= a < w1:
+                        used.add(a)
+                windows.append((n, w0, w1))
+            windows.sort(key=lambda x: (-x[0], x[1]))
+            sel = sorted(windows[:number_of_fragments], key=lambda x: x[1])
+            out.append([pat.sub(pre_tag + r"\1" + post_tag, text[a:b])
+                        for _n, a, b in sel])
+        return pd.Series(out)
+
+    udf = F.pandas_udf(frags, T.ArrayType(T.StringType()))
+    return hits.withColumn(out_col, udf(F.col(field)))

@@ -49,6 +49,45 @@ class MatchPhrase(Query):
 
 
 @dataclass
+class MatchPhrasePrefix(Query):
+    """Phrase whose last term is a prefix (MatchPhrasePrefixQueryBuilder.java
+    → Lucene MultiPhraseQuery). Scoring here: phrase-BM25 where ptf counts
+    matches over ANY expansion and the last position's idf is the max over
+    expansions (documented simplification of MultiPhraseQuery's union)."""
+
+    field: str
+    text: str
+    max_expansions: int = 50
+    boost: float = 1.0
+
+
+@dataclass
+class MatchBoolPrefix(Query):
+    """Bool OR of the analyzed terms, last term as a prefix query
+    (MatchBoolPrefixQueryBuilder.java): BM25 sum over the fixed terms plus
+    the prefix clause's constant score (Lucene prefix scores boost·1)."""
+
+    field: str
+    text: str
+    boost: float = 1.0
+
+
+@dataclass
+class SpanNear(Query):
+    """span_near over single-term clauses (SpanNearQueryBuilder.java):
+    clause terms at positions p1..pn with, when in_order, p_i > p_{i-1} and
+    total extra gap (p_n - p_1 - (n-1)) <= slop. Filter-context operator;
+    scores constant boost (the reference's sloppy-freq weighting is a
+    documented non-goal, SURVEY §2.2 span_* v3)."""
+
+    field: str
+    clauses: list = dc_field(default_factory=list)
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+
+@dataclass
 class MultiMatch(Query):
     """multi_match best_fields/most_fields (MultiMatchQueryBuilder.java:130)."""
 
@@ -234,6 +273,23 @@ def from_dsl(d: dict) -> Query:
             return MatchPhrase(field=f, text=spec)
         return MatchPhrase(field=f, text=spec["query"], slop=spec.get("slop", 0),
                            boost=spec.get("boost", 1.0))
+    if kind == "match_phrase_prefix":
+        f, spec = next(iter(body.items()))
+        if isinstance(spec, str):
+            return MatchPhrasePrefix(field=f, text=spec)
+        return MatchPhrasePrefix(field=f, text=spec["query"],
+                                 max_expansions=spec.get("max_expansions", 50),
+                                 boost=spec.get("boost", 1.0))
+    if kind == "match_bool_prefix":
+        f, spec = next(iter(body.items()))
+        if isinstance(spec, str):
+            return MatchBoolPrefix(field=f, text=spec)
+        return MatchBoolPrefix(field=f, text=spec["query"], boost=spec.get("boost", 1.0))
+    if kind == "span_near":
+        clauses = [next(iter(c["span_term"].values())) for c in body["clauses"]]
+        fld = next(iter(body["clauses"][0]["span_term"].keys()))
+        return SpanNear(field=fld, clauses=clauses, slop=body.get("slop", 0),
+                        in_order=body.get("in_order", True))
     if kind == "multi_match":
         return MultiMatch(
             fields=body["fields"], text=body["query"],

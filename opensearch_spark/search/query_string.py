@@ -1,0 +1,140 @@
+"""query_string / simple_query_string parser (SURVEY §2.2).
+
+Reference: ``index/query/QueryStringQueryBuilder.java`` (979 LoC) and
+``SimpleQueryStringBuilder.java`` parse the Lucene query syntax. This is a
+small recursive-descent parser over the practical subset:
+
+    expr      := or_expr
+    or_expr   := and_expr (OR and_expr)*
+    and_expr  := unary ((AND)? unary)*        # bare adjacency = default op
+    unary     := (NOT | '-') unary | primary
+    primary   := '(' expr ')' | [field':'] ( '"' phrase '"' | term['*'] )
+
+``term*`` → Prefix, quoted → MatchPhrase, else Match on the default field.
+Produces the same AST the JSON DSL produces — one IR, one executor.
+"""
+
+from __future__ import annotations
+
+import re
+
+from opensearch_spark.search import queries as Q
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() | (?P<rparen>\)) |
+        (?P<quoted>"[^"]*") |
+        (?P<minus>-) |
+        (?P<word>[^\s()":]+) |
+        (?P<colon>:)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _lex(s: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN.match(s, i)
+        if not m:
+            raise ValueError(f"query_string: cannot lex at {s[i:]!r}")
+        i = m.end()
+        for kind, val in m.groupdict().items():
+            if val is not None:
+                out.append((kind, val))
+                break
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]], default_field: str,
+                 default_operator: str):
+        self.toks = tokens
+        self.i = 0
+        self.default_field = default_field
+        self.default_operator = default_operator.lower()
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse(self) -> Q.Query:
+        node = self.or_expr()
+        if self.peek()[0] is not None:
+            raise ValueError(f"query_string: trailing tokens {self.toks[self.i:]}")
+        return node
+
+    def or_expr(self) -> Q.Query:
+        parts = [self.and_expr()]
+        while self.peek() == ("word", "OR"):
+            self.next()
+            parts.append(self.and_expr())
+        if len(parts) == 1:
+            return parts[0]
+        return Q.Bool(should=parts, minimum_should_match=1)
+
+    def and_expr(self) -> Q.Query:
+        must, must_not, should = [], [], []
+        explicit_and = False
+
+        def add(node, negated):
+            (must_not if negated else should).append(node)
+
+        node, neg = self.unary()
+        add(node, neg)
+        while True:
+            kind, val = self.peek()
+            if kind is None or kind == "rparen" or (kind, val) == ("word", "OR"):
+                break
+            if (kind, val) == ("word", "AND"):
+                explicit_and = True
+                self.next()
+                continue
+            node, neg = self.unary()
+            add(node, neg)
+        if explicit_and or self.default_operator == "and":
+            must = should
+            should = []
+        if not must and not must_not and len(should) == 1:
+            return should[0]
+        return Q.Bool(must=must, should=should, must_not=must_not,
+                      minimum_should_match=1 if should else None)
+
+    def unary(self) -> tuple[Q.Query, bool]:
+        kind, val = self.peek()
+        if (kind, val) == ("word", "NOT") or kind == "minus":
+            self.next()
+            node, neg = self.unary()
+            return node, not neg
+        return self.primary(), False
+
+    def primary(self) -> Q.Query:
+        kind, val = self.next()
+        if kind == "lparen":
+            node = self.or_expr()
+            if self.next()[0] != "rparen":
+                raise ValueError("query_string: expected ')'")
+            return node
+        field = self.default_field
+        if kind == "word" and self.peek()[0] == "colon":
+            self.next()
+            field = val
+            kind, val = self.next()
+        if kind == "quoted":
+            return Q.MatchPhrase(field=field, text=val.strip('"'))
+        if kind == "word":
+            if val.endswith("*") and len(val) > 1 and "*" not in val[:-1]:
+                return Q.Prefix(field=field, value=val[:-1])
+            if "*" in val or "?" in val:
+                return Q.Wildcard(field=field, value=val)
+            return Q.Match(field=field, text=val)
+        raise ValueError(f"query_string: unexpected token {kind}:{val}")
+
+
+def parse_query_string(s: str, default_field: str = "content",
+                       default_operator: str = "or") -> Q.Query:
+    return _Parser(_lex(s), default_field, default_operator).parse()
