@@ -1074,6 +1074,232 @@ def agg_top_hits(spark, sf_dir):
             .orderBy("event_type", "event_id"))
 
 
+@q("agg_value_count", """
+SELECT l_returnflag, count(l_extendedprice) AS value_count FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def agg_value_count(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count("l_extendedprice").alias("value_count"))
+            .orderBy("l_returnflag"))
+
+
+@q("agg_median_absolute_deviation", """
+WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders)
+SELECT round(quantile_cont(abs(o_totalprice - med), 0.5), 4) AS mad
+FROM orders CROSS JOIN m
+""")
+def agg_median_absolute_deviation(spark, sf_dir):
+    """median_absolute_deviation (MedianAbsoluteDeviationAggregationBuilder):
+    exact two-pass — median, then median of |x - median| (the reference's
+    t-digest is the approximate scale path: percentile_approx)."""
+    o = _t(spark, sf_dir, "orders")
+    med = o.agg(F.expr("percentile(o_totalprice, 0.5)").alias("m")).collect()[0]["m"]
+    return o.agg(F.round(
+        F.expr(f"percentile(abs(o_totalprice - {med!r}), 0.5)"), 4).alias("mad"))
+
+
+@q("agg_global", """
+SELECT (SELECT count(*) FROM documents) AS global_count,
+       (SELECT count(*) FROM documents WHERE lang = 'en') AS bucket_count
+""")
+def agg_global(spark, sf_dir):
+    """global agg (GlobalAggregator): escape the query filter — both the
+    filtered bucket and the unfiltered global context in one result."""
+    d = _docs(spark, sf_dir)
+    return d.agg(
+        F.count("*").alias("global_count"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("bucket_count"))
+
+
+@q("agg_adjacency_matrix", """
+SELECT count(*) FILTER (WHERE event_type = 'click') AS a,
+       count(*) FILTER (WHERE event_type = 'view') AS b,
+       count(*) FILTER (WHERE value > 50.0) AS c,
+       count(*) FILTER (WHERE event_type = 'click' AND value > 50.0) AS a_c,
+       count(*) FILTER (WHERE event_type = 'view' AND value > 50.0) AS b_c
+FROM events
+""")
+def agg_adjacency_matrix(spark, sf_dir):
+    """adjacency_matrix (AdjacencyMatrixAggregator): counts for each named
+    filter and each pairwise intersection."""
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("event_type") == "click"
+    b = F.col("event_type") == "view"
+    c = F.col("value") > 50.0
+    return ev.agg(
+        F.count(F.when(a, 1)).alias("a"),
+        F.count(F.when(b, 1)).alias("b"),
+        F.count(F.when(c, 1)).alias("c"),
+        F.count(F.when(a & c, 1)).alias("a_c"),
+        F.count(F.when(b & c, 1)).alias("b_c"))
+
+
+@q("agg_sampler", """
+WITH sample AS (SELECT * FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100)
+SELECT lang, count(*) AS doc_count FROM sample GROUP BY lang ORDER BY lang
+""")
+def agg_sampler(spark, sf_dir):
+    """sampler agg (SamplerAggregator): sub-aggs over the top-N docs by
+    score (here: n_chars as the deterministic score)."""
+    d = _docs(spark, sf_dir)
+    sample = d.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(100)
+    return sample.groupBy("lang").agg(F.count("*").alias("doc_count")).orderBy("lang")
+
+
+@q("agg_diversified_sampler", """
+WITH ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents),
+sample AS (SELECT * FROM ranked WHERE rn <= 2)
+SELECT lang, count(*) AS doc_count FROM sample GROUP BY lang ORDER BY lang
+""")
+def agg_diversified_sampler(spark, sf_dir):
+    """diversified_sampler: at most max_docs_per_value (2) per dedup key
+    (source) in the sample — Window dedup, then sub-agg."""
+    d = _docs(spark, sf_dir)
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    sample = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+    return sample.groupBy("lang").agg(F.count("*").alias("doc_count")).orderBy("lang")
+
+
+@q("agg_significant_text", f"""
+WITH {O.TOK_CTES},
+fg AS (SELECT t.term, count(*) AS fg_count
+       FROM tok2 t JOIN documents d USING (doc_id)
+       WHERE d.lang = 'de' GROUP BY t.term),
+bg AS (SELECT term, count(*) AS bg_count FROM tok2 GROUP BY term),
+tot AS (SELECT (SELECT count(*) FROM tok2 t JOIN documents d USING (doc_id)
+                WHERE d.lang = 'de') AS fg_total,
+               (SELECT count(*) FROM tok2) AS bg_total)
+SELECT f.term, f.fg_count, b.bg_count,
+       round(((f.fg_count * 1.0 / fg_total) - (b.bg_count * 1.0 / bg_total))
+             * ((f.fg_count * 1.0 / fg_total) / (b.bg_count * 1.0 / bg_total)), 6) AS jlh
+FROM fg f JOIN bg b USING (term) CROSS JOIN tot
+WHERE f.fg_count >= 5
+ORDER BY jlh DESC, term LIMIT 10
+""")
+def agg_significant_text(spark, sf_dir):
+    """significant_text (SignificantTextAggregationBuilder): JLH over
+    analyzed tokens, foreground = lang 'de' docs vs the whole corpus."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", "lang",
+                   F.explode(F.split(F.col("text"), r"\s+")).alias("term")) \
+           .where(F.col("term") != "")
+    fg = tok.where(F.col("lang") == "de").groupBy("term") \
+            .agg(F.count("*").alias("fg_count"))
+    bg = tok.groupBy("term").agg(F.count("*").alias("bg_count"))
+    fg_total = tok.where(F.col("lang") == "de").count()
+    bg_total = tok.count()
+    fgp = F.col("fg_count") / F.lit(float(fg_total))
+    bgp = F.col("bg_count") / F.lit(float(bg_total))
+    return (fg.join(bg, "term").where(F.col("fg_count") >= 5)
+            .select("term", "fg_count", "bg_count",
+                    F.round((fgp - bgp) * (fgp / bgp), 6).alias("jlh"))
+            .orderBy(F.desc("jlh"), "term").limit(10))
+
+
+@q("agg_auto_date_histogram", """
+WITH span AS (SELECT date_diff('day', min(ts), max(ts)) AS d FROM events),
+b AS (SELECT CASE WHEN span.d < 10 THEN strftime(date_trunc('day', ts), '%Y-%m-%d')
+                  WHEN span.d < 70 THEN strftime(date_trunc('week', ts), '%Y-%m-%d')
+                  ELSE strftime(date_trunc('month', ts), '%Y-%m-%d') END AS bucket
+      FROM events CROSS JOIN span)
+SELECT bucket, count(*) AS doc_count FROM b GROUP BY bucket ORDER BY bucket
+""")
+def agg_auto_date_histogram(spark, sf_dir):
+    """auto_date_histogram: pick the smallest calendar interval from the
+    rounding ladder (day→week→month) that keeps bucket count under the
+    target (10); interval chosen from a 2-row min/max agg."""
+    ev = _t(spark, sf_dir, "events")
+    row = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    span_days = (row["hi"] - row["lo"]).days
+    unit = "day" if span_days < 10 else ("week" if span_days < 70 else "month")
+    return (ev.groupBy(F.date_format(F.date_trunc(unit, "ts"), "yyyy-MM-dd")
+                       .alias("bucket"))
+            .agg(F.count("*").alias("doc_count")).orderBy("bucket"))
+
+
+@q("agg_date_range", """
+SELECT CASE WHEN ts < TIMESTAMP '2024-01-10' THEN '*-2024-01-10'
+            WHEN ts < TIMESTAMP '2024-01-20' THEN '2024-01-10-2024-01-20'
+            ELSE '2024-01-20-*' END AS range_bucket,
+       count(*) AS doc_count
+FROM events GROUP BY range_bucket ORDER BY range_bucket
+""")
+def agg_date_range(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.when(F.col("ts") < F.lit("2024-01-10").cast("timestamp"), "*-2024-01-10")
+              .when(F.col("ts") < F.lit("2024-01-20").cast("timestamp"),
+                    "2024-01-10-2024-01-20")
+              .otherwise("2024-01-20-*")).alias("range_bucket")
+    return (ev.groupBy(bucket).agg(F.count("*").alias("doc_count"))
+            .orderBy("range_bucket"))
+
+
+@q("agg_nested", f"""
+WITH {O.TOK_CTES}
+SELECT term, count(*) AS nested_count, count(DISTINCT doc_id) AS parent_count
+FROM tok2 GROUP BY term ORDER BY nested_count DESC, term LIMIT 10
+""")
+def agg_nested(spark, sf_dir):
+    """nested + reverse_nested (NestedAggregator): explode into the hidden
+    sub-doc stream (tokens), agg there (nested_count), then step back to
+    the parent scope (parent_count = reverse_nested doc count)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term")) \
+           .where(F.col("term") != "")
+    return (tok.groupBy("term")
+            .agg(F.count("*").alias("nested_count"),
+                 F.countDistinct("doc_id").alias("parent_count"))
+            .orderBy(F.desc("nested_count"), "term").limit(10))
+
+
+@q("agg_scripted_metric", """
+SELECT event_type,
+       round(exp(avg(ln(value + 1.0))), 6) AS geo_mean
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def agg_scripted_metric(spark, sf_dir):
+    """scripted_metric UDAF (ScriptedMetricAggregator.java:64):
+    init/map/combine/reduce as applyInPandas — geometric mean of value."""
+    import numpy as np
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+
+    def geo(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy()
+        return pd.DataFrame({
+            "event_type": [pdf["event_type"].iloc[0]],
+            "geo_mean": [round(float(np.exp(np.mean(np.log(v + 1.0)))), 6)],
+        })
+
+    return (ev.select("event_type", "value").groupBy("event_type")
+            .applyInPandas(geo, "event_type string, geo_mean double")
+            .orderBy("event_type"))
+
+
+@q("agg_matrix_stats", """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS correlation,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covariance
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def agg_matrix_stats(spark, sf_dir):
+    """matrix_stats module (aggs-matrix-stats): correlation/covariance —
+    Spark built-ins."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+                 .alias("correlation"),
+                 F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+                 .alias("covariance"))
+            .orderBy("l_returnflag"))
+
+
 # ---- pipeline aggs (window functions over bucket frames, SURVEY §2.8) ----
 @q("agg_cumulative_sum", """
 WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -1146,6 +1372,82 @@ def agg_bucket_sort(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy("user_id").agg(F.count("*").alias("doc_count"))
             .orderBy(F.desc("doc_count"), F.asc("user_id")).limit(5))
+
+
+@q("agg_stats_bucket", """
+WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                      count(*) AS doc_count
+               FROM events GROUP BY day)
+SELECT count(*) AS n_buckets, min(doc_count) AS min_count,
+       max(doc_count) AS max_count, sum(doc_count) AS sum_count,
+       round(avg(doc_count * 1.0), 4) AS avg_count
+FROM daily
+""")
+def agg_stats_bucket(spark, sf_dir):
+    """stats_bucket / min_bucket / max_bucket / avg_bucket / sum_bucket:
+    second-level agg over the bucket frame."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                        .alias("day")).agg(F.count("*").alias("doc_count")))
+    return daily.agg(
+        F.count("*").alias("n_buckets"),
+        F.min("doc_count").alias("min_count"),
+        F.max("doc_count").alias("max_count"),
+        F.sum("doc_count").alias("sum_count"),
+        F.round(F.avg(F.col("doc_count") * 1.0), 4).alias("avg_count"))
+
+
+@q("agg_percentiles_bucket", """
+WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                      count(*) AS doc_count
+               FROM events GROUP BY day)
+SELECT round(quantile_cont(doc_count, 0.5), 4) AS p50,
+       round(quantile_cont(doc_count, 0.9), 4) AS p90
+FROM daily
+""")
+def agg_percentiles_bucket(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                        .alias("day")).agg(F.count("*").alias("doc_count")))
+    return daily.agg(
+        F.round(F.expr("percentile(doc_count, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(doc_count, 0.9)"), 4).alias("p90"))
+
+
+@q("agg_serial_diff", """
+WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                      count(*) AS doc_count
+               FROM events GROUP BY day)
+SELECT day, doc_count,
+       doc_count - lag(doc_count, 7) OVER (ORDER BY day) AS diff7
+FROM daily ORDER BY day
+""")
+def agg_serial_diff(spark, sf_dir):
+    """serial_diff pipeline agg: value - lag(value, n)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                        .alias("day")).agg(F.count("*").alias("doc_count")))
+    w = W.orderBy("day")
+    return daily.withColumn(
+        "diff7", F.col("doc_count") - F.lag("doc_count", 7).over(w)).orderBy("day")
+
+
+@q("agg_bucket_script", """
+SELECT l_returnflag,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+           AS price_per_unit
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def agg_bucket_script(spark, sf_dir):
+    """bucket_script: arithmetic over sibling metrics within each bucket."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+                6).alias("price_per_unit"))
+            .orderBy("l_returnflag"))
 
 
 # --------------------------------------------------------------------------
@@ -1432,3 +1734,134 @@ def sim_lsh_topk(spark, sf_dir):
 def sim_near_dup_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(emb, threshold=0.9).orderBy("a", "b")
+
+
+@q("sim_ivf_topk")  # rows-only: recall vs brute force asserted in tests
+def sim_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic coarse quantizer (seeded + Lloyd iterations),
+    probe nearest lists, exact re-rank inside."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3, exclude_id=0)
+
+
+@q("text_token_count_bpe", f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{TS.BPE_ISH}')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+""")
+def text_token_count_bpe(spark, sf_dir):
+    return TS.token_count_bpe(_docs(spark, sf_dir), "text").orderBy("doc_id")
+
+
+@q("mm_feature_extract")  # rows-only: deterministic fake decode, tests pin values
+def mm_feature_extract(spark, sf_dir):
+    """Multimodal plumbing: binary payload column → mapInPandas feature
+    extraction (decode stubbed, Spark machinery real — ml/multimodal.py)."""
+    from opensearch_spark.ml import multimodal as MM
+
+    d = _docs(spark, sf_dir).limit(50).select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(4).alias("width"), F.lit(4).alias("height"))
+    feats = MM.extract_features(d, decoder=MM.fake_decode, grid=2)
+    return feats.select("doc_id", "media_type", "n_bytes").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# search pipelines / ingest processor chains / reindex family
+# --------------------------------------------------------------------------
+@q("pipeline_search", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'table' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'table'),
+scored AS (SELECT tf.doc_id, round({O.bm25_term()}, 4) AS score
+           FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+filtered AS (SELECT s.doc_id, s.score, d.source
+             FROM scored s JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+top30 AS (SELECT * FROM filtered ORDER BY score DESC, doc_id LIMIT 30),
+collapsed AS (SELECT *, row_number() OVER (PARTITION BY source
+                        ORDER BY score DESC, doc_id) AS rn FROM top30)
+SELECT doc_id, score, source FROM collapsed WHERE rn = 1
+ORDER BY score DESC, doc_id LIMIT 5
+""")
+def pipeline_search(spark, sf_dir):
+    """Search pipeline (SearchPipelineCommonModulePlugin.java:37-55):
+    filter_query + oversample request processors, collapse + truncate_hits
+    response processors around one search."""
+    from opensearch_spark.search.pipeline import (
+        CollapseProcessor, FilterQueryProcessor, OversampleProcessor,
+        SearchPipeline, TruncateHitsProcessor,
+    )
+
+    s = get_searcher(spark, sf_dir)
+    pipe = SearchPipeline([
+        FilterQueryProcessor(filter=Term(field="lang", value="en")),
+        OversampleProcessor(sample_factor=3.0),
+        CollapseProcessor(field="source"),
+        TruncateHitsProcessor(target_size=5),
+    ])
+    out = pipe.search(s, Match(field="text", text="table"), k=10,
+                      mode="exhaustive", round_scores=4)
+    return out.select("doc_id", "score", "source") \
+              .orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+@q("ingest_processors_kv", """
+SELECT event_id,
+       CAST(user_id AS VARCHAR) AS uid,
+       event_type AS html_stripped,
+       event_type AS tag_type,
+       round(value * 6, 4) AS foreach_sum
+FROM events ORDER BY event_id LIMIT 100
+""")
+def ingest_processors_kv(spark, sf_dir):
+    """kv / html_strip / dissect / foreach+script ingest processors
+    (IngestCommonModulePlugin.java:81-111): the Spark side exercises the
+    actual mechanisms (str_to_map, tag-strip regex, split, transform +
+    aggregate); the oracle states the expected values directly."""
+    ev = _t(spark, sf_dir, "events").orderBy("event_id").limit(100)
+    kv = F.concat(F.lit("type="), F.col("event_type"),
+                  F.lit(";uid="), F.col("user_id").cast("string"))
+    html = F.concat(F.lit("<b>"), F.col("event_type"), F.lit("</b>"))
+    tag = F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type"))
+    arr = F.transform(F.sequence(F.lit(1), F.lit(3)),
+                      lambda i: F.col("value") * i.cast("double"))
+    return (ev.select(
+        "event_id",
+        F.element_at(F.str_to_map(kv, F.lit(";"), F.lit("=")), F.lit("uid"))
+         .alias("uid"),
+        F.regexp_replace(html, "<[^>]*>", "").alias("html_stripped"),
+        F.split(tag, ":").getItem(1).alias("tag_type"),
+        F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x), 4)
+         .alias("foreach_sum"),
+    ).orderBy("event_id"))
+
+
+@q("reindex_delete_by_query", """
+SELECT lang, count(*) AS cnt FROM documents
+WHERE lang <> 'zh' GROUP BY lang ORDER BY lang
+""")
+def reindex_delete_by_query(spark, sf_dir):
+    """delete_by_query (modules/reindex Reindexer.java:91): filter-out +
+    rewrite — in Spark the anti-filtered scan IS the new table."""
+    d = _docs(spark, sf_dir)
+    remaining = d.where(~(F.col("lang") == "zh"))
+    return remaining.groupBy("lang").agg(F.count("*").alias("cnt")).orderBy("lang")
+
+
+@q("reindex_update_by_query", """
+SELECT event_id,
+       round(CASE WHEN event_type = 'click' THEN value * 2 ELSE value END, 4)
+           AS value2
+FROM events ORDER BY event_id LIMIT 100
+""")
+def reindex_update_by_query(spark, sf_dir):
+    """update_by_query: scripted in-place transform of matching docs."""
+    ev = _t(spark, sf_dir, "events").orderBy("event_id").limit(100)
+    return (ev.select(
+        "event_id",
+        F.round(F.when(F.col("event_type") == "click", F.col("value") * 2)
+                .otherwise(F.col("value")), 4).alias("value2"))
+            .orderBy("event_id"))

@@ -98,6 +98,66 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, vec_col, id_col, exclude_id)
 
 
+def ivf_centroids(df: DataFrame, n_centroids: int = 16,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  n_iters: int = 2) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seed centroids = the first
+    ``n_centroids`` vectors by id (deterministic, no RNG), refined with
+    ``n_iters`` Lloyd iterations as distributed DataFrame aggs (assign =
+    argmin distance via one expression; update = groupBy(centroid).avg).
+    Centroid list is tiny (n_centroids × dim floats) — broadcast state."""
+    seeds = (df.orderBy(id_col).limit(n_centroids)
+             .select(vec_col).collect())
+    cents = [[float(x) for x in r[vec_col]] for r in seeds]
+    for _ in range(n_iters):
+        assigned = df.withColumn("_c", _nearest_centroid_expr(vec_col, cents))
+        dim = len(cents[0])
+        means = (assigned.groupBy("_c")
+                 .agg(*[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
+                        for i in range(dim)])
+                 .collect())
+        new = {int(r["_c"]): [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        cents = [new.get(j, cents[j]) for j in range(len(cents))]
+    return cents
+
+
+def _nearest_centroid_expr(vec_col: str, cents: list[list[float]]):
+    """argmin_j ||v - c_j||² as a single Catalyst expression: since ||v||²
+    is common, argmax_j (2·v·c_j - ||c_j||²)."""
+    best_j, best_s = F.lit(0), None
+    for j, c in enumerate(cents):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        c2 = sum(x * x for x in c)
+        s = 2.0 * _dot(F.col(vec_col), arr) - F.lit(float(c2))
+        if best_s is None:
+            best_s = s
+        else:
+            best_j = F.when(s > best_s, F.lit(j)).otherwise(best_j)
+            best_s = F.when(s > best_s, s).otherwise(best_s)
+    return best_j.cast("int")
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             exclude_id: int | None = None,
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` centroids nearest to the query, exact
+    cosine re-rank inside their inverted lists. At scale the assignment
+    column is precomputed once and the scan is partition-pruned on it;
+    recall vs cosine_topk asserted in tests."""
+    cents = centroids or ivf_centroids(df, n_centroids, vec_col, id_col)
+
+    def d2(c):
+        return sum((x - y) ** 2 for x, y in zip(query_vec, c))
+
+    order = sorted(range(len(cents)), key=lambda j: (d2(cents[j]), j))
+    probes = order[:nprobe]
+    assigned = df.withColumn("_c", _nearest_centroid_expr(vec_col, cents))
+    cand = assigned.where(F.col("_c").isin(probes))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col, exclude_id)
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              n_planes: int = 8, vec_col: str = "embedding",
                              id_col: str = "vec_id") -> DataFrame:

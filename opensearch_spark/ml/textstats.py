@@ -38,6 +38,21 @@ def token_stats(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFra
     )
 
 
+BPE_ISH = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def token_count_bpe(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish token counting: a GPT-style pre-tokenizer regex (letter runs,
+    digit runs, single punctuation) over the lowercased text — the cheap
+    proxy for 'how many LLM tokens is this document'. JVM-side
+    regexp_extract_all, no Python."""
+    return df.select(
+        id_col,
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH), 0))
+        .alias("n_bpe_tokens"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
     """Heuristic document quality: length band + uniqueness + stopword
     presence (the classic Gopher/C4-style filters, SQL-expressible)."""

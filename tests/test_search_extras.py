@@ -1,0 +1,181 @@
+"""Tests for query_string parsing, search pipelines, suggester/highlight
+edge cases, IVF recall, and BPE token counting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.search import queries as Q
+from opensearch_spark.search.query_string import parse_query_string
+
+
+# ---------------- query_string parser ----------------
+def test_qs_single_term():
+    ast = parse_query_string("spark", default_field="text")
+    assert ast == Q.Match(field="text", text="spark")
+
+
+def test_qs_and_or_precedence():
+    ast = parse_query_string("a AND b OR c", default_field="f")
+    assert isinstance(ast, Q.Bool)
+    assert len(ast.should) == 2
+    left = ast.should[0]
+    assert isinstance(left, Q.Bool) and len(left.must) == 2
+
+
+def test_qs_field_phrase_prefix():
+    ast = parse_query_string('lang:de "merge sort" pre*', default_field="text")
+    kinds = {type(c).__name__ for c in ast.should}
+    assert kinds == {"Match", "MatchPhrase", "Prefix"}
+    m = [c for c in ast.should if isinstance(c, Q.Match)][0]
+    assert m.field == "lang" and m.text == "de"
+
+
+def test_qs_negation_and_parens():
+    ast = parse_query_string("(a OR b) -c", default_field="f")
+    assert isinstance(ast, Q.Bool)
+    assert len(ast.must_not) == 1 and isinstance(ast.must_not[0], Q.Match)
+
+
+def test_qs_default_operator_and():
+    ast = parse_query_string("a b", default_field="f", default_operator="and")
+    assert isinstance(ast, Q.Bool) and len(ast.must) == 2 and not ast.should
+
+
+def test_qs_errors():
+    with pytest.raises(ValueError):
+        parse_query_string("(a", default_field="f")
+    with pytest.raises(ValueError):
+        parse_query_string("", default_field="f")
+
+
+# ---------------- engine paths over the real corpus ----------------
+@pytest.fixture(scope="module")
+def searcher(spark, sf_dir):
+    from opensearch_spark.entry_queries import get_searcher
+
+    return get_searcher(spark, sf_dir)
+
+
+def test_wand_equals_exhaustive_on_qs_match(searcher):
+    q = Q.Match(field="text", text="spark table merge")
+    wand = searcher.search(q, k=10, mode="wand", round_scores=4).collect()
+    exh = searcher.search(q, k=10, mode="exhaustive", round_scores=4).collect()
+    assert [(r["doc_id"], r["score"]) for r in wand] == \
+           [(r["doc_id"], r["score"]) for r in exh]
+
+
+def test_span_near_subset_of_phrase(searcher, spark, sf_dir):
+    """slop=0 in-order span_near of adjacent terms == phrase match set."""
+    phrase = searcher.score(Q.MatchPhrase(field="text", text="spark table"))
+    span = searcher.score(Q.SpanNear(field="text", clauses=["spark", "table"],
+                                     slop=0, in_order=True))
+    pd_ids = {r["doc_id"] for r in phrase.select("doc_id").collect()}
+    sp_ids = {r["doc_id"] for r in span.select("doc_id").collect()}
+    assert pd_ids == sp_ids
+
+
+def test_suggest_missing_mode_skips_known(searcher):
+    from opensearch_spark.search import term_suggest
+
+    out = term_suggest(searcher, "spark", suggest_mode="missing")
+    assert out.count() == 0
+    out2 = term_suggest(searcher, "spark", suggest_mode="always")
+    assert out2.count() > 0
+
+
+def test_highlight_fragments(searcher, spark):
+    from opensearch_spark.search import highlight_fragments
+
+    hits = searcher.search(Q.Match(field="text", text="spark"), k=3)
+    fetched = searcher.fetch(hits, columns=["text"])
+    out = highlight_fragments(fetched, "text", ["spark"], fragment_size=40,
+                              number_of_fragments=2).collect()
+    for r in out:
+        assert len(r["fragments"]) >= 1
+        assert all("<em>spark</em>" in f for f in r["fragments"])
+        assert all(len(f) <= 40 + len("<em></em>") * 8 for f in r["fragments"])
+
+
+def test_search_pipeline_invariants(searcher):
+    from opensearch_spark.search.pipeline import (
+        CollapseProcessor, FilterQueryProcessor, OversampleProcessor,
+        SearchPipeline, TruncateHitsProcessor,
+    )
+
+    pipe = SearchPipeline([
+        FilterQueryProcessor(filter=Q.Term(field="lang", value="en")),
+        OversampleProcessor(sample_factor=3.0),
+        CollapseProcessor(field="source"),
+        TruncateHitsProcessor(target_size=5),
+    ])
+    rows = pipe.search(searcher, Q.Match(field="text", text="table"),
+                       k=10, mode="exhaustive").collect()
+    assert len(rows) <= 5
+    sources = [r["source"] for r in rows]
+    assert len(sources) == len(set(sources))  # collapsed: one hit per source
+    docs = searcher.index.docs(searcher.spark)
+    langs = {r["lang"] for r in docs.where(
+        F.col("doc_id").isin([x["doc_id"] for x in rows])).select("lang").collect()}
+    assert langs <= {"en"}
+
+
+def test_lm_dirichlet_matches_numpy(searcher, spark, sf_dir):
+    import numpy as np
+
+    q = Q.Match(field="text", text="spark")
+    out = {r["doc_id"]: r["score"]
+           for r in searcher.score_lm_dirichlet(q, mu=500.0).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].split() for r in docs}
+    cf = sum(t.count("spark") for t in toks.values())
+    total = sum(len(t) for t in toks.values())
+    p = (cf + 1.0) / (total + 1.0)
+    for did, tk in toks.items():
+        tf = tk.count("spark")
+        if tf == 0:
+            assert did not in out
+            continue
+        exp = np.log(1.0 + tf / (500.0 * p)) + np.log(500.0 / (len(tk) + 500.0))
+        assert abs(out[did] - exp) < 1e-6
+
+
+# ---------------- IVF ANN ----------------
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from opensearch_spark.ml import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    exact = {r["vec_id"] for r in
+             S.cosine_topk(emb, qv, k=10, exclude_id=3).collect()}
+    approx = {r["vec_id"] for r in
+              S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=4,
+                         exclude_id=3).collect()}
+    assert len(approx) > 0
+    recall = len(exact & approx) / 10.0
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+
+
+def test_ivf_full_probe_is_exact(spark, sf_dir):
+    from opensearch_spark.ml import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, qv, k=5, exclude_id=1).collect()]
+    allprobe = [r["vec_id"] for r in
+                S.ivf_topk(emb, qv, k=5, n_centroids=4, nprobe=4,
+                           exclude_id=1).collect()]
+    assert exact == allprobe  # probing every list degenerates to brute force
+
+
+# ---------------- BPE-ish token count ----------------
+def test_token_count_bpe(spark):
+    from opensearch_spark.ml import textstats as TS
+
+    df = spark.createDataFrame(
+        [(0, "hello world42 x-y!"), (1, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in TS.token_count_bpe(df, "text").collect()}
+    # hello, world, 42, x, -, y, ! → 7
+    assert out[0] == 7
+    assert out[1] == 0
