@@ -108,3 +108,69 @@ def analyze_udf(analyzer: str = "standard"):
         return s.map(lambda x: fn(x) if x is not None else [])
 
     return _analyze
+
+
+def analyze_join_udf(analyzer: str = "standard"):
+    """content:string → space-joined token string. Cheaper than the array
+    UDF when the result is cached or shuffled: one compact string per row
+    crosses Arrow and sits in the block cache instead of an array<string>
+    (measured ~2× on the 600k-doc build); the JVM ``split`` that re-derives
+    the array is whole-stage-codegen. Tokens never contain whitespace."""
+    fn = ANALYZERS[analyzer]
+
+    @F.pandas_udf(T.StringType())
+    def _analyze(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: " ".join(fn(x)) if x is not None else "")
+
+    return _analyze
+
+
+def termfreq_udf(analyzer: str = "standard", with_positions: bool = False):
+    """content:string → struct<dl, terms[], tfs[][, poss[][]]> — analysis AND
+    per-doc term-frequency aggregation in ONE python pass.
+
+    This is map-side combine pushed into the tokenizer: the (term, doc_id)
+    groupBy that would otherwise hash-aggregate the full exploded token
+    stream (~dl rows/doc) disappears; the build's only wide shuffle is the
+    (term, bucket) repartition of the already-aggregated postings (~distinct
+    terms/doc rows). Parallel primitive arrays (not array<struct>) keep the
+    Arrow conversion allocation-free."""
+    fn = ANALYZERS[analyzer]
+    if with_positions:
+        out_t = ("dl int, terms array<string>, tfs array<int>, "
+                 "poss array<array<int>>")
+    else:
+        out_t = "dl int, terms array<string>, tfs array<int>"
+
+    @F.pandas_udf(out_t)
+    def _tf(s: pd.Series) -> pd.DataFrame:
+        dls, terms_col_, tfs_col, poss_col = [], [], [], []
+        for x in s:
+            toks = fn(x) if x is not None else []
+            dls.append(len(toks))
+            if with_positions:
+                pos: dict[str, list[int]] = {}
+                for i, t in enumerate(toks):
+                    pos.setdefault(t, []).append(i)
+                terms_col_.append(list(pos.keys()))
+                tfs_col.append([len(v) for v in pos.values()])
+                poss_col.append(list(pos.values()))
+            else:
+                cnt: dict[str, int] = {}
+                for t in toks:
+                    cnt[t] = cnt.get(t, 0) + 1
+                terms_col_.append(list(cnt.keys()))
+                tfs_col.append(list(cnt.values()))
+        out = {"dl": dls, "terms": terms_col_, "tfs": tfs_col}
+        if with_positions:
+            out["poss"] = poss_col
+        return pd.DataFrame(out)
+
+    return _tf
+
+
+def tokens_col(tokstr_col: str):
+    """array<string> tokens from a joined token string (empty-safe)."""
+    return F.when(
+        F.length(F.col(tokstr_col)) > 0, F.split(F.col(tokstr_col), " ")
+    ).otherwise(F.array().cast("array<string>"))

@@ -6,9 +6,11 @@ Mirrors the reference's write path behaviorally (analysis in
 ``index/engine/InternalEngine.java:1107-1186``, tiered merge in
 ``index/TieredMergePolicyProvider.java``) but is architected for Spark:
 
-- one declarative DataFrame plan: analyze (Arrow UDF) → posexplode →
-  groupBy(term, doc) partial-agg → groupBy(term, bucket) applyInPandas block
-  encode → partitioned parquet write;
+- one declarative DataFrame plan: analyze + per-doc tf (ONE Arrow UDF pass,
+  map-side combine inside the tokenizer) → narrow explode → (term, bucket)
+  repartition + sorted batch block encode (mapInPandas) → partitioned
+  parquet write; the only wide shuffles are the postings repartition and
+  the dictionary agg;
 - **skew by construction**: blocks are built per (term, doc-bucket) group, so
   a hot term ('import', 'def' class — present in >60% of docs) is spread
   across ~n_docs/bucket_span independent groups instead of one giant reducer
@@ -28,9 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-from opensearch_spark.analysis import analyze_udf
-from opensearch_spark.index.codec import make_blocks
-from opensearch_spark.scoring.smallfloat import encode_norms
+from opensearch_spark.analysis import termfreq_udf
 
 BLOCK_SCHEMA = (
     "term string, bucket long, block_seq int, first_doc long, last_doc long, "
@@ -54,15 +54,16 @@ class IndexConfig:
 
 
 def assign_doc_ids(df: DataFrame, order_cols: list[str], n_parts: int = 32) -> DataFrame:
-    """Deterministic dense doc_id without a single-partition global window.
+    """Deterministic dense doc_id without a single-partition global window —
+    and without sending the corpus through Python.
 
     Range-partition + sort by ``order_cols``, count rows per partition (tiny
-    collect), then add per-partition offsets in one mapInPandas pass — the
-    standard scalable zipWithIndex. Ties in order_cols would make ids
+    collect), then ``doc_id = partition_offset + within-partition sequence``
+    where the sequence comes from ``monotonically_increasing_id`` (pid<<33 |
+    row-in-partition, follows the partition's sort order) — the scalable
+    zipWithIndex, entirely JVM-side. Ties in order_cols would make ids
     nondeterministic, so order_cols must be a unique key.
     """
-    from pyspark import TaskContext
-
     sorted_df = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
         *order_cols
     )
@@ -74,46 +75,96 @@ def assign_doc_ids(df: DataFrame, order_cols: list[str], n_parts: int = 32) -> D
         .collect()
     )
     by_pid = {r["pid"]: r["count"] for r in counts}
-    offsets = {}
-    acc = 0
+    offsets, acc = {}, 0
     for pid in sorted(by_pid):
         offsets[pid] = acc
         acc += by_pid[pid]
-    out_schema = T.StructType(
-        sorted_df.schema.fields + [T.StructField("doc_id", T.LongType(), False)]
-    )
-
-    def add_ids(it):
-        pid = TaskContext.get().partitionId()
-        nxt = offsets.get(pid, 0)
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf["doc_id"] = range(nxt, nxt + len(pdf))
-            nxt += len(pdf)
-            yield pdf
-
-    return sorted_df.mapInPandas(add_ids, out_schema)
+    spark = sorted_df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long")
+    mid = F.monotonically_increasing_id()
+    with_mid = sorted_df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_seq", mid - (mid.bitwiseAND(F.lit(-(1 << 33)))))
+    out = (with_mid.join(F.broadcast(off_df), "_pid")
+           .withColumn("doc_id", F.col("_off") + F.col("_seq"))
+           .drop("_pid", "_seq", "_off"))
+    return out
 
 
-def _block_encode_fn(k1: float, b: float, avgdl: float):
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        bucket = int(pdf["bucket"].iloc[0])
-        docs = pdf["doc_id"].to_numpy()
-        tfs = pdf["tf"].to_numpy()
-        dl = pdf["dl"].to_numpy().astype("float64")
+def _block_encode_map_fn(k1: float, b: float, avgdl: float):
+    """Batch-path block encoder: ``mapInPandas`` over partitions that are
+    hash-partitioned AND sorted by (term, bucket, doc_id).
+
+    Why not ``groupBy().applyInPandas``: with 10^7-10^9 tiny (term, bucket)
+    groups the per-group pandas overhead (~0.5 ms) dominates wall-clock and
+    AQE coalesces the shuffle below the cluster's parallelism (measured 3×
+    slower at local[32]). Here group boundaries are numpy slices inside each
+    ~10k-row Arrow batch and one output DataFrame is built per batch, not
+    per group; groups spanning batch boundaries are stitched via carry-over
+    (bounded by bucket_span rows)."""
+    import numpy as np
+
+    from opensearch_spark.index.codec import make_blocks_batch
+
+    cols = ["term", "bucket", "block_seq", "first_doc", "last_doc",
+            "n", "max_tf", "max_impact", "docs_vb", "tfs_vb", "dls_vb"]
+
+    def encode_range(pdf: pd.DataFrame, lo: int, hi: int,
+                     starts: np.ndarray) -> pd.DataFrame | None:
+        """Encode rows [lo, hi) of the batch; ``starts`` are group starts
+        within that range (absolute indices, starts[0] == lo)."""
+        if hi <= lo:
+            return None
+        tfs = pdf["tf"].to_numpy()[lo:hi]
+        dls = pdf["dl"].to_numpy()[lo:hi]
         tf64 = tfs.astype("float64")
-        impact = tf64 / (tf64 + k1 * (1.0 - b + b * dl / avgdl))
-        rows = make_blocks(docs, tfs, impact, dls=pdf["dl"].to_numpy())
-        return pd.DataFrame(
-            [(term, bucket) + r for r in rows],
-            columns=[
-                "term", "bucket", "block_seq", "first_doc", "last_doc",
-                "n", "max_tf", "max_impact", "docs_vb", "tfs_vb", "dls_vb",
-            ],
+        impact = tf64 / (tf64 + k1 * (1.0 - b + b * dls.astype("float64") / avgdl))
+        rows = make_blocks_batch(
+            pdf["term"].to_numpy()[lo:hi],
+            pdf["bucket"].to_numpy()[lo:hi],
+            pdf["doc_id"].to_numpy()[lo:hi],
+            tfs, impact, dls, starts - lo,
         )
+        return pd.DataFrame(rows, columns=cols) if rows else None
 
-    return encode
+    def run(batches):
+        pend: pd.DataFrame | None = None
+        for pdf in batches:
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            if not len(pdf):
+                continue
+            t = pdf["term"].to_numpy()
+            bk = pdf["bucket"].to_numpy()
+            change = np.flatnonzero((t[1:] != t[:-1]) | (bk[1:] != bk[:-1])) + 1
+            starts = np.concatenate(([0], change))
+            # hold the last (possibly batch-spanning) group back for stitching
+            last_start = int(starts[-1])
+            out = encode_range(pdf, 0, last_start, starts[:-1])
+            pend = pdf.iloc[last_start:].reset_index(drop=True)
+            if out is not None:
+                yield out
+        if pend is not None and len(pend):
+            out = encode_range(pend, 0, len(pend), np.zeros(1, dtype=np.int64))
+            if out is not None:
+                yield out
+
+    return run
+
+
+def encode_blocks(df: DataFrame, k1: float, b: float, avgdl: float,
+                  n_shuffle: int) -> DataFrame:
+    """(term, doc_id, tf, dl, bucket) rows → encoded block rows.
+
+    Explicit-numPartitions repartition so AQE cannot coalesce below the
+    cluster's parallelism (the python encode cost per row is invisible to
+    AQE's byte-based sizing); local sort, then the batch encoder above."""
+    return (
+        df.repartition(n_shuffle, "term", "bucket")
+        .sortWithinPartitions("term", "bucket", "doc_id")
+        .mapInPandas(_block_encode_map_fn(k1, b, avgdl), BLOCK_SCHEMA)
+    )
 
 
 def build_index(
@@ -129,67 +180,64 @@ def build_index(
     else:
         docs_src = corpus.withColumn("doc_id", F.col(cfg.id_col).cast("long"))
 
-    analyzed = docs_src.withColumn("_tokens", analyze_udf(cfg.analyzer)(F.col(cfg.field)))
+    # analysis + per-doc tf aggregation in ONE python pass (map-side
+    # combine inside the tokenizer, see termfreq_udf): the cached frame
+    # holds per-doc parallel arrays, and the former (term, doc_id) groupBy
+    # of the full exploded token stream disappears entirely
+    analyzed = docs_src.withColumn(
+        "_tf", termfreq_udf(cfg.analyzer, cfg.with_positions)(F.col(cfg.field)))
     analyzed = analyzed.persist()
 
     # --- docs (stored fields + norms + per-row invariant) ---
     docs = analyzed.select(
         "doc_id",
         *[c for c in docs_src.columns if c != "doc_id"],
-        F.size("_tokens").alias("dl"),
+        F.col("_tf.dl").alias("dl"),
         F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
     )
     docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
 
-    # --- flat postings: (term, doc_id, tf[, positions]) ---
-    exploded = analyzed.select(
-        "doc_id", F.posexplode("_tokens").alias("pos", "term")
+    # --- flat postings: narrow explode of the cached per-doc arrays ---
+    zip_expr = ("arrays_zip(_tf.terms, _tf.tfs, _tf.poss)"
+                if cfg.with_positions else "arrays_zip(_tf.terms, _tf.tfs)")
+    flat = analyzed.select(
+        "doc_id", F.col("_tf.dl").alias("dl"),
+        F.explode(F.expr(zip_expr)).alias("z"),
+    ).select(
+        F.col("z.terms").alias("term"), "doc_id",
+        F.col("z.tfs").cast("long").alias("tf"), "dl",
+        *([F.col("z.poss").alias("positions")] if cfg.with_positions else []),
     )
-    flat = exploded.groupBy("term", "doc_id").agg(
-        F.count("*").alias("tf"),
-        *(
-            [F.sort_array(F.collect_list("pos")).alias("positions")]
-            if cfg.with_positions
-            else []
-        ),
-    )
-    # flat feeds the positions write, the dictionary agg AND the block
-    # encode — persist so the explode+groupBy shuffle runs once
-    flat_cached = flat = flat.persist()
     if cfg.with_positions:
         flat.select("term", "doc_id", "positions").write.mode("overwrite").parquet(
             os.path.join(out_dir, "positions")
         )
         flat = flat.drop("positions")
 
-    # --- stats (avgdl) + dictionary (df, cf) ---
-    stats_row = (
-        analyzed.agg(
-            F.count("*").alias("doc_count"),
-            F.sum(F.size("_tokens")).alias("sum_dl"),
-        ).collect()[0]
-    )
-    doc_count, sum_dl = stats_row["doc_count"], int(stats_row["sum_dl"] or 0)
-    avgdl = sum_dl / doc_count if doc_count else 0.0
-    spark.createDataFrame(
-        [(doc_count, sum_dl, float(avgdl))], "doc_count long, sum_dl long, avgdl double"
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
-
+    # --- dictionary (df, cf), then stats derived from it ---
     dictionary = flat.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     )
     dictionary.write.mode("overwrite").parquet(os.path.join(out_dir, "dictionary"))
 
-    # --- blocked postings: shuffle on (term, bucket) → applyInPandas encode ---
-    with_dl = flat.join(
-        analyzed.select("doc_id", F.size("_tokens").alias("dl")), "doc_id"
-    )
-    bucketed = with_dl.withColumn(
+    # stats without another full corpus pass: doc_count from the written
+    # docs table's parquet footers (metadata-only count), sum_dl = Σ cf
+    # over the (small) dictionary — Σ collection freq ≡ total token count
+    doc_count = int(spark.read.parquet(os.path.join(out_dir, "docs")).count())
+    sum_row = (spark.read.parquet(os.path.join(out_dir, "dictionary"))
+               .agg(F.sum("cf").alias("s")).collect()[0])
+    sum_dl = int(sum_row["s"] or 0)
+    avgdl = sum_dl / doc_count if doc_count else 0.0
+    spark.createDataFrame(
+        [(doc_count, sum_dl, float(avgdl))], "doc_count long, sum_dl long, avgdl double"
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
+
+    # --- blocked postings: shuffle on (term, bucket) → batch block encode ---
+    bucketed = flat.withColumn(
         "bucket", (F.col("doc_id") / F.lit(cfg.bucket_span)).cast("long")
     )
-    blocks = bucketed.groupBy("term", "bucket").applyInPandas(
-        _block_encode_fn(cfg.k1, cfg.b, avgdl), BLOCK_SCHEMA
-    )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    blocks = encode_blocks(bucketed, cfg.k1, cfg.b, avgdl, n_shuffle)
     blocks = blocks.withColumn(
         "part", F.pmod(F.xxhash64("term"), F.lit(cfg.n_parts)).cast("int")
     )
@@ -202,7 +250,6 @@ def build_index(
     )
 
     analyzed.unpersist()
-    flat_cached.unpersist()
     meta = dict(asdict(cfg), doc_count=doc_count, sum_dl=sum_dl, avgdl=avgdl)
     meta["order_cols"] = list(cfg.order_cols)
     meta["keyword_cols"] = list(cfg.keyword_cols)

@@ -64,6 +64,94 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     return np.add.reduceat(contrib, starts)
 
 
+def varbyte_encode_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varbyte encode of a uint64 array, returning the raw byte
+    buffer AND per-value byte offsets (length n+1) so callers can slice out
+    contiguous sub-ranges without re-encoding — the batch-encoder building
+    block."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    nbytes = 1 + (v[:, None] >= _THRESHOLDS[None, :]).sum(axis=1)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    maxb = int(nbytes.max())
+    for j in range(maxb):
+        mask = nbytes > j
+        idx = offsets[:-1][mask] + j
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
+        out[idx] = chunk.astype(np.uint8) | cont
+    return out, offsets
+
+
+def make_blocks_batch(
+    terms: np.ndarray,
+    buckets: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    impacts: np.ndarray,
+    dls: np.ndarray,
+    group_starts: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[tuple]:
+    """Encode MANY (term, bucket) groups in one vectorized pass.
+
+    Inputs are whole-batch column arrays sorted by (term, bucket, doc_id);
+    ``group_starts`` marks group boundaries (first row of each group).
+    All varbyte encoding happens in three whole-batch calls; per-block rows
+    are then cheap buffer slices. Returns the same row tuples as
+    ``make_blocks`` prefixed with (term, bucket) — this is the scale path
+    used by the index build (the per-group ``make_blocks`` remains the
+    reference implementation; equivalence is asserted in tests)."""
+    n = doc_ids.size
+    if n == 0:
+        return []
+    d = np.asarray(doc_ids, dtype=np.int64)
+    t = np.asarray(tfs, dtype=np.int64)
+    imp = np.asarray(impacts, dtype=np.float64)
+    dl = np.asarray(dls, dtype=np.int64)
+    gs = np.asarray(group_starts, dtype=np.int64)
+    # within-group row index → block starts every block_size rows per group
+    group_of_row = np.zeros(n, dtype=np.int64)
+    group_of_row[gs[1:]] = 1
+    group_of_row = np.cumsum(group_of_row)
+    within = np.arange(n, dtype=np.int64) - gs[group_of_row]
+    is_block_start = (within % block_size) == 0
+    bs = np.flatnonzero(is_block_start)
+    be = np.concatenate((bs[1:], [n]))
+    block_seq = (within[bs] // block_size).astype(np.int64)
+    # whole-batch varbyte: gaps (invalid at block starts, sliced around),
+    # tfs and dls
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = 0
+    gaps[1:] = (d[1:] - d[:-1]).astype(np.uint64)
+    gaps[bs] = 0  # block-start gaps are elided, value irrelevant
+    gbuf, goff = varbyte_encode_offsets(gaps)
+    tbuf, toff = varbyte_encode_offsets(t.astype(np.uint64))
+    lbuf, loff = varbyte_encode_offsets(dl.astype(np.uint64))
+    max_tf = np.maximum.reduceat(t, bs)
+    max_imp = np.maximum.reduceat(imp, bs)
+    rows = []
+    for i in range(bs.size):
+        s, e = int(bs[i]), int(be[i])
+        rows.append((
+            terms[s],
+            int(buckets[s]),
+            int(block_seq[i]),
+            int(d[s]),
+            int(d[e - 1]),
+            e - s,
+            int(max_tf[i]),
+            float(max_imp[i]),
+            gbuf[goff[s + 1]:goff[e]].tobytes(),   # n-1 gaps (first elided)
+            tbuf[toff[s]:toff[e]].tobytes(),
+            lbuf[loff[s]:loff[e]].tobytes(),
+        ))
+    return rows
+
+
 def encode_block(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
     """Encode one block (sorted doc_ids + parallel tfs) → (docs_vb, tfs_vb)."""
     d = np.asarray(doc_ids, dtype=np.uint64)

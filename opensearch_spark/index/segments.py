@@ -31,12 +31,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from opensearch_spark.analysis import analyze_udf
 from opensearch_spark.index.build import (
-    BLOCK_SCHEMA,
     IndexConfig,
     InvertedIndex,
     _atomic_write_json,
-    _block_encode_fn,
     assign_doc_ids,
+    encode_blocks,
 )
 
 
@@ -164,8 +163,8 @@ def merge_segments(
 
     bucketed = flat.withColumn(
         "bucket", (F.col("doc_id") / F.lit(cfg.bucket_span)).cast("long"))
-    blocks = bucketed.groupBy("term", "bucket").applyInPandas(
-        _block_encode_fn(cfg.k1, cfg.b, avgdl), BLOCK_SCHEMA)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    blocks = encode_blocks(bucketed, cfg.k1, cfg.b, avgdl, n_shuffle)
     blocks = blocks.withColumn(
         "part", F.pmod(F.xxhash64("term"), F.lit(cfg.n_parts)).cast("int"))
     (blocks.repartition(cfg.n_parts, "part")

@@ -115,13 +115,30 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
                       threshold: float = 0.5, id_col: str = "doc_id") -> DataFrame:
     """MinHash + LSH banding → candidate pairs → exact-jaccard verify."""
     sh = shingles(df, text_col, n, id_col).persist()
-    sig = minhash_signatures(sh, n_hashes, id_col)
-    banded = (
-        sig.withColumn("band", (F.col("j") / band_rows).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.concat_ws(",", F.sort_array(F.collect_list(
-            F.concat_ws(":", F.col("j"), F.col("mh"))))).alias("sig"))
+    # one wide min-agg computes all n_hashes signatures in a single pass —
+    # no perm cross-join (16× row blowup) and no second (doc, band)
+    # shuffle: partial map-side mins make this one light shuffle of
+    # n_docs rows regardless of shingle count
+    perms = perm_constants(n_hashes)
+    x = sh.withColumn("x", str_hash32(F.col("shingle")) % MOD_X)
+    sig_wide = x.groupBy(id_col).agg(
+        *[F.min((F.lit(a) * F.col("x") + F.lit(b)) % MOD_H).alias(f"mh{j}")
+          for j, a, b in perms]
     )
+    n_bands = n_hashes // band_rows
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.concat_ws(",", *[
+                F.concat_ws(":", F.lit(j), F.col(f"mh{j}"))
+                for j in range(bnd * band_rows, (bnd + 1) * band_rows)
+            ]).alias("sig"),
+        )
+        for bnd in range(n_bands)
+    ]
+    banded = sig_wide.select(
+        id_col, F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.sig").alias("sig"))
     a = banded.select(F.col(id_col).alias("a"), "band", "sig")
     b = banded.select(F.col(id_col).alias("b"), "band", "sig")
     cand = (

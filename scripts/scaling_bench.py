@@ -44,9 +44,17 @@ spark.stop()
 
 
 def run(cores: int, n_docs: int, tmp: str, repo: str) -> dict:
+    """One measurement in a fresh, CPU-PINNED subprocess.
+
+    ``taskset -c 0-(N-1)`` is what makes local[N] an honest N-core-cluster
+    proxy: Spark's python UDF workers are separate OS processes that
+    local[N] does NOT bound, so without pinning a local[8] run happily
+    uses all physical cores for its pandas workers and the N-vs-4N
+    comparison is meaningless."""
     script = CHILD.format(repo=repo)
     p = subprocess.run(
-        [sys.executable, "-c", script, str(cores), str(n_docs), tmp],
+        ["taskset", "-c", f"0-{cores - 1}",
+         sys.executable, "-c", script, str(cores), str(n_docs), tmp],
         capture_output=True, text=True, timeout=1800,
     )
     line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -56,15 +64,27 @@ def run(cores: int, n_docs: int, tmp: str, repo: str) -> dict:
 def main() -> None:
     n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 40000
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # interleave repetitions and keep the best run per level: this VM shows
+    # heavy host-level CPU-steal variance (measured 4.7× run-to-run on an
+    # idle guest), and noise only ever slows a run down, so min() is the
+    # unbiased estimator of the machine's actual capability at each level
+    los, his = [], []
     with tempfile.TemporaryDirectory() as tmp:
-        lo = run(n_low, n_docs, tmp, repo)
-        hi = run(n_low * 4, n_docs, tmp, repo)
+        for _ in range(reps):
+            los.append(run(n_low, n_docs, tmp, repo))
+            his.append(run(n_low * 4, n_docs, tmp, repo))
+    lo = min(los, key=lambda r: r["sec"])
+    hi = min(his, key=lambda r: r["sec"])
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
     print(json.dumps({
         "n_docs": n_docs,
+        "reps": reps,
         "low": lo,
         "high": hi,
+        "low_secs_all": [round(r["sec"], 1) for r in los],
+        "high_secs_all": [round(r["sec"], 1) for r in his],
         "scaling_efficiency": round(eff, 4),
         "target": ">= 0.8 per BASELINE.json (N vs 4N parallelism proxy)",
     }, indent=1))

@@ -77,3 +77,38 @@ def test_make_blocks_chunks_and_metadata():
         got_tfs += list(t)
     assert got_docs == list(docs) and got_tfs == list(tfs)
     assert abs(rows[0][5] - float(imp[:BLOCK_SIZE].max())) < 1e-12
+
+
+def test_make_blocks_batch_equals_make_blocks():
+    import numpy as np
+
+    from opensearch_spark.index.codec import make_blocks, make_blocks_batch
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for term, bucket, n in [("a", 0, 1), ("a", 1, 300), ("b", 0, 128),
+                            ("c", 2, 129), ("d", 0, 5)]:
+        docs = np.sort(rng.choice(100000, size=n, replace=False))
+        tfs = rng.integers(1, 50, size=n)
+        dls = rng.integers(10, 400, size=n)
+        rows.append((term, bucket, docs, tfs, dls))
+    k1, b, avgdl = 1.2, 0.75, 120.0
+    # reference: per-group make_blocks
+    expected = []
+    for term, bucket, docs, tfs, dls in rows:
+        imp = tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
+        for r in make_blocks(docs, tfs, imp, dls=dls):
+            expected.append((term, bucket) + r)
+    # batch path over the concatenated arrays
+    terms = np.concatenate([[t] * len(d) for t, _b, d, _t, _l in rows])
+    buckets = np.concatenate([[bk] * len(d) for _t, bk, d, _tf, _l in rows])
+    docs = np.concatenate([d for _t, _b, d, _tf, _l in rows])
+    tfs = np.concatenate([t for _x, _b, _d, t, _l in rows])
+    dls = np.concatenate([l for _x, _b, _d, _t, l in rows])
+    starts = np.cumsum([0] + [len(d) for _t, _b, d, _tf, _l in rows][:-1])
+    imp = tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
+    got = make_blocks_batch(terms, buckets, docs, tfs, imp, dls,
+                            np.asarray(starts))
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g == e, (g[:6], e[:6])
