@@ -799,6 +799,123 @@ def search_slice(spark, sf_dir):
             .select("doc_id", F.lit(1.0).alias("score")).orderBy("doc_id"))
 
 
+@q("search_lm_jelinek_mercer", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('merge','window') GROUP BY doc_id, term),
+cf AS (SELECT term, count(*) AS cf FROM tok2
+       WHERE term IN ('merge','window') GROUP BY term),
+tot AS (SELECT count(*) AS total FROM tok2)
+SELECT tf.doc_id,
+       round(sum(ln(1.0 + ((1.0 - 0.1) * tf / dl)
+                 / (0.1 * ((cf + 1.0) / (total + 1.0))))), 4) AS score
+FROM tf JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+GROUP BY tf.doc_id, dl.dl
+ORDER BY score DESC, tf.doc_id LIMIT 10
+""")
+def search_lm_jelinek_mercer(spark, sf_dir):
+    """LMJelinekMercer alternative similarity."""
+    s = get_searcher(spark, sf_dir)
+    scores = s.score_lm_jelinek_mercer(
+        Match(field="text", text="merge window"), lam=0.1)
+    return (scores.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
+@q("search_count", """
+SELECT (SELECT count(DISTINCT doc_id) FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM documents) WHERE term = 'spark') AS total_hits
+""")
+def search_count(spark, sf_dir):
+    """_count API: hit count without scoring/fetch."""
+    s = get_searcher(spark, sf_dir)
+    n = s.count(Match(field="text", text="spark"))
+    return spark.createDataFrame([(n,)], "total_hits long")
+
+
+@q("search_msearch", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark','merge') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark','merge') GROUP BY term),
+per AS (SELECT tf.term, tf.doc_id, round({O.bm25_term()}, 4) AS score
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+qa AS (SELECT 'q_spark' AS query_id, doc_id, score FROM per WHERE term = 'spark'
+       ORDER BY score DESC, doc_id LIMIT 5),
+qb AS (SELECT 'q_merge' AS query_id, doc_id, score FROM per WHERE term = 'merge'
+       ORDER BY score DESC, doc_id LIMIT 5)
+SELECT * FROM qa UNION ALL SELECT * FROM qb ORDER BY query_id, score DESC, doc_id
+""")
+def search_msearch(spark, sf_dir):
+    """_msearch: batched multi-query execution, one tagged result frame."""
+    s = get_searcher(spark, sf_dir)
+    out = s.msearch({"q_spark": Match(field="text", text="spark"),
+                     "q_merge": Match(field="text", text="merge")},
+                    k=5, round_scores=4)
+    return out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+
+
+@q("search_terms_enum", f"""
+WITH {O.TOK_CTES}
+SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+WHERE term LIKE 'm%' GROUP BY term ORDER BY term LIMIT 10
+""")
+def search_terms_enum(spark, sf_dir):
+    """_terms_enum API: prefix walk over the dictionary with df."""
+    s = get_searcher(spark, sf_dir)
+    return s.terms_enum(prefix="m", size=10)
+
+
+@q("search_script_filter", """
+SELECT doc_id FROM documents
+WHERE n_chars % 7 = 0 AND length(text) > 50 ORDER BY doc_id
+""")
+def search_script_filter(spark, sf_dir):
+    """script query (ScriptQueryBuilder): per-doc predicate as a vectorized
+    pandas UDF (the engine's Painless stand-in)."""
+    s = get_searcher(spark, sf_dir)
+
+    def pred(n_chars, text):
+        return (n_chars % 7 == 0) & (text.str.len() > 50)
+
+    return s.script_filter(pred, ["n_chars", "text"]).orderBy("doc_id")
+
+
+@q("search_script_sort", f"""
+WITH {O.TOK_CTES},
+m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = 'batch')
+SELECT d.doc_id, round(d.n_chars * 1.0 / (1 + d.doc_id % 5), 4) AS sort_key
+FROM m JOIN documents d USING (doc_id)
+ORDER BY sort_key DESC, d.doc_id LIMIT 10
+""")
+def search_script_sort(spark, sf_dir):
+    """script sort (ScriptSortBuilder): computed sort key expression."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.matching_docs(Match(field="text", text="batch"))
+    docs = s.index.docs(spark).select("doc_id", "n_chars")
+    key = F.round(F.col("n_chars") * 1.0 / (1 + F.pmod(F.col("doc_id"), F.lit(5))), 4)
+    return (hits.join(docs, "doc_id").withColumn("sort_key", key)
+            .select("doc_id", "sort_key")
+            .orderBy(F.desc("sort_key"), F.asc("doc_id")).limit(10))
+
+
+@q("search_derived_field", """
+SELECT doc_id, round(n_chars * 1.0 / NULLIF(length(text) - length(replace(text, ' ', '')) + 1, 0), 4) AS chars_per_token
+FROM documents ORDER BY doc_id LIMIT 100
+""")
+def search_derived_field(spark, sf_dir):
+    """Derived field (DerivedFieldMapper): computed-at-query-time column."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    return (d.select(
+        "doc_id",
+        F.round(F.col("n_chars") * 1.0 / F.nullif(n_tok, F.lit(0)), 4)
+         .alias("chars_per_token"))
+        .orderBy("doc_id").limit(100))
+
+
 # --------------------------------------------------------------------------
 # aggregations — metric / bucket (search/aggregations/*) as DataFrame plans
 # --------------------------------------------------------------------------

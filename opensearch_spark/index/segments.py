@@ -29,7 +29,7 @@ from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from opensearch_spark.analysis import analyze_udf
+from opensearch_spark.analysis import termfreq_udf
 from opensearch_spark.index.build import (
     IndexConfig,
     InvertedIndex,
@@ -91,22 +91,22 @@ def build_segments(
             continue
         part = with_seg.where(F.col("segment_id") == seg)
         analyzed = part.withColumn(
-            "_tokens", analyze_udf(cfg.analyzer)(F.col(cfg.field)))
+            "_tf", termfreq_udf(cfg.analyzer)(F.col(cfg.field)))
         seg_dir = os.path.join(out_dir, "segments", f"seg_{seg}")
         docs = analyzed.select(
             "doc_id",
             *[c for c in part.columns if c not in ("doc_id", "segment_id")],
-            F.size("_tokens").alias("dl"),
+            F.col("_tf.dl").alias("dl"),
             F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
         )
         docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
-        flat = (
-            analyzed.select("doc_id", F.posexplode("_tokens").alias("pos", "term"))
-            .groupBy("term", "doc_id")
-            .agg(F.count("*").alias("tf"))
+        flat = analyzed.select(
+            "doc_id", F.col("_tf.dl").alias("dl"),
+            F.explode(F.expr("arrays_zip(_tf.terms, _tf.tfs)")).alias("z"),
+        ).select(
+            F.col("z.terms").alias("term"), "doc_id",
+            F.col("z.tfs").cast("long").alias("tf"), "dl",
         )
-        flat = flat.join(
-            analyzed.select("doc_id", F.size("_tokens").alias("dl")), "doc_id")
         (flat.repartition(max(2, cfg.n_parts), "term")
              .sortWithinPartitions("term", "doc_id")
              .write.mode("overwrite").parquet(os.path.join(seg_dir, "postings")))

@@ -636,6 +636,58 @@ class Searcher:
         return (scored.groupBy("doc_id").agg(F.sum("tscore").alias("score"))
                 .select("doc_id", "score"))
 
+    def score_lm_jelinek_mercer(self, q: Q.Match, lam: float = 0.1) -> DataFrame:
+        """LMJelinekMercer similarity (SimilarityProviders.java wiring;
+        public Lucene math): score = Σ_t ln(1 + ((1-λ)·tf/dl) / (λ·p)),
+        p = (cf+1)/(sum_dl+1)."""
+        terms = self.analyze(q.text)
+        stats = self.term_stats(terms)
+        live = [t for t in dict.fromkeys(terms) if t in stats]
+        if not live:
+            return self._empty_scores()
+        flat = self._flat_postings(live)
+        cf_df = self.spark.createDataFrame(
+            [(t, stats[t][1]) for t in live], "term string, cf long")
+        denom = float(self.sum_dl + 1)
+        scored = flat.join(F.broadcast(cf_df), "term").withColumn(
+            "tscore",
+            F.expr(f"{q.boost} * ln(1.0 + ((1.0 - {lam!r}) * tf / dl) "
+                   f"/ ({lam!r} * ((cf + 1.0) / {denom!r})))"),
+        )
+        return (scored.groupBy("doc_id").agg(F.sum("tscore").alias("score"))
+                .select("doc_id", "score"))
+
+    def count(self, q) -> int:
+        """_count API (RestCountAction analog): matching-doc count without
+        scoring or fetch."""
+        return self.matching_docs(q).count()
+
+    def msearch(self, queries: dict[str, Q.Query], k: int = 10,
+                round_scores: int | None = None) -> DataFrame:
+        """_msearch: several queries in one response frame, tagged by
+        query_id — per-query top-k unioned (one job, shared scan)."""
+        frames = []
+        for qid, q in queries.items():
+            top = self.search(q, k=k, mode="exhaustive", round_scores=round_scores)
+            frames.append(top.withColumn("query_id", F.lit(qid)))
+        u = reduce(DataFrame.unionByName, frames)
+        return u.select("query_id", "doc_id", "score")
+
+    def terms_enum(self, prefix: str = "", size: int = 10) -> DataFrame:
+        """_terms_enum API: dictionary walk — terms matching a prefix with
+        their doc frequencies, ordered."""
+        d = self.index.dictionary(self.spark)
+        if prefix:
+            d = d.where(F.col("term").startswith(prefix))
+        return d.select("term", "df").orderBy("term").limit(size)
+
+    def script_filter(self, fn, cols: list[str]) -> DataFrame:
+        """script query (ScriptQueryBuilder): arbitrary per-doc predicate as
+        a vectorized pandas UDF over the named docs-table columns."""
+        udf = F.pandas_udf(fn, "boolean")
+        docs = self.index.docs(self.spark)
+        return docs.where(udf(*[F.col(c) for c in cols])).select("doc_id")
+
     # ---------- more_like_this ----------
     def _more_like_this(self, q: Q.MoreLikeThis) -> DataFrame:
         flat_all = self._flat_for_docs(q.like_ids)
