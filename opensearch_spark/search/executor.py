@@ -208,20 +208,15 @@ class Searcher:
             [(t, i) for i, t in enumerate(live)], "term string, term_idx int"
         )
         blocks = self._blocks_for_terms(live).join(F.broadcast(term_idx), "term")
-        # per-bucket UB = Σ_t max row-UB — used to order buckets so θ rises fast
-        w_expr = F.element_at(
-            F.array(*[F.lit(float(x)) for x in weights]), F.col("term_idx") + 1
-        )
-        rows = blocks.withColumn("_ub", w_expr * F.col("max_impact"))
-        # two-level agg: max per (bucket,term), sum per bucket
-        bucket_ub = (
-            rows.groupBy("bucket", "term_idx").agg(F.max("_ub").alias("_tu"))
-            .groupBy("bucket").agg(F.sum("_tu").alias("bucket_ub"))
-        )
+        # ONE shuffle: co-locate each bucket's blocks (all terms) in a task;
+        # bucket upper bounds and the desc-UB processing order (which makes
+        # θ rise fast) are computed with numpy inside the partition —
+        # per-partition ordering prunes identically to a global order since
+        # partitions run independently (was: 2 agg shuffles + a join)
         ordered = (
-            rows.join(bucket_ub, "bucket")
-            .repartition(F.pmod(F.col("bucket"), F.lit(self.index.n_parts)))
-            .sortWithinPartitions(F.desc("bucket_ub"), "bucket", "term_idx")
+            blocks.repartition(self.index.n_parts,
+                               F.pmod(F.col("bucket"), F.lit(self.index.n_parts)))
+            .sortWithinPartitions("bucket", "term_idx")
         )
         fn = wand_partition_fn(
             list(weights), k, self.k1, self.b, self.avgdl, n_required

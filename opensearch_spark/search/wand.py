@@ -127,39 +127,41 @@ def wand_partition_fn(
     n_required: int,
 ):
     """Build the mapInPandas function: block rows (sorted by bucket within
-    the partition, descending bucket_ub) → this partition's top-k."""
+    the partition) → this partition's top-k.
+
+    The partition holds only the query terms' blocks for its buckets, so it
+    is buffered whole; bucket upper bounds are computed here and buckets
+    processed in descending-UB order (θ rises fast, and once a bucket's UB
+    drops below θ the remaining buckets are all prunable → break)."""
     w = np.asarray(weights, dtype=np.float64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         topk = _TopK(k)
-        pending: list[pd.DataFrame] = []
-        pending_bucket = None
-
-        def flush():
-            if not pending:
-                return
-            group = pd.concat(pending, ignore_index=True) if len(pending) > 1 else pending[0]
-            res = _score_bucket(group, w, k1, b, avgdl, n_required, topk.threshold)
-            if res is not None:
-                topk.merge(*res)
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
+        parts = [pdf for pdf in batches if len(pdf)]
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
             buckets = pdf["bucket"].to_numpy()
-            bounds = np.flatnonzero(
-                np.concatenate(([True], buckets[1:] != buckets[:-1]))
-            )
-            for i, s in enumerate(bounds):
-                e = bounds[i + 1] if i + 1 < bounds.size else len(pdf)
-                chunk = pdf.iloc[s:e]
-                bkt = buckets[s]
-                if pending_bucket is not None and bkt != pending_bucket:
-                    flush()
-                    pending.clear()
-                pending.append(chunk)
-                pending_bucket = bkt
-        flush()
+            tidx = pdf["term_idx"].to_numpy()
+            ub_rows = w[tidx] * pdf["max_impact"].to_numpy()
+            starts = np.flatnonzero(
+                np.concatenate(([True], buckets[1:] != buckets[:-1])))
+            ends = np.concatenate((starts[1:], [len(pdf)]))
+            n_terms = w.size
+            bucket_ubs = np.empty(starts.size)
+            for i in range(starts.size):
+                s, e = starts[i], ends[i]
+                tu = np.zeros(n_terms)
+                np.maximum.at(tu, tidx[s:e], ub_rows[s:e])
+                bucket_ubs[i] = tu.sum()
+            order = np.argsort(-bucket_ubs, kind="stable")
+            for i in order:
+                if bucket_ubs[i] < topk.threshold:
+                    break  # desc order: everything after is prunable too
+                s, e = int(starts[i]), int(ends[i])
+                res = _score_bucket(
+                    pdf.iloc[s:e], w, k1, b, avgdl, n_required, topk.threshold)
+                if res is not None:
+                    topk.merge(*res)
         yield pd.DataFrame({"doc_id": topk.docs, "score": topk.scores})
 
     return run
