@@ -43,10 +43,13 @@ def with_title(corpus: DataFrame) -> DataFrame:
 
 
 def _load_or_build(spark, corpus, out, cfg, n) -> InvertedIndex:
+    from opensearch_spark.index.build import LAYOUT_VERSION
+
     meta_path = os.path.join(out, "meta.json")
     if os.path.exists(meta_path):
         idx = InvertedIndex(out)
-        if idx.doc_count == n:
+        if (idx.doc_count == n
+                and idx.meta.get("layout_version") == LAYOUT_VERSION):
             return idx
     return build_index(spark, corpus, out, cfg)
 
@@ -899,6 +902,58 @@ def search_script_sort(spark, sf_dir):
     return (hits.join(docs, "doc_id").withColumn("sort_key", key)
             .select("doc_id", "sort_key")
             .orderBy(F.desc("sort_key"), F.asc("doc_id")).limit(10))
+
+
+@q("search_matched_queries", f"""
+WITH {O.TOK_CTES},
+a AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = 'spark'),
+b AS (SELECT doc_id FROM documents WHERE lang = 'de')
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       a.doc_id IS NOT NULL AS matched_has_spark,
+       b.doc_id IS NOT NULL AS matched_is_de
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+ORDER BY coalesce(a.doc_id, b.doc_id)
+""")
+def search_matched_queries(spark, sf_dir):
+    """Named queries / matched_queries (SearchModule.java:1055)."""
+    s = get_searcher(spark, sf_dir)
+    out = s.matched_queries({
+        "has_spark": Match(field="text", text="spark"),
+        "is_de": Term(field="lang", value="de"),
+    })
+    return out.orderBy("doc_id")
+
+
+@q("search_min_score", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'spark' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'spark')
+SELECT tf.doc_id, round({O.bm25_term()}, 4) AS score
+FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+WHERE round({O.bm25_term()}, 4) >= 0.45
+ORDER BY tf.doc_id
+""")
+def search_min_score(spark, sf_dir):
+    """min_score guard (QueryPhase.java:227): drop hits under a score
+    threshold — a filter on the score column."""
+    s = get_searcher(spark, sf_dir)
+    scores = s.score(Match(field="text", text="spark")) \
+              .withColumn("score", F.round("score", 4))
+    return scores.where(F.col("score") >= 0.45).orderBy("doc_id")
+
+
+@q("search_wrapper", O.match_sql(["vector", "window"], k=10))
+def search_wrapper(spark, sf_dir):
+    """wrapper query (WrapperQueryBuilder): base64-embedded DSL."""
+    import base64
+    import json
+
+    from opensearch_spark.search import from_dsl
+
+    s = get_searcher(spark, sf_dir)
+    inner = json.dumps({"match": {"text": "vector window"}})
+    ast = from_dsl({"wrapper": {"query": base64.b64encode(inner.encode()).decode()}})
+    return s.search(ast, k=10, mode="exhaustive", round_scores=4)
 
 
 @q("search_derived_field", """

@@ -32,6 +32,8 @@ from pyspark.sql import types as T
 
 from opensearch_spark.analysis import termfreq_udf
 
+LAYOUT_VERSION = 2  # bump on any on-disk format change (invalidates caches)
+
 BLOCK_SCHEMA = (
     "term string, bucket long, block_seq int, first_doc long, last_doc long, "
     "n int, max_tf int, max_impact double, docs_vb binary, tfs_vb binary, "
@@ -251,6 +253,7 @@ def build_index(
 
     analyzed.unpersist()
     meta = dict(asdict(cfg), doc_count=doc_count, sum_dl=sum_dl, avgdl=avgdl)
+    meta["layout_version"] = LAYOUT_VERSION
     meta["order_cols"] = list(cfg.order_cols)
     meta["keyword_cols"] = list(cfg.keyword_cols)
     _atomic_write_json(os.path.join(out_dir, "meta.json"), meta)

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from opensearch_spark.analysis import termfreq_udf
 from opensearch_spark.index.build import (
+    LAYOUT_VERSION,
     IndexConfig,
     InvertedIndex,
     _atomic_write_json,
@@ -173,6 +174,7 @@ def merge_segments(
            .parquet(os.path.join(out_dir, "postings")))
 
     meta = dict(asdict(cfg), doc_count=doc_count, sum_dl=sum_dl, avgdl=avgdl)
+    meta["layout_version"] = LAYOUT_VERSION
     meta["order_cols"] = list(cfg.order_cols)
     meta["keyword_cols"] = list(cfg.keyword_cols)
     _atomic_write_json(os.path.join(out_dir, "meta.json"), meta)

@@ -652,6 +652,19 @@ class Searcher:
         return (scored.groupBy("doc_id").agg(F.sum("tscore").alias("score"))
                 .select("doc_id", "score"))
 
+    def matched_queries(self, named: dict[str, Q.Query]) -> DataFrame:
+        """Named queries (`matched_queries`, SearchModule.java:1055): one
+        boolean indicator column per clause name, over docs matching any."""
+        frames = []
+        for name, q in named.items():
+            frames.append(self.matching_docs(q).select(
+                "doc_id", F.lit(name).alias("_n")))
+        u = reduce(DataFrame.unionByName, frames)
+        out = u.groupBy("doc_id").agg(
+            *[F.max(F.when(F.col("_n") == n, True).otherwise(False))
+              .alias(f"matched_{n}") for n in named])
+        return out
+
     def count(self, q) -> int:
         """_count API (RestCountAction analog): matching-doc count without
         scoring or fetch."""

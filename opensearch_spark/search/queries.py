@@ -364,4 +364,9 @@ def from_dsl(d: dict) -> Query:
                             max_query_terms=body.get("max_query_terms", 25),
                             min_term_freq=body.get("min_term_freq", 1),
                             min_doc_freq=body.get("min_doc_freq", 2))
+    if kind == "wrapper":
+        import base64
+        import json
+
+        return from_dsl(json.loads(base64.b64decode(body["query"])))
     raise ValueError(f"unsupported query kind: {kind}")
