@@ -145,12 +145,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
         a.join(b, ["band", "sig"]).where(F.col("a") < F.col("b"))
         .select("a", "b").distinct()
     )
-    # verify candidates with exact jaccard
+    # verify candidates with exact jaccard; the intersection join runs on
+    # 64-bit shingle hashes, not strings — same multiset semantics
+    # (collision odds ~n²/2⁶⁴) with a far smaller shuffle payload
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    sa = sh.select(F.col(id_col).alias("a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    hashed = sh.select(id_col, F.xxhash64("shingle").alias("_h"))
+    sa = hashed.select(F.col(id_col).alias("a"), "_h")
+    sb = hashed.select(F.col(id_col).alias("b"), "_h")
     inter = (
-        cand.join(sa, "a").join(sb, ["b", "shingle"])
+        cand.join(sa, "a").join(sb, ["b", "_h"])
         .groupBy("a", "b").agg(F.count("*").alias("inter"))
     )
     out = (
