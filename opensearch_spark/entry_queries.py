@@ -232,6 +232,62 @@ def search_phrase(spark, sf_dir):
                     k=10, mode="exhaustive", round_scores=4)
 
 
+@q("search_phrase_shingle", f"""
+WITH {O.TOK_CTES},
+pos AS (
+    SELECT doc_id,
+           unnest(string_split_regex(text, '\\s+')) AS term,
+           unnest(range(len(string_split_regex(text, '\\s+')))) AS p
+    FROM documents
+),
+big AS (
+    SELECT a.doc_id, count(*) AS tf
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    WHERE a.term = 'spark' AND b.term = 'table'
+    GROUP BY a.doc_id
+),
+dfreq AS (SELECT count(*) AS df FROM big),
+dl2 AS (SELECT doc_id, 2 * count(*) - 1 AS dl FROM tok2 GROUP BY doc_id),
+stats2 AS (SELECT (SELECT count(*) FROM documents) AS N,
+                  (SELECT sum(dl) FROM dl2) * 1.0
+                  / (SELECT count(*) FROM documents) AS avgdl)
+SELECT big.doc_id,
+       round(ln(1.0 + (stats2.N - df + 0.5) / (df + 0.5)) * (1.2 + 1.0) * tf
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl2.dl / stats2.avgdl)), 4) AS score
+FROM big CROSS JOIN dfreq JOIN dl2 ON big.doc_id = dl2.doc_id CROSS JOIN stats2
+ORDER BY score DESC, big.doc_id LIMIT 10
+""")
+def search_phrase_shingle(spark, sf_dir):
+    """index_phrases fast path (TextFieldMapper.java:318-321): phrase as a
+    single bigram-shingle TERM lookup on an ngram-analyzed index — no
+    positions join at query time; BM25 over bigram stats (dl counts tokens
+    + shingles, matching the shingle filter's token stream)."""
+    key = os.path.abspath(sf_dir)
+    out = os.path.join(
+        INDEX_ROOT, hashlib.sha256(key.encode()).hexdigest()[:16]) + "_ngram"
+    corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = corpus.count()
+    idx = _load_or_build(
+        spark, corpus.select("doc_id", "text"), out,
+        IndexConfig(field="text", analyzer="standard_code_ngram",
+                    id_col="doc_id", n_parts=4, bucket_span=1 << 12), n)
+    idx.cache(spark)
+    s = Searcher(spark, idx, preload_dictionary=True)
+    bigram = "spark table"
+    stats = s.term_stats([bigram])
+    if bigram not in stats:
+        return s._empty_scores()
+    df = stats[bigram][0]
+    flat = s._flat_postings([bigram])
+    scored = flat.withColumn(
+        "score",
+        F.expr(f"ln(1.0 + ({s.N} - {df} + 0.5) / ({df} + 0.5)) "
+               f"* ({s.k1} + 1.0) * tf "
+               f"/ (tf + {s.k1} * (1.0 - {s.b} + {s.b} * dl / {s.avgdl}))"))
+    return (scored.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
 @q("search_dis_max", f"""
 WITH {O.TOK_CTES},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2

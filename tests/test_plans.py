@@ -30,7 +30,7 @@ def idx(spark, tmp_path_factory):
         spark, corpus, out,
         IndexConfig(field="content", analyzer="standard_code",
                     order_cols=("repo", "path", "commit"), n_parts=4,
-                    bucket_span=1 << 10))
+                    bucket_span=1 << 6))
 
 
 def test_postings_scan_pushes_term_filter(spark, idx):
@@ -85,3 +85,14 @@ def test_whole_stage_codegen_in_agg(spark, sf_dir):
     # the pre-execution formatted plan, so assert the aggregate shape)
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hot_term_blocks_bounded_by_bucket(spark, idx):
+    """Skew by construction: a hot term ('import' appears in most code
+    docs) must be spread across multiple (term, bucket) groups with every
+    block holding <= 128 postings — no single giant reducer."""
+    blocks = idx.postings_for_terms(spark, ["import"]).collect()
+    assert len(blocks) >= 2
+    buckets = {r["bucket"] for r in blocks}
+    assert len(buckets) >= 2, "hot term should span multiple doc buckets"
+    assert all(r["n"] <= 128 for r in blocks)
