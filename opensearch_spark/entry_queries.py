@@ -49,7 +49,9 @@ def _load_or_build(spark, corpus, out, cfg, n) -> InvertedIndex:
     if os.path.exists(meta_path):
         idx = InvertedIndex(out)
         if (idx.doc_count == n
-                and idx.meta.get("layout_version") == LAYOUT_VERSION):
+                and idx.meta.get("layout_version") == LAYOUT_VERSION
+                and idx.meta.get("analyzer") == cfg.analyzer
+                and bool(idx.meta.get("with_positions")) == cfg.with_positions):
             return idx
     return build_index(spark, corpus, out, cfg)
 
@@ -72,14 +74,14 @@ def get_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     idx_title = _load_or_build(
         spark, corpus.select("doc_id", "title"), out + "_title",
         IndexConfig(field="title", analyzer="standard", id_col="doc_id",
-                    n_parts=4, bucket_span=1 << 12), n)
-    # serving posture at test scale: pin index tables + driver-side term
-    # dictionary (documented thresholds in Searcher/InvertedIndex.cache)
+                    n_parts=4, bucket_span=1 << 12, with_positions=True), n)
+    # serving posture: pin index tables; the dictionary preload is decided
+    # automatically by vocabulary size (Searcher.PRELOAD_VOCAB_MAX) — the
+    # 100 TB default is the Spark-filter path, not a caller flag
     idx.cache(spark)
     idx_title.cache(spark)
-    s_title = Searcher(spark, idx_title, preload_dictionary=True)
-    s = Searcher(spark, idx, preload_dictionary=True,
-                 extra_fields={"title": s_title})
+    s_title = Searcher(spark, idx_title)
+    s = Searcher(spark, idx, extra_fields={"title": s_title})
     _INDEX_CACHE[key] = s
     return s
 
@@ -272,7 +274,7 @@ def search_phrase_shingle(spark, sf_dir):
         IndexConfig(field="text", analyzer="standard_code_ngram",
                     id_col="doc_id", n_parts=4, bucket_span=1 << 12), n)
     idx.cache(spark)
-    s = Searcher(spark, idx, preload_dictionary=True)
+    s = Searcher(spark, idx)
     bigram = "spark table"
     stats = s.term_stats([bigram])
     if bigram not in stats:
@@ -447,8 +449,31 @@ def search_rescore(spark, sf_dir):
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
-@q("search_more_like_this")  # rows-only: term selection not 1:1 in SQL
+@q("search_more_like_this", f"""
+WITH {O.TOK_CTES},
+liked AS (SELECT term, count(*) AS _tf FROM tok2
+          WHERE doc_id IN (0, 1) GROUP BY term),
+dfreq_all AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+cand AS (
+    SELECT l.term,
+           round(l._tf * ln(1.0 + (stats.N - d.df + 0.5) / (d.df + 0.5)), 6) AS tfidf
+    FROM liked l JOIN dfreq_all d USING (term) CROSS JOIN stats
+    WHERE l._tf >= 1 AND d.df >= 2
+),
+sel AS (SELECT term FROM cand ORDER BY tfidf DESC, term LIMIT 10),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+scored AS (SELECT tf.doc_id, sum({O.bm25_term()}) AS raw
+           FROM tf JOIN dfreq_all USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY tf.doc_id)
+SELECT doc_id, round(raw, 4) AS score FROM scored
+WHERE doc_id NOT IN (0, 1)
+ORDER BY round(raw, 4) DESC, doc_id LIMIT 10
+""")
 def search_more_like_this(spark, sf_dir):
+    """more_like_this (MoreLikeThisQueryBuilder.java): tf-idf term
+    selection over the example docs (deterministic, rounded) → OR match;
+    the DuckDB twin mirrors executor._more_like_this CTE-for-CTE."""
     s = get_searcher(spark, sf_dir)
     query = MoreLikeThis(field="text", like_ids=[0, 1], max_query_terms=10,
                          min_term_freq=1, min_doc_freq=2)
@@ -705,7 +730,7 @@ def search_lmdirichlet(spark, sf_dir):
 WITH {O.TOK_CTES},
 vocab AS (SELECT term AS suggestion, count(DISTINCT doc_id) AS df
           FROM tok2 GROUP BY term),
-inputs(term) AS (VALUES ('spagk'), ('tabel')),
+inputs(term) AS (VALUES ('spagk'), ('tabl')),
 cand AS (
     SELECT i.term, v.suggestion, levenshtein(v.suggestion, i.term) AS distance, v.df
     FROM inputs i CROSS JOIN vocab v
@@ -765,7 +790,7 @@ ranked AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ran
 relevant AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = 3),
 j AS (SELECT r.rank, CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
       FROM ranked r LEFT JOIN relevant rel USING (doc_id))
-SELECT round(sum(hit) / 10.0, 6) AS precision_at_k,
+SELECT round(sum(hit) * 1.0 / greatest(count(*), 1), 6) AS precision_at_k,
        round(sum(hit) * 1.0 / greatest((SELECT count(*) FROM relevant), 1), 6)
            AS recall_at_k,
        round(coalesce(1.0 / min(CASE WHEN hit = 1 THEN rank END), 0.0), 6) AS mrr,
@@ -2093,3 +2118,518 @@ def reindex_update_by_query(spark, sf_dir):
         F.round(F.when(F.col("event_type") == "click", F.col("value") * 2)
                 .otherwise(F.col("value")), 4).alias("value2"))
             .orderBy("event_id"))
+
+
+# --------------------------------------------------------------------------
+# round-2 operators: sloppy phrase, span algebra, intervals, multi_match
+# cross_fields/phrase, function_score functions, sort modes, suggesters,
+# nested inner_hits, new agg gates
+# --------------------------------------------------------------------------
+@q("search_phrase_slop", f"""
+WITH {O.TOK_CTES},
+{_POS_CTE},
+m0 AS (
+    SELECT a.doc_id, a.p AS p0, min(b.p) AS p1
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p > a.p AND b.term = 'table'
+    WHERE a.term = 'spark'
+    GROUP BY a.doc_id, a.p
+),
+m AS (SELECT doc_id, count(*) AS ptf FROM m0 WHERE p1 - p0 - 1 <= 2 GROUP BY doc_id),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark','table') GROUP BY term),
+idfsum AS (SELECT sum(ln(1.0 + (stats.N - df + 0.5) / (df + 0.5))) AS idf_sum
+           FROM dfreq CROSS JOIN stats)
+SELECT m.doc_id,
+       round(idf_sum * (1.2 + 1.0) * ptf
+             / (ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
+FROM m JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN idfsum
+ORDER BY score DESC, doc_id LIMIT 10
+""")
+def search_phrase_slop(spark, sf_dir):
+    """Sloppy phrase (MatchPhraseQueryBuilder.java slop param; behavior
+    pinned by rest-api-spec 200_index_phrase_search.yml): ptf counts start
+    positions whose greedy minimal ordered chain fits the slop window —
+    the oracle mirrors the greedy chain as min(b.p > a.p)."""
+    s = get_searcher(spark, sf_dir)
+    return s.search(MatchPhrase(field="text", text="spark table", slop=2),
+                    k=10, mode="exhaustive", round_scores=4)
+
+
+@q("search_span_first", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT doc_id, 1.0 AS score FROM pos
+WHERE term = 'spark' AND p + 1 <= 2 ORDER BY doc_id
+""")
+def search_span_first(spark, sf_dir):
+    """span_first (SpanFirstQueryBuilder.java): term span ending within
+    the first 2 positions."""
+    from opensearch_spark.search import SpanFirst
+
+    s = get_searcher(spark, sf_dir)
+    return s.score(SpanFirst(field="text", value="spark", end=2)).orderBy("doc_id")
+
+
+@q("search_span_or", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT doc_id, 1.0 AS score FROM pos
+WHERE term IN ('spark', 'vector') ORDER BY doc_id
+""")
+def search_span_or(spark, sf_dir):
+    """span_or (SpanOrQueryBuilder.java): position-set union."""
+    from opensearch_spark.search import SpanOr
+
+    s = get_searcher(spark, sf_dir)
+    return s.score(SpanOr(field="text", values=["spark", "vector"])).orderBy("doc_id")
+
+
+@q("search_span_not", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT a.doc_id, 1.0 AS score FROM pos a
+WHERE a.term = 'spark' AND NOT EXISTS (
+    SELECT 1 FROM pos b WHERE b.doc_id = a.doc_id AND b.term = 'table'
+    AND b.p BETWEEN a.p AND a.p + 1)
+ORDER BY a.doc_id
+""")
+def search_span_not(spark, sf_dir):
+    """span_not (SpanNotQueryBuilder.java) with post=1: 'spark' spans not
+    immediately followed by 'table'."""
+    from opensearch_spark.search import SpanNot
+
+    s = get_searcher(spark, sf_dir)
+    return s.score(SpanNot(field="text", include="spark", exclude="table",
+                           pre=0, post=1)).orderBy("doc_id")
+
+
+@q("search_span_near_multi", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT a.doc_id, 1.0 AS score
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = 'spark' AND b.term IN ('table', 'vector')
+  AND b.p > a.p AND (b.p - a.p) - 1 <= 4
+ORDER BY a.doc_id
+""")
+def search_span_near_multi(spark, sf_dir):
+    """span_near with an inlined span_or clause (alternatives): 'spark'
+    followed within slop=4 by 'table' OR 'vector'. Exercises the clause-
+    alternative path of the sorted-merge enumerator."""
+    s = get_searcher(spark, sf_dir)
+    return s.score(SpanNear(field="text",
+                            clauses=["spark", ["table", "vector"]],
+                            slop=4, in_order=True)).orderBy("doc_id")
+
+
+@q("search_intervals", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT a.doc_id, 1.0 AS score
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = 'spark' AND b.term = 'table'
+  AND b.p > a.p AND b.p - a.p - 1 <= 2
+ORDER BY a.doc_id
+""")
+def search_intervals(spark, sf_dir):
+    """intervals match rule, ordered, max_gaps=2
+    (IntervalQueryBuilder.java)."""
+    from opensearch_spark.search import Intervals
+
+    s = get_searcher(spark, sf_dir)
+    return s.score(Intervals(field="text", text="spark table",
+                             max_gaps=2, ordered=True)).orderBy("doc_id")
+
+
+@q("search_intervals_unordered", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT a.doc_id, 1.0 AS score
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = 'key' AND b.term = 'value'
+  AND a.p <> b.p AND greatest(a.p, b.p) - least(a.p, b.p) - 1 <= 1
+ORDER BY a.doc_id
+""")
+def search_intervals_unordered(spark, sf_dir):
+    """intervals match rule, unordered, max_gaps=1."""
+    from opensearch_spark.search import Intervals
+
+    s = get_searcher(spark, sf_dir)
+    return s.score(Intervals(field="text", text="key value",
+                             max_gaps=1, ordered=False)).orderBy("doc_id")
+
+
+def _cross_fields_oracle() -> str:
+    return f"""
+WITH {O.TOK_CTES},
+{_TITLE_CTES},
+tf_a AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+         WHERE term IN ('merge','spark') GROUP BY doc_id, term),
+df_a AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+         WHERE term IN ('merge','spark') GROUP BY term),
+sa AS (SELECT tf_a.doc_id, tf_a.term, {O.bm25_term(tf='tf_a.tf')} AS ts
+       FROM tf_a JOIN df_a USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+tf_b AS (SELECT doc_id, term, count(*) AS tf FROM ttok2
+         WHERE term IN ('merge','spark') GROUP BY doc_id, term),
+df_b AS (SELECT term, count(DISTINCT doc_id) AS df FROM ttok2
+         WHERE term IN ('merge','spark') GROUP BY term),
+sb AS (SELECT tf_b.doc_id, tf_b.term,
+              ln(1.0 + (tstats.N - df + 0.5) / (df + 0.5)) * (1.2 + 1.0) * tf_b.tf
+              / (tf_b.tf + 1.2 * (1.0 - 0.75 + 0.75 * tdl.dl / tstats.avgdl)) AS ts
+       FROM tf_b JOIN df_b USING (term) JOIN tdl USING (doc_id) CROSS JOIN tstats),
+u AS (SELECT * FROM sa UNION ALL SELECT * FROM sb),
+pt AS (SELECT doc_id, term, max(ts) AS mx, sum(ts) AS sm
+       FROM u GROUP BY doc_id, term),
+sc AS (SELECT doc_id, sum(mx + 0.3 * (sm - mx)) AS raw FROM pt GROUP BY doc_id)
+SELECT doc_id, round(raw, 4) AS score FROM sc
+ORDER BY round(raw, 4) DESC, doc_id LIMIT 10
+"""
+
+
+@q("search_multi_match_cross", _cross_fields_oracle())
+def search_multi_match_cross(spark, sf_dir):
+    """multi_match cross_fields (MultiMatchQueryBuilder.java:74): term-
+    centric dis_max over per-field term scores with tie_breaker, summed
+    over terms."""
+    s = get_searcher(spark, sf_dir)
+    return s.search(
+        MultiMatch(fields=["text", "title"], text="spark merge",
+                   type="cross_fields", tie_breaker=0.3),
+        k=10, mode="exhaustive", round_scores=4)
+
+
+def _mm_phrase_oracle() -> str:
+    return f"""
+WITH {O.TOK_CTES},
+{_TITLE_CTES},
+{_POS_CTE},
+ma AS (
+    SELECT a.doc_id, count(*) AS ptf
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    WHERE a.term = 'spark' AND b.term = 'table'
+    GROUP BY a.doc_id
+),
+df_a AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+         WHERE term IN ('spark','table') GROUP BY term),
+idf_a AS (SELECT CASE WHEN count(*) = 2
+                      THEN sum(ln(1.0 + (stats.N - df + 0.5) / (df + 0.5)))
+                      ELSE NULL END AS idf_sum
+          FROM df_a CROSS JOIN stats),
+sa AS (SELECT ma.doc_id,
+              idf_a.idf_sum * (1.2 + 1.0) * ptf
+              / (ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+       FROM ma JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN idf_a
+       WHERE idf_a.idf_sum IS NOT NULL),
+tpos AS (
+    SELECT doc_id,
+           unnest(list_slice(string_split_regex(trim(text), '\\s+'), 1, 8)) AS term,
+           unnest(range(len(list_slice(string_split_regex(trim(text), '\\s+'), 1, 8)))) AS p
+    FROM documents
+),
+mb AS (
+    SELECT a.doc_id, count(*) AS ptf
+    FROM tpos a JOIN tpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    WHERE a.term = 'spark' AND b.term = 'table'
+    GROUP BY a.doc_id
+),
+df_b AS (SELECT term, count(DISTINCT doc_id) AS df FROM ttok2
+         WHERE term IN ('spark','table') GROUP BY term),
+idf_b AS (SELECT CASE WHEN count(*) = 2
+                      THEN sum(ln(1.0 + (tstats.N - df + 0.5) / (df + 0.5)))
+                      ELSE NULL END AS idf_sum
+          FROM df_b CROSS JOIN tstats),
+sb AS (SELECT mb.doc_id,
+              idf_b.idf_sum * (1.2 + 1.0) * ptf
+              / (ptf + 1.2 * (1.0 - 0.75 + 0.75 * tdl.dl / tstats.avgdl)) AS s
+       FROM mb JOIN tdl USING (doc_id) CROSS JOIN tstats CROSS JOIN idf_b
+       WHERE idf_b.idf_sum IS NOT NULL)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       round(greatest(coalesce(a.s, -1e18), coalesce(b.s, -1e18)), 4) AS score
+FROM sa a FULL OUTER JOIN sb b ON a.doc_id = b.doc_id
+ORDER BY round(greatest(coalesce(a.s, -1e18), coalesce(b.s, -1e18)), 4) DESC,
+         coalesce(a.doc_id, b.doc_id) LIMIT 10
+"""
+
+
+@q("search_multi_match_phrase", _mm_phrase_oracle())
+def search_multi_match_phrase(spark, sf_dir):
+    """multi_match type=phrase (MultiMatchQueryBuilder.java:139): dis_max
+    over per-field match_phrase scores."""
+    s = get_searcher(spark, sf_dir)
+    return s.search(
+        MultiMatch(fields=["text", "title"], text="spark table", type="phrase"),
+        k=10, mode="exhaustive", round_scores=4)
+
+
+@q("search_fn_field_value", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'spark' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'spark'),
+scored AS (SELECT tf.doc_id, {O.bm25_term()} AS raw
+           FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+SELECT s.doc_id, round(s.raw * log10(0.01 * d.n_chars + 1.0), 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY round(s.raw * log10(0.01 * d.n_chars + 1.0), 4) DESC, s.doc_id LIMIT 10
+""")
+def search_fn_field_value(spark, sf_dir):
+    """function_score field_value_factor
+    (FieldValueFactorFunctionBuilder.java): log1p(0.01 * n_chars),
+    boost_mode=multiply."""
+    from opensearch_spark.search import FunctionScore, ScoreFunction
+
+    s = get_searcher(spark, sf_dir)
+    query = FunctionScore(
+        query=Match(field="text", text="spark"),
+        functions=[ScoreFunction(kind="field_value_factor", field="n_chars",
+                                 factor=0.01, modifier="log1p")],
+        boost_mode="multiply")
+    return s.search(query, k=10, mode="exhaustive", round_scores=4)
+
+
+@q("search_fn_random", """
+SELECT doc_id,
+       round(((doc_id * 48271 + 42) % 2147483647) / 2147483647.0, 4) AS score
+FROM documents
+ORDER BY round(((doc_id * 48271 + 42) % 2147483647) / 2147483647.0, 4) DESC,
+         doc_id LIMIT 10
+""")
+def search_fn_random(spark, sf_dir):
+    """function_score random_score (RandomScoreFunctionBuilder.java):
+    deterministic seeded per-doc value (MINSTD LCG on doc_id — the
+    reference hashes _seq_no with the seed, equally deterministic)."""
+    from opensearch_spark.search import FunctionScore, ScoreFunction
+
+    s = get_searcher(spark, sf_dir)
+    query = FunctionScore(
+        query=MatchAll(),
+        functions=[ScoreFunction(kind="random_score", seed=42)],
+        boost_mode="replace")
+    return s.search(query, k=10, mode="exhaustive", round_scores=4)
+
+
+_GAUSS_2SIGMA2 = 2.0 * (-(150.0 ** 2) / (2.0 * __import__("math").log(0.5)))
+
+
+@q("search_fn_decay", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'table' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'table'),
+scored AS (SELECT tf.doc_id, {O.bm25_term()} AS raw
+           FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+SELECT s.doc_id,
+       round(s.raw * exp(-(greatest(abs(d.n_chars - 300.0), 0.0)
+                           * greatest(abs(d.n_chars - 300.0), 0.0))
+                         / {_GAUSS_2SIGMA2!r}), 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY round(s.raw * exp(-(greatest(abs(d.n_chars - 300.0), 0.0)
+                             * greatest(abs(d.n_chars - 300.0), 0.0))
+                           / {_GAUSS_2SIGMA2!r}), 4) DESC, s.doc_id LIMIT 10
+""")
+def search_fn_decay(spark, sf_dir):
+    """function_score gauss decay (DecayFunctionBuilder.java): origin=300,
+    scale=150, decay=0.5 over n_chars, boost_mode=multiply."""
+    from opensearch_spark.search import FunctionScore, ScoreFunction
+
+    s = get_searcher(spark, sf_dir)
+    query = FunctionScore(
+        query=Match(field="text", text="table"),
+        functions=[ScoreFunction(kind="gauss", field="n_chars",
+                                 origin=300.0, scale=150.0, decay=0.5)],
+        boost_mode="multiply")
+    return s.search(query, k=10, mode="exhaustive", round_scores=4)
+
+
+@q("search_sort_missing", """
+SELECT doc_id, nullif(lang, 'en') AS lang_key FROM documents
+ORDER BY lang_key ASC NULLS LAST, doc_id LIMIT 20
+""")
+def search_sort_missing(spark, sf_dir):
+    """Field sort with missing-value placement (FieldSortBuilder.java
+    ``missing`` param): docs with a null key sort last (_last)."""
+    d = _docs(spark, sf_dir)
+    return (d.select("doc_id", F.expr("nullif(lang, 'en')").alias("lang_key"))
+            .orderBy(F.col("lang_key").asc_nulls_last(), F.asc("doc_id"))
+            .limit(20))
+
+
+@q("search_sort_multivalue", """
+SELECT doc_id,
+       round(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                     t -> length(t))) * 1.0
+             / len(string_split_regex(trim(text), '\\s+')), 4) AS sort_key
+FROM documents
+ORDER BY sort_key DESC, doc_id LIMIT 10
+""")
+def search_sort_multivalue(spark, sf_dir):
+    """Multi-value sort mode (search/MultiValueMode.java, mode=avg): sort
+    docs by the average over a multi-valued field (token lengths)."""
+    d = _docs(spark, sf_dir)
+    key = F.expr(
+        "round(aggregate(transform(split(trim(text), '\\\\s+'), t -> length(t)), "
+        "0L, (a, t) -> a + t) * 1.0 / size(split(trim(text), '\\\\s+')), 4)")
+    return (d.select("doc_id", key.alias("sort_key"))
+            .orderBy(F.desc("sort_key"), F.asc("doc_id")).limit(10))
+
+
+@q("search_suggest_phrase", f"""
+WITH {O.TOK_CTES},
+{_POS_CTE},
+voc AS (SELECT term, count(*) AS cf FROM tok2 GROUP BY term),
+vt AS (SELECT (SELECT count(*) FROM voc) AS V, (SELECT sum(cf) FROM voc) AS T),
+c1 AS (SELECT term AS t1, cf AS t1_cf FROM voc
+       WHERE levenshtein(term, 'sparc') <= 1
+       QUALIFY row_number() OVER (
+           ORDER BY levenshtein(term, 'sparc') ASC, cf DESC, term ASC) <= 5),
+c2 AS (SELECT term AS t2 FROM voc
+       WHERE levenshtein(term, 'tabl') <= 1
+       QUALIFY row_number() OVER (
+           ORDER BY levenshtein(term, 'tabl') ASC, cf DESC, term ASC) <= 5),
+big AS (SELECT a.term AS t1, b.term AS t2, count(*) AS bc
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        WHERE a.term IN (SELECT t1 FROM c1) AND b.term IN (SELECT t2 FROM c2)
+        GROUP BY a.term, b.term),
+pairs AS (SELECT c1.t1, c1.t1_cf, c2.t2, coalesce(big.bc, 0) AS bc
+          FROM c1 CROSS JOIN c2
+          LEFT JOIN big ON big.t1 = c1.t1 AND big.t2 = c2.t2),
+scored AS (SELECT t1 || ' ' || t2 AS suggestion,
+                  round(ln((t1_cf + 1.0) / (T + V))
+                        + ln((bc + 1.0) / (t1_cf + V)), 6) AS score
+           FROM pairs CROSS JOIN vt)
+SELECT suggestion, score,
+       CAST(row_number() OVER (ORDER BY score DESC, suggestion) AS INT) AS rank
+FROM scored QUALIFY rank <= 3 ORDER BY rank
+""")
+def search_suggest_phrase(spark, sf_dir):
+    """Phrase suggester (search/suggest/phrase/): per-token candidates +
+    Laplace bigram LM over the corpus."""
+    from opensearch_spark.search import phrase_suggest
+
+    s = get_searcher(spark, sf_dir)
+    return phrase_suggest(s, "sparc tabl", size=3, max_edits=1,
+                          num_candidates=5).orderBy("rank")
+
+
+@q("search_nested_inner_hits", f"""
+WITH {_POS_CTE},
+h AS (SELECT doc_id, p,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) AS INT)
+                 AS inner_rank
+      FROM pos WHERE term = 'spark')
+SELECT doc_id, inner_rank, p FROM h WHERE inner_rank <= 3
+ORDER BY doc_id, inner_rank
+""")
+def search_nested_inner_hits(spark, sf_dir):
+    """nested query inner_hits (NestedQueryBuilder.java): parents whose
+    nested token stream matches, returning the top-3 matching nested hits
+    (positions) per parent — the query-side inner_hits projection."""
+    s = get_searcher(spark, sf_dir)
+    pos = s.index.positions(spark)
+    hits = (pos.where(F.col("term") == "spark")
+            .select("doc_id", F.explode("positions").alias("p")))
+    w = W.partitionBy("doc_id").orderBy("p")
+    return (hits.withColumn("inner_rank", F.row_number().over(w).cast("int"))
+            .where(F.col("inner_rank") <= 3)
+            .select("doc_id", "inner_rank", "p")
+            .orderBy("doc_id", "inner_rank"))
+
+
+@q("agg_percentile_ranks", """
+SELECT o_orderpriority,
+       round(100.0 * count(CASE WHEN o_totalprice <= 150000 THEN 1 END)
+             / count(*), 4) AS rank_150k,
+       round(100.0 * count(CASE WHEN o_totalprice <= 300000 THEN 1 END)
+             / count(*), 4) AS rank_300k
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def agg_percentile_ranks(spark, sf_dir):
+    """percentile_ranks (AbstractTDigestPercentilesAggregator.java): exact
+    fraction of values <= x, per bucket (the reference's t-digest is the
+    approximate scale path)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.round(100.0 * F.count(F.when(F.col("o_totalprice") <= 150000, 1))
+                         / F.count("*"), 4).alias("rank_150k"),
+                 F.round(100.0 * F.count(F.when(F.col("o_totalprice") <= 300000, 1))
+                         / F.count("*"), 4).alias("rank_300k"))
+            .orderBy("o_orderpriority"))
+
+
+@q("agg_extended_stats_bucket", """
+WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                      count(*) AS doc_count
+               FROM events GROUP BY day)
+SELECT count(*) AS n_buckets,
+       min(doc_count) AS min_count, max(doc_count) AS max_count,
+       sum(doc_count) AS sum_count,
+       round(avg(doc_count * 1.0), 4) AS avg_count,
+       round((sum(doc_count * doc_count)
+              - sum(doc_count) * 1.0 * sum(doc_count) / count(*))
+             / count(*), 4) AS variance_pop
+FROM daily
+""")
+def agg_extended_stats_bucket(spark, sf_dir):
+    """extended_stats_bucket pipeline agg: second-level extended stats over
+    the bucket frame (variance from exact integer sums)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                        .alias("day")).agg(F.count("*").alias("doc_count")))
+    n = F.count("*")
+    s1 = F.sum("doc_count")
+    s2 = F.sum(F.col("doc_count") * F.col("doc_count"))
+    return daily.agg(
+        n.alias("n_buckets"),
+        F.min("doc_count").alias("min_count"),
+        F.max("doc_count").alias("max_count"),
+        s1.alias("sum_count"),
+        F.round(F.avg(F.col("doc_count") * 1.0), 4).alias("avg_count"),
+        F.round((s2 - s1 * 1.0 * s1 / n) / n, 4).alias("variance_pop"))
+
+
+@q("agg_cardinality_approx", """
+SELECT count(DISTINCT user_id) AS exact_uniques, true AS approx_ok FROM events
+""")
+def agg_cardinality_approx(spark, sf_dir):
+    """cardinality via HLL++ (HyperLogLogPlusPlus.java:66-79 ≈ Spark
+    approx_count_distinct, same sketch family): the gate certifies the
+    sketch lands within 5% of exact (precision_threshold→rsd=0.02) —
+    value-equality across different HLL hash seeds is meaningless, the
+    bound is the contract."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.countDistinct("user_id").alias("exact_uniques"),
+        F.approx_count_distinct("user_id", 0.02).alias("_approx"))
+    return agg.select(
+        "exact_uniques",
+        (F.abs(F.col("_approx") - F.col("exact_uniques"))
+         <= 0.05 * F.col("exact_uniques")).alias("approx_ok"))
+
+
+# --------------------------------------------------------------------------
+# driver-window rotation: the driver's CORRECTNESS gate verifies the first
+# ~50 queries() entries each round. Gates with a green row in
+# CORRECTNESS_r01.json are rotated to the back so every unverified gate
+# reaches the window across rounds (VERDICT r1 item 1).
+# --------------------------------------------------------------------------
+_DRIVER_VERIFIED_R1 = frozenset({
+    "search_match_or", "search_match_and", "search_match_msm", "search_bool",
+    "search_term_keyword", "search_range_keyword", "search_prefix",
+    "search_wildcard", "search_fuzzy", "search_phrase",
+    "search_phrase_shingle", "search_dis_max", "search_boosting",
+    "search_constant_score", "search_function_score", "search_terms_set",
+    "search_collapse", "search_after", "search_rescore", "search_match_all",
+    "search_terms_keyword", "search_ids", "search_exists", "search_regexp",
+    "search_multi_match_best", "search_multi_match_most",
+    "search_match_phrase_prefix", "search_match_bool_prefix",
+    "search_span_near", "search_span_near_unordered", "search_query_string",
+    "search_lmdirichlet", "search_suggest_term", "search_highlight",
+    "search_rank_eval", "search_sort_field", "search_fetch", "search_explain",
+    "search_slice", "search_lm_jelinek_mercer", "search_count",
+    "search_msearch", "search_terms_enum", "search_script_filter",
+    "search_script_sort", "search_matched_queries", "search_min_score",
+    "search_wrapper", "search_derived_field",
+})
+
+
+def _rotate_verified_to_back() -> None:
+    global QUERIES, ORACLES
+    order = ([k for k in QUERIES if k not in _DRIVER_VERIFIED_R1]
+             + [k for k in QUERIES if k in _DRIVER_VERIFIED_R1])
+    QUERIES = {k: QUERIES[k] for k in order}
+    ORACLES = {k: ORACLES[k] for k in order if k in ORACLES}
+
+
+_rotate_verified_to_back()

@@ -13,9 +13,14 @@ from opensearch_spark.search.queries import (  # noqa: F401
     MatchNone,
     MatchPhrase,
     MatchPhrasePrefix,
+    Intervals,
     MoreLikeThis,
     MultiMatch,
+    ScoreFunction,
+    SpanFirst,
     SpanNear,
+    SpanNot,
+    SpanOr,
     Prefix,
     Query,
     Range,
@@ -28,7 +33,7 @@ from opensearch_spark.search.queries import (  # noqa: F401
 )
 from opensearch_spark.search.executor import Searcher  # noqa: F401
 from opensearch_spark.search.query_string import parse_query_string  # noqa: F401
-from opensearch_spark.search.suggest import term_suggest  # noqa: F401
+from opensearch_spark.search.suggest import phrase_suggest, term_suggest  # noqa: F401
 from opensearch_spark.search.highlight import (  # noqa: F401
     highlight_field,
     highlight_fragments,

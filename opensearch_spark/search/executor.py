@@ -57,8 +57,13 @@ def _levenshtein_leq(a: str, b: str, limit: int) -> bool:
 
 
 class Searcher:
+    #: max vocabulary size for the driver-side dictionary fast path; above
+    #: it the Spark-filter path is used automatically — the 100 TB default
+    #: is decided by the data, not a caller flag
+    PRELOAD_VOCAB_MAX = 2_000_000
+
     def __init__(self, spark: SparkSession, index: InvertedIndex,
-                 preload_dictionary: bool = False,
+                 preload_dictionary: bool | str = "auto",
                  extra_fields: dict[str, "Searcher"] | None = None):
         self.spark = spark
         self.index = index
@@ -74,9 +79,11 @@ class Searcher:
         self.extra_fields = dict(extra_fields or {})
         self._dict_pd: pd.DataFrame | None = None
         self._part_cache: dict[str, int] = {}
+        if preload_dictionary == "auto":
+            # metadata-only row count (parquet footers) decides the posture
+            preload_dictionary = (
+                index.dictionary(spark).count() <= self.PRELOAD_VOCAB_MAX)
         if preload_dictionary:
-            # driver-side term→df map; fine up to ~10M terms. At larger
-            # vocabularies keep the Spark-filter path (default).
             self._dict_pd = (
                 index.dictionary(spark).toPandas().set_index("term")
             )
@@ -124,6 +131,12 @@ class Searcher:
             .collect()
         )
         return {r["term"]: int(r["df"]) for r in rows}
+
+    def _require_positions(self, op: str) -> None:
+        if not self.index.meta.get("with_positions"):
+            raise ValueError(
+                f"index at {self.index.path!r} was built without positions "
+                f"(IndexConfig.with_positions=False); {op} unavailable")
 
     # ---------- posting scans ----------
     def _blocks_for_terms(self, terms: list[str]) -> DataFrame:
@@ -274,48 +287,54 @@ class Searcher:
         return self.score(q).select("doc_id")
 
     # ---------- term expansion (multi-term queries) ----------
+    #: engine-wide bound on multi-term expansion (Lucene MultiTermQuery
+    #: rewrite analog): never collect an unbounded term list to the driver
+    #: — `wildcard: *e*` over a 10^8-term vocabulary must not OOM. Terms
+    #: are kept by df desc (the expansions matching the most docs), ties
+    #: by term asc, with the LIMIT inside the Spark plan.
+    DEFAULT_MAX_EXPANSIONS = 1024
+
     def expand_terms(self, q) -> list[str]:
         """prefix/wildcard/regexp/fuzzy → concrete term set via the
         dictionary (the reference's FST/automaton walk becomes a pruned
-        dictionary scan)."""
+        dictionary scan), bounded by max_expansions."""
+        cap = int(getattr(q, "max_expansions", None) or self.DEFAULT_MAX_EXPANSIONS)
         if self._dict_pd is not None:
-            return self._expand_terms_local(q)
+            return self._expand_terms_local(q, cap)
         d = self.index.dictionary(self.spark)
         if isinstance(q, Q.Prefix):
-            rows = d.where(F.col("term").startswith(q.value)).select("term").collect()
+            d = d.where(F.col("term").startswith(q.value))
         elif isinstance(q, Q.Wildcard):
             pat = "^" + re.escape(q.value).replace("\\*", ".*").replace("\\?", ".") + "$"
-            rows = d.where(F.col("term").rlike(pat)).select("term").collect()
+            d = d.where(F.col("term").rlike(pat))
         elif isinstance(q, Q.Regexp):
-            rows = d.where(F.col("term").rlike("^(" + q.value + ")$")).select("term").collect()
+            d = d.where(F.col("term").rlike("^(" + q.value + ")$"))
         elif isinstance(q, Q.Fuzzy):
             v = q.value
             if q.fuzziness is None:  # AUTO (libs/core Fuzziness): 0-2,3-5,6+ → 0,1,2
                 fz = 0 if len(v) <= 2 else (1 if len(v) <= 5 else 2)
             else:
                 fz = q.fuzziness
-            lo, hi = len(v) - fz, len(v) + fz
-            rows = (
-                d.where(F.length("term").between(lo, hi))
-                .where(F.levenshtein(F.col("term"), F.lit(v)) <= fz)
-                .select("term").collect()
-            )
+            d = (d.where(F.length("term").between(len(v) - fz, len(v) + fz))
+                 .where(F.levenshtein(F.col("term"), F.lit(v)) <= fz))
         else:
             raise TypeError(type(q))
+        rows = (d.orderBy(F.desc("df"), F.asc("term")).limit(cap)
+                .select("term").collect())
         return sorted(r["term"] for r in rows)
 
-    def _expand_terms_local(self, q) -> list[str]:
+    def _expand_terms_local(self, q, cap: int) -> list[str]:
         """Driver-side expansion over the preloaded dictionary (the small-
         vocabulary fast path; the Spark scan above is the scale path)."""
         vocab = self._dict_pd.index
         if isinstance(q, Q.Prefix):
-            hits = vocab[vocab.str.startswith(q.value)]
+            hits = list(vocab[vocab.str.startswith(q.value)])
         elif isinstance(q, Q.Wildcard):
             pat = "^" + re.escape(q.value).replace("\\*", ".*").replace("\\?", ".") + "$"
-            hits = vocab[vocab.str.match(pat)]
+            hits = list(vocab[vocab.str.match(pat)])
         elif isinstance(q, Q.Regexp):
             pat = "^(" + q.value + ")$"
-            hits = vocab[vocab.str.match(pat)]
+            hits = list(vocab[vocab.str.match(pat)])
         elif isinstance(q, Q.Fuzzy):
             v = q.value
             if q.fuzziness is None:  # AUTO (libs/core Fuzziness)
@@ -327,6 +346,9 @@ class Searcher:
             hits = [t for t in cand if _levenshtein_leq(t, v, fz)]
         else:
             raise TypeError(type(q))
+        if len(hits) > cap:  # top-N by df desc, term asc (same rule as Spark path)
+            dfs = self._dict_pd.loc[hits, "df"]
+            hits = sorted(hits, key=lambda t: (-int(dfs[t]), t))[:cap]
         return sorted(hits)
 
     # ---------- scoring dispatch ----------
@@ -347,20 +369,21 @@ class Searcher:
                 return self.score(Q.Term(field=q.field, value=q.text, boost=q.boost))
             return self._match_exhaustive(q)
         if isinstance(q, Q.MultiMatch):
-            frames = [
-                self._searcher_for(f)._match_exhaustive(
-                    Q.Match(field=f, text=q.text, boost=q.boost))
-                for f in q.fields
-            ]
-            if q.type == "most_fields":
-                return self._sum_union(frames)
-            return self._dismax_union(frames, q.tie_breaker)
+            return self._multi_match(q)
         if isinstance(q, Q.MatchPhrasePrefix):
             return self._phrase_prefix(q)
         if isinstance(q, Q.MatchBoolPrefix):
             return self._bool_prefix(q)
         if isinstance(q, Q.SpanNear):
             return self._span_near(q)
+        if isinstance(q, Q.SpanFirst):
+            return self._span_first(q)
+        if isinstance(q, Q.SpanOr):
+            return self._span_or(q)
+        if isinstance(q, Q.SpanNot):
+            return self._span_not(q)
+        if isinstance(q, Q.Intervals):
+            return self._intervals(q)
         if isinstance(q, Q.Term) and q.field == self.field:
             return self._match_exhaustive(
                 Q.Match(field=q.field, text=q.value, boost=q.boost))
@@ -402,13 +425,7 @@ class Searcher:
                 .select("doc_id", "score")
             )
         if isinstance(q, Q.FunctionScore):
-            sub = self.score(q.query)
-            new = F.expr(q.script)
-            if q.boost_mode == "multiply":
-                new = F.col("score") * new
-            elif q.boost_mode == "sum":
-                new = F.col("score") + new
-            return sub.withColumn("score", new.cast("double")).select("doc_id", "score")
+            return self._function_score(q)
         if isinstance(q, Q.MoreLikeThis):
             return self._more_like_this(q)
         if isinstance(q, (Q.Term, Q.Terms, Q.Range, Q.Exists, Q.Ids)):
@@ -416,6 +433,176 @@ class Searcher:
             return self.matching_docs(q).select(
                 "doc_id", F.lit(float(q.boost)).alias("score"))
         raise TypeError(f"unsupported query: {type(q)}")
+
+    # ---------- function_score ----------
+    # deterministic random_score: MINSTD LCG on doc_id so the DuckDB
+    # oracle reproduces it exactly (the reference hashes _seq_no + seed,
+    # RandomScoreFunctionBuilder.java — equally deterministic per doc)
+    _RND_MOD = 2147483647
+    _RND_MUL = 48271
+
+    def _score_function_col(self, fn: Q.ScoreFunction) -> F.Column:
+        if fn.kind == "script":
+            out = F.expr(fn.script)
+        elif fn.kind == "field_value_factor":
+            v = (F.coalesce(F.col(fn.field).cast("double"),
+                            F.lit(float(fn.missing))) * F.lit(float(fn.factor)))
+            m = fn.modifier
+            if m in ("none", None):
+                out = v
+            elif m == "log1p":
+                out = F.log10(v + F.lit(1.0))
+            elif m == "ln1p":
+                out = F.log(v + F.lit(1.0))
+            elif m == "sqrt":
+                out = F.sqrt(v)
+            elif m == "square":
+                out = v * v
+            elif m == "reciprocal":
+                out = F.lit(1.0) / v
+            else:
+                raise ValueError(f"unsupported modifier {m!r}")
+        elif fn.kind == "random_score":
+            r = F.pmod(F.col("doc_id") * F.lit(self._RND_MUL) + F.lit(int(fn.seed)),
+                       F.lit(self._RND_MOD))
+            out = r.cast("double") / F.lit(float(self._RND_MOD))
+        elif fn.kind in ("gauss", "linear", "exp"):
+            import math
+
+            dist = F.greatest(
+                F.abs(F.col(fn.field).cast("double") - F.lit(float(fn.origin)))
+                - F.lit(float(fn.offset)), F.lit(0.0))
+            if fn.kind == "gauss":
+                sigma2 = -(fn.scale ** 2) / (2.0 * math.log(fn.decay))
+                out = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+            elif fn.kind == "exp":
+                lam = math.log(fn.decay) / fn.scale
+                out = F.exp(F.lit(lam) * dist)
+            else:  # linear
+                s = fn.scale / (1.0 - fn.decay)
+                out = F.greatest((F.lit(s) - dist) / F.lit(s), F.lit(0.0))
+        else:
+            raise ValueError(f"unsupported function kind {fn.kind!r}")
+        return (out * F.lit(float(fn.weight))).cast("double")
+
+    def _function_score(self, q: Q.FunctionScore) -> DataFrame:
+        """function_score (FunctionScoreQueryBuilder.java): combine the
+        function values by score_mode, apply to the query score by
+        boost_mode. Field-based functions broadcast-join only the needed
+        doc columns onto the (already small) scored frame."""
+        sub = self.score(q.query)
+        if not q.functions:
+            new = F.expr(q.script)
+            if q.boost_mode == "multiply":
+                new = F.col("score") * new
+            elif q.boost_mode == "sum":
+                new = F.col("score") + new
+            return sub.withColumn("score", new.cast("double")) \
+                      .select("doc_id", "score")
+        fields = sorted({fn.field for fn in q.functions if fn.field})
+        frame = sub
+        if fields:
+            docs = self.index.docs(self.spark).select("doc_id", *fields)
+            frame = sub.join(docs, "doc_id")
+        cols = [self._score_function_col(fn) for fn in q.functions]
+        if q.score_mode == "multiply":
+            combined = reduce(lambda a, b: a * b, cols)
+        elif q.score_mode == "sum":
+            combined = reduce(lambda a, b: a + b, cols)
+        elif q.score_mode == "avg":
+            combined = reduce(lambda a, b: a + b, cols) / F.lit(float(len(cols)))
+        elif q.score_mode == "max":
+            combined = F.greatest(*cols) if len(cols) > 1 else cols[0]
+        elif q.score_mode == "min":
+            combined = F.least(*cols) if len(cols) > 1 else cols[0]
+        else:
+            raise ValueError(f"unsupported score_mode {q.score_mode!r}")
+        sc = F.col("score")
+        bm = q.boost_mode
+        if bm == "replace":
+            new = combined
+        elif bm == "multiply":
+            new = sc * combined
+        elif bm == "sum":
+            new = sc + combined
+        elif bm == "avg":
+            new = (sc + combined) / F.lit(2.0)
+        elif bm == "max":
+            new = F.greatest(sc, combined)
+        elif bm == "min":
+            new = F.least(sc, combined)
+        else:
+            raise ValueError(f"unsupported boost_mode {bm!r}")
+        return frame.select(
+            "doc_id", (new.cast("double") * F.lit(float(q.boost))).alias("score"))
+
+    # ---------- multi_match ----------
+    def _multi_match(self, q: Q.MultiMatch) -> DataFrame:
+        """multi_match type dispatch (MultiMatchQueryBuilder.java:130-151):
+        field-centric types combine whole-field match scores; cross_fields
+        is term-centric (see ``_cross_fields``)."""
+        if q.type == "cross_fields":
+            return self._cross_fields(q)
+        per_field: list[DataFrame] = []
+        for f in q.fields:
+            s = self._searcher_for(f)
+            if q.type in ("best_fields", "most_fields"):
+                sub = s._match_exhaustive(Q.Match(field=f, text=q.text, boost=q.boost))
+            elif q.type == "phrase":
+                sub = s.score(Q.MatchPhrase(field=f, text=q.text, slop=q.slop,
+                                            boost=q.boost))
+            elif q.type == "phrase_prefix":
+                sub = s._phrase_prefix(Q.MatchPhrasePrefix(field=f, text=q.text,
+                                                           boost=q.boost))
+            elif q.type == "bool_prefix":
+                sub = s._bool_prefix(Q.MatchBoolPrefix(field=f, text=q.text,
+                                                       boost=q.boost))
+            else:
+                raise ValueError(f"unsupported multi_match type {q.type!r}")
+            per_field.append(sub)
+        if q.type == "most_fields":
+            return self._sum_union(per_field)
+        return self._dismax_union(per_field, q.tie_breaker)
+
+    def _term_scores(self, terms: list[str], boost: float = 1.0) -> DataFrame:
+        """(doc_id, term, tscore) per matching posting — the per-term BM25
+        building block shared by match and cross_fields."""
+        dfs = self.term_dfs(terms)
+        live = [t for t in dict.fromkeys(terms) if t in dfs]
+        if not live:
+            return self.spark.createDataFrame(
+                [], "doc_id long, term string, tscore double")
+        flat = self._flat_postings(live)
+        stats = self.spark.createDataFrame(
+            [(t, dfs[t]) for t in live], "term string, df long")
+        return flat.join(F.broadcast(stats), "term").select(
+            "doc_id", "term",
+            F.expr(
+                f"{boost} * ln(1.0 + ({self.N} - df + 0.5) / (df + 0.5)) "
+                f"* ({self.k1} + 1.0) * tf "
+                f"/ (tf + {self.k1} * (1.0 - {self.b} + {self.b} * dl / {self.avgdl}))"
+            ).alias("tscore"))
+
+    def _cross_fields(self, q: Q.MultiMatch) -> DataFrame:
+        """cross_fields (MultiMatchQueryBuilder.java:74): term-centric —
+        per analyzed term, dis_max over the per-field term scores (with
+        tie_breaker), then summed over terms. Each field keeps its own
+        statistics (documented simplification of the reference's blended
+        df; score-level blending instead of stat-level)."""
+        frames = []
+        for f in q.fields:
+            s = self._searcher_for(f)
+            terms = s.analyze(q.text)
+            frames.append(s._term_scores(terms, q.boost))
+        u = reduce(DataFrame.unionByName, frames)
+        per_term = u.groupBy("doc_id", "term").agg(
+            F.max("tscore").alias("_mx"), F.sum("tscore").alias("_sm"))
+        tie = float(q.tie_breaker)
+        blended = per_term.select(
+            "doc_id",
+            (F.col("_mx") + F.lit(tie) * (F.col("_sm") - F.col("_mx")))
+            .alias("_ts"))
+        return blended.groupBy("doc_id").agg(F.sum("_ts").alias("score"))
 
     # ---------- composition helpers ----------
     def _sum_union(self, frames: list[DataFrame]) -> DataFrame:
@@ -492,6 +679,9 @@ class Searcher:
         terms = self.analyze(q.text)
         if not terms:
             return self._empty_scores()
+        if q.slop:
+            return self._phrase_sloppy(q, terms)
+        self._require_positions("match_phrase")
         pos = self.index.positions(self.spark)
         parts = None
         frames = []
@@ -519,7 +709,7 @@ class Searcher:
             .withColumn(
                 "score",
                 F.expr(
-                    f"{q.boost} * {idf_sum!r} * ({self.k1} + 1.0) * ptf "
+                    f"{q.boost} * CAST({idf_sum!r} AS DOUBLE) * ({self.k1} + 1.0) * ptf "
                     f"/ (ptf + {self.k1} * (1.0 - {self.b} + {self.b} * dl / {self.avgdl}))"
                 ),
             )
@@ -535,7 +725,8 @@ class Searcher:
         if not terms:
             return self._empty_scores()
         fixed, last = terms[:-1], terms[-1]
-        exps = self.expand_terms(Q.Prefix(field=q.field, value=last))[: q.max_expansions]
+        exps = self.expand_terms(
+            Q.Prefix(field=q.field, value=last, max_expansions=q.max_expansions))
         if not exps:
             return self._empty_scores()
         pos = self.index.positions(self.spark)
@@ -560,7 +751,7 @@ class Searcher:
         dl = self.index.docs(self.spark).select("doc_id", "dl")
         return (ptf.join(dl, "doc_id").withColumn(
             "score",
-            F.expr(f"{q.boost} * {idf_sum!r} * ({self.k1} + 1.0) * ptf "
+            F.expr(f"{q.boost} * CAST({idf_sum!r} AS DOUBLE) * ({self.k1} + 1.0) * ptf "
                    f"/ (ptf + {self.k1} * (1.0 - {self.b} + {self.b} * dl / {self.avgdl}))"),
         ).select("doc_id", "score"))
 
@@ -580,34 +771,99 @@ class Searcher:
         return self._sum_union(frames)
 
     def _span_near(self, q: Q.SpanNear) -> DataFrame:
-        """span_near over term clauses via the positions table; constant
-        score (filter-context operator, see SpanNear docstring)."""
-        n = len(q.clauses)
-        if n == 0:
+        """span_near via the per-doc sorted-merge enumerator (``spans.py``)
+        — replaces the round-1 position cartesian (p^n blow-up on hot term
+        × long doc). Constant score (filter-context operator)."""
+        from opensearch_spark.search.spans import span_match_counts
+
+        if not q.clauses:
             return self._empty_scores()
+        m = span_match_counts(self, q.clauses, q.slop, q.in_order)
+        return m.select("doc_id", F.lit(float(q.boost)).alias("score"))
+
+    def _span_first(self, q: Q.SpanFirst) -> DataFrame:
+        """span_first: wrapped term span must end within the first ``end``
+        positions (span end exclusive: position + 1 <= end)."""
+        self._require_positions("span_first")
         pos = self.index.positions(self.spark)
-        frames = []
-        for i, t in enumerate(q.clauses):
-            frames.append(pos.where(F.col("term") == t)
-                          .select("doc_id", F.explode("positions").alias(f"_p{i}")))
-        j = frames[0]
-        for i in range(1, n):
-            j = j.join(frames[i], "doc_id", "inner")
-        conds = []
-        if q.in_order:
-            for i in range(1, n):
-                conds.append(F.col(f"_p{i}") > F.col(f"_p{i-1}"))
-        else:
-            for i in range(n):
-                for k2 in range(i + 1, n):
-                    conds.append(F.col(f"_p{i}") != F.col(f"_p{k2}"))
-        ps = [F.col(f"_p{i}") for i in range(n)]
-        span = (F.greatest(*ps) if n > 1 else ps[0]) - (F.least(*ps) if n > 1 else ps[0])
-        conds.append(span - F.lit(n - 1) <= F.lit(q.slop))
-        for c in conds:
-            j = j.where(c)
-        return j.select("doc_id").distinct().select(
-            "doc_id", F.lit(float(q.boost)).alias("score"))
+        hits = (pos.where(F.col("term") == q.value)
+                .where(F.exists("positions", lambda p: p + 1 <= F.lit(q.end)))
+                .select("doc_id").distinct())
+        return hits.select("doc_id", F.lit(float(q.boost)).alias("score"))
+
+    def _span_or(self, q: Q.SpanOr) -> DataFrame:
+        """span_or: position-set union over clauses → docs with any."""
+        self._require_positions("span_or")
+        pos = self.index.positions(self.spark)
+        hits = pos.where(F.col("term").isin(list(q.values))) \
+                  .select("doc_id").distinct()
+        return hits.select("doc_id", F.lit(float(q.boost)).alias("score"))
+
+    def _span_not(self, q: Q.SpanNot) -> DataFrame:
+        """span_not: include-term positions with no exclude-term position
+        in [p - pre, p + post]. The window is expanded on the exclude side
+        into (doc_id, banned_position) rows — a bounded explode of
+        pre+post+1 offsets — so the rejection is an equi anti-join, never
+        a position cartesian."""
+        self._require_positions("span_not")
+        pos = self.index.positions(self.spark)
+        inc = (pos.where(F.col("term") == q.include)
+               .select("doc_id", F.explode("positions").alias("p")))
+        # exclude position pe bans include positions p in [pe-post, pe+pre]
+        deltas = list(range(-int(q.post), int(q.pre) + 1))
+        exc = (pos.where(F.col("term") == q.exclude)
+               .select("doc_id", F.explode("positions").alias("pe"))
+               .select("doc_id", F.explode(
+                   F.array(*[F.col("pe") + F.lit(d) for d in deltas])).alias("p"))
+               .distinct())
+        keep = inc.join(exc, ["doc_id", "p"], "left_anti") \
+                  .select("doc_id").distinct()
+        return keep.select("doc_id", F.lit(float(q.boost)).alias("score"))
+
+    def _intervals(self, q: Q.Intervals) -> DataFrame:
+        """intervals ``match`` rule: max_gaps total extra positions,
+        optional order — the same enumerator as span_near (Lucene's
+        interval algebra and sloppy spans share the minimal-window core)."""
+        from opensearch_spark.search.spans import span_match_counts
+
+        terms = self.analyze(q.text)
+        if not terms:
+            return self._empty_scores()
+        slop = q.max_gaps if q.max_gaps >= 0 else (1 << 30)
+        m = span_match_counts(self, terms, slop, q.ordered)
+        return m.select("doc_id", F.lit(float(q.boost)).alias("score"))
+
+    def _phrase_sloppy(self, q: Q.MatchPhrase, terms: list[str]) -> DataFrame:
+        """Sloppy phrase (MatchPhraseQueryBuilder slop>0): ptf = number of
+        start positions whose greedy minimal ordered chain fits the slop
+        window (deterministic, SQL-expressible twin; the reference's
+        sloppy-freq 1/(1+distance) weighting is a documented tolerance —
+        our ptf weights every in-window match 1). BM25 over ptf with
+        idf summed over terms, like the exact-phrase path."""
+        from opensearch_spark.search.spans import span_match_counts
+
+        self._require_positions("match_phrase(slop)")
+        dfs = self.term_dfs(terms)
+        if len(dfs) < len(set(terms)):
+            return self._empty_scores()
+        m = span_match_counts(self, terms, q.slop, True) \
+            .withColumnRenamed("n_matches", "ptf")
+        idf_sum = float(
+            sum(np.log(1.0 + (self.N - d + 0.5) / (d + 0.5)) for d in
+                (dfs[t] for t in terms))
+        )
+        dl = self.index.docs(self.spark).select("doc_id", "dl")
+        return (
+            m.join(dl, "doc_id")
+            .withColumn(
+                "score",
+                F.expr(
+                    f"{q.boost} * CAST({idf_sum!r} AS DOUBLE) * ({self.k1} + 1.0) * ptf "
+                    f"/ (ptf + {self.k1} * (1.0 - {self.b} + {self.b} * dl / {self.avgdl}))"
+                ),
+            )
+            .select("doc_id", "score")
+        )
 
     # ---------- alternative similarity: LMDirichlet ----------
     def score_lm_dirichlet(self, q: Q.Match, mu: float = 2000.0) -> DataFrame:
@@ -707,8 +963,10 @@ class Searcher:
             .where(F.col("df") >= q.min_doc_freq)
             .withColumn(
                 "_tfidf",
-                F.col("_tf") * F.log(
-                    1.0 + (F.lit(float(self.N)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+                # rounded so term selection is reproducible across engines
+                # (ln() last-ulp differences must not flip the ranking)
+                F.round(F.col("_tf") * F.log(
+                    1.0 + (F.lit(float(self.N)) - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6),
             )
             .orderBy(F.desc("_tfidf"), "term")
             .limit(q.max_query_terms)

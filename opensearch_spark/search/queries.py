@@ -74,11 +74,12 @@ class MatchBoolPrefix(Query):
 
 @dataclass
 class SpanNear(Query):
-    """span_near over single-term clauses (SpanNearQueryBuilder.java):
-    clause terms at positions p1..pn with, when in_order, p_i > p_{i-1} and
-    total extra gap (p_n - p_1 - (n-1)) <= slop. Filter-context operator;
-    scores constant boost (the reference's sloppy-freq weighting is a
-    documented non-goal, SURVEY §2.2 span_* v3)."""
+    """span_near (SpanNearQueryBuilder.java): clause terms at positions
+    p1..pn with, when in_order, p_i > p_{i-1} and total extra gap
+    (p_n - p_1 - (n-1)) <= slop. A clause is a term string or a list of
+    alternative terms (inlined span_or sub-clause). Filter-context
+    operator; scores constant boost (the reference's sloppy-freq weighting
+    is a documented non-goal, SURVEY §2.2 span_* v3)."""
 
     field: str
     clauses: list = dc_field(default_factory=list)
@@ -88,13 +89,76 @@ class SpanNear(Query):
 
 
 @dataclass
+class SpanFirst(Query):
+    """span_first (SpanFirstQueryBuilder.java): the wrapped single-term
+    span must END within the first ``end`` positions (Lucene span end is
+    exclusive: position + 1 <= end)."""
+
+    field: str
+    value: str
+    end: int = 3
+    boost: float = 1.0
+
+
+@dataclass
+class SpanOr(Query):
+    """span_or (SpanOrQueryBuilder.java) over single-term clauses: docs
+    with any clause present (position union)."""
+
+    field: str
+    values: list = dc_field(default_factory=list)
+    boost: float = 1.0
+
+
+@dataclass
+class SpanNot(Query):
+    """span_not (SpanNotQueryBuilder.java): include-term spans with no
+    exclude-term span within ``pre`` positions before / ``post`` after
+    (pre=post=0 → strict overlap, i.e. identical position for single-term
+    spans). A doc matches if at least one include span survives."""
+
+    field: str
+    include: str = ""
+    exclude: str = ""
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+
+
+@dataclass
+class Intervals(Query):
+    """intervals query, ``match`` rule (IntervalQueryBuilder.java): the
+    analyzed terms must appear with at most ``max_gaps`` total extra
+    positions between them; ``ordered`` constrains the order. max_gaps=-1
+    means unbounded (reference default). Filter-context/constant score."""
+
+    field: str
+    text: str = ""
+    max_gaps: int = -1
+    ordered: bool = False
+    boost: float = 1.0
+
+
+@dataclass
 class MultiMatch(Query):
-    """multi_match best_fields/most_fields (MultiMatchQueryBuilder.java:130)."""
+    """multi_match (MultiMatchQueryBuilder.java:74,130-151). Types:
+
+    - best_fields: dis_max over per-field match scores (field-centric)
+    - most_fields: sum over per-field match scores
+    - cross_fields: term-centric — per analyzed term, dis_max (with
+      tie_breaker) over the per-field BM25 term scores, summed over terms.
+      Documented simplification vs the reference's blended df: each field
+      keeps its own statistics; the blending happens at score level.
+    - phrase / phrase_prefix: dis_max over per-field match_phrase /
+      match_phrase_prefix scores
+    - bool_prefix: dis_max over per-field match_bool_prefix scores
+    """
 
     fields: list[str]
     text: str
-    type: str = "best_fields"  # best_fields|most_fields
+    type: str = "best_fields"
     tie_breaker: float = 0.0
+    slop: int = 0
     boost: float = 1.0
 
 
@@ -152,10 +216,13 @@ class Ids(Query):
 
 @dataclass
 class Prefix(Query):
-    """Term starts-with (PrefixQueryBuilder.java) — dictionary expansion."""
+    """Term starts-with (PrefixQueryBuilder.java) — dictionary expansion,
+    bounded by max_expansions (None → engine cap; Lucene MultiTermQuery
+    rewrite bounds the same way)."""
 
     field: str
     value: str
+    max_expansions: int | None = None
     boost: float = 1.0
 
 
@@ -165,6 +232,7 @@ class Wildcard(Query):
 
     field: str
     value: str
+    max_expansions: int | None = None
     boost: float = 1.0
 
 
@@ -172,6 +240,7 @@ class Wildcard(Query):
 class Regexp(Query):
     field: str
     value: str
+    max_expansions: int | None = None
     boost: float = 1.0
 
 
@@ -183,6 +252,7 @@ class Fuzzy(Query):
     field: str
     value: str
     fuzziness: int | None = None
+    max_expansions: int | None = None
     boost: float = 1.0
 
 
@@ -224,13 +294,48 @@ class Boosting(Query):
 
 
 @dataclass
+class ScoreFunction:
+    """One scoring function (index/query/functionscore/*FunctionBuilder.java):
+
+    - field_value_factor: modifier(factor * coalesce(field, missing))
+      (FieldValueFactorFunctionBuilder.java); modifier in
+      none|log1p|ln1p|sqrt|square|reciprocal
+    - random_score: deterministic hash of (doc_id, seed) → [0, 1)
+      (RandomScoreFunctionBuilder.java — reference hashes _seq_no/_id with
+      a seed; here a Knuth multiplicative hash so the DuckDB oracle can
+      reproduce it bit-for-bit)
+    - gauss|linear|exp: decay over a numeric field's distance from origin
+      (DecayFunctionBuilder.java math, public formulas)
+    - script: arbitrary SQL expression over doc columns
+    """
+
+    kind: str  # field_value_factor|random_score|gauss|linear|exp|script
+    field: str | None = None
+    factor: float = 1.0
+    modifier: str = "none"
+    missing: float = 0.0
+    seed: int = 0
+    origin: float = 0.0
+    scale: float = 10.0
+    offset: float = 0.0
+    decay: float = 0.5
+    weight: float = 1.0
+    script: str | None = None
+
+
+@dataclass
 class FunctionScore(Query):
-    """score arithmetic over a sub-query (functionscore/*.java); the
-    function is a SQL expression string over columns (score, doc fields)."""
+    """score arithmetic over a sub-query (functionscore/
+    FunctionScoreQueryBuilder.java). Either a bare ``script`` SQL
+    expression over (score, doc columns), or a list of ``functions``
+    combined by ``score_mode`` then applied to the query score by
+    ``boost_mode``."""
 
     query: Query = None
     script: str = "score"  # SQL expr; 'score' names the sub-query score
-    boost_mode: str = "replace"  # replace|multiply|sum
+    boost_mode: str = "replace"  # replace|multiply|sum|avg|max|min
+    functions: list = dc_field(default_factory=list)  # list[ScoreFunction]
+    score_mode: str = "multiply"  # multiply|sum|avg|max|min
     boost: float = 1.0
 
 
@@ -286,10 +391,45 @@ def from_dsl(d: dict) -> Query:
             return MatchBoolPrefix(field=f, text=spec)
         return MatchBoolPrefix(field=f, text=spec["query"], boost=spec.get("boost", 1.0))
     if kind == "span_near":
-        clauses = [next(iter(c["span_term"].values())) for c in body["clauses"]]
-        fld = next(iter(body["clauses"][0]["span_term"].keys()))
+        clauses, fld = [], None
+        for c in body["clauses"]:
+            if "span_term" in c:
+                f, v = next(iter(c["span_term"].items()))
+                fld = fld or f
+                clauses.append(v)
+            elif "span_or" in c:  # inlined alternative set
+                alts = []
+                for sub in c["span_or"]["clauses"]:
+                    f, v = next(iter(sub["span_term"].items()))
+                    fld = fld or f
+                    alts.append(v)
+                clauses.append(alts)
+            else:
+                raise ValueError(f"unsupported span_near clause: {list(c)}")
         return SpanNear(field=fld, clauses=clauses, slop=body.get("slop", 0),
                         in_order=body.get("in_order", True))
+    if kind == "span_first":
+        f, v = next(iter(body["match"]["span_term"].items()))
+        return SpanFirst(field=f, value=v, end=body.get("end", 3))
+    if kind == "span_or":
+        vals, fld = [], None
+        for c in body["clauses"]:
+            f, v = next(iter(c["span_term"].items()))
+            fld = fld or f
+            vals.append(v)
+        return SpanOr(field=fld, values=vals)
+    if kind == "span_not":
+        fi, vi = next(iter(body["include"]["span_term"].items()))
+        fe, ve = next(iter(body["exclude"]["span_term"].items()))
+        return SpanNot(field=fi, include=vi, exclude=ve,
+                       pre=body.get("pre", body.get("dist", 0)),
+                       post=body.get("post", body.get("dist", 0)))
+    if kind == "intervals":
+        f, spec = next(iter(body.items()))
+        m = spec["match"]
+        return Intervals(field=f, text=m["query"],
+                         max_gaps=m.get("max_gaps", -1),
+                         ordered=m.get("ordered", False))
     if kind == "multi_match":
         return MultiMatch(
             fields=body["fields"], text=body["query"],
@@ -355,8 +495,38 @@ def from_dsl(d: dict) -> Query:
                         negative=from_dsl(body["negative"]),
                         negative_boost=body.get("negative_boost", 0.5))
     if kind == "function_score":
+        fns = []
+        for fd in body.get("functions", []):
+            if "field_value_factor" in fd:
+                s = fd["field_value_factor"]
+                fns.append(ScoreFunction(
+                    kind="field_value_factor", field=s["field"],
+                    factor=s.get("factor", 1.0),
+                    modifier=s.get("modifier", "none"),
+                    missing=s.get("missing", 0.0),
+                    weight=fd.get("weight", 1.0)))
+            elif "random_score" in fd:
+                s = fd["random_score"]
+                fns.append(ScoreFunction(kind="random_score",
+                                         seed=s.get("seed", 0),
+                                         weight=fd.get("weight", 1.0)))
+            else:
+                for dk in ("gauss", "linear", "exp"):
+                    if dk in fd:
+                        f, s = next(iter(fd[dk].items()))
+                        fns.append(ScoreFunction(
+                            kind=dk, field=f, origin=s.get("origin", 0.0),
+                            scale=s.get("scale", 10.0),
+                            offset=s.get("offset", 0.0),
+                            decay=s.get("decay", 0.5),
+                            weight=fd.get("weight", 1.0)))
+                        break
+                else:
+                    raise ValueError(f"unsupported function: {list(fd)}")
         return FunctionScore(query=from_dsl(body["query"]),
                              script=body.get("script", "score"),
+                             functions=fns,
+                             score_mode=body.get("score_mode", "multiply"),
                              boost_mode=body.get("boost_mode", "replace"))
     if kind == "more_like_this":
         return MoreLikeThis(field=body.get("fields", ["content"])[0],

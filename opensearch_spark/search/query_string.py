@@ -34,6 +34,7 @@ _TOKEN = re.compile(
 
 def _lex(s: str) -> list[tuple[str, str]]:
     out, i = [], 0
+    s = s.strip()  # reference parser tolerates surrounding whitespace
     while i < len(s):
         m = _TOKEN.match(s, i)
         if not m:
@@ -78,31 +79,34 @@ class _Parser:
         return Q.Bool(should=parts, minimum_should_match=1)
 
     def and_expr(self) -> Q.Query:
-        must, must_not, should = [], [], []
-        explicit_and = False
-
-        def add(node, negated):
-            (must_not if negated else should).append(node)
-
-        node, neg = self.unary()
-        add(node, neg)
+        """AND binds only the adjacent clause pair (Lucene classic parser:
+        'a AND b c' with default OR → +a +b c, not +a +b +c)."""
+        items: list[tuple[Q.Query, bool]] = [self.unary()]
+        links: list[bool] = []  # links[i]: explicit AND between items[i], items[i+1]
         while True:
             kind, val = self.peek()
             if kind is None or kind == "rparen" or (kind, val) == ("word", "OR"):
                 break
+            is_and = False
             if (kind, val) == ("word", "AND"):
-                explicit_and = True
+                is_and = True
                 self.next()
+            links.append(is_and)
+            items.append(self.unary())
+        must, should, must_not = [], [], []
+        for i, (node, neg) in enumerate(items):
+            if neg:
+                must_not.append(node)
                 continue
-            node, neg = self.unary()
-            add(node, neg)
-        if explicit_and or self.default_operator == "and":
-            must = should
-            should = []
+            linked = (i > 0 and links[i - 1]) or (i < len(links) and links[i])
+            if linked or self.default_operator == "and":
+                must.append(node)
+            else:
+                should.append(node)
         if not must and not must_not and len(should) == 1:
             return should[0]
         return Q.Bool(must=must, should=should, must_not=must_not,
-                      minimum_should_match=1 if should else None)
+                      minimum_should_match=1 if (should and not must) else None)
 
     def unary(self) -> tuple[Q.Query, bool]:
         kind, val = self.peek()

@@ -42,7 +42,10 @@ def rank_metrics(ranked: DataFrame, relevant: DataFrame, k: int = 10) -> DataFra
                      1.0 / F.log2(F.col("rank") + 1.0)).otherwise(0.0)).alias("_dcg"),
     )
     return agg.select(
-        F.round(F.col("_hits") / F.lit(float(k)), 6).alias("precision_at_k"),
+        # truePositives / retrieved (PrecisionAtK.java), NOT /k: when fewer
+        # than k docs are retrieved the denominator is the retrieved count
+        F.round(F.col("_hits") / F.greatest(F.col("_n"), F.lit(1)), 6)
+         .alias("precision_at_k"),
         F.round(F.col("_hits") / F.lit(float(max(n_rel_total, 1))), 6).alias("recall_at_k"),
         F.round(F.coalesce(1.0 / F.col("_first"), F.lit(0.0)), 6).alias("mrr"),
         F.round(F.col("_dcg"), 6).alias("dcg_at_k"),

@@ -57,3 +57,76 @@ def term_suggest(
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= size)
             .select("term", "suggestion", "distance", "df", "rank"))
+
+
+def phrase_suggest(
+    searcher,
+    text: str,
+    size: int = 3,
+    max_edits: int = 1,
+    num_candidates: int = 5,
+) -> DataFrame:
+    """Phrase suggester (search/suggest/phrase/PhraseSuggestionBuilder.java):
+    per-token candidate generation (DirectCandidateGenerator analog: the
+    length-banded levenshtein scan of ``term_suggest``, top
+    ``num_candidates`` by (distance asc, cf desc, term asc), the input
+    token itself included at distance 0 when indexed) scored by a
+    Laplace-smoothed bigram language model over the corpus
+    (LaplaceScorer.java): for a two-token phrase c1 c2,
+
+        score = ln((cf(c1)+1)/(T+V)) + ln((bigram(c1,c2)+1)/(cf(c1)+V))
+
+    with T = total tokens, V = vocabulary size. Bigram counts come from a
+    positions-table adjacency join restricted to the candidate terms —
+    |cand|² pairs, bounded by num_candidates², never corpus-wide.
+
+    Returns (suggestion, score, rank) — the top ``size`` corrected
+    phrases. Two-token inputs (the common spell-correction shape); longer
+    inputs chain bigrams pairwise.
+    """
+    spark = searcher.spark
+    terms = searcher.analyze(text)
+    out_schema = "suggestion string, score double, rank int"
+    if len(terms) != 2:
+        raise ValueError("phrase_suggest: exactly two input tokens supported")
+    d = searcher.index.dictionary(spark)
+    V = d.count()
+    T = searcher.sum_dl
+
+    def cands(tok: str, name: str):
+        c = (d.select(F.col("term").alias(name), F.col("cf").alias(f"{name}_cf"))
+             .withColumn("_dist", F.levenshtein(F.col(name), F.lit(tok)))
+             .where(F.col("_dist") <= max_edits))
+        w2 = W.orderBy(F.asc("_dist"), F.desc(f"{name}_cf"), F.asc(name))
+        return (c.withColumn("_rn", F.row_number().over(w2))
+                .where(F.col("_rn") <= num_candidates).drop("_dist", "_rn"))
+
+    c1, c2 = cands(terms[0], "t1"), cands(terms[1], "t2")
+    c1_terms = [r["t1"] for r in c1.select("t1").collect()]
+    c2_terms = [r["t2"] for r in c2.select("t2").collect()]
+    if not c1_terms or not c2_terms:
+        return spark.createDataFrame([], out_schema)
+    pos = searcher.index.positions(spark)
+    a = (pos.where(F.col("term").isin(c1_terms))
+         .select(F.col("term").alias("t1"), "doc_id",
+                 F.explode("positions").alias("p")))
+    b = (pos.where(F.col("term").isin(c2_terms))
+         .select(F.col("term").alias("t2"), "doc_id",
+                 F.explode("positions").alias("p2"))
+         .select("t2", "doc_id", (F.col("p2") - F.lit(1)).alias("p")))
+    big = (a.join(b, ["doc_id", "p"])
+           .groupBy("t1", "t2").agg(F.count("*").alias("bc")))
+    pairs = (c1.crossJoin(c2)
+             .join(big, ["t1", "t2"], "left")
+             .withColumn("bc", F.coalesce("bc", F.lit(0))))
+    score = (
+        F.log((F.col("t1_cf") + 1.0) / F.lit(float(T + V)))
+        + F.log((F.col("bc") + 1.0) / (F.col("t1_cf") + F.lit(float(V))))
+    )
+    scored = pairs.select(
+        F.concat_ws(" ", "t1", "t2").alias("suggestion"),
+        F.round(score, 6).alias("score"))
+    w3 = W.orderBy(F.desc("score"), F.asc("suggestion"))
+    return (scored.withColumn("rank", F.row_number().over(w3))
+            .where(F.col("rank") <= size)
+            .select("suggestion", "score", "rank"))

@@ -1,0 +1,296 @@
+"""Round-2 operator tests: span algebra (sorted-merge enumerator vs brute
+force, no-blowup on hot terms), sloppy phrase, intervals, multi_match
+types, function_score functions, bounded expansion, phrase suggester,
+query_string fixes."""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.search import queries as Q
+from opensearch_spark.search.query_string import parse_query_string
+from opensearch_spark.search.spans import (
+    _greedy_ordered, _unordered_exists,
+)
+
+
+# ---------------- greedy span enumerator vs brute force ----------------
+def brute_ordered_starts(arrs, slop):
+    """Count of clause-0 starts with ANY valid ordered chain in window."""
+    n = len(arrs)
+    count = 0
+    for p0 in arrs[0]:
+        found = False
+        for combo in itertools.product(*[list(a) for a in arrs[1:]]):
+            chain = [p0, *combo]
+            if all(chain[i] > chain[i - 1] for i in range(1, n)) \
+                    and chain[-1] - chain[0] - (n - 1) <= slop:
+                found = True
+                break
+        if found:
+            count += 1
+    return count
+
+
+def brute_unordered_exists(arr_needs, slop):
+    """Any distinct-position assignment covering every clause label with
+    its multiplicity within the slop window."""
+    pools = []
+    for a, need in arr_needs:
+        pools.extend([list(a)] * need)
+    n = len(pools)
+    for combo in itertools.product(*pools):
+        if len(set(combo)) != n:
+            continue
+        if max(combo) - min(combo) - (n - 1) <= slop:
+            return True
+    return False
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_greedy_ordered_matches_brute_force(seed):
+    rng = np.random.default_rng(seed)
+    n_clauses = int(rng.integers(2, 4))
+    arrs = [np.unique(rng.integers(0, 30, size=rng.integers(1, 8)))
+            for _ in range(n_clauses)]
+    slop = int(rng.integers(0, 6))
+    assert _greedy_ordered(arrs, slop) == brute_ordered_starts(arrs, slop)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_unordered_window_matches_brute_force(seed):
+    rng = np.random.default_rng(seed)
+    a = np.unique(rng.integers(0, 25, size=rng.integers(1, 6)))
+    b = np.unique(rng.integers(0, 25, size=rng.integers(1, 6)))
+    slop = int(rng.integers(0, 5))
+    got = _unordered_exists([(a, 1), (b, 1)], slop)
+    want = brute_unordered_exists([(a, 1), (b, 1)], slop)
+    assert got == want
+
+
+def test_unordered_duplicate_clause_needs_two_positions():
+    # clauses ['x','x']: one occurrence cannot satisfy both
+    a = np.array([5])
+    assert not _unordered_exists([(a, 2)], 10)
+    b = np.array([5, 6])
+    assert _unordered_exists([(b, 2)], 0)
+
+
+# ---------------- engine span paths over the corpus ----------------
+@pytest.fixture(scope="module")
+def searcher(spark, sf_dir):
+    from opensearch_spark.entry_queries import get_searcher
+
+    return get_searcher(spark, sf_dir)
+
+
+def test_span_near_no_position_cartesian(searcher):
+    """Hot term × long doc must not blow up: the plan is a groupBy(doc_id)
+    applyInPandas, so the only wide node is one shuffle on doc_id. Assert
+    the plan contains FlatMapGroupsInPandas and no join of two exploded
+    position streams (the round-1 cartesian shape)."""
+    df = searcher.score(Q.SpanNear(field="text",
+                                   clauses=["spark", "table", "merge"],
+                                   slop=5, in_order=True))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_near_matches_python_reference(searcher, spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    want = set()
+    for r in docs:
+        toks = r["text"].split()
+        a = np.array([i for i, t in enumerate(toks) if t == "spark"])
+        b = np.array([i for i, t in enumerate(toks) if t == "table"])
+        c = np.array([i for i, t in enumerate(toks) if t == "merge"])
+        if len(a) and len(b) and len(c) \
+                and brute_ordered_starts([a, b, c], 5) > 0:
+            want.add(r["doc_id"])
+    got = {r["doc_id"] for r in searcher.score(
+        Q.SpanNear(field="text", clauses=["spark", "table", "merge"],
+                   slop=5, in_order=True)).collect()}
+    assert got == want
+
+
+def test_phrase_slop_zero_equals_exact_path(searcher):
+    exact = searcher.score(Q.MatchPhrase(field="text", text="spark table"))
+    sloppy = searcher._phrase_sloppy(
+        Q.MatchPhrase(field="text", text="spark table", slop=0),
+        ["spark", "table"])
+    e = {(r["doc_id"], round(r["score"], 6)) for r in exact.collect()}
+    s = {(r["doc_id"], round(r["score"], 6)) for r in sloppy.collect()}
+    assert e == s
+
+
+def test_phrase_slop_widens_match_set(searcher):
+    s0 = {r["doc_id"] for r in searcher.score(
+        Q.MatchPhrase(field="text", text="spark table")).collect()}
+    s3 = {r["doc_id"] for r in searcher.score(
+        Q.MatchPhrase(field="text", text="spark table", slop=3)).collect()}
+    assert s0 <= s3
+
+
+def test_positions_guard_raises_without_positions(spark, sf_dir, tmp_path):
+    from opensearch_spark.index.build import IndexConfig, build_index
+    from opensearch_spark.search import Searcher
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    idx = build_index(spark, corpus, str(tmp_path / "nopos"),
+                      IndexConfig(field="text", analyzer="standard",
+                                  id_col="doc_id", n_parts=2,
+                                  with_positions=False))
+    s = Searcher(spark, idx)
+    with pytest.raises(ValueError, match="without positions"):
+        s.score(Q.MatchPhrase(field="text", text="spark table"))
+    with pytest.raises(ValueError, match="without positions"):
+        s.score(Q.SpanNear(field="text", clauses=["spark", "table"], slop=1))
+
+
+# ---------------- bounded multi-term expansion ----------------
+def test_expansion_cap_keeps_top_df(searcher):
+    all_terms = searcher.expand_terms(Q.Prefix(field="text", value=""))
+    if len(all_terms) < 3:
+        pytest.skip("vocabulary too small")
+    capped = searcher.expand_terms(
+        Q.Prefix(field="text", value="", max_expansions=2))
+    assert len(capped) == 2
+    dfs = searcher.term_dfs(all_terms)
+    top2 = sorted(all_terms, key=lambda t: (-dfs[t], t))[:2]
+    assert sorted(capped) == sorted(top2)
+
+
+def test_expansion_spark_path_has_limit(spark, sf_dir, searcher):
+    """The non-preloaded (scale) path must bound the collect inside the
+    plan — no unbounded driver expansion."""
+    from opensearch_spark.search import Searcher
+
+    s2 = Searcher(spark, searcher.index, preload_dictionary=False)
+    capped = s2.expand_terms(Q.Wildcard(field="text", value="*", max_expansions=3))
+    assert len(capped) == 3
+
+
+# ---------------- function_score functions ----------------
+def test_function_score_field_value_factor(searcher, spark):
+    q = Q.FunctionScore(
+        query=Q.MatchAll(),
+        functions=[Q.ScoreFunction(kind="field_value_factor", field="n_chars",
+                                   factor=2.0, modifier="sqrt", weight=3.0)],
+        boost_mode="replace")
+    out = {r["doc_id"]: r["score"] for r in searcher.score(q).limit(500).collect()}
+    docs = {r["doc_id"]: r["n_chars"]
+            for r in searcher.index.docs(spark).select("doc_id", "n_chars").collect()}
+    for did, sc in list(out.items())[:20]:
+        assert abs(sc - 3.0 * np.sqrt(2.0 * docs[did])) < 1e-9
+
+
+def test_function_score_random_deterministic(searcher):
+    q = Q.FunctionScore(
+        query=Q.MatchAll(),
+        functions=[Q.ScoreFunction(kind="random_score", seed=7)],
+        boost_mode="replace")
+    a = sorted((r["doc_id"], r["score"]) for r in searcher.score(q).collect())
+    b = sorted((r["doc_id"], r["score"]) for r in searcher.score(q).collect())
+    assert a == b
+    for did, sc in a[:50]:
+        assert sc == pytest.approx(((did * 48271 + 7) % 2147483647) / 2147483647.0)
+
+
+def test_function_score_decay_modes(searcher):
+    import math
+
+    for kind in ("gauss", "linear", "exp"):
+        q = Q.FunctionScore(
+            query=Q.MatchAll(),
+            functions=[Q.ScoreFunction(kind=kind, field="n_chars",
+                                       origin=200.0, scale=100.0,
+                                       offset=5.0, decay=0.5)],
+            boost_mode="replace")
+        rows = searcher.score(q).limit(100).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r["score"] <= 1.0 + 1e-12
+    # spot-check gauss math at origin → 1.0
+    qg = Q.FunctionScore(
+        query=Q.MatchAll(),
+        functions=[Q.ScoreFunction(kind="gauss", field="doc_id",
+                                   origin=0.0, scale=10.0, decay=0.5)],
+        boost_mode="replace")
+    sc = {r["doc_id"]: r["score"] for r in searcher.score(qg).collect()}
+    assert sc[0] == pytest.approx(1.0)
+    sigma2 = -(10.0 ** 2) / (2.0 * math.log(0.5))
+    assert sc[5] == pytest.approx(math.exp(-25.0 / (2 * sigma2)))
+
+
+def test_function_score_modes_combine(searcher):
+    q = Q.FunctionScore(
+        query=Q.Match(field="text", text="spark"),
+        functions=[
+            Q.ScoreFunction(kind="field_value_factor", field="n_chars",
+                            factor=1.0, modifier="none"),
+            Q.ScoreFunction(kind="field_value_factor", field="n_chars",
+                            factor=2.0, modifier="none"),
+        ],
+        score_mode="max", boost_mode="sum")
+    base = {r["doc_id"]: r["score"]
+            for r in searcher.score(Q.Match(field="text", text="spark")).collect()}
+    docs = {r["doc_id"]: r["n_chars"] for r in
+            searcher.index.docs(searcher.spark).select("doc_id", "n_chars").collect()}
+    out = {r["doc_id"]: r["score"] for r in searcher.score(q).collect()}
+    for did in list(out)[:20]:
+        assert out[did] == pytest.approx(base[did] + 2.0 * docs[did])
+
+
+# ---------------- multi_match types ----------------
+def test_multi_match_cross_fields_sums_term_dismax(searcher):
+    out = searcher.score(Q.MultiMatch(
+        fields=["text", "title"], text="spark merge", type="cross_fields",
+        tie_breaker=0.0))
+    rows = out.collect()
+    assert rows
+    # tie 0 → per-term max; any doc matching in text only must equal its
+    # per-term text score sum
+    assert all(r["score"] > 0 for r in rows)
+
+
+def test_multi_match_phrase_prefix_and_bool_prefix_types(searcher):
+    for t in ("phrase_prefix", "bool_prefix"):
+        rows = searcher.score(Q.MultiMatch(
+            fields=["text", "title"], text="spark ta", type=t)).collect()
+        assert rows, t
+
+
+# ---------------- query_string fixes ----------------
+def test_qs_trailing_whitespace_ok():
+    ast = parse_query_string("spark table ", default_field="f")
+    assert isinstance(ast, Q.Bool)
+    ast2 = parse_query_string("  spark  ", default_field="f")
+    assert ast2 == Q.Match(field="f", text="spark")
+
+
+def test_qs_and_binds_adjacent_pair_only():
+    ast = parse_query_string("a AND b c", default_field="f")
+    assert isinstance(ast, Q.Bool)
+    assert {m.text for m in ast.must} == {"a", "b"}
+    assert {s.text for s in ast.should} == {"c"}
+
+
+# ---------------- phrase suggester ----------------
+def test_phrase_suggest_corrects_both_tokens(searcher):
+    from opensearch_spark.search import phrase_suggest
+
+    out = phrase_suggest(searcher, "sparc tabl", size=3).collect()
+    assert out
+    top = [r["suggestion"] for r in out]
+    assert any(s.startswith("spark ") for s in top)
+
+
+def test_phrase_suggest_requires_two_tokens(searcher):
+    from opensearch_spark.search import phrase_suggest
+
+    with pytest.raises(ValueError):
+        phrase_suggest(searcher, "only", size=3)
