@@ -730,7 +730,7 @@ def search_lmdirichlet(spark, sf_dir):
 WITH {O.TOK_CTES},
 vocab AS (SELECT term AS suggestion, count(DISTINCT doc_id) AS df
           FROM tok2 GROUP BY term),
-inputs(term) AS (VALUES ('spagk'), ('tabl')),
+inputs(term) AS (VALUES ('spagk'), ('tabel')),
 cand AS (
     SELECT i.term, v.suggestion, levenshtein(v.suggestion, i.term) AS distance, v.df
     FROM inputs i CROSS JOIN vocab v
@@ -1975,12 +1975,34 @@ def sim_cosine_topk(spark, sf_dir):
     return S.cosine_topk(emb, qv, k=10, exclude_id=0)
 
 
+_ANN_CACHE: dict[str, "S.AnnIndex"] = {}
+
+
+def _ann_index(spark, sf_dir) -> "S.AnnIndex":
+    """Build (or reuse) the materialized ANN index for sf_dir — bucket and
+    IVF assignment are parquet PARTITION columns, so probe sets become
+    directory pruning instead of a per-query full-scan re-hash."""
+    key = os.path.abspath(sf_dir)
+    if key in _ANN_CACHE:
+        return _ANN_CACHE[key]
+    out = os.path.join(INDEX_ROOT,
+                       hashlib.sha256(key.encode()).hexdigest()[:16] + "_ann")
+    if os.path.exists(os.path.join(out, "meta.json")):
+        idx = S.AnnIndex(out)
+    else:
+        idx = S.AnnIndex.build(_t(spark, sf_dir, "embeddings"), out,
+                               n_planes=6, n_centroids=8)
+    _ANN_CACHE[key] = idx
+    return idx
+
+
 @q("sim_lsh_topk")  # rows-only: recall vs brute force asserted in tests
 def sim_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in
           emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return S.lsh_topk(emb, qv, k=10, n_planes=6, multiprobe=2, exclude_id=0)
+    return _ann_index(spark, sf_dir).lsh_topk(spark, qv, k=10, multiprobe=2,
+                                              exclude_id=0)
 
 
 @q("sim_near_dup_pairs")  # rows-only: verified vs exact pairs in tests
@@ -1991,11 +2013,13 @@ def sim_near_dup_pairs(spark, sf_dir):
 
 @q("sim_ivf_topk")  # rows-only: recall vs brute force asserted in tests
 def sim_ivf_topk(spark, sf_dir):
-    """IVF ANN: deterministic coarse quantizer (seeded + Lloyd iterations),
-    probe nearest lists, exact re-rank inside."""
+    """IVF ANN over the materialized index: deterministic k-means++-style
+    seeding + Lloyd, assignment as a parquet partition column, probe =
+    partition pruning, exact re-rank inside the probed lists."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3, exclude_id=0)
+    return _ann_index(spark, sf_dir).ivf_topk(spark, qv, k=10, nprobe=3,
+                                              exclude_id=0)
 
 
 @q("text_token_count_bpe", f"""

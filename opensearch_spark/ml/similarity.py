@@ -158,6 +158,128 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, vec_col, id_col, exclude_id)
 
 
+def kmeanspp_centroids(df: DataFrame, n_centroids: int = 16,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       n_iters: int = 2) -> list[list[float]]:
+    """Deterministic k-means++-style seeding (farthest-point traversal —
+    the RNG-free variant of the D² sampling rule): seed 1 = the vector
+    with the smallest id; each next seed = the vector maximizing its
+    distance to the nearest chosen seed (ties by id). Then ``n_iters``
+    Lloyd refinements. Every step is a distributed agg over the table +
+    a 1-row collect; centroid state stays tiny and broadcast."""
+    first = df.orderBy(id_col).limit(1).select(vec_col).collect()[0]
+    cents = [[float(x) for x in first[vec_col]]]
+    while len(cents) < n_centroids:
+        min_d2 = None
+        for c in cents:
+            arr = F.array(*[F.lit(float(x)) for x in c])
+            d2 = (_dot(F.col(vec_col), F.col(vec_col))
+                  - 2.0 * _dot(F.col(vec_col), arr)
+                  + F.lit(float(sum(x * x for x in c))))
+            min_d2 = d2 if min_d2 is None else F.least(min_d2, d2)
+        far = (df.select(F.col(id_col), F.col(vec_col),
+                         F.round(min_d2, 9).alias("_d2"))
+               .orderBy(F.desc("_d2"), F.asc(id_col)).limit(1).collect()[0])
+        cents.append([float(x) for x in far[vec_col]])
+    for _ in range(n_iters):
+        assigned = df.withColumn("_c", _nearest_centroid_expr(vec_col, cents))
+        dim = len(cents[0])
+        means = (assigned.groupBy("_c")
+                 .agg(*[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
+                        for i in range(dim)])
+                 .collect())
+        new = {int(r["_c"]): [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        cents = [new.get(j, cents[j]) for j in range(len(cents))]
+    return cents
+
+
+class AnnIndex:
+    """Build-time-materialized ANN state — the 100 TB serving path.
+
+    The round-1 ``lsh_topk``/``ivf_topk`` recomputed the bucket /
+    assignment expression over the FULL scan per query; here the
+    embeddings table is written once with its LSH sign-bucket and IVF
+    assignment as parquet partition columns, so a query's probe set
+    becomes directory-level partition pruning (``PartitionFilters`` in
+    the scan — asserted in tests) and only the probed lists are read.
+
+    Layout under ``out_dir``: ``lsh/`` partitioned by ``_bkt``, ``ivf/``
+    partitioned by ``_c``, ``meta.json`` carrying planes + centroids
+    (tiny broadcastable state, same discipline as the inverted index).
+    """
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.planes = self.meta["planes"]
+        self.centroids = self.meta["centroids"]
+        self.vec_col = self.meta["vec_col"]
+        self.id_col = self.meta["id_col"]
+
+    @staticmethod
+    def build(df: DataFrame, out_dir: str, n_planes: int = 8,
+              n_centroids: int = 16, vec_col: str = "embedding",
+              id_col: str = "vec_id", n_iters: int = 2) -> "AnnIndex":
+        import json
+        import os
+
+        dim = int(df.select(F.size(vec_col).alias("d")).first()["d"])
+        planes = hyperplanes(n_planes, dim)
+        cents = kmeanspp_centroids(df, n_centroids, vec_col, id_col, n_iters)
+        base = df.select(id_col, vec_col)
+        (base.withColumn("_bkt", _bucket_expr(vec_col, planes))
+         .write.mode("overwrite").partitionBy("_bkt")
+         .parquet(os.path.join(out_dir, "lsh")))
+        (base.withColumn("_c", _nearest_centroid_expr(vec_col, cents))
+         .write.mode("overwrite").partitionBy("_c")
+         .parquet(os.path.join(out_dir, "ivf")))
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump({"planes": planes, "centroids": cents,
+                       "vec_col": vec_col, "id_col": id_col,
+                       "n_planes": n_planes, "n_centroids": n_centroids}, f)
+        return AnnIndex(out_dir)
+
+    def _probes_lsh(self, query_vec: list[float], multiprobe: int) -> list[int]:
+        n_planes = len(self.planes)
+        b = 0
+        for j, p in enumerate(self.planes):
+            if sum(x * y for x, y in zip(query_vec, p)) > 0:
+                b |= 1 << j
+        probes = {b}
+        if multiprobe >= 1:
+            probes |= {b ^ (1 << j) for j in range(n_planes)}
+        if multiprobe >= 2:
+            probes |= {b ^ (1 << i) ^ (1 << j)
+                       for i in range(n_planes) for j in range(i + 1, n_planes)}
+        return sorted(probes)
+
+    def lsh_topk(self, spark, query_vec: list[float], k: int = 10,
+                 multiprobe: int = 1, exclude_id: int | None = None) -> DataFrame:
+        import os
+
+        cand = (spark.read.parquet(os.path.join(self.path, "lsh"))
+                .where(F.col("_bkt").isin(self._probes_lsh(query_vec, multiprobe))))
+        return cosine_topk(cand, query_vec, k, self.vec_col, self.id_col, exclude_id)
+
+    def ivf_topk(self, spark, query_vec: list[float], k: int = 10,
+                 nprobe: int = 4, exclude_id: int | None = None) -> DataFrame:
+        import os
+
+        def d2(c):
+            return sum((x - y) ** 2 for x, y in zip(query_vec, c))
+
+        order = sorted(range(len(self.centroids)),
+                       key=lambda j: (d2(self.centroids[j]), j))
+        cand = (spark.read.parquet(os.path.join(self.path, "ivf"))
+                .where(F.col("_c").isin(order[:nprobe])))
+        return cosine_topk(cand, query_vec, k, self.vec_col, self.id_col, exclude_id)
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              n_planes: int = 8, vec_col: str = "embedding",
                              id_col: str = "vec_id") -> DataFrame:

@@ -929,7 +929,8 @@ class Searcher:
     def msearch(self, queries: dict[str, Q.Query], k: int = 10,
                 round_scores: int | None = None) -> DataFrame:
         """_msearch: several queries in one response frame, tagged by
-        query_id — per-query top-k unioned (one job, shared scan)."""
+        query_id — independent per-query plans unioned into one job; the
+        posting scans are per-query (cached/pruned), not shared."""
         frames = []
         for qid, q in queries.items():
             top = self.search(q, k=k, mode="exhaustive", round_scores=round_scores)

@@ -118,6 +118,12 @@ def _score_bucket(
     return uniq_docs, sums
 
 
+#: rows of block metadata buffered per task before falling back to the
+#: streaming (bucket-at-a-time) path — bounds per-task memory on hot terms
+#: over a huge corpus; each row carries ≤ block_size postings of varbyte
+MAX_BUFFER_ROWS = 250_000
+
+
 def wand_partition_fn(
     weights: list[float],
     k: int,
@@ -125,43 +131,91 @@ def wand_partition_fn(
     b: float,
     avgdl: float,
     n_required: int,
+    max_buffer_rows: int | None = None,
 ):
     """Build the mapInPandas function: block rows (sorted by bucket within
     the partition) → this partition's top-k.
 
-    The partition holds only the query terms' blocks for its buckets, so it
-    is buffered whole; bucket upper bounds are computed here and buckets
-    processed in descending-UB order (θ rises fast, and once a bucket's UB
-    drops below θ the remaining buckets are all prunable → break)."""
+    Fast path (partition fits ``max_buffer_rows``): buffer the partition,
+    compute bucket upper bounds, process buckets in descending-UB order —
+    θ rises fast and once a bucket's UB drops below θ every remaining
+    bucket is prunable (break). Fallback (hot-term partitions beyond the
+    cap): stream Arrow batches bucket-at-a-time in storage order,
+    stitching buckets split across batch boundaries — identical results
+    (the skip bounds are strict either way), bounded memory, only the
+    pruning order degrades."""
     w = np.asarray(weights, dtype=np.float64)
+    cap = MAX_BUFFER_ROWS if max_buffer_rows is None else max_buffer_rows
+
+    def process_frame(pdf: pd.DataFrame, topk: _TopK, ordered: bool) -> None:
+        """Score every complete bucket group of ``pdf`` (desc-UB order when
+        ``ordered``, storage order otherwise)."""
+        buckets = pdf["bucket"].to_numpy()
+        tidx = pdf["term_idx"].to_numpy()
+        ub_rows = w[tidx] * pdf["max_impact"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], buckets[1:] != buckets[:-1])))
+        ends = np.concatenate((starts[1:], [len(pdf)]))
+        n_terms = w.size
+        bucket_ubs = np.empty(starts.size)
+        for i in range(starts.size):
+            s, e = starts[i], ends[i]
+            tu = np.zeros(n_terms)
+            np.maximum.at(tu, tidx[s:e], ub_rows[s:e])
+            bucket_ubs[i] = tu.sum()
+        order = np.argsort(-bucket_ubs, kind="stable") if ordered \
+            else np.arange(starts.size)
+        for i in order:
+            if bucket_ubs[i] < topk.threshold:
+                if ordered:
+                    break  # desc order: everything after is prunable too
+                continue
+            s, e = int(starts[i]), int(ends[i])
+            res = _score_bucket(
+                pdf.iloc[s:e], w, k1, b, avgdl, n_required, topk.threshold)
+            if res is not None:
+                topk.merge(*res)
+
+    def split_last_bucket(pdf: pd.DataFrame):
+        """(complete-buckets frame | None, last-bucket carry frame)."""
+        buckets = pdf["bucket"].to_numpy()
+        last_start = int(np.flatnonzero(
+            np.concatenate(([True], buckets[1:] != buckets[:-1])))[-1])
+        if last_start == 0:
+            return None, pdf
+        return pdf.iloc[:last_start], pdf.iloc[last_start:].reset_index(drop=True)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         topk = _TopK(k)
-        parts = [pdf for pdf in batches if len(pdf)]
-        if parts:
-            pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-            buckets = pdf["bucket"].to_numpy()
-            tidx = pdf["term_idx"].to_numpy()
-            ub_rows = w[tidx] * pdf["max_impact"].to_numpy()
-            starts = np.flatnonzero(
-                np.concatenate(([True], buckets[1:] != buckets[:-1])))
-            ends = np.concatenate((starts[1:], [len(pdf)]))
-            n_terms = w.size
-            bucket_ubs = np.empty(starts.size)
-            for i in range(starts.size):
-                s, e = starts[i], ends[i]
-                tu = np.zeros(n_terms)
-                np.maximum.at(tu, tidx[s:e], ub_rows[s:e])
-                bucket_ubs[i] = tu.sum()
-            order = np.argsort(-bucket_ubs, kind="stable")
-            for i in order:
-                if bucket_ubs[i] < topk.threshold:
-                    break  # desc order: everything after is prunable too
-                s, e = int(starts[i]), int(ends[i])
-                res = _score_bucket(
-                    pdf.iloc[s:e], w, k1, b, avgdl, n_required, topk.threshold)
-                if res is not None:
-                    topk.merge(*res)
+        buf: list[pd.DataFrame] = []
+        total = 0
+        carry: pd.DataFrame | None = None
+        streaming = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if not streaming:
+                buf.append(pdf)
+                total += len(pdf)
+                if total > cap:
+                    streaming = True
+                    frame = pd.concat(buf, ignore_index=True)
+                    buf = []
+                    done, carry = split_last_bucket(frame)
+                    if done is not None:
+                        process_frame(done, topk, ordered=False)
+            else:
+                frame = (pd.concat([carry, pdf], ignore_index=True)
+                         if carry is not None and len(carry) else pdf)
+                done, carry = split_last_bucket(frame)
+                if done is not None:
+                    process_frame(done, topk, ordered=False)
+        if streaming:
+            if carry is not None and len(carry):
+                process_frame(carry, topk, ordered=False)
+        elif buf:
+            frame = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            process_frame(frame, topk, ordered=True)
         yield pd.DataFrame({"doc_id": topk.docs, "score": topk.scores})
 
     return run

@@ -26,9 +26,12 @@ from opensearch_spark.datagen import generate_corpus
 from opensearch_spark.index.build import IndexConfig, build_index
 
 cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); out = sys.argv[3]
+# IDENTICAL work at both levels: partition counts are sized by the DATA
+# (as on a real cluster), not by the core count, so N vs 4N differ only
+# in parallelism — not in task granularity or output layout
 spark = get_spark("scaling_bench", master=f"local[{{cores}}]",
-                  shuffle_partitions=max(8, cores))
-corpus = generate_corpus(spark, n_docs, n_partitions=max(32, cores * 2))
+                  shuffle_partitions=64)
+corpus = generate_corpus(spark, n_docs, n_partitions=64)
 corpus = corpus.persist(); corpus.count()   # materialize: time indexing, not gen
 build_dir = out + f"/idx_{{cores}}"
 shutil.rmtree(build_dir, ignore_errors=True)
@@ -36,7 +39,7 @@ t0 = time.perf_counter()
 build_index(spark, corpus, build_dir,
             IndexConfig(field="content", analyzer="standard_code",
                         order_cols=("repo", "path", "commit"),
-                        n_parts=max(8, cores), bucket_span=1 << 13))
+                        n_parts=16, bucket_span=1 << 13))
 sec = time.perf_counter() - t0
 print(json.dumps({{"cores": cores, "sec": sec, "docs_per_sec": n_docs / sec}}))
 spark.stop()

@@ -294,3 +294,101 @@ def test_phrase_suggest_requires_two_tokens(searcher):
 
     with pytest.raises(ValueError):
         phrase_suggest(searcher, "only", size=3)
+
+
+# ---------------- materialized ANN index ----------------
+@pytest.fixture(scope="module")
+def ann_index(spark, sf_dir, tmp_path_factory):
+    from opensearch_spark.ml.similarity import AnnIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = str(tmp_path_factory.mktemp("ann") / "idx")
+    return AnnIndex.build(emb, out, n_planes=6, n_centroids=8)
+
+
+def test_ann_index_prunes_partitions(ann_index, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 2).first()["embedding"]]
+    df = ann_index.ivf_topk(spark, qv, k=5, nprobe=2, exclude_id=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_c" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_ann_index_lsh_recall(ann_index, spark, sf_dir):
+    from opensearch_spark.ml import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, qv, k=10, exclude_id=0).collect()}
+    approx = {r["vec_id"] for r in
+              ann_index.lsh_topk(spark, qv, k=10, multiprobe=2, exclude_id=0).collect()}
+    assert len(exact & approx) / 10.0 >= 0.5
+
+
+def test_ann_index_matches_inline_ivf_full_probe(ann_index, spark, sf_dir):
+    from opensearch_spark.ml import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, qv, k=5, exclude_id=1).collect()]
+    allprobe = [r["vec_id"] for r in
+                ann_index.ivf_topk(spark, qv, k=5, nprobe=8, exclude_id=1).collect()]
+    assert exact == allprobe
+
+
+def test_kmeanspp_deterministic(spark, sf_dir):
+    from opensearch_spark.ml.similarity import kmeanspp_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    a = kmeanspp_centroids(emb, n_centroids=4, n_iters=1)
+    b = kmeanspp_centroids(emb, n_centroids=4, n_iters=1)
+    assert a == b
+    assert len(a) == 4 and len({tuple(c) for c in a}) == 4
+
+
+# ---------------- WAND streaming fallback ----------------
+def test_wand_streaming_fallback_identical(searcher, monkeypatch):
+    """With the buffer cap forced tiny, every partition takes the
+    streaming bucket-at-a-time path — results must still equal the
+    exhaustive oracle (strict bounds prune identically)."""
+    from opensearch_spark.search import wand as wand_mod
+
+    q = Q.Match(field="text", text="spark table merge")
+    exh = searcher.search(q, k=10, mode="exhaustive", round_scores=4).collect()
+    monkeypatch.setattr(wand_mod, "MAX_BUFFER_ROWS", 2)
+    got = searcher.search(q, k=10, mode="wand", round_scores=4).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in exh]
+
+
+# ---------------- segment-merge build path ----------------
+def test_segment_merge_blocks_identical_to_row_path(spark, sf_dir):
+    """The segment-merge encode (packed per-partition segments → merge)
+    must produce bit-identical block rows to the row-per-posting
+    reference path."""
+    from opensearch_spark.analysis import termfreq_udf
+    from opensearch_spark.index.build import encode_blocks, encode_blocks_segmented
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    analyzed = corpus.withColumn(
+        "_tf", termfreq_udf("standard", False)(F.col("text"))).persist()
+    row = analyzed.agg(F.count("*").alias("n"), F.sum("_tf.dl").alias("s")).collect()[0]
+    avgdl = row["s"] / row["n"]
+    flat = analyzed.select(
+        "doc_id", F.col("_tf.dl").alias("dl"),
+        F.explode(F.expr("arrays_zip(_tf.terms, _tf.tfs)")).alias("z"),
+    ).select(F.col("z.terms").alias("term"), "doc_id",
+             F.col("z.tfs").cast("long").alias("tf"), "dl")
+    bucketed = flat.withColumn("bucket", (F.col("doc_id") / F.lit(1 << 9)).cast("long"))
+    old = encode_blocks(bucketed, 1.2, 0.75, avgdl, 8).collect()
+    new = encode_blocks_segmented(analyzed, 1 << 9, 1.2, 0.75, avgdl, 8).collect()
+
+    def norm(rows):
+        return sorted(
+            (r["term"], r["bucket"], r["block_seq"], r["first_doc"], r["last_doc"],
+             r["n"], r["max_tf"], round(r["max_impact"], 10),
+             bytes(r["docs_vb"]), bytes(r["tfs_vb"]), bytes(r["dls_vb"]))
+            for r in rows)
+
+    assert norm(old) == norm(new)
+    analyzed.unpersist()
