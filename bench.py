@@ -41,6 +41,12 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_quality",
     "sim_cosine_topk",
+    # round-2 operators
+    "search_phrase_slop",
+    "search_multi_match_cross",
+    "search_fn_decay",
+    "search_span_containing",
+    "sim_lsh_topk",
 ]
 
 
@@ -67,8 +73,12 @@ def main() -> None:
     build_sec = time.perf_counter() - t0
     timings["index_build"] = round(build_sec, 4)
 
-    # warm the shared searcher cache so query timings exclude the build
+    # warm the shared searcher + ANN-index caches so query timings
+    # exclude one-off builds (the serving posture: indexes are built once)
+    from opensearch_spark.entry_queries import _ann_index
+
     get_searcher(spark, SF_DIR)
+    _ann_index(spark, SF_DIR)
 
     for name in BENCH_QUERIES:
         fn = QUERIES[name]

@@ -2551,6 +2551,134 @@ def search_nested_inner_hits(spark, sf_dir):
             .orderBy("doc_id", "inner_rank"))
 
 
+@q("search_span_multi", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT doc_id, 1.0 AS score FROM pos
+WHERE term LIKE 's%' ORDER BY doc_id
+""")
+def search_span_multi(spark, sf_dir):
+    """span_multi (SpanMultiTermQueryBuilder.java): prefix query wrapped
+    as a span clause — bounded expansion, position-set union."""
+    from opensearch_spark.search import SpanMulti
+
+    s = get_searcher(spark, sf_dir)
+    return s.score(SpanMulti(field="text",
+                             match=Prefix(field="text", value="s")))             .orderBy("doc_id")
+
+
+@q("search_span_containing", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT a.doc_id, 1.0 AS score
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+           JOIN pos c ON a.doc_id = c.doc_id
+WHERE a.term = 'spark' AND b.term = 'merge' AND c.term = 'table'
+  AND b.p > a.p AND b.p - a.p - 1 <= 5
+  AND c.p BETWEEN a.p AND b.p
+ORDER BY a.doc_id
+""")
+def search_span_containing(spark, sf_dir):
+    """span_containing (SpanContainingQueryBuilder.java): 'spark NEAR/5
+    merge' spans that contain a 'table' span."""
+    from opensearch_spark.search import SpanContaining
+
+    s = get_searcher(spark, sf_dir)
+    return s.score(SpanContaining(field="text", big=("spark", "merge"),
+                                  slop=5, little="table")).orderBy("doc_id")
+
+
+@q("search_span_within", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT a.doc_id, 1.0 AS score
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+           JOIN pos c ON a.doc_id = c.doc_id
+WHERE a.term = 'key' AND b.term = 'window' AND c.term = 'value'
+  AND b.p > a.p AND b.p - a.p - 1 <= 6
+  AND c.p BETWEEN a.p AND b.p
+ORDER BY a.doc_id
+""")
+def search_span_within(spark, sf_dir):
+    """span_within (SpanWithinQueryBuilder.java): 'value' spans inside a
+    'key NEAR/6 window' span (doc-level witness shared with
+    span_containing, see spans.span_containing_docs)."""
+    from opensearch_spark.search import SpanWithin
+
+    s = get_searcher(spark, sf_dir)
+    return s.score(SpanWithin(field="text", big=("key", "window"),
+                              slop=6, little="value")).orderBy("doc_id")
+
+
+@q("search_dfr", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark','batch') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark','batch') GROUP BY term),
+scored AS (SELECT tf.doc_id,
+           sum((tf * log2(1.0 + 1.0 * avgdl / dl))
+               * log2((N + 1.0) / (df + 0.5))
+               / ((tf * log2(1.0 + 1.0 * avgdl / dl)) + 1.0)) AS raw
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY tf.doc_id)
+SELECT doc_id, round(raw, 4) AS score FROM scored
+ORDER BY round(raw, 4) DESC, doc_id LIMIT 10
+""")
+def search_dfr(spark, sf_dir):
+    """DFR similarity I(n)/L/H2 (SimilarityProviders.parseDFRSimilarity)."""
+    s = get_searcher(spark, sf_dir)
+    scores = s.score_dfr(Match(field="text", text="spark batch"), c=1.0)
+    return (scores.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
+@q("search_ib", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('merge','vector') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('merge','vector') GROUP BY term),
+scored AS (SELECT tf.doc_id,
+           sum(-log2( ((df + 1.0) / (N + 1.0))
+               / (((df + 1.0) / (N + 1.0))
+                  + tf * log2(1.0 + 1.0 * avgdl / dl)) )) AS raw
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY tf.doc_id)
+SELECT doc_id, round(raw, 4) AS score FROM scored
+ORDER BY round(raw, 4) DESC, doc_id LIMIT 10
+""")
+def search_ib(spark, sf_dir):
+    """IB similarity LL/DF/H2 (SimilarityProviders.parseIBSimilarity)."""
+    s = get_searcher(spark, sf_dir)
+    scores = s.score_ib(Match(field="text", text="merge vector"), c=1.0)
+    return (scores.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
+@q("search_scripted_similarity", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('sort','window') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('sort','window') GROUP BY term),
+cf AS (SELECT term, count(*) AS cf FROM tok2
+       WHERE term IN ('sort','window') GROUP BY term),
+scored AS (SELECT tf.doc_id,
+           sum(sqrt(tf) * ln((N + 1.0) / (df + 1.0)) * (cf * 1.0 / N) ) AS raw
+           FROM tf JOIN dfreq USING (term) JOIN cf USING (term)
+           JOIN dl USING (doc_id) CROSS JOIN stats GROUP BY tf.doc_id)
+SELECT doc_id, round(raw, 4) AS score FROM scored
+ORDER BY round(raw, 4) DESC, doc_id LIMIT 10
+""")
+def search_scripted_similarity(spark, sf_dir):
+    """Scripted similarity (ScriptedSimilarity.java): arbitrary expression
+    over (tf, df, cf, dl, N, avgdl) per matching term."""
+    s = get_searcher(spark, sf_dir)
+    scores = s.score_scripted_similarity(
+        Match(field="text", text="sort window"),
+        "sqrt(tf) * ln((N + 1.0) / (df + 1.0)) * (cf * 1.0 / N)")
+    return (scores.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
 @q("agg_percentile_ranks", """
 SELECT o_orderpriority,
        round(100.0 * count(CASE WHEN o_totalprice <= 150000 THEN 1 END)

@@ -17,10 +17,13 @@ from opensearch_spark.search.queries import (  # noqa: F401
     MoreLikeThis,
     MultiMatch,
     ScoreFunction,
+    SpanContaining,
     SpanFirst,
+    SpanMulti,
     SpanNear,
     SpanNot,
     SpanOr,
+    SpanWithin,
     Prefix,
     Query,
     Range,

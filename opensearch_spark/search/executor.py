@@ -382,6 +382,17 @@ class Searcher:
             return self._span_or(q)
         if isinstance(q, Q.SpanNot):
             return self._span_not(q)
+        if isinstance(q, Q.SpanMulti):
+            terms = self.expand_terms(q.match)
+            if not terms:
+                return self._empty_scores()
+            return self._span_or(Q.SpanOr(field=q.field, values=terms,
+                                          boost=q.boost))
+        if isinstance(q, (Q.SpanContaining, Q.SpanWithin)):
+            from opensearch_spark.search.spans import span_containing_docs
+
+            m = span_containing_docs(self, tuple(q.big), q.slop, q.little)
+            return m.select("doc_id", F.lit(float(q.boost)).alias("score"))
         if isinstance(q, Q.Intervals):
             return self._intervals(q)
         if isinstance(q, Q.Term) and q.field == self.field:
@@ -907,6 +918,56 @@ class Searcher:
         )
         return (scored.groupBy("doc_id").agg(F.sum("tscore").alias("score"))
                 .select("doc_id", "score"))
+
+    def score_scripted_similarity(self, q: Q.Match, expr: str) -> DataFrame:
+        """Scripted similarity (index/similarity/ScriptedSimilarity.java):
+        per-(doc, term) score as a SQL expression over the exposed
+        variables — ``tf``, ``df``, ``cf``, ``dl``, ``N``, ``avgdl`` —
+        summed per doc. The reference exposes the same statistics to the
+        Painless script (term.docFreq/totalTermFreq, doc.length,
+        field.docCount/sumTotalTermFreq)."""
+        terms = self.analyze(q.text)
+        stats = self.term_stats(terms)
+        live = [t for t in dict.fromkeys(terms) if t in stats]
+        if not live:
+            return self._empty_scores()
+        flat = self._flat_postings(live)
+        st = self.spark.createDataFrame(
+            [(t, stats[t][0], stats[t][1]) for t in live],
+            "term string, df long, cf long")
+        sub = re.sub(r"\bavgdl\b", f"CAST({self.avgdl!r} AS DOUBLE)", expr)
+        sub = re.sub(r"\bN\b", f"CAST({self.N} AS DOUBLE)", sub)
+        scored = flat.join(F.broadcast(st), "term").withColumn(
+            "tscore", F.expr(sub).cast("double"))
+        return (scored.groupBy("doc_id").agg(F.sum("tscore").alias("score"))
+                .select("doc_id", "score"))
+
+    def score_dfr(self, q: Q.Match, c: float = 1.0) -> DataFrame:
+        """DFR similarity, model I(n) / after-effect L / normalization H2
+        (SimilarityProviders.parseDFRSimilarity wiring; public DFR math):
+
+            tfn  = tf * log2(1 + c * avgdl / dl)
+            gain = tfn * log2((N + 1) / (df + 0.5))
+            score = gain / (tfn + 1)                # after-effect L
+        """
+        expr = (f"(tf * log2(1.0 + {c!r} * avgdl / dl)) "
+                f"* log2((N + 1.0) / (df + 0.5)) "
+                f"/ ((tf * log2(1.0 + {c!r} * avgdl / dl)) + 1.0)")
+        return self.score_scripted_similarity(q, expr)
+
+    def score_ib(self, q: Q.Match, lam_mode: str = "df", c: float = 1.0) -> DataFrame:
+        """IB (information-based) similarity, LL distribution / DF lambda /
+        H2 normalization (SimilarityProviders.parseIBSimilarity; public
+        information-based model math):
+
+            tfn    = tf * log2(1 + c * avgdl / dl)
+            lambda = (df + 1) / (N + 1)
+            score  = -log2(lambda / (lambda + tfn))
+        """
+        expr = (f"-log2( ((df + 1.0) / (N + 1.0)) "
+                f"/ (((df + 1.0) / (N + 1.0)) "
+                f"+ tf * log2(1.0 + {c!r} * avgdl / dl)) )")
+        return self.score_scripted_similarity(q, expr)
 
     def matched_queries(self, named: dict[str, Q.Query]) -> DataFrame:
         """Named queries (`matched_queries`, SearchModule.java:1055): one

@@ -126,6 +126,43 @@ class SpanNot(Query):
 
 
 @dataclass
+class SpanMulti(Query):
+    """span_multi (SpanMultiTermQueryBuilder.java): wrap a multi-term
+    query (prefix/wildcard/regexp/fuzzy) as a span clause — the expansion
+    becomes a position-set union (bounded by max_expansions)."""
+
+    field: str
+    match: Query = None  # Prefix | Wildcard | Regexp | Fuzzy
+    boost: float = 1.0
+
+
+@dataclass
+class SpanContaining(Query):
+    """span_containing (SpanContainingQueryBuilder.java): matches of the
+    ``big`` span (ordered 2-clause span_near within ``slop``) that contain
+    a ``little``-term span."""
+
+    field: str
+    big: tuple = ()      # (term_a, term_b)
+    slop: int = 0
+    little: str = ""
+    boost: float = 1.0
+
+
+@dataclass
+class SpanWithin(Query):
+    """span_within (SpanWithinQueryBuilder.java): ``little``-term spans
+    that lie within a ``big`` span match — at doc level the same witness
+    condition as span_containing (documented)."""
+
+    field: str
+    big: tuple = ()
+    slop: int = 0
+    little: str = ""
+    boost: float = 1.0
+
+
+@dataclass
 class Intervals(Query):
     """intervals query, ``match`` rule (IntervalQueryBuilder.java): the
     analyzed terms must appear with at most ``max_gaps`` total extra
@@ -424,6 +461,18 @@ def from_dsl(d: dict) -> Query:
         return SpanNot(field=fi, include=vi, exclude=ve,
                        pre=body.get("pre", body.get("dist", 0)),
                        post=body.get("post", body.get("dist", 0)))
+    if kind == "span_term":
+        f, spec = next(iter(body.items()))
+        return Term(field=f, value=spec["value"] if isinstance(spec, dict) else spec)
+    if kind == "span_multi":
+        inner = from_dsl(body["match"])
+        return SpanMulti(field=inner.field, match=inner)
+    if kind in ("span_containing", "span_within"):
+        cls = SpanContaining if kind == "span_containing" else SpanWithin
+        bigq = from_dsl(body["big"])
+        littleq = from_dsl(body["little"])
+        return cls(field=bigq.field, big=tuple(bigq.clauses),
+                   slop=bigq.slop, little=littleq.value)
     if kind == "intervals":
         f, spec = next(iter(body.items()))
         m = spec["match"]

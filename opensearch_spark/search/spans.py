@@ -90,38 +90,118 @@ def _unordered_exists(arrs: list[list[np.ndarray]], slop: int) -> bool:
     return False
 
 
-def _span_group_fn(n_clauses: int, slop: int, in_order: bool):
-    empty = pd.DataFrame({
-        "doc_id": pd.Series([], dtype="int64"),
-        "n_matches": pd.Series([], dtype="int64"),
-    })
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        arrs: list[np.ndarray | None] = [None] * n_clauses
-        for cl, ps in zip(pdf["clause"], pdf["positions"]):
-            a = np.asarray(ps, dtype=np.int64)
-            arrs[cl] = a if arrs[cl] is None else np.concatenate([arrs[cl], a])
-        if any(a is None or len(a) == 0 for a in arrs):
-            return empty
-        arrs2 = [np.unique(a) for a in arrs]
-        if in_order:
-            m = _greedy_ordered(arrs2, slop)
+def _doc_match_count(arrs: list, slop: int, in_order: bool) -> int:
+    """Matches for one doc given its per-clause position arrays (None or
+    empty → no match)."""
+    if any(a is None or len(a) == 0 for a in arrs):
+        return 0
+    arrs2 = [np.unique(a) for a in arrs]
+    if in_order:
+        return _greedy_ordered(arrs2, slop)
+    # fold duplicate clause position-sets into (positions, need)
+    folded: dict[bytes, list] = {}
+    for a in arrs2:
+        key = a.tobytes()
+        if key in folded:
+            folded[key][1] += 1
         else:
-            # fold duplicate clause position-sets into (positions, need)
-            folded: dict[bytes, list] = {}
-            for a in arrs2:
-                key = a.tobytes()
-                if key in folded:
-                    folded[key][1] += 1
-                else:
-                    folded[key] = [a, 1]
-            m = 1 if _unordered_exists(list(folded.values()), slop) else 0
-        if not m:
-            return empty
-        return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])],
-                             "n_matches": [int(m)]})
+            folded[key] = [a, 1]
+    return 1 if _unordered_exists(list(folded.values()), slop) else 0
 
-    return fn
+
+def _span_stream_fn(n_clauses: int, doc_fn):
+    """mapInPandas over doc-partitioned, doc-sorted (doc_id, clause,
+    positions) rows: doc groups are numpy slices inside each Arrow batch
+    (batch-spanning docs stitched via carry) — no per-group pandas
+    overhead, same trick as the index build's block encoder.
+    ``doc_fn(arrs) -> int`` scores one doc from its per-clause arrays."""
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        docs = pdf["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], docs[1:] != docs[:-1])))
+        ends = np.concatenate((starts[1:], [len(pdf)]))
+        cls = pdf["clause"].to_numpy()
+        poss = pdf["positions"].to_numpy()
+        out_d, out_m = [], []
+        for s, e in zip(starts, ends):
+            arrs: list[np.ndarray | None] = [None] * n_clauses
+            for i in range(s, e):
+                a = np.asarray(poss[i], dtype=np.int64)
+                ci = int(cls[i])
+                arrs[ci] = a if arrs[ci] is None else np.concatenate([arrs[ci], a])
+            m = doc_fn(arrs)
+            if m:
+                out_d.append(int(docs[s]))
+                out_m.append(int(m))
+        if not out_d:
+            return None
+        return pd.DataFrame({"doc_id": np.asarray(out_d, dtype=np.int64),
+                             "n_matches": np.asarray(out_m, dtype=np.int64)})
+
+    def run(batches):
+        pend: pd.DataFrame | None = None
+        for pdf in batches:
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            if not len(pdf):
+                continue
+            docs = pdf["doc_id"].to_numpy()
+            change = np.flatnonzero(docs[1:] != docs[:-1]) + 1
+            last_start = int(change[-1]) if change.size else 0
+            if last_start > 0:
+                out = process(pdf.iloc[:last_start])
+                if out is not None:
+                    yield out
+            pend = pdf.iloc[last_start:].reset_index(drop=True)
+        if pend is not None and len(pend):
+            out = process(pend)
+            if out is not None:
+                yield out
+
+    return run
+
+
+def _containing_count(arrs: list, slop: int) -> int:
+    """Matches for one doc: big starts whose minimal covering little and
+    minimal valid big end fit the window (minimal witnesses are optimal)."""
+    if any(a is None or len(a) == 0 for a in arrs):
+        return 0
+    A, B, C = (np.unique(a) for a in arrs)
+    hi = A + 1 + slop
+    ci = np.searchsorted(C, A, side="left")
+    has_c = ci < len(C)
+    pc = C[np.clip(ci, 0, len(C) - 1)]
+    lo = np.maximum(pc, A + 1)
+    bi = np.searchsorted(B, lo, side="left")
+    has_b = bi < len(B)
+    pb = B[np.clip(bi, 0, len(B) - 1)]
+    return int(np.count_nonzero(has_c & (pc <= hi) & has_b & (pb <= hi)))
+
+
+def span_containing_docs(searcher, big: tuple[str, str], slop: int,
+                         little: str) -> DataFrame:
+    """Docs where an ordered 2-clause span_near match of ``big`` (within
+    ``slop``) CONTAINS a position of ``little`` — the shared core of
+    span_containing and span_within (at doc level both demand the same
+    witness: pa < pb <= pa+1+slop and pa <= pc <= pb). Exhaustive over
+    span choices: for each start pa the smallest covering little pc and
+    the smallest valid end pb >= pc are checked — minimal witnesses are
+    optimal, so existence is exact, not greedy-approximate."""
+    searcher._require_positions("span_containing/span_within")
+    spark = searcher.spark
+    mapping = [(big[0], 0), (big[1], 1), (little, 2)]
+    terms = sorted({t for t, _ in mapping})
+    map_df = spark.createDataFrame(mapping, "term string, clause int")
+    pos = (searcher.index.positions(spark)
+           .where(F.col("term").isin(terms))
+           .join(F.broadcast(map_df), "term")
+           .select("doc_id", "clause", "positions"))
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (pos.repartition(n_shuffle, "doc_id")
+            .sortWithinPartitions("doc_id", "clause")
+            .mapInPandas(_span_stream_fn(
+                3, lambda arrs: _containing_count(arrs, slop)), SPAN_SCHEMA))
 
 
 def span_match_counts(searcher, clauses: list, slop: int,
@@ -145,5 +225,10 @@ def span_match_counts(searcher, clauses: list, slop: int,
            .where(F.col("term").isin(terms))
            .join(F.broadcast(map_df), "term")
            .select("doc_id", "clause", "positions"))
-    return pos.groupBy("doc_id").applyInPandas(
-        _span_group_fn(len(clauses), slop, in_order), SPAN_SCHEMA)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (pos.repartition(n_shuffle, "doc_id")
+            .sortWithinPartitions("doc_id", "clause")
+            .mapInPandas(_span_stream_fn(
+                len(clauses),
+                lambda arrs: _doc_match_count(arrs, slop, in_order)),
+                SPAN_SCHEMA))

@@ -87,16 +87,17 @@ def searcher(spark, sf_dir):
 
 
 def test_span_near_no_position_cartesian(searcher):
-    """Hot term × long doc must not blow up: the plan is a groupBy(doc_id)
-    applyInPandas, so the only wide node is one shuffle on doc_id. Assert
-    the plan contains FlatMapGroupsInPandas and no join of two exploded
-    position streams (the round-1 cartesian shape)."""
+    """Hot term × long doc must not blow up: the plan is one doc_id
+    repartition feeding a batched MapInPandas (doc groups stitched inside
+    batches) — no join of two exploded position streams (the round-1
+    cartesian shape), no per-group pandas overhead."""
     df = searcher.score(Q.SpanNear(field="text",
                                    clauses=["spark", "table", "merge"],
                                    slop=5, in_order=True))
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
 
 
 def test_span_near_matches_python_reference(searcher, spark, sf_dir):
@@ -392,3 +393,43 @@ def test_segment_merge_blocks_identical_to_row_path(spark, sf_dir):
 
     assert norm(old) == norm(new)
     analyzed.unpersist()
+
+
+# ---------------- span_containing / span_within / span_multi ----------------
+def test_span_containing_matches_brute(searcher, spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    slop = 4
+    want = set()
+    for r in docs:
+        toks = r["text"].split()
+        A = [i for i, t in enumerate(toks) if t == "spark"]
+        B = [i for i, t in enumerate(toks) if t == "merge"]
+        C = [i for i, t in enumerate(toks) if t == "table"]
+        if any(pa < pb <= pa + 1 + slop and pa <= pc <= pb
+               for pa in A for pb in B for pc in C):
+            want.add(r["doc_id"])
+    got = {r["doc_id"] for r in searcher.score(
+        Q.SpanContaining(field="text", big=("spark", "merge"),
+                         slop=slop, little="table")).collect()}
+    assert got == want
+
+
+def test_span_multi_equals_prefix_docs(searcher):
+    sm = {r["doc_id"] for r in searcher.score(
+        Q.SpanMulti(field="text", match=Q.Prefix(field="text", value="sp"))).collect()}
+    pf = {r["doc_id"] for r in searcher.score(
+        Q.Prefix(field="text", value="sp")).collect()}
+    assert sm == pf
+
+
+def test_dfr_ib_scripted_positive_and_deterministic(searcher):
+    q = Q.Match(field="text", text="spark table")
+    for fn in (lambda: searcher.score_dfr(q),
+               lambda: searcher.score_ib(q),
+               lambda: searcher.score_scripted_similarity(
+                   q, "tf * ln(1.0 + N / (df + 1.0))")):
+        a = sorted((r["doc_id"], round(r["score"], 9)) for r in fn().collect())
+        b = sorted((r["doc_id"], round(r["score"], 9)) for r in fn().collect())
+        assert a == b and len(a) > 0
+        assert all(s > 0 for _, s in a)
