@@ -2750,6 +2750,189 @@ def agg_cardinality_approx(spark, sf_dir):
          <= 0.05 * F.col("exact_uniques")).alias("approx_ok"))
 
 
+@q("dedup_cluster", f"""
+WITH RECURSIVE {_SH2},
+inter AS (
+    SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+    SELECT a, b FROM inter JOIN sz x ON inter.a = x.doc_id
+                JOIN sz y ON inter.b = y.doc_id
+    WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+ORDER BY doc_id
+""")
+def dedup_cluster(spark, sf_dir):
+    """Transitive dedup clustering: near-dup pairs (2-gram Jaccard >= 0.5)
+    → connected components (iterative min-label propagation + pointer
+    jumping, ml/dedup.py dup_clusters) → cluster id = min member. The
+    oracle computes the same components with a recursive CTE."""
+    sh = D.shingles(_docs(spark, sf_dir), "text", n=2)
+    pairs = D.jaccard_pairs(sh, threshold=0.5)
+    return D.dup_clusters(pairs).orderBy("doc_id")
+
+
+@q("sim_knn_join", """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+pairs AS (
+    SELECT q.query_id, c.neighbor_id,
+           round(list_dot_product(q.qv, c.cv)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.cv, c.cv))), 4) AS cosine
+    FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id),
+ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+           FROM pairs)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+""")
+def sim_knn_join(spark, sf_dir):
+    """Batch kNN join (every query → top-k neighbors): exact baseline over
+    the first 20 query vectors; knn_join_lsh is the bucketed scale path
+    (recall-tested)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.knn_join_exact(emb.where(F.col("vec_id") < 20), emb, k=3)
+    return out.orderBy("query_id", "rank")
+
+
+@q("sim_knn_join_lsh")  # rows-only: recall vs exact join asserted in tests
+def sim_knn_join_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_join_lsh(emb, k=3, n_planes=6).orderBy("query_id", "rank")
+
+
+_PII_TEXT = ("concat(text, CASE WHEN doc_id % 7 = 0 "
+             "THEN ' mail user' || doc_id || '@example.com' "
+             "WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' "
+             "WHEN doc_id % 13 = 0 THEN ' host 10.0.0.1' ELSE '' END)")
+
+
+@q("text_pii_scrub", f"""
+WITH src AS (SELECT doc_id, {_PII_TEXT} AS t FROM documents),
+x AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                  + len(regexp_extract_all(
+                        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[PII]', 'g'),
+                        '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+                  + len(regexp_extract_all(
+                        regexp_replace(
+                            regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[PII]', 'g'),
+                            '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[PII]', 'g'),
+                        '\\+?\\d[\\d\\- ]{{7,}}\\d')) AS INT) AS n_pii,
+             regexp_replace(
+                 regexp_replace(
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[PII]', 'g'),
+                     '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[PII]', 'g'),
+                 '\\+?\\d[\\d\\- ]{{7,}}\\d', '[PII]', 'g') AS clean_text
+      FROM src)
+SELECT doc_id, n_pii, clean_text FROM x WHERE n_pii > 0 ORDER BY doc_id
+""")
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing (training-data hygiene): email/IPv4/phone spans →
+    placeholder, per-doc hit counts; synthetic PII injected
+    deterministically since the corpus has none."""
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_PII_TEXT).alias("text2"))
+    out = TS.pii_scrub(d, "text2")
+    return out.where(F.col("n_pii") > 0).orderBy("doc_id")
+
+
+@q("mm_frame_signatures", """
+WITH f AS (
+    SELECT doc_id,
+           unnest(range(0, greatest(1, length(text) // 64), 2)) AS frame_idx
+    FROM documents WHERE doc_id < 50)
+SELECT f.doc_id, CAST(f.frame_idx AS INT) AS frame_idx,
+       md5(substring(d.text, f.frame_idx * 64 + 1, 64)) AS frame_sig
+FROM f JOIN documents d USING (doc_id)
+ORDER BY doc_id, frame_idx
+""")
+def mm_frame_signatures(spark, sf_dir):
+    """Multimodal frame sampling with per-frame fingerprints: binary
+    payload → mapInPandas frame slicing + md5 (ml/multimodal.py). The
+    oracle reproduces the byte-range hashes in SQL (ascii payload)."""
+    from opensearch_spark.ml import multimodal as MM
+
+    d = (_docs(spark, sf_dir).where(F.col("doc_id") < 50)
+         .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload")))
+    return MM.frame_signatures(d, frame_bytes=64, every_n=2)              .orderBy("doc_id", "frame_idx")
+
+
+@q("search_termvectors", f"""
+WITH {O.TOK_CTES}
+SELECT doc_id, term, count(*) AS tf FROM tok2
+WHERE doc_id IN (3, 7) GROUP BY doc_id, term ORDER BY doc_id, term
+""")
+def search_termvectors(spark, sf_dir):
+    """_termvectors API (TermVectorsRequest): per-doc (term, tf) vectors
+    for requested ids — re-analysis of the stored field, like the
+    reference's on-the-fly term-vector computation when vectors are not
+    indexed."""
+    s = get_searcher(spark, sf_dir)
+    return s._flat_for_docs([3, 7]).orderBy("doc_id", "term")
+
+
+@q("index_stats", f"""
+WITH {O.TOK_CTES}
+SELECT (SELECT count(*) FROM documents) AS doc_count,
+       (SELECT count(DISTINCT term) FROM tok2) AS vocab_size,
+       (SELECT count(*) FROM tok2) AS total_tokens,
+       round((SELECT count(*) FROM tok2) * 1.0
+             / (SELECT count(*) FROM documents), 6) AS avgdl
+""")
+def index_stats(spark, sf_dir):
+    """_stats API (IndicesStatsAction analog): engine-held collection
+    statistics, cross-checked against recomputation from the raw corpus."""
+    s = get_searcher(spark, sf_dir)
+    vocab = s.index.dictionary(spark).count()
+    return spark.createDataFrame(
+        [(s.N, vocab, s.sum_dl, round(s.sum_dl / s.N, 6))],
+        "doc_count long, vocab_size long, total_tokens long, avgdl double")
+
+
+@q("search_terminate_after", f"""
+WITH {O.TOK_CTES},
+m AS (SELECT count(DISTINCT doc_id) AS cnt FROM tok2 WHERE term = 'spark')
+SELECT least(cnt, 50) AS total_hits, cnt >= 50 AS terminated_early FROM m
+""")
+def search_terminate_after(spark, sf_dir):
+    """terminate_after (QueryPhase early termination): stop collecting
+    after N matching docs — LIMIT inside the plan, capped count + flag."""
+    s = get_searcher(spark, sf_dir)
+    n = s.matching_docs(Match(field="text", text="spark")).limit(50).count()
+    return spark.createDataFrame([(n, n >= 50)],
+                                 "total_hits long, terminated_early boolean")
+
+
+@q("search_intervals_prefix", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT a.doc_id, 1.0 AS score
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = 'spark' AND b.term LIKE 'ta%'
+  AND b.p > a.p AND b.p - a.p - 1 <= 1
+ORDER BY a.doc_id
+""")
+def search_intervals_prefix(spark, sf_dir):
+    """intervals `prefix` rule (IntervalsSourceProvider.Prefix): the last
+    term expands to its dictionary completions, used as clause
+    alternatives in the same minimal-window algebra."""
+    from opensearch_spark.search import Intervals
+
+    s = get_searcher(spark, sf_dir)
+    return s.score(Intervals(field="text", text="spark ta", max_gaps=1,
+                             ordered=True, last_prefix=True)).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate verifies the first
 # ~50 queries() entries each round. Gates with a green row in

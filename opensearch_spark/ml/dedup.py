@@ -169,6 +169,55 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
     return out
 
 
+def dup_clusters(pairs: DataFrame, max_iters: int = 12) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id),
+    cluster_id = min doc_id in the component. Dedup at scale needs the
+    TRANSITIVE closure of pairwise matches (A~B, B~C ⇒ one cluster, keep
+    one representative), not just the pair list.
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (the alternating-star / hash-to-min family used for web-scale
+    connected components): each round every node takes the min label in
+    its neighborhood, then labels chase their own labels (path halving),
+    so convergence is O(log diameter) rounds — each round two hash joins,
+    no driver-side graph. Stops early when a round changes nothing."""
+    edges = pairs.select(F.col("a").cast("long").alias("a"),
+                         F.col("b").cast("long").alias("b"))
+    adj = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    # localCheckpoint (eager) each round: truncates the logical plan, which
+    # otherwise grows EXPONENTIALLY (the pointer-jump self-join references
+    # the previous round's plan twice) and stalls the analyzer by round ~8
+    labels = (adj.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
+    for _ in range(max_iters):
+        nbr = (adj.join(labels.select(F.col("node").alias("b"),
+                                      F.col("label").alias("_nl")), "b")
+               .groupBy("a").agg(F.min("_nl").alias("_minn")))
+        new = (labels.join(nbr.select(F.col("a").alias("node"), "_minn"),
+                           "node", "left")
+               .select("node",
+                       F.least(F.col("label"),
+                               F.coalesce("_minn", F.col("label"))).alias("label")))
+        # pointer jumping: label ← label(label)
+        jumped = (new.alias("x")
+                  .join(new.select(F.col("node").alias("label"),
+                                   F.col("label").alias("_ll")).alias("y"),
+                        "label", "left")
+                  .select("node",
+                          F.least(F.col("label"),
+                                  F.coalesce("_ll", F.col("label"))).alias("label"))
+                  .localCheckpoint())
+        changed = (jumped.join(labels.withColumnRenamed("label", "_old"), "node")
+                   .where(F.col("label") != F.col("_old")).limit(1).count())
+        labels = jumped
+        if changed == 0:
+            break
+    adj.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, text_col: str, bits: int = 32,
             id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash over whitespace tokens (md5-derived bit vectors);

@@ -69,6 +69,33 @@ def extract_features(
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def frame_signatures(df: DataFrame, frame_bytes: int = 64,
+                     every_n: int = 2) -> DataFrame:
+    """Video-style frame sampling + per-frame fingerprint, Arrow-batched:
+    treat the payload as fixed-size frames, sample every ``every_n``-th,
+    md5 each frame's byte range. The decode step is byte-slicing (honest
+    stub — a real decoder swaps in per ``extract_features``); the Spark
+    plumbing (mapInPandas, per-row frame explode, deterministic sigs) is
+    the real 100 TB shape and is oracle-checkable since md5-over-slice is
+    reproducible in SQL."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = max(1, len(raw) // frame_bytes)
+                for i in range(0, n_frames, every_n):
+                    ids.append(int(did))
+                    idxs.append(i)
+                    sigs.append(hashlib.md5(
+                        raw[i * frame_bytes:(i + 1) * frame_bytes]).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "frame_sig": sigs})
+
+    return df.mapInPandas(run, "doc_id long, frame_idx int, frame_sig string")
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-style frame sampling stub: keeps the plumbing (explode of
     sampled offsets) real; byte-range decode is the stubbed part."""

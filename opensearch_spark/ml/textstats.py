@@ -98,3 +98,30 @@ def lang_id(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_n = F.when(cond, hits).otherwise(best_n)
     return df.select(F.col(id_col), best.alias("pred_lang"))
+
+
+# PII patterns (defensive scrubbing for training-data hygiene): email,
+# phone-like digit runs, IPv4 — conservative regexes, applied in order
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str = "doc_id",
+              replacement: str = "[PII]") -> DataFrame:
+    """PII scrubbing (training-data hygiene): replace email / IPv4 /
+    phone-like spans with a placeholder, reporting per-doc hit counts.
+    Pure JVM regexp_replace chain — codegen, no UDF; the regex set is a
+    conservative public-pattern baseline, extensible per deployment."""
+    cleaned = F.col(text_col)
+    n_hits = F.lit(0)
+    for _, pat in PII_PATTERNS:
+        n_hits = n_hits + F.size(F.regexp_extract_all(cleaned, F.lit(pat), F.lit(0)))
+        cleaned = F.regexp_replace(cleaned, pat, replacement)
+    return df.select(
+        F.col(id_col),
+        n_hits.cast("int").alias("n_pii"),
+        cleaned.alias("clean_text"),
+    )

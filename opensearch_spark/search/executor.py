@@ -841,7 +841,15 @@ class Searcher:
         if not terms:
             return self._empty_scores()
         slop = q.max_gaps if q.max_gaps >= 0 else (1 << 30)
-        m = span_match_counts(self, terms, slop, q.ordered)
+        clauses: list = list(terms)
+        if q.last_prefix:
+            # intervals `prefix` rule: the last term expands to its
+            # dictionary completions (bounded), used as clause alternatives
+            exps = self.expand_terms(Q.Prefix(field=q.field, value=terms[-1]))
+            if not exps:
+                return self._empty_scores()
+            clauses[-1] = exps
+        m = span_match_counts(self, clauses, slop, q.ordered)
         return m.select("doc_id", F.lit(float(q.boost)).alias("score"))
 
     def _phrase_sloppy(self, q: Q.MatchPhrase, terms: list[str]) -> DataFrame:

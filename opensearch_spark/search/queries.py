@@ -173,6 +173,7 @@ class Intervals(Query):
     text: str = ""
     max_gaps: int = -1
     ordered: bool = False
+    last_prefix: bool = False  # intervals `prefix` rule on the last term
     boost: float = 1.0
 
 

@@ -433,3 +433,111 @@ def test_dfr_ib_scripted_positive_and_deterministic(searcher):
         b = sorted((r["doc_id"], round(r["score"], 9)) for r in fn().collect())
         assert a == b and len(a) > 0
         assert all(s > 0 for _, s in a)
+
+
+# ---------------- dedup clustering / knn join / pii / frames ----------------
+def test_dup_clusters_matches_networkx_free_reference(spark):
+    from opensearch_spark.ml.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11)], "a long, b long")
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8, 11: 8}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    from opensearch_spark.ml.dedup import dup_clusters
+
+    n = 40  # path graph: worst diameter case for label propagation
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], "a long, b long")
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert set(out.values()) == {0} and len(out) == n + 1
+
+
+def test_knn_join_lsh_recall(spark, sf_dir):
+    from opensearch_spark.ml import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             S.knn_join_exact(emb.where(F.col("vec_id") < 20), emb, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              S.knn_join_lsh(emb, k=3, n_planes=4).collect()
+              if r["query_id"] < 20}
+    assert len(exact & approx) / max(len(exact), 1) >= 0.4
+
+
+def test_pii_scrub_patterns(spark):
+    from opensearch_spark.ml.textstats import pii_scrub
+
+    df = spark.createDataFrame(
+        [(0, "write to bob@corp.io or 10.1.2.3 or +44 1234 567890 now"),
+         (1, "clean text only")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_pii"], r["clean_text"]) for r in
+           pii_scrub(df, "text").collect()}
+    assert out[0][0] == 3
+    assert "@" not in out[0][1] and "10.1.2.3" not in out[0][1]
+    assert out[1] == (0, "clean text only")
+
+
+def test_frame_signatures_deterministic(spark):
+    import hashlib
+
+    from opensearch_spark.ml.multimodal import frame_signatures
+
+    payload = b"x" * 200
+    df = spark.createDataFrame([(0, payload)], "doc_id long, payload binary")
+    rows = frame_signatures(df, frame_bytes=64, every_n=1).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert rows[0]["frame_sig"] == hashlib.md5(payload[0:64]).hexdigest()
+
+
+def test_intervals_prefix_rule(searcher):
+    got = {r["doc_id"] for r in searcher.score(
+        Q.Intervals(field="text", text="spark ta", max_gaps=1,
+                    ordered=True, last_prefix=True)).collect()}
+    plain = {r["doc_id"] for r in searcher.score(
+        Q.Intervals(field="text", text="spark table", max_gaps=1,
+                    ordered=True)).collect()}
+    assert plain <= got  # 'table' is one completion of 'ta'
+
+
+# ---------------- streaming stateful dedup ----------------
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    import time
+
+    from opensearch_spark.streaming.state import streaming_dedup
+
+    src = str(tmp_path / "src")
+    out_tbl = "dedup_out_" + str(abs(hash(str(tmp_path))) % 10**8)
+    os_mk = __import__("os").makedirs
+    os_mk(src, exist_ok=True)
+    # batch 1: two docs, one duplicate pair
+    spark.createDataFrame(
+        [(0, "aaa"), (1, "bbb"), (2, "aaa")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    # batch 2: repeats 'aaa' and 'bbb', adds 'ccc'
+    spark.createDataFrame(
+        [(3, "aaa"), (4, "ccc"), (5, "bbb")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/b*"))
+    q = (streaming_dedup(stream).writeStream.format("memory")
+         .queryName(out_tbl).outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql(f"SELECT * FROM {out_tbl}").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.sql(f"SELECT * FROM {out_tbl}").collect()}
+    # one emission per distinct content; first-seen doc wins within a batch
+    assert len(got) == 3
+    assert 4 in got                      # 'ccc'
+    assert got & {0, 2} and got & {1, 5}
