@@ -285,7 +285,10 @@ class Regexp(Query):
 @dataclass
 class Fuzzy(Query):
     """Levenshtein <= fuzziness over terms (FuzzyQueryBuilder.java);
-    fuzziness=None → AUTO by length (libs/core Fuzziness)."""
+    fuzziness=None → AUTO by length (libs/core Fuzziness). Documented
+    divergence: the reference defaults transpositions=true (Damerau —
+    'ab'→'ba' counts 1 edit); this engine uses classic Levenshtein
+    (transposition = 2 edits), matching Spark's and DuckDB's built-in."""
 
     field: str
     value: str

@@ -35,6 +35,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # local mode: the driver JVM is also the executor. 8g measured
+        # FASTER than 48g on the big builds (48g: rare-but-huge GCs + 16
+        # threads scanning on-heap columnar cache = 2.4M-doc 16-core build
+        # 78s→117s; 8g's partial spill to page cache is cheaper) — keep the
+        # heap generational-friendly and let the OS cache the spill
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

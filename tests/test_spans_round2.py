@@ -541,3 +541,55 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     assert len(got) == 3
     assert 4 in got                      # 'ccc'
     assert got & {0, 2} and got & {1, 5}
+
+
+# ---------------- DSL parse layer for round-2 operators ----------------
+def test_from_dsl_round2_kinds():
+    from opensearch_spark.search import from_dsl
+
+    q = from_dsl({"span_first": {"match": {"span_term": {"text": "spark"}}, "end": 2}})
+    assert q.__class__.__name__ == "SpanFirst" and q.end == 2
+    q = from_dsl({"span_or": {"clauses": [
+        {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}]}})
+    assert q.values == ["a", "b"]
+    q = from_dsl({"span_not": {"include": {"span_term": {"text": "a"}},
+                               "exclude": {"span_term": {"text": "b"}},
+                               "post": 1}})
+    assert (q.include, q.exclude, q.pre, q.post) == ("a", "b", 0, 1)
+    q = from_dsl({"span_near": {"clauses": [
+        {"span_term": {"text": "a"}},
+        {"span_or": {"clauses": [{"span_term": {"text": "b"}},
+                                 {"span_term": {"text": "c"}}]}}],
+        "slop": 3}})
+    assert q.clauses == ["a", ["b", "c"]] and q.slop == 3
+    q = from_dsl({"span_multi": {"match": {"prefix": {"text": "sp"}}}})
+    assert q.__class__.__name__ == "SpanMulti" and q.match.value == "sp"
+    q = from_dsl({"span_containing": {
+        "big": {"span_near": {"clauses": [{"span_term": {"text": "a"}},
+                                          {"span_term": {"text": "b"}}],
+                              "slop": 4}},
+        "little": {"span_term": {"text": "c"}}}})
+    assert q.big == ("a", "b") and q.slop == 4 and q.little == "c"
+    q = from_dsl({"intervals": {"text": {"match": {
+        "query": "a b", "max_gaps": 2, "ordered": True}}}})
+    assert q.max_gaps == 2 and q.ordered
+    q = from_dsl({"function_score": {
+        "query": {"match_all": {}},
+        "functions": [
+            {"field_value_factor": {"field": "n", "factor": 2.0,
+                                    "modifier": "sqrt"}},
+            {"random_score": {"seed": 9}, "weight": 0.5},
+            {"gauss": {"n": {"origin": 10, "scale": 5, "decay": 0.5}}},
+        ],
+        "score_mode": "sum", "boost_mode": "multiply"}})
+    kinds = [f.kind for f in q.functions]
+    assert kinds == ["field_value_factor", "random_score", "gauss"]
+    assert q.functions[1].weight == 0.5 and q.score_mode == "sum"
+
+
+def test_from_dsl_multi_match_types():
+    from opensearch_spark.search import from_dsl
+
+    q = from_dsl({"multi_match": {"query": "a b", "fields": ["x", "y"],
+                                  "type": "cross_fields", "tie_breaker": 0.3}})
+    assert q.type == "cross_fields" and q.tie_breaker == 0.3
