@@ -2933,6 +2933,62 @@ def search_intervals_prefix(spark, sf_dir):
                              ordered=True, last_prefix=True)).orderBy("doc_id")
 
 
+@q("search_rank_feature", """
+SELECT doc_id, round(2.0 * n_chars / (n_chars + 200.0), 4) AS score
+FROM documents WHERE n_chars > 0
+ORDER BY round(2.0 * n_chars / (n_chars + 200.0), 4) DESC, doc_id LIMIT 10
+""")
+def search_rank_feature(spark, sf_dir):
+    """rank_feature query (RankFeatureQueryBuilder.java): saturation
+    scoring over a numeric feature column."""
+    from opensearch_spark.search import RankFeature
+
+    s = get_searcher(spark, sf_dir)
+    return s.search(RankFeature(field="n_chars", pivot=200.0, boost=2.0),
+                    k=10, mode="exhaustive", round_scores=4)
+
+
+@q("search_distance_feature", """
+SELECT doc_id, round(100.0 / (100.0 + abs(n_chars - 250.0)), 4) AS score
+FROM documents
+ORDER BY round(100.0 / (100.0 + abs(n_chars - 250.0)), 4) DESC, doc_id LIMIT 10
+""")
+def search_distance_feature(spark, sf_dir):
+    """distance_feature query (DistanceFeatureQueryBuilder.java):
+    closeness to an origin on a numeric column."""
+    from opensearch_spark.search import DistanceFeature
+
+    s = get_searcher(spark, sf_dir)
+    return s.search(DistanceFeature(field="n_chars", origin=250.0, pivot=100.0),
+                    k=10, mode="exhaustive", round_scores=4)
+
+
+@q("field_caps", """
+SELECT * FROM (VALUES
+    ('doc_id', 'long', false, true),
+    ('lang', 'keyword', true, true),
+    ('n_chars', 'long', false, true),
+    ('source', 'keyword', true, true),
+    ('text', 'text', true, false)
+) AS t(field, type, searchable, aggregatable) ORDER BY field
+""")
+def field_caps(spark, sf_dir):
+    """_field_caps API (FieldCapabilitiesRequest): per-field type and
+    capability flags, derived from the built index's actual mapping
+    (analyzed field, keyword_cols, numeric stored fields)."""
+    s = get_searcher(spark, sf_dir)
+    rows = [(s.field, "text", True, False)]  # analyzed: searchable, no doc-values
+    for c in sorted(s.index.meta.get("keyword_cols", [])):
+        rows.append((c, "keyword", True, True))
+    for f in s.index.docs(spark).schema.fields:  # numeric doc-value fields
+        if f.name in ("doc_id", "n_chars") and f.dataType.simpleString() == "bigint":
+            rows.append((f.name, "long", False, True))
+    return (spark.createDataFrame(
+        sorted(set(rows)),
+        "field string, type string, searchable boolean, aggregatable boolean")
+        .orderBy("field"))
+
+
 # --------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate verifies the first
 # ~50 queries() entries each round. Gates with a green row in

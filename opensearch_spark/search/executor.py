@@ -393,6 +393,21 @@ class Searcher:
 
             m = span_containing_docs(self, tuple(q.big), q.slop, q.little)
             return m.select("doc_id", F.lit(float(q.boost)).alias("score"))
+        if isinstance(q, Q.RankFeature):
+            docs = self.index.docs(self.spark)
+            v = F.col(q.field).cast("double")
+            return docs.where(v.isNotNull() & (v > 0)).select(
+                "doc_id",
+                (F.lit(float(q.boost)) * v / (v + F.lit(float(q.pivot))))
+                .alias("score"))
+        if isinstance(q, Q.DistanceFeature):
+            docs = self.index.docs(self.spark)
+            v = F.col(q.field).cast("double")
+            dist = F.abs(v - F.lit(float(q.origin)))
+            return docs.where(v.isNotNull()).select(
+                "doc_id",
+                (F.lit(float(q.boost) * float(q.pivot))
+                 / (F.lit(float(q.pivot)) + dist)).alias("score"))
         if isinstance(q, Q.Intervals):
             return self._intervals(q)
         if isinstance(q, Q.Term) and q.field == self.field:

@@ -163,6 +163,29 @@ class SpanWithin(Query):
 
 
 @dataclass
+class RankFeature(Query):
+    """rank_feature query (RankFeatureQueryBuilder.java), saturation
+    function: score = boost * value / (value + pivot) over a numeric
+    doc column (monotone, bounded — the reference's default function)."""
+
+    field: str
+    pivot: float = 1.0
+    boost: float = 1.0
+
+
+@dataclass
+class DistanceFeature(Query):
+    """distance_feature query (DistanceFeatureQueryBuilder.java):
+    score = boost * pivot / (pivot + |value - origin|) — closeness to an
+    origin on a numeric/date column."""
+
+    field: str
+    origin: float = 0.0
+    pivot: float = 1.0
+    boost: float = 1.0
+
+
+@dataclass
 class Intervals(Query):
     """intervals query, ``match`` rule (IntervalQueryBuilder.java): the
     analyzed terms must appear with at most ``max_gaps`` total extra
@@ -477,6 +500,15 @@ def from_dsl(d: dict) -> Query:
         littleq = from_dsl(body["little"])
         return cls(field=bigq.field, big=tuple(bigq.clauses),
                    slop=bigq.slop, little=littleq.value)
+    if kind == "rank_feature":
+        sat = body.get("saturation", {})
+        return RankFeature(field=body["field"], pivot=sat.get("pivot", 1.0),
+                           boost=body.get("boost", 1.0))
+    if kind == "distance_feature":
+        return DistanceFeature(field=body["field"],
+                               origin=float(body.get("origin", 0.0)),
+                               pivot=float(body.get("pivot", 1.0)),
+                               boost=body.get("boost", 1.0))
     if kind == "intervals":
         f, spec = next(iter(body.items()))
         m = spec["match"]
