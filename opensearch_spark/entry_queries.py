@@ -418,6 +418,32 @@ def search_after(spark, sf_dir):
     return after.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
+@q("search_scroll", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'value' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'value'),
+scored AS (SELECT tf.doc_id, round({O.bm25_term()}, 4) AS score
+           FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id LIMIT 20 OFFSET 10
+""")
+def search_scroll(spark, sf_dir):
+    """Scroll cursor (ScrollContext.java / PIT): pages 2+3 of a scroll —
+    keyset pagination over the immutable snapshot, cursor advanced per
+    page, never a deep OFFSET scan."""
+    from functools import reduce
+
+    from opensearch_spark.search import scroll as open_scroll
+
+    s = get_searcher(spark, sf_dir)
+    sc = open_scroll(s, Match(field="text", text="value"), size=10,
+                     round_scores=4)
+    sc.next()  # page 1 consumed (cursor established)
+    pages = [sc.next(), sc.next()]
+    return reduce(DataFrame.unionByName, pages) \
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 @q("search_rescore", f"""
 WITH {O.TOK_CTES},
 tf1 AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'table' GROUP BY doc_id),
@@ -1753,6 +1779,33 @@ def join_terms_lookup(spark, sf_dir):
 # --------------------------------------------------------------------------
 # ingest processors ≈ scalar function library (SURVEY §2.10)
 # --------------------------------------------------------------------------
+@q("ingest_processors_extra", """
+SELECT event_id,
+       lower(trim(event_type)) AS et_norm,
+       regexp_replace(event_type, '[aeiou]', '_', 'g') AS et_gsub,
+       md5(concat(event_type, '|', CAST(user_id AS VARCHAR))) AS fp,
+       concat(event_type, ',', CAST(event_id % 7 AS VARCHAR)) AS joined,
+       string_split(props, '"')[2] AS first_key
+FROM events ORDER BY event_id LIMIT 200
+""")
+def ingest_processors_extra(spark, sf_dir):
+    """Third ingest-processor batch (ingest/common/*Processor.java):
+    trim+lowercase, gsub, fingerprint (community fingerprint processor =
+    hash of field values), join (concat separator), split+element —
+    each a 1:1 Spark built-in, whole-stage codegen, no UDFs."""
+    e = _docs(spark, sf_dir, "events")
+    return (e.select(
+        "event_id",
+        F.lower(F.trim("event_type")).alias("et_norm"),
+        F.regexp_replace("event_type", "[aeiou]", "_").alias("et_gsub"),
+        F.md5(F.concat_ws("|", "event_type",
+                          F.col("user_id").cast("string"))).alias("fp"),
+        F.concat_ws(",", "event_type",
+                    (F.col("event_id") % 7).cast("string")).alias("joined"),
+        F.split("props", '"').getItem(1).alias("first_key"),
+    ).orderBy("event_id").limit(200))
+
+
 @q("ingest_pipeline", """
 SELECT event_id,
        upper(event_type) AS event_type_up,
@@ -2527,6 +2580,31 @@ def search_suggest_phrase(spark, sf_dir):
                           num_candidates=5).orderBy("rank")
 
 
+@q("search_suggest_completion", """
+WITH comp AS (
+  SELECT lower(array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 8), ' ')) AS suggestion,
+         n_chars AS weight
+  FROM documents
+),
+dedup AS (SELECT suggestion, max(weight) AS weight FROM comp
+          WHERE suggestion LIKE 'table %' GROUP BY suggestion),
+ranked AS (SELECT suggestion, weight,
+           CAST(row_number() OVER (ORDER BY weight DESC, suggestion) AS INT) AS rank
+           FROM dedup)
+SELECT suggestion, weight, rank FROM ranked WHERE rank <= 5 ORDER BY rank
+""")
+def search_suggest_completion(spark, sf_dir):
+    """Completion suggester (CompletionSuggestionBuilder.java /
+    CompletionFieldMapper.java): weighted prefix autocomplete over the
+    derived title field, weight = n_chars, duplicates skipped."""
+    from opensearch_spark.search import completion_suggest
+
+    d = with_title(_docs(spark, sf_dir))
+    return completion_suggest(
+        d, prefix="table ", size=5, input_col="title",
+        weight_col="n_chars", skip_duplicates=True).orderBy("rank")
+
+
 @q("search_nested_inner_hits", f"""
 WITH {_POS_CTE},
 h AS (SELECT doc_id, p,
@@ -2931,6 +3009,26 @@ def search_intervals_prefix(spark, sf_dir):
     s = get_searcher(spark, sf_dir)
     return s.score(Intervals(field="text", text="spark ta", max_gaps=1,
                              ordered=True, last_prefix=True)).orderBy("doc_id")
+
+
+@q("search_intervals_fuzzy", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT a.doc_id, 1.0 AS score
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = 'spark' AND levenshtein(b.term, 'tabl') <= 1
+  AND b.p > a.p AND b.p - a.p - 1 <= 1
+ORDER BY a.doc_id
+""")
+def search_intervals_fuzzy(spark, sf_dir):
+    """intervals `fuzzy` rule (IntervalsSourceProvider.Fuzzy): the last
+    token expands to its bounded dictionary matches within edit distance
+    (AUTO: 1 edit for a 4-char term), as clause alternatives in the same
+    minimal-window algebra."""
+    from opensearch_spark.search import Intervals
+
+    s = get_searcher(spark, sf_dir)
+    return s.score(Intervals(field="text", text="spark tabl", max_gaps=1,
+                             ordered=True, last_rule="fuzzy")).orderBy("doc_id")
 
 
 @q("search_rank_feature", """

@@ -587,12 +587,10 @@ class InvertedIndex:
         parquet min/max row-group skipping via the sorted ``term`` column."""
         if not terms:
             return self.postings(spark).limit(0)
-        parts = sorted(
-            {r["p"] for r in
-             spark.createDataFrame([(t,) for t in terms], "term string")
-             .select(F.pmod(F.xxhash64("term"), F.lit(self.n_parts)).cast("int").alias("p"))
-             .collect()}
-        )
+        # driver-side Spark-parity xxhash64: pruning a handful of query
+        # terms must not cost a Spark job (was createDataFrame+collect)
+        from opensearch_spark.index.xxhash import spark_pmod_part
+        parts = sorted({spark_pmod_part(t, self.n_parts) for t in terms})
         df = self.postings(spark)
         return df.where(F.col("part").isin(parts) & F.col("term").isin(terms))
 

@@ -38,7 +38,12 @@ from opensearch_spark.search.queries import (  # noqa: F401
 )
 from opensearch_spark.search.executor import Searcher  # noqa: F401
 from opensearch_spark.search.query_string import parse_query_string  # noqa: F401
-from opensearch_spark.search.suggest import phrase_suggest, term_suggest  # noqa: F401
+from opensearch_spark.search.scroll import Scroll, scroll  # noqa: F401
+from opensearch_spark.search.suggest import (  # noqa: F401
+    completion_suggest,
+    phrase_suggest,
+    term_suggest,
+)
 from opensearch_spark.search.highlight import (  # noqa: F401
     highlight_field,
     highlight_fragments,

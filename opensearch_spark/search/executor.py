@@ -852,15 +852,29 @@ class Searcher:
         interval algebra and sloppy spans share the minimal-window core)."""
         from opensearch_spark.search.spans import span_match_counts
 
-        terms = self.analyze(q.text)
-        if not terms:
+        rule = q.last_rule or ("prefix" if q.last_prefix else None)
+        if rule is not None:
+            # the multi-term pattern must NOT be analyzed (the analyzer
+            # would strip wildcard metachars): split it off raw, analyze
+            # the leading tokens only
+            head, _, pat = q.text.strip().rpartition(" ")
+            terms = self.analyze(head) + [pat.lower()]
+        else:
+            terms = self.analyze(q.text)
+        if not terms or (rule is not None and not terms[-1]):
             return self._empty_scores()
         slop = q.max_gaps if q.max_gaps >= 0 else (1 << 30)
         clauses: list = list(terms)
-        if q.last_prefix:
-            # intervals `prefix` rule: the last term expands to its
-            # dictionary completions (bounded), used as clause alternatives
-            exps = self.expand_terms(Q.Prefix(field=q.field, value=terms[-1]))
+        if rule is not None:
+            # intervals multi-term rules (IntervalsSourceProvider.
+            # {Prefix,Wildcard,Fuzzy}): the last token expands to its
+            # bounded dictionary matches, used as clause alternatives
+            mt = {"prefix": lambda t: Q.Prefix(field=q.field, value=t),
+                  "wildcard": lambda t: Q.Wildcard(field=q.field, value=t),
+                  "fuzzy": lambda t: Q.Fuzzy(field=q.field, value=t)}
+            if rule not in mt:
+                raise ValueError(f"intervals: unknown rule {rule!r}")
+            exps = self.expand_terms(mt[rule](terms[-1]))
             if not exps:
                 return self._empty_scores()
             clauses[-1] = exps

@@ -197,6 +197,12 @@ class Intervals(Query):
     max_gaps: int = -1
     ordered: bool = False
     last_prefix: bool = False  # intervals `prefix` rule on the last term
+    # intervals multi-term rule on the last term
+    # (IntervalsSourceProvider.{Prefix,Wildcard,Fuzzy}): "prefix" |
+    # "wildcard" | "fuzzy" — the last token expands to its bounded
+    # dictionary matches, used as clause alternatives. last_prefix is the
+    # back-compat spelling of last_rule="prefix".
+    last_rule: str | None = None
     boost: float = 1.0
 
 

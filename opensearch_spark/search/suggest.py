@@ -59,6 +59,54 @@ def term_suggest(
             .select("term", "suggestion", "distance", "df", "rank"))
 
 
+def completion_suggest(
+    inputs: DataFrame,
+    prefix: str,
+    size: int = 5,
+    input_col: str = "input",
+    weight_col: str | None = None,
+    fuzziness: int = 0,
+    skip_duplicates: bool = False,
+) -> DataFrame:
+    """Completion suggester (search/suggest/completion/
+    CompletionSuggestionBuilder.java): weighted prefix autocomplete.
+
+    The reference indexes completion inputs+weights into an in-memory FST
+    (CompletionFieldMapper.java) and walks it by prefix
+    (``CompletionSuggester.java``; fuzzy prefixes via
+    ``FuzzyCompletionQuery``). Spark-first re-expression: the inputs ARE a
+    table — a prefix is a ``startswith`` predicate (pushed to the parquet
+    scan as a StartsWith/range filter; on an input table sorted by the
+    completion field it prunes row groups via min/max), ranked by weight
+    desc with a global TakeOrderedAndProject top-k — no FST, no state
+    that has to fit one machine's heap.
+
+    ``fuzziness`` allows that many edits against the same-length slice of
+    the input (FuzzyCompletionQuery semantics approximation);
+    ``skip_duplicates`` keeps the highest-weight entry per suggestion
+    text. Returns (suggestion, weight, rank).
+    """
+    p = prefix.lower()
+    sug = F.lower(F.col(input_col)).alias("suggestion")
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long")).alias("weight")
+    base = inputs.select(sug, w)
+    if fuzziness <= 0:
+        cand = base.where(F.col("suggestion").startswith(p))
+    else:
+        cand = base.where(
+            F.levenshtein(F.substring("suggestion", 1, len(p)), F.lit(p))
+            <= fuzziness)
+    if skip_duplicates:
+        cand = cand.groupBy("suggestion").agg(F.max("weight").alias("weight"))
+    # global top-k FIRST (TakeOrderedAndProject — distributed partial
+    # top-k, no single-partition sort), then rank the <=size survivors
+    top = cand.orderBy(F.desc("weight"), F.asc("suggestion")).limit(size)
+    w3 = W.orderBy(F.desc("weight"), F.asc("suggestion"))
+    return (top.withColumn("rank", F.row_number().over(w3))
+            .select("suggestion", "weight", "rank"))
+
+
 def phrase_suggest(
     searcher,
     text: str,

@@ -179,3 +179,65 @@ def test_token_count_bpe(spark):
     # hello, world, 42, x, -, y, ! → 7
     assert out[0] == 7
     assert out[1] == 0
+
+
+# ---------------- completion suggester ----------------
+def test_completion_prefix_and_weight_order(spark):
+    from opensearch_spark.search import completion_suggest
+
+    df = spark.createDataFrame(
+        [("Spark Shell", 5), ("spark submit", 9), ("spark submit", 2),
+         ("sparrow", 7), ("flink run", 8)],
+        "input string, weight int")
+    out = completion_suggest(df, "spark", size=3, weight_col="weight",
+                             skip_duplicates=True).collect()
+    assert [(r["suggestion"], r["weight"], r["rank"]) for r in out] == [
+        ("spark submit", 9, 1), ("spark shell", 5, 2)]
+
+
+def test_completion_fuzzy_prefix(spark):
+    from opensearch_spark.search import completion_suggest
+
+    df = spark.createDataFrame(
+        [("spark shell", 5), ("spork shell", 6), ("flink", 9)],
+        "input string, weight int")
+    out = completion_suggest(df, "spark", size=5, weight_col="weight",
+                             fuzziness=1).collect()
+    assert {r["suggestion"] for r in out} == {"spark shell", "spork shell"}
+
+
+def test_completion_topk_plan_is_take_ordered(spark):
+    from opensearch_spark.search import completion_suggest
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("spark "), F.col("id")).alias("input"),
+        F.col("id").alias("weight"))
+    plan = completion_suggest(df, "spark", size=5, weight_col="weight")
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in s
+
+
+# ---------------- scroll cursor ----------------
+def test_scroll_pages_partition_full_ranking(searcher):
+    from opensearch_spark.search import scroll as open_scroll
+
+    q = Q.Match(field="text", text="spark table")
+    full = [r["doc_id"] for r in
+            searcher.score(q).orderBy(
+                F.desc("score"), F.asc("doc_id")).limit(25).collect()]
+    sc = open_scroll(searcher, q, size=10)
+    paged = []
+    for _ in range(3):
+        paged.extend(r["doc_id"] for r in
+                     sc.next().orderBy(F.desc("score"), F.asc("doc_id")).collect())
+    assert paged[:25] == full
+
+
+def test_scroll_exhaustion_returns_empty(searcher):
+    from opensearch_spark.search import scroll as open_scroll
+
+    sc = open_scroll(searcher, Q.Term(field="lang", value="de"), size=10_000)
+    first = sc.next().count()
+    assert first > 0
+    assert sc.next().count() == 0
+    assert sc.next().count() == 0

@@ -593,3 +593,22 @@ def test_from_dsl_multi_match_types():
     q = from_dsl({"multi_match": {"query": "a b", "fields": ["x", "y"],
                                   "type": "cross_fields", "tie_breaker": 0.3}})
     assert q.type == "cross_fields" and q.tie_breaker == 0.3
+
+
+def test_intervals_wildcard_rule_matches_prefix(searcher):
+    """last_rule='wildcard' with 'ta*' ≡ last_prefix with 'ta'."""
+    import opensearch_spark.search.queries as Q
+    a = searcher.score(Q.Intervals(field="text", text="spark ta", max_gaps=1,
+                                   ordered=True, last_prefix=True))
+    b = searcher.score(Q.Intervals(field="text", text="spark ta*", max_gaps=1,
+                                   ordered=True, last_rule="wildcard"))
+    assert ({r["doc_id"] for r in a.collect()}
+            == {r["doc_id"] for r in b.collect()})
+
+
+def test_intervals_unknown_rule_raises(searcher):
+    import opensearch_spark.search.queries as Q
+    import pytest
+    with pytest.raises(ValueError):
+        searcher.score(Q.Intervals(field="text", text="spark ta",
+                                   last_rule="regexp_nope"))
