@@ -1856,6 +1856,32 @@ sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
 """
 
 
+@q("dedup_chunks_global", """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+nums AS (SELECT doc_id, t, unnest(range(CAST(ceil(len(t)/10.0) AS BIGINT))) AS chunk_no FROM toks),
+chunks AS (SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+                  array_to_string(list_slice(t, chunk_no*10+1, chunk_no*10+10), ' ') AS chunk
+           FROM nums),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_no) AS rn FROM chunks),
+kept AS (SELECT doc_id, chunk_no, chunk FROM ranked WHERE rn = 1),
+rebuilt AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_no) AS text_dedup,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+nc AS (SELECT doc_id, CAST(ceil(len(t)/10.0) AS INT) AS n_chunks FROM toks)
+SELECT r.doc_id, r.text_dedup, nc.n_chunks, CAST(r.n_kept AS BIGINT) AS n_kept
+FROM rebuilt r JOIN nc ON r.doc_id = nc.doc_id
+ORDER BY r.doc_id LIMIT 50
+""")
+def dedup_chunks_global(spark, sf_dir):
+    """Corpus-global chunk dedup (C4/RefinedWeb line-dedup shape): drop
+    every repeated 10-token chunk except its first occurrence, re-join
+    survivors per doc. One hash-shuffle first-occurrence agg — no
+    corpus-wide window, no driver state."""
+    d = _docs(spark, sf_dir)
+    return (D.dedup_chunks_global(d, "text", "doc_id", chunk_tokens=10)
+            .orderBy("doc_id").limit(50))
+
+
 @q("dedup_exact", """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id
@@ -1973,6 +1999,43 @@ FROM x ORDER BY doc_id
 """)
 def text_quality(spark, sf_dir):
     return TS.quality_score(_docs(spark, sf_dir), "text").orderBy("doc_id")
+
+
+@q("pipeline_training_data", f"""
+WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+x AS (SELECT doc_id, lang, len(toks) AS n,
+             len(list_distinct(toks)) AS nd,
+             len(list_intersect(toks,
+                 {TS.STOPWORDS_EN!r})) AS n_stop,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+      FROM t),
+scored AS (SELECT doc_id, lang, n AS n_tokens, fp,
+                  round((CASE WHEN n BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+                        + round(0.3 * nd / n, 6)
+                        + (CASE WHEN n_stop >= 1 THEN 0.3 ELSE 0.0 END), 6) AS quality
+           FROM x),
+filtered AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= 0.8),
+kept AS (SELECT fp, min(doc_id) AS doc_id FROM filtered GROUP BY fp)
+SELECT f.doc_id, f.n_tokens, f.quality
+FROM filtered f JOIN kept k ON f.doc_id = k.doc_id AND f.fp = k.fp
+ORDER BY f.doc_id
+""")
+def pipeline_training_data(spark, sf_dir):
+    """Composed training-data pipeline (the north-star end-to-end shape):
+    language filter -> quality-score filter -> corpus-global exact dedup
+    (first occurrence per content fingerprint) -> curated doc set. Each
+    stage is an existing operator; the composition stays one declarative
+    plan (filters push into the scan, dedup is the only shuffle)."""
+    d = _docs(spark, sf_dir)
+    qs = TS.quality_score(d, "text").select("doc_id", "n_tokens", "quality")
+    fp = TS.fingerprint(d, "text")
+    filtered = (d.where(F.col("lang") == "en").select("doc_id")
+                .join(qs.where(F.col("quality") >= 0.8), "doc_id")
+                .join(fp, "doc_id"))
+    kept = filtered.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return (filtered.join(kept, ["fingerprint", "doc_id"])
+            .select("doc_id", "n_tokens", "quality").orderBy("doc_id"))
 
 
 @q("text_fingerprint", """
@@ -2603,6 +2666,33 @@ def search_suggest_completion(spark, sf_dir):
     return completion_suggest(
         d, prefix="table ", size=5, input_col="title",
         weight_col="n_chars", skip_duplicates=True).orderBy("rank")
+
+
+@q("search_highlight_fvh", f"""
+WITH {_POS_CTE},
+m AS (SELECT doc_id, p FROM pos WHERE term IN ('spark','merge') AND doc_id < 40),
+w AS (SELECT a.doc_id, a.p AS start, CAST(count(*) AS BIGINT) AS n_matches
+      FROM m a JOIN m b ON a.doc_id = b.doc_id AND b.p >= a.p AND b.p < a.p + 8
+      GROUP BY a.doc_id, a.p),
+best AS (SELECT doc_id, start, n_matches,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_matches DESC, start) AS rn FROM w),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+SELECT b.doc_id, b.n_matches,
+       array_to_string(list_transform(list_slice(t, start + 1, start + 8),
+            x -> CASE WHEN x IN ('spark','merge')
+                 THEN '<em>' || x || '</em>' ELSE x END), ' ') AS fragment
+FROM best b JOIN toks ON b.doc_id = toks.doc_id
+WHERE rn = 1 ORDER BY b.doc_id
+""")
+def search_highlight_fvh(spark, sf_dir):
+    """FastVectorHighlighter analog: best-window fragment selection from
+    the positions table (term vectors), no text re-analysis."""
+    from opensearch_spark.search import fvh_highlight
+
+    s = get_searcher(spark, sf_dir)
+    return fvh_highlight(s, ["spark", "merge"], doc_ids=list(range(40)),
+                         window_tokens=8).orderBy("doc_id")
 
 
 @q("search_nested_inner_hits", f"""

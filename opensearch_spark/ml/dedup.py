@@ -275,3 +275,63 @@ def simhash_pairs(fp: DataFrame, max_hamming: int = 3,
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def dedup_chunks_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-global chunk-granular exact dedup — the C4 / RefinedWeb
+    "remove duplicated lines across the corpus" operator: every repeated
+    chunk is dropped EXCEPT its first occurrence (min (doc_id, chunk_no)),
+    and each document's surviving chunks are re-joined in order.
+
+    Granularity is pluggable: real corpora split on newlines; this corpus
+    has single-line docs, so chunks are fixed ``chunk_tokens``-token
+    windows — the distributed shape (explode -> one hash-shuffle
+    first-occurrence agg -> equi-join back -> per-doc ordered re-join) is
+    identical either way and is the 100 TB path: no window over the whole
+    corpus, no driver state; boilerplate chunks land on one reducer each
+    (bounded by distinct-chunk cardinality, AQE-skew-splittable).
+
+    Returns (doc_id, text_dedup, n_chunks, n_kept).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    nchunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, cast(ceil(size(split(trim({text_col}), '\\\\s+')) "
+                f"/ {chunk_tokens}.0) as int)), "
+                f"i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), "
+                f"(i - 1) * {chunk_tokens} + 1, {chunk_tokens})))"
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    first = (
+        chunks.groupBy("chunk")
+        .agg(F.min(F.struct(F.col(id_col), F.col("chunk_no"))).alias("f"))
+        .select("chunk", F.col(f"f.{id_col}").alias("_fid"),
+                F.col("f.chunk_no").alias("_fno"))
+    )
+    kept = (
+        chunks.join(first, "chunk")
+        .where((F.col(id_col) == F.col("_fid"))
+               & (F.col("chunk_no") == F.col("_fno")))
+        .select(id_col, "chunk_no", "chunk")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_no", "chunk"))
+                ).getField("chunk"), " ").alias("text_dedup"),
+            F.count("*").alias("n_kept"),
+        )
+        .join(df.select(F.col(id_col), nchunks.alias("n_chunks")), id_col)
+        .select(id_col, "text_dedup", "n_chunks", "n_kept")
+    )

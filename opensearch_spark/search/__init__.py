@@ -45,6 +45,7 @@ from opensearch_spark.search.suggest import (  # noqa: F401
     term_suggest,
 )
 from opensearch_spark.search.highlight import (  # noqa: F401
+    fvh_highlight,
     highlight_field,
     highlight_fragments,
 )

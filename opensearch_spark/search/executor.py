@@ -24,6 +24,7 @@ from functools import reduce
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Window as W
 
 from opensearch_spark.analysis import tokenize
 from opensearch_spark.index.build import InvertedIndex
@@ -1025,16 +1026,70 @@ class Searcher:
         return self.matching_docs(q).count()
 
     def msearch(self, queries: dict[str, Q.Query], k: int = 10,
-                round_scores: int | None = None) -> DataFrame:
-        """_msearch: several queries in one response frame, tagged by
-        query_id — independent per-query plans unioned into one job; the
-        posting scans are per-query (cached/pruned), not shared."""
-        frames = []
+                round_scores: int | None = None, margin: int = 50) -> DataFrame:
+        """_msearch (TransportMultiSearchAction): several queries, one
+        tagged response frame. Batches of pure Match queries run FUSED:
+        ONE term-pruned postings scan + decode for the union of all query
+        terms, a broadcast (query_id, term, df) weights join, ONE
+        (query_id, doc_id) aggregation, per-query top-k by window — the
+        scan cost is paid once for the whole batch instead of per query.
+        Mixed batches fall back to unioned independent plans."""
+        if not queries:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long, score double")
+        if not all(type(q) is Q.Match for q in queries.values()):
+            frames = []
+            for qid, q in queries.items():
+                top = self.search(q, k=k, mode="exhaustive",
+                                  round_scores=round_scores)
+                frames.append(top.withColumn("query_id", F.lit(qid)))
+            u = reduce(DataFrame.unionByName, frames)
+            return u.select("query_id", "doc_id", "score")
+
+        all_terms = list(dict.fromkeys(
+            t for q in queries.values() for t in self.analyze(q.text)))
+        dfs = self.term_dfs(all_terms)
+        wrows, live_union = [], set()
         for qid, q in queries.items():
-            top = self.search(q, k=k, mode="exhaustive", round_scores=round_scores)
-            frames.append(top.withColumn("query_id", F.lit(qid)))
-        u = reduce(DataFrame.unionByName, frames)
-        return u.select("query_id", "doc_id", "score")
+            terms = self.analyze(q.text)
+            live = [t for t in dict.fromkeys(terms) if t in dfs]
+            if not live or (q.operator == "and"
+                            and len(live) < len(set(terms))):
+                continue  # this query matches nothing — same as old path
+            req = self._n_required(q, live, terms)
+            for t in live:
+                wrows.append((qid, t, dfs[t], float(q.boost), req))
+                live_union.add(t)
+        if not wrows:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long, score double")
+        w = self.spark.createDataFrame(
+            wrows,
+            "query_id string, term string, df long, boost double, n_required int")
+        flat = self._flat_postings(sorted(live_union))
+        scored = flat.join(F.broadcast(w), "term").withColumn(
+            "tscore",
+            F.expr(
+                f"boost * ln(1.0 + ({self.N} - df + 0.5) / (df + 0.5)) "
+                f"* ({self.k1} + 1.0) * tf "
+                f"/ (tf + {self.k1} * (1.0 - {self.b} + {self.b} * dl / {self.avgdl}))"
+            ),
+        )
+        agg = (scored.groupBy("query_id", "doc_id")
+               .agg(F.sum("tscore").alias("score"),
+                    F.count("*").alias("_nt"),
+                    F.max("n_required").alias("_req"))
+               .where(F.col("_nt") >= F.col("_req")))
+        win = W.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        kk = k + margin if round_scores is not None else k
+        top = (agg.withColumn("_rn", F.row_number().over(win))
+               .where(F.col("_rn") <= kk).drop("_rn"))
+        if round_scores is not None:
+            top = (top.withColumn("score", F.round("score", round_scores))
+                   .withColumn("_rn", F.row_number().over(win))
+                   .where(F.col("_rn") <= k).drop("_rn"))
+        return top.select("query_id", "doc_id", "score")
 
     def terms_enum(self, prefix: str = "", size: int = 10) -> DataFrame:
         """_terms_enum API: dictionary walk — terms matching a prefix with

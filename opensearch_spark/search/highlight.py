@@ -73,3 +73,54 @@ def highlight_fragments(hits: DataFrame, field: str, terms: list[str],
 
     udf = F.pandas_udf(frags, T.ArrayType(T.StringType()))
     return hits.withColumn(out_col, udf(F.col(field)))
+
+
+def fvh_highlight(searcher, terms: list[str], doc_ids: list[int] | None = None,
+                  window_tokens: int = 8, pre_tag: str = "<em>",
+                  post_tag: str = "</em>") -> DataFrame:
+    """FastVectorHighlighter analog (FastVectorHighlighter.java): fragment
+    selection from stored TERM VECTORS — here the positions table — with
+    no re-analysis of the source text (the plain highlighter's cost). The
+    best fragment per doc is the ``window_tokens``-token window covering
+    the most query-term positions (FieldPhraseList/SimpleFragListBuilder
+    behavior), tagged token-wise.
+
+    Plan shape: the positions scan is term- and doc-pruned, the window
+    argmax is a self-equi-join on doc_id bounded by top-k × positions —
+    never the corpus; the fragment slice + tagging is Catalyst
+    ``slice``/``transform`` on the k fetched rows.
+
+    Returns (doc_id, n_matches, fragment).
+    """
+    analyzed = [t for w in terms for t in searcher.analyze(w)]
+    searcher._require_positions("fvh_highlight")
+    pos = searcher.index.positions(searcher.spark)
+    m = (pos.where(F.col("term").isin(analyzed))
+         .select("doc_id", F.explode("positions").alias("p")))
+    if doc_ids is not None:
+        m = m.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
+    a = m.select("doc_id", F.col("p").alias("start"))
+    b = m.select("doc_id", F.col("p").alias("pb"))
+    w = (a.join(b, "doc_id")
+         .where((F.col("pb") >= F.col("start"))
+                & (F.col("pb") < F.col("start") + window_tokens))
+         .groupBy("doc_id", "start").agg(F.count("*").alias("n_matches")))
+    from pyspark.sql import Window as W
+    best = (w.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("n_matches"),
+                                            F.asc("start"))))
+        .where(F.col("_rn") == 1).drop("_rn"))
+    docs = searcher.index.docs(searcher.spark) \
+        .select("doc_id", F.col(searcher.index.meta["field"]).alias("_txt"))
+    toks = F.split(F.trim(F.col("_txt")), r"\s+")
+    term_arr = F.array(*[F.lit(t) for t in sorted(set(analyzed))])
+    frag = F.array_join(
+        F.transform(
+            F.slice(toks, F.col("start") + 1, window_tokens),
+            lambda t: F.when(
+                F.array_contains(term_arr, F.lower(t)),
+                F.concat(F.lit(pre_tag), t, F.lit(post_tag))).otherwise(t)),
+        " ")
+    return (best.join(docs, "doc_id")
+            .select("doc_id", "n_matches", frag.alias("fragment")))

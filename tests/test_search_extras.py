@@ -241,3 +241,28 @@ def test_scroll_exhaustion_returns_empty(searcher):
     assert first > 0
     assert sc.next().count() == 0
     assert sc.next().count() == 0
+
+
+# ---------------- fused msearch ----------------
+def test_msearch_fused_equals_independent(searcher):
+    qs = {
+        "a": Q.Match(field="text", text="spark table"),
+        "b": Q.Match(field="text", text="merge", boost=2.0),
+        "c": Q.Match(field="text", text="spark merge", operator="and"),
+    }
+    fused = searcher.msearch(qs, k=7, round_scores=4).collect()
+    got = {}
+    for r in fused:
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        solo = [(r["doc_id"], r["score"]) for r in
+                searcher.search(q, k=7, mode="exhaustive",
+                                round_scores=4).collect()]
+        assert sorted(got.get(qid, [])) == sorted(solo), qid
+
+
+def test_msearch_mixed_falls_back(searcher):
+    qs = {"m": Q.Match(field="text", text="spark"),
+          "t": Q.Term(field="lang", value="de")}
+    out = searcher.msearch(qs, k=5, round_scores=4).collect()
+    assert {r["query_id"] for r in out} == {"m", "t"}
