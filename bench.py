@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "search_fn_decay",
     "search_span_containing",
     "sim_lsh_topk",
+    # round-2 late additions
+    "search_msearch",
+    "dedup_chunks_global",
+    "pipeline_training_data",
 ]
 
 

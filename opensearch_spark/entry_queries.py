@@ -1480,6 +1480,24 @@ def agg_significant_text(spark, sf_dir):
             .orderBy(F.desc("jlh"), "term").limit(10))
 
 
+@q("agg_stream_window", """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3
+""")
+def agg_stream_window(spark, sf_dir):
+    """Event-time windowed counts via the Structured-Streaming code path
+    (streaming/windows.py) run in batch mode — the SAME plan serves
+    streaming (with watermark + state store) and backfill; late-data
+    semantics tested in tests/test_streaming_windows.py."""
+    from opensearch_spark.streaming.windows import windowed_event_counts
+
+    e = _docs(spark, sf_dir, "events")
+    return (windowed_event_counts(e, window="1 hour")
+            .orderBy("window_start", "event_type"))
+
+
 @q("agg_auto_date_histogram", """
 WITH span AS (SELECT date_diff('day', min(ts), max(ts)) AS d FROM events),
 b AS (SELECT CASE WHEN span.d < 10 THEN strftime(date_trunc('day', ts), '%Y-%m-%d')

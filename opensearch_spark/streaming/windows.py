@@ -1,0 +1,49 @@
+"""Watermarked windowed aggregation over event streams (SURVEY §2.12
+extension).
+
+The reference has no streaming operators — its closest analog is the
+date_histogram aggregation re-run per refresh. The Spark-native
+continuous form is Structured Streaming's event-time window + watermark:
+per-(window, key) counts maintained incrementally in the state store,
+late rows beyond the watermark DROPPED (bounded state — the property
+that lets the operator run forever at 100 TB/day, unlike an unbounded
+re-aggregation).
+
+State scale: rows are hash-partitioned by (window, key); state per
+partition is the open-window set only, bounded by
+``watermark / window_size`` windows per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Event-time windowed counts + value sum with late-data policy.
+
+    Works on streaming AND batch frames (the batch plan is the identical
+    groupBy — handy for backfill jobs sharing the streaming code path).
+    Returns (window_start, window_end, *keys, n_events, value_sum).
+    """
+    keys = keys if keys is not None else ["event_type"]
+    df = stream_df
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window, slide) if slide \
+        else F.window(F.col(ts_col), window)
+    agg = (df.groupBy(win.alias("w"), *keys)
+           .agg(F.count("*").alias("n_events"),
+                F.sum("value").alias("value_sum")))
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys, "n_events",
+        F.round("value_sum", 4).alias("value_sum"))

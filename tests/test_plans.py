@@ -96,3 +96,20 @@ def test_hot_term_blocks_bounded_by_bucket(spark, idx):
     buckets = {r["bucket"] for r in blocks}
     assert len(buckets) >= 2, "hot term should span multiple doc buckets"
     assert all(r["n"] <= 128 for r in blocks)
+
+
+def test_msearch_fused_single_postings_scan(spark, idx):
+    """A fused Match-batch _msearch must read the postings table ONCE for
+    the whole batch (shared term-pruned scan), not once per query."""
+    import opensearch_spark.search.queries as Q
+    from opensearch_spark.search.executor import Searcher
+
+    s = Searcher(spark, idx)
+    plan = explain_str(s.msearch({
+        "q1": Q.Match(field="content", text="import merge"),
+        "q2": Q.Match(field="content", text="table"),
+    }, k=5))
+    n_posting_scans = sum(
+        1 for line in plan.splitlines()
+        if "InMemoryFileIndex" in line and "/postings" in line)
+    assert n_posting_scans == 1, plan[:2000]

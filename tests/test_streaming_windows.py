@@ -1,0 +1,79 @@
+"""Watermarked windowed aggregation: late-data drop across micro-batches
+(checkpointed watermark survives restart) and batch/streaming plan parity."""
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.streaming.windows import windowed_event_counts
+
+SCHEMA = "event_id long, ts timestamp, event_type string, value double"
+
+
+def _write_batch(spark, d, rows):
+    from datetime import datetime
+    rows = [(i, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), et, v)
+            for i, ts, et, v in rows]
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(d)
+
+
+def _run_available(spark, src, ckpt, sink: list):
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = windowed_event_counts(stream, window="10 minutes",
+                                watermark="10 minutes")
+
+    def emit(batch_df, _bid):
+        sink.extend(batch_df.collect())
+
+    q = (agg.writeStream.foreachBatch(emit)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_late_rows_dropped_after_watermark(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    t = "2024-01-01 10:{:02d}:00"
+
+    rows: list = []
+    _write_batch(spark, src, [
+        (1, t.format(0), "click", 1.0),
+        (2, t.format(5), "click", 2.0),
+        (3, t.format(30), "view", 3.0),   # advances watermark to 10:20
+    ])
+    _run_available(spark, src, ckpt, rows)
+
+    # second micro-batch: one VALID row (10:25) and one LATE row (10:02,
+    # before the 10:20 watermark) that must be dropped
+    _write_batch(spark, src, [
+        (4, t.format(25), "view", 5.0),
+        (5, t.format(2), "click", 100.0),
+    ])
+    _run_available(spark, src, ckpt, rows)
+
+    by_key = {}
+    for r in rows:  # update mode re-emits: keep the latest per (window, key)
+        by_key[(str(r["window_start"]), r["event_type"])] = (
+            r["n_events"], r["value_sum"])
+    # the late click (value=100) must NOT appear in the 10:00 window
+    assert by_key[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+    assert by_key[("2024-01-01 10:30:00", "view")] == (1, 3.0)
+    assert by_key[("2024-01-01 10:20:00", "view")] == (1, 5.0)
+
+
+def test_batch_mode_matches_plain_groupby(spark, sf_dir):
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = windowed_event_counts(events, window="1 hour",
+                                keys=["event_type"]).collect()
+    ref = (events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect())
+    got = {(r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+           for r in out}
+    want = {(r["window_start"], r["event_type"]): (r["n"], r["s"]) for r in ref}
+    assert got == want
