@@ -3139,6 +3139,15 @@ def search_intervals_fuzzy(spark, sf_dir):
                              ordered=True, last_rule="fuzzy")).orderBy("doc_id")
 
 
+@q("search_profile")  # rows-only: timing measurements have no value oracle
+def search_profile(spark, sf_dir):
+    """_search?profile=true analog (QueryProfiler.java): per-phase timing
+    rows (rewrite/stats/execute/fetch/total) for one WAND search."""
+    s = get_searcher(spark, sf_dir)
+    return s.profile(Match(field="text", text="spark table"), k=10,
+                     mode="wand").select("phase", "detail")
+
+
 @q("search_rank_feature", """
 SELECT doc_id, round(2.0 * n_chars / (n_chars + 200.0), 4) AS score
 FROM documents WHERE n_chars > 0

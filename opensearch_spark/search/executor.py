@@ -1175,6 +1175,44 @@ class Searcher:
         cols = columns or [c for c in docs.columns if c not in ("doc_id",)]
         return F.broadcast(hits).join(docs.select("doc_id", *cols), "doc_id")
 
+    def profile(self, q, k: int = 10, mode: str = "auto") -> DataFrame:
+        """``_search?profile=true`` analog (search/profile/query/
+        QueryProfiler.java): per-phase timing breakdown of one search.
+        The reference profiles Lucene components (create_weight /
+        build_scorer / next_doc); the Spark-native phase decomposition is
+        rewrite (analysis + multi-term expansion), stats (dictionary df
+        lookup), execute (the scoring job through top-k collect), fetch
+        (stored fields for the hits). Returns one row per phase:
+        (phase, time_ms, detail) plus a total row — timings are
+        measurements, so this is a rows-only operator (no value oracle)."""
+        import time as _time
+
+        rows: list[tuple[str, float, str]] = []
+        t0 = _time.perf_counter()
+        terms = self.analyze(getattr(q, "text", "")) \
+            if hasattr(q, "text") else []
+        t1 = _time.perf_counter()
+        rows.append(("rewrite", (t1 - t0) * 1000.0,
+                     f"analyzed {len(terms)} terms"))
+        dfs = self.term_dfs(terms) if terms else {}
+        t2 = _time.perf_counter()
+        rows.append(("stats", (t2 - t1) * 1000.0,
+                     f"{len(dfs)} live terms"))
+        hits = self.search(q, k=k, mode=mode)
+        collected = hits.collect()
+        t3 = _time.perf_counter()
+        rows.append(("execute", (t3 - t2) * 1000.0,
+                     f"{len(collected)} hits (mode={mode})"))
+        if collected:
+            self.fetch(
+                self.spark.createDataFrame(collected, hits.schema)).collect()
+        t4 = _time.perf_counter()
+        rows.append(("fetch", (t4 - t3) * 1000.0, f"{len(collected)} docs"))
+        rows.append(("total", (t4 - t0) * 1000.0, type(q).__name__))
+        return self.spark.createDataFrame(
+            [(p, round(ms, 3), d) for p, ms, d in rows],
+            "phase string, time_ms double, detail string")
+
     def explain(self, q: Q.Match) -> DataFrame:
         """Per-hit score breakdown (TransportExplainAction analog): one row
         per (doc, term) with idf / tf-part / norm components."""

@@ -266,3 +266,15 @@ def test_msearch_mixed_falls_back(searcher):
           "t": Q.Term(field="lang", value="de")}
     out = searcher.msearch(qs, k=5, round_scores=4).collect()
     assert {r["query_id"] for r in out} == {"m", "t"}
+
+
+# ---------------- profile API ----------------
+def test_profile_phases(searcher):
+    out = searcher.profile(Q.Match(field="text", text="spark table"),
+                           k=5, mode="wand").collect()
+    phases = [r["phase"] for r in out]
+    assert phases == ["rewrite", "stats", "execute", "fetch", "total"]
+    total = [r for r in out if r["phase"] == "total"][0]
+    assert total["time_ms"] > 0
+    assert sum(r["time_ms"] for r in out if r["phase"] != "total") <= \
+        total["time_ms"] + 1.0
