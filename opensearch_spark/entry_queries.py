@@ -1063,6 +1063,65 @@ def search_wrapper(spark, sf_dir):
     return s.search(ast, k=10, mode="exhaustive", round_scores=4)
 
 
+@q("api_analyze", """
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents WHERE doc_id < 10)
+SELECT doc_id, CAST(unnest(range(len(toks))) AS INT) AS position,
+       unnest(toks) AS token
+FROM t ORDER BY doc_id, position
+""")
+def api_analyze(spark, sf_dir):
+    """_analyze API (TransportAnalyzeAction.java): token stream with
+    positions via the same vectorized analyzer UDF the build uses."""
+    from opensearch_spark.search.apis import analyze_api
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 10).select("doc_id", "text")
+    return analyze_api(d, "text", "standard").orderBy("doc_id", "position")
+
+
+@q("api_validate_query", """
+SELECT * FROM (VALUES
+  ('good_bool', TRUE, '+text:spark lang:en'),
+  ('good_match', TRUE, 'text:spark text:table'),
+  ('bad_unknown', FALSE, '')
+) AS v(query_id, valid, explanation)
+ORDER BY query_id
+""")
+def api_validate_query(spark, sf_dir):
+    """_validate/query API (TransportValidateQueryAction.java): parse
+    result + Lucene-style rendered explanation per body; invalid bodies
+    return valid=false instead of raising."""
+    from opensearch_spark.search.apis import validate_query
+
+    out = validate_query(spark, {
+        "good_match": {"match": {"text": "spark table"}},
+        "good_bool": {"bool": {"must": [{"match": {"text": "spark"}}],
+                                "should": [{"term": {"lang": "en"}}]}},
+        "bad_unknown": {"frobnicate": {"text": "x"}},
+    })
+    # error text is engine-specific: blank it for the valid=false row so
+    # the oracle pins (query_id, valid) exactly and explanation for valid
+    return out.select(
+        "query_id", "valid",
+        F.when(F.col("valid"), F.col("explanation"))
+         .otherwise(F.lit("")).alias("explanation"),
+    ).orderBy("query_id")
+
+
+@q("search_template", O.match_sql(["vector", "window"], k=10))
+def search_template(spark, sf_dir):
+    """_search/template (mustache interpolation subset): render params
+    into a JSON source, parse, execute — same result as the direct DSL."""
+    from opensearch_spark.search import from_dsl
+    from opensearch_spark.search.apis import render_search_template
+
+    s = get_searcher(spark, sf_dir)
+    body = render_search_template(
+        '{"match": {"{{field}}": "{{q}}"}}',
+        {"field": "text", "q": "vector window"})
+    return s.search(from_dsl(body), k=10, mode="exhaustive", round_scores=4)
+
+
 @q("search_derived_field", """
 SELECT doc_id, round(n_chars * 1.0 / NULLIF(length(text) - length(replace(text, ' ', '')) + 1, 0), 4) AS chars_per_token
 FROM documents ORDER BY doc_id LIMIT 100
@@ -2698,8 +2757,8 @@ best AS (SELECT doc_id, start, n_matches,
 toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
 SELECT b.doc_id, b.n_matches,
        array_to_string(list_transform(list_slice(t, start + 1, start + 8),
-            x -> CASE WHEN x IN ('spark','merge')
-                 THEN '<em>' || x || '</em>' ELSE x END), ' ') AS fragment
+            x -> CASE WHEN lower(x) IN ('spark','merge')
+                 THEN '<em>' || lower(x) || '</em>' ELSE lower(x) END), ' ') AS fragment
 FROM best b JOIN toks ON b.doc_id = toks.doc_id
 WHERE rn = 1 ORDER BY b.doc_id
 """)

@@ -298,19 +298,28 @@ def dedup_chunks_global(
 
     Returns (doc_id, text_dedup, n_chunks, n_kept).
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    nchunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
-    chunks = df.select(
+    # materialize the token array ONCE per doc: Catalyst does not hoist
+    # lambda-invariant subexpressions out of transform(), so splitting
+    # inside the chunk lambda would re-tokenize the doc per chunk
+    # (quadratic in doc length)
+    toked = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
+    chunks = toked.select(
         F.col(id_col),
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, cast(ceil(size(split(trim({text_col}), '\\\\s+')) "
+                f"transform(sequence(1, cast(ceil(size(_toks) "
                 f"/ {chunk_tokens}.0) as int)), "
-                f"i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), "
+                f"i -> concat_ws(' ', slice(_toks, "
                 f"(i - 1) * {chunk_tokens} + 1, {chunk_tokens})))"
             )
         ).alias("chunk_no", "chunk"),
     )
+    nchunks_df = toked.select(
+        F.col(id_col),
+        F.ceil(F.size("_toks") / F.lit(chunk_tokens)).cast("int")
+        .alias("n_chunks"))
     first = (
         chunks.groupBy("chunk")
         .agg(F.min(F.struct(F.col(id_col), F.col("chunk_no"))).alias("f"))
@@ -332,6 +341,6 @@ def dedup_chunks_global(
                 ).getField("chunk"), " ").alias("text_dedup"),
             F.count("*").alias("n_kept"),
         )
-        .join(df.select(F.col(id_col), nchunks.alias("n_chunks")), id_col)
+        .join(nchunks_df, id_col)
         .select(id_col, "text_dedup", "n_chunks", "n_kept")
     )

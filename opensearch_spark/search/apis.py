@@ -1,0 +1,84 @@
+"""Auxiliary reference APIs: _analyze, _validate/query, _search/template.
+
+- ``analyze_api`` — ``TransportAnalyzeAction.java`` (indices/analyze):
+  run an analyzer over text and return the token stream with positions.
+  Spark-first: the analyzer is the same vectorized Arrow UDF the index
+  build uses (identical-by-construction analysis), applied over a column
+  — so the API doubles as a bulk token-stream inspector over any corpus
+  slice, not just one string.
+- ``validate_query`` — ``ValidateQueryAction`` / ``TransportValidateQueryAction.java``:
+  parse a query-DSL body, report (valid, explanation) with the rewritten
+  query rendered Lucene-explain-style; invalid bodies return the parse
+  error instead of raising.
+- ``render_search_template`` — ``script/mustache`` search templates
+  (``TransportSearchTemplateAction``): ``{{param}}`` substitution into a
+  JSON source, then the normal DSL parse. Only the interpolation subset
+  of mustache (the overwhelmingly common case) — no sections/partials.
+"""
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from opensearch_spark.analysis.analyzer import analyze_udf
+from opensearch_spark.search import queries as Q
+
+
+def analyze_api(df: DataFrame, text_col: str, analyzer: str = "standard") -> DataFrame:
+    """Token stream per row: (<id cols>, position, token) — the _analyze
+    API over a column. Positions are the analyzer's (post-split) positions,
+    as the index build records them — the same vectorized UDF chain, so
+    API output and indexed tokens agree by construction."""
+    toks = analyze_udf(analyzer)
+    other = [c for c in df.columns if c != text_col]
+    return (df.select(*other, F.posexplode(toks(F.col(text_col)))
+                      .alias("position", "token")))
+
+
+def _render_query(q) -> str:
+    """Lucene-ish explain rendering of a parsed AST (ValidateQuery's
+    `explanation` field analog)."""
+    if isinstance(q, Q.Match):
+        return " ".join(f"{q.field}:{t}" for t in q.text.split())
+    if isinstance(q, Q.Term):
+        return f"{q.field}:{q.value}"
+    if isinstance(q, Q.Bool):
+        parts = []
+        parts += [f"+{_render_query(c)}" for c in q.must]
+        parts += [_render_query(c) for c in q.should]
+        parts += [f"-{_render_query(c)}" for c in q.must_not]
+        parts += [f"#{_render_query(c)}" for c in q.filter]
+        return " ".join(parts)
+    return type(q).__name__
+
+
+def validate_query(spark: SparkSession, bodies: dict[str, dict]) -> DataFrame:
+    """One row per query body: (query_id, valid, explanation)."""
+    rows = []
+    for qid, body in bodies.items():
+        try:
+            ast = Q.from_dsl(body)
+            rows.append((qid, True, _render_query(ast)))
+        except (ValueError, KeyError, TypeError) as ex:
+            rows.append((qid, False, f"parse_error: {ex}"))
+    return spark.createDataFrame(
+        rows, "query_id string, valid boolean, explanation string")
+
+
+_PARAM = re.compile(r"\{\{\s*([a-zA-Z0-9_]+)\s*\}\}")
+
+
+def render_search_template(source: str, params: dict) -> dict:
+    """Substitute {{param}} placeholders (JSON-escaped for strings) and
+    parse the result as a query body. Unknown params raise ValueError
+    (the reference renders empty — failing loudly is safer in pipelines)."""
+    def sub(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in params:
+            raise ValueError(f"search template: missing param {name!r}")
+        v = params[name]
+        return str(v) if not isinstance(v, str) else v
+
+    return json.loads(_PARAM.sub(sub, source))

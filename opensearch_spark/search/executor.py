@@ -854,13 +854,16 @@ class Searcher:
         from opensearch_spark.search.spans import span_match_counts
 
         rule = q.last_rule or ("prefix" if q.last_prefix else None)
-        if rule is not None:
-            # the multi-term pattern must NOT be analyzed (the analyzer
-            # would strip wildcard metachars): split it off raw, analyze
-            # the leading tokens only
-            head, _, pat = q.text.strip().rpartition(" ")
+        if rule == "wildcard":
+            # only the wildcard pattern must dodge the analyzer (it would
+            # strip the * / ? metachars); split the raw last token off and
+            # analyze the leading tokens only
+            parts = q.text.strip().split()
+            head, pat = " ".join(parts[:-1]), (parts[-1] if parts else "")
             terms = self.analyze(head) + [pat.lower()]
         else:
+            # prefix/fuzzy patterns are plain tokens: analyze the whole
+            # text so the last term is normalized exactly like the index
             terms = self.analyze(q.text)
         if not terms or (rule is not None and not terms[-1]):
             return self._empty_scores()
@@ -1037,7 +1040,11 @@ class Searcher:
         if not queries:
             return self.spark.createDataFrame(
                 [], "query_id string, doc_id long, score double")
-        if not all(type(q) is Q.Match for q in queries.values()):
+        # fused path requires every query to hit THIS searcher's analyzed
+        # field — a Match on an extra field or keyword column routes
+        # through score()'s field dispatch, so those batches fall back
+        if not all(type(q) is Q.Match and q.field == self.field
+                   for q in queries.values()):
             frames = []
             for qid, q in queries.items():
                 top = self.search(q, k=k, mode="exhaustive",
@@ -1046,12 +1053,13 @@ class Searcher:
             u = reduce(DataFrame.unionByName, frames)
             return u.select("query_id", "doc_id", "score")
 
+        per_q = {qid: self.analyze(q.text) for qid, q in queries.items()}
         all_terms = list(dict.fromkeys(
-            t for q in queries.values() for t in self.analyze(q.text)))
+            t for terms in per_q.values() for t in terms))
         dfs = self.term_dfs(all_terms)
         wrows, live_union = [], set()
         for qid, q in queries.items():
-            terms = self.analyze(q.text)
+            terms = per_q[qid]
             live = [t for t in dict.fromkeys(terms) if t in dfs]
             if not live or (q.operator == "and"
                             and len(live) < len(set(terms))):

@@ -113,14 +113,28 @@ def fvh_highlight(searcher, terms: list[str], doc_ids: list[int] | None = None,
         .where(F.col("_rn") == 1).drop("_rn"))
     docs = searcher.index.docs(searcher.spark) \
         .select("doc_id", F.col(searcher.index.meta["field"]).alias("_txt"))
-    toks = F.split(F.trim(F.col("_txt")), r"\s+")
-    term_arr = F.array(*[F.lit(t) for t in sorted(set(analyzed))])
-    frag = F.array_join(
-        F.transform(
-            F.slice(toks, F.col("start") + 1, window_tokens),
-            lambda t: F.when(
-                F.array_contains(term_arr, F.lower(t)),
-                F.concat(F.lit(pre_tag), t, F.lit(post_tag))).otherwise(t)),
-        " ")
+    # fragment rendering must use the SAME tokenization the positions were
+    # built with — slicing a raw whitespace split at an analyzer position
+    # misaligns whenever the analyzer splits differently (snake_case → 3
+    # positions, 1 whitespace token). Positions carry no char offsets, so
+    # the k best rows re-tokenize their text (O(k), the fetch-phase cost
+    # bound) and the fragment is the analyzed-token window.
+    analyzer_name = searcher.index.analyzer
+    term_set = set(analyzed)
+
+    def _frag(texts: pd.Series, starts: pd.Series) -> pd.Series:
+        from opensearch_spark.analysis.analyzer import tokenize
+
+        out = []
+        for text, start in zip(texts, starts):
+            toks = tokenize(text or "", analyzer_name)
+            win = toks[int(start):int(start) + window_tokens]
+            out.append(" ".join(
+                f"{pre_tag}{t}{post_tag}" if t in term_set else t
+                for t in win))
+        return pd.Series(out)
+
+    frag_udf = F.pandas_udf(_frag, T.StringType())
     return (best.join(docs, "doc_id")
-            .select("doc_id", "n_matches", frag.alias("fragment")))
+            .select("doc_id", "n_matches",
+                    frag_udf(F.col("_txt"), F.col("start")).alias("fragment")))

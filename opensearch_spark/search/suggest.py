@@ -94,9 +94,14 @@ def completion_suggest(
     if fuzziness <= 0:
         cand = base.where(F.col("suggestion").startswith(p))
     else:
+        # length lower bound prunes before the per-row edit distance; the
+        # scale path for a large completion corpus is a materialized
+        # substr(input, 1, K) partition column (the AnnIndex pattern) so
+        # fuzzy probes touch only the adjacent prefix buckets
         cand = base.where(
-            F.levenshtein(F.substring("suggestion", 1, len(p)), F.lit(p))
-            <= fuzziness)
+            (F.length("suggestion") >= len(p) - fuzziness)
+            & (F.levenshtein(F.substring("suggestion", 1, len(p)), F.lit(p))
+               <= fuzziness))
     if skip_duplicates:
         cand = cand.groupBy("suggestion").agg(F.max("weight").alias("weight"))
     # global top-k FIRST (TakeOrderedAndProject — distributed partial

@@ -278,3 +278,61 @@ def test_profile_phases(searcher):
     assert total["time_ms"] > 0
     assert sum(r["time_ms"] for r in out if r["phase"] != "total") <= \
         total["time_ms"] + 1.0
+
+
+def test_msearch_extra_field_routes_correctly(searcher):
+    """A Match on the derived title field must NOT be scored against the
+    text index's postings (fused-path field guard)."""
+    q = Q.Match(field="title", text="spark")
+    fused = searcher.msearch({"t": q}, k=5, round_scores=4).collect()
+    solo = searcher.search(q, k=5, mode="exhaustive",
+                           round_scores=4).collect()
+    assert [(r["doc_id"], r["score"]) for r in fused] == \
+           [(r["doc_id"], r["score"]) for r in solo]
+
+
+def test_fvh_fragment_tokens_align_with_analyzer_positions(spark, tmp_path):
+    """snake_case docs: analyzer emits 3 positions per token, whitespace
+    split 1 — the fragment must come from the analyzed stream."""
+    from opensearch_spark.index.build import IndexConfig, build_index
+    from opensearch_spark.search import fvh_highlight
+    from opensearch_spark.search.executor import Searcher
+
+    df = spark.createDataFrame(
+        [(0, "alpha_beta_gamma spark merge zz qq"),
+         (1, "noise words only here")],
+        "doc_id long, content string")
+    idx = build_index(
+        spark, df, str(tmp_path / "fvhidx"),
+        IndexConfig(field="content", analyzer="standard_code",
+                    id_col="doc_id", with_positions=True, n_parts=2))
+    s = Searcher(spark, idx)
+    out = {r["doc_id"]: r["fragment"] for r in
+           fvh_highlight(s, ["spark", "merge"], window_tokens=3).collect()}
+    # analyzed stream: alpha beta gamma spark merge zz qq → best window
+    # starts at 'spark' (pos 3) and must contain BOTH tagged terms
+    assert out[0] == "<em>spark</em> <em>merge</em> zz"
+
+
+# ---------------- aux APIs ----------------
+def test_render_search_template_missing_param():
+    from opensearch_spark.search.apis import render_search_template
+
+    with pytest.raises(ValueError):
+        render_search_template('{"match": {"f": "{{missing}}"}}', {})
+    body = render_search_template(
+        '{"range": {"n": {"gte": {{lo}}}}}', {"lo": 5})
+    assert body == {"range": {"n": {"gte": 5}}}
+
+
+def test_validate_query_renders_bool(spark):
+    from opensearch_spark.search.apis import validate_query
+
+    out = {r["query_id"]: (r["valid"], r["explanation"]) for r in
+           validate_query(spark, {
+               "b": {"bool": {"must": [{"term": {"lang": "en"}}],
+                              "must_not": [{"match": {"text": "x"}}]}},
+               "bad": {"nope": {}},
+           }).collect()}
+    assert out["b"] == (True, "+lang:en -text:x")
+    assert out["bad"][0] is False
