@@ -2149,6 +2149,88 @@ def text_lang_id(spark, sf_dir):
     return TS.lang_id(_docs(spark, sf_dir), "text").orderBy("doc_id")
 
 
+@q("sim_hybrid_rrf", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark','table') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark','table') GROUP BY term),
+scored AS (SELECT tf.doc_id, sum({O.bm25_term()}) AS raw_score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id),
+bm AS (SELECT doc_id, round(raw_score, 4) AS score FROM scored
+       ORDER BY round(raw_score, 4) DESC, doc_id LIMIT 50),
+bm_r AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_bm FROM bm),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (SELECT e.vec_id, unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+                 unnest(qv.qe) AS y
+          FROM embeddings e CROSS JOIN qv),
+sums AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+         FROM pairs GROUP BY vec_id),
+cosv AS (SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 4) AS cosine FROM sums
+         ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 4) DESC, vec_id LIMIT 50),
+cos_r AS (SELECT vec_id AS doc_id,
+          row_number() OVER (ORDER BY cosine DESC, vec_id) AS r_cos FROM cosv),
+fused AS (SELECT coalesce(bm_r.doc_id, cos_r.doc_id) AS doc_id,
+                 round(coalesce(1.0 / (60 + r_bm), 0)
+                       + coalesce(1.0 / (60 + r_cos), 0), 6) AS rrf_score
+          FROM bm_r FULL OUTER JOIN cos_r ON bm_r.doc_id = cos_r.doc_id)
+SELECT doc_id, rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+""")
+def sim_hybrid_rrf(spark, sf_dir):
+    """Hybrid BM25 + vector-cosine retrieval fused by reciprocal rank
+    (the neural-search hybrid query with rank-based normalization)."""
+    s = get_searcher(spark, sf_dir)
+    emb = _docs(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return S.hybrid_rrf(s, Match(field="text", text="spark table"),
+                        emb, qv, k=10, n_candidates=50, rrf_k=60)
+
+
+@q("sim_hybrid_minmax", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark','table') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark','table') GROUP BY term),
+scored AS (SELECT tf.doc_id, sum({O.bm25_term()}) AS raw_score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id),
+bm AS (SELECT doc_id, round(raw_score, 4) AS score FROM scored
+       ORDER BY round(raw_score, 4) DESC, doc_id LIMIT 50),
+bm_n AS (SELECT doc_id, CASE WHEN max(score) OVER () > min(score) OVER ()
+             THEN (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ())
+             ELSE 1.0 END AS n_bm FROM bm),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (SELECT e.vec_id, unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+                 unnest(qv.qe) AS y
+          FROM embeddings e CROSS JOIN qv),
+sums AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+         FROM pairs GROUP BY vec_id),
+cosv AS (SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 4) AS score FROM sums
+         ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 4) DESC, vec_id LIMIT 50),
+cos_n AS (SELECT vec_id AS doc_id, CASE WHEN max(score) OVER () > min(score) OVER ()
+              THEN (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ())
+              ELSE 1.0 END AS n_cos FROM cosv),
+fused AS (SELECT coalesce(bm_n.doc_id, cos_n.doc_id) AS doc_id,
+                 round(coalesce(n_bm, 0) * 0.5 + coalesce(n_cos, 0) * 0.5, 6) AS hybrid_score
+          FROM bm_n FULL OUTER JOIN cos_n ON bm_n.doc_id = cos_n.doc_id)
+SELECT doc_id, hybrid_score FROM fused
+ORDER BY hybrid_score DESC, doc_id LIMIT 10
+""")
+def sim_hybrid_minmax(spark, sf_dir):
+    """Hybrid retrieval, min-max normalization + weighted-sum combination
+    (normalization-processor technique=min_max)."""
+    s = get_searcher(spark, sf_dir)
+    emb = _docs(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return S.hybrid_minmax(s, Match(field="text", text="spark table"),
+                           emb, qv, k=10, n_candidates=50)
+
+
 @q("sim_cosine_topk", """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
 pairs AS (SELECT e.vec_id,

@@ -364,3 +364,69 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def hybrid_rrf(searcher, q, emb_df: DataFrame, query_vec: list[float],
+               k: int = 10, n_candidates: int = 50, rrf_k: int = 60,
+               id_col: str = "vec_id") -> DataFrame:
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion — the
+    hybrid query + score-normalization processor of the reference
+    ecosystem's neural-search pipeline, fused the rank-based way (RRF:
+    score = Σ 1/(rrf_k + rank_i) over the lists containing the doc).
+
+    Scale shape: each leg is its own bounded top-n (BM25 via the posting
+    engine, cosine via the ANN/brute-force operators); fusion joins two
+    ≤n_candidates-row frames — the rank windows and the outer join never
+    touch the corpus. Returns (doc_id, rrf_score).
+    """
+    from pyspark.sql import Window as W
+
+    bm = searcher.search(q, k=n_candidates, mode="exhaustive",
+                         round_scores=4)
+    wb = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm_r = bm.select("doc_id", F.row_number().over(wb).alias("r_bm"))
+    cos = cosine_topk(emb_df, query_vec, k=n_candidates)
+    wc = W.orderBy(F.desc("cosine"), F.asc(id_col))
+    cos_r = cos.select(F.col(id_col).alias("doc_id"),
+                       F.row_number().over(wc).alias("r_cos"))
+    j = bm_r.join(cos_r, "doc_id", "full_outer")
+    rrf = (
+        F.coalesce(1.0 / (F.lit(rrf_k) + F.col("r_bm")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("r_cos")), F.lit(0.0)))
+    return (j.select("doc_id", F.round(rrf, 6).alias("rrf_score"))
+            .orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(k))
+
+
+def hybrid_minmax(searcher, q, emb_df: DataFrame, query_vec: list[float],
+                  k: int = 10, n_candidates: int = 50,
+                  w_lexical: float = 0.5, w_vector: float = 0.5,
+                  id_col: str = "vec_id") -> DataFrame:
+    """Hybrid retrieval with min-max score normalization — the other
+    normalization mode of the reference ecosystem's hybrid pipeline
+    (normalization-processor technique=min_max, arithmetic mean
+    combination): each leg's top-n scores are rescaled to [0, 1] over
+    that leg's candidate set, then combined as a weighted sum (docs
+    missing from a leg contribute 0). Same bounded-frames fusion shape
+    as hybrid_rrf. Returns (doc_id, hybrid_score)."""
+    bm = searcher.search(q, k=n_candidates, mode="exhaustive",
+                         round_scores=4).select("doc_id", "score")
+    cos = cosine_topk(emb_df, query_vec, k=n_candidates).select(
+        F.col(id_col).alias("doc_id"), F.col("cosine").alias("score"))
+
+    def norm(df):
+        # bounded frame (<= n_candidates rows): the min/max agg is tiny
+        mm = df.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+        return (df.crossJoin(F.broadcast(mm))
+                .select("doc_id",
+                        F.when(F.col("hi") > F.col("lo"),
+                               (F.col("score") - F.col("lo"))
+                               / (F.col("hi") - F.col("lo")))
+                        .otherwise(F.lit(1.0)).alias("n")))
+
+    j = (norm(bm).withColumnRenamed("n", "n_bm")
+         .join(norm(cos).withColumnRenamed("n", "n_cos"), "doc_id",
+               "full_outer"))
+    score = (F.coalesce(F.col("n_bm"), F.lit(0.0)) * w_lexical
+             + F.coalesce(F.col("n_cos"), F.lit(0.0)) * w_vector)
+    return (j.select("doc_id", F.round(score, 6).alias("hybrid_score"))
+            .orderBy(F.desc("hybrid_score"), F.asc("doc_id")).limit(k))

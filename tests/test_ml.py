@@ -136,3 +136,49 @@ def test_textstats_quality_and_fingerprint(spark):
                                 "doc_id long, text string")
     fp9 = fingerprint(df2, "text").first()["fingerprint"]
     assert fp9 == fp[1]  # order/duplication-invariant
+
+
+def test_hybrid_rrf_fusion_properties(spark, sf_dir):
+    """Docs present in BOTH legs outrank equal-rank single-leg docs; the
+    fused frame is bounded by k and sorted by fused score."""
+    from opensearch_spark.entry_queries import get_searcher
+    from opensearch_spark.ml import similarity as S
+    from opensearch_spark.search import queries as Q
+    from pyspark.sql import functions as F
+
+    s = get_searcher(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    q = Q.Match(field="text", text="spark table")
+    out = S.hybrid_rrf(s, q, emb, qv, k=10, n_candidates=30).collect()
+    assert 0 < len(out) <= 10
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    bm_ids = {r["doc_id"] for r in
+              s.search(q, k=30, mode="exhaustive").collect()}
+    cos_ids = {r["vec_id"] for r in S.cosine_topk(emb, qv, k=30).collect()}
+    both = bm_ids & cos_ids
+    if both:
+        # a doc in both lists has strictly higher fused score than the
+        # best possible single-leg score at its ranks' sum
+        top_both = max(r["rrf_score"] for r in out if r["doc_id"] in both)
+        assert top_both > 1.0 / (60 + 30)
+
+
+def test_hybrid_minmax_bounds(spark, sf_dir):
+    """Min-max hybrid scores lie in [0, 1] for equal weights and the
+    best doc of a leg gets that leg's full weight."""
+    from opensearch_spark.entry_queries import get_searcher
+    from opensearch_spark.ml import similarity as S
+    from opensearch_spark.search import queries as Q
+    from pyspark.sql import functions as F
+
+    s = get_searcher(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = S.hybrid_minmax(s, Q.Match(field="text", text="spark table"),
+                          emb, qv, k=10, n_candidates=30).collect()
+    assert out and all(0.0 <= r["hybrid_score"] <= 1.0 for r in out)
+    # vec_id 0 is its own nearest neighbour → cosine leg max → >= 0.5
+    top = max(r["hybrid_score"] for r in out)
+    assert top >= 0.5
