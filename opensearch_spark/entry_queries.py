@@ -2115,6 +2115,34 @@ def pipeline_training_data(spark, sf_dir):
             .select("doc_id", "n_tokens", "quality").orderBy("doc_id"))
 
 
+@q("corpus_stats", """
+WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+flat AS (SELECT unnest(toks) AS term FROM t)
+SELECT (SELECT count(*) FROM t) AS n_docs,
+       (SELECT sum(len(toks)) FROM t) AS n_tokens,
+       (SELECT count(DISTINCT text) FROM t) AS n_distinct_docs,
+       (SELECT count(DISTINCT term) FROM flat) AS vocab_size,
+       (SELECT round(avg(len(toks)), 4) FROM t) AS avg_dl
+""")
+def corpus_stats(spark, sf_dir):
+    """Dataset-curation summary (the _stats/_cat corpus view a training
+    pipeline starts from): docs, tokens, exact-distinct docs, vocabulary
+    size, mean doc length — one pass + two distinct aggs, all partial/
+    final HashAggregate (the distincts are the only shuffles)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("text", F.size(toks).alias("_dl"), toks.alias("_toks"))
+    main = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_dl").alias("n_tokens"),
+        F.countDistinct("text").alias("n_distinct_docs"),
+        F.round(F.avg("_dl"), 4).alias("avg_dl"))
+    vocab = (base.select(F.explode("_toks").alias("term"))
+             .agg(F.countDistinct("term").alias("vocab_size")))
+    return main.crossJoin(vocab).select(
+        "n_docs", "n_tokens", "n_distinct_docs", "vocab_size", "avg_dl")
+
+
 @q("text_fingerprint", """
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(
