@@ -159,3 +159,28 @@ def test_micro_corpus_hand_scores(spark, tmp_path):
     # deterministic doc_id order by name
     names = {r["doc_id"]: r["name"] for r in idx.docs(spark).collect()}
     assert names == {0: "d0", 1: "d1", 2: "d2", 3: "d3", 4: "d4"}
+
+
+def test_disk_cache_level_identical_index(spark, tmp_path):
+    """cache_level='disk' (DISK_ONLY analyzed cache — the big-corpus
+    posture, see BENCH.md memory-wall fix) must produce a bit-identical
+    index to the default memory level."""
+    from opensearch_spark.datagen import generate_corpus
+    from opensearch_spark.index.build import IndexConfig, build_index
+
+    corpus = generate_corpus(spark, 400, n_partitions=4).persist()
+    corpus.count()
+    outs = {}
+    for lvl in ("memory", "disk"):
+        idx = build_index(
+            spark, corpus, str(tmp_path / f"lvl_{lvl}"),
+            IndexConfig(field="content", analyzer="standard_code",
+                        order_cols=("repo", "path", "commit"),
+                        n_parts=4, cache_level=lvl))
+        post = spark.read.parquet(str(tmp_path / f"lvl_{lvl}" / "postings"))
+        outs[lvl] = sorted(
+            (r["term"], r["bucket"], r["first_doc"], bytes(r["docs_vb"]),
+             bytes(r["tfs_vb"])) for r in post.collect())
+        assert idx.doc_count == 400
+    corpus.unpersist()
+    assert outs["memory"] == outs["disk"]
