@@ -2041,7 +2041,31 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir), "text").orderBy("doc_id")
 
 
-@q("dedup_simhash_pairs")  # rows-only: pair set verified vs brute force in tests
+def _simhash_pairs_oracle(max_hamming: int = 6) -> str:
+    """Pigeonhole banding is exact (a pair within the hamming budget
+    shares >= 1 band, then the verify filters precisely), so the oracle
+    is the brute-force pair set over the simhash CTE."""
+    sums = ",\n       ".join(
+        f"sum(((h >> {i}) & 1) * 2 - 1) AS s{i}" for i in range(32))
+    bits = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {2 ** i}::BIGINT ELSE 0 END)" for i in range(32))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+      FROM toks WHERE tok <> ''),
+sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, ({bits}) AS simhash FROM sums)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+ORDER BY a, b
+"""
+
+
+@q("dedup_simhash_pairs", _simhash_pairs_oracle())
 def dedup_simhash_pairs(spark, sf_dir):
     fp = D.simhash(_docs(spark, sf_dir), "text")
     return D.simhash_pairs(fp, max_hamming=6).orderBy("a", "b")
@@ -2299,7 +2323,34 @@ def _ann_index(spark, sf_dir) -> "S.AnnIndex":
     return idx
 
 
-@q("sim_lsh_topk")  # rows-only: recall vs brute force asserted in tests
+def _lsh_oracle_sql(n_planes: int = 6, dim: int = 64) -> str:
+    """Full-fidelity DuckDB twin of the materialized-LSH probe: the
+    deterministic hyperplanes are inlined as double literals, bucket =
+    sign pattern of the plane dots, multiprobe=2 ≡ hamming(bucket,
+    query_bucket) <= 2, exact cosine re-rank inside the candidates."""
+    planes = S.hyperplanes(n_planes, dim)
+
+    def lit(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    bexpr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit(p)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS (SELECT vec_id, v, ({bexpr})::BIGINT AS b FROM e),
+qb AS (SELECT b AS qb, v AS qv FROM bk WHERE vec_id = 0),
+cand AS (SELECT bk.vec_id, bk.v, qb.qv FROM bk CROSS JOIN qb
+         WHERE bit_count(xor(bk.b, qb.qb)) <= 2 AND bk.vec_id <> 0),
+pairs AS (SELECT vec_id, unnest(v) AS x, unnest(qv) AS y FROM cand),
+s AS (SELECT vec_id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+      FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(dot / (sqrt(nx)*sqrt(ny)), 4) AS cosine
+FROM s ORDER BY round(dot / (sqrt(nx)*sqrt(ny)), 4) DESC, vec_id LIMIT 10
+"""
+
+
+@q("sim_lsh_topk", _lsh_oracle_sql())
 def sim_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in
@@ -2308,10 +2359,37 @@ def sim_lsh_topk(spark, sf_dir):
                                               exclude_id=0)
 
 
-@q("sim_near_dup_pairs")  # rows-only: verified vs exact pairs in tests
+def _near_dup_oracle_sql(threshold: float = 0.42, n_planes: int = 8,
+                         dim: int = 64) -> str:
+    """DuckDB twin of embedding_near_dup_pairs: inlined-hyperplane
+    bucket self-join (candidates = same sign-bucket) + exact cosine
+    verify. Threshold 0.42 chosen so the gate is non-vacuous at every
+    test sf (1/3/6 pairs at sf0.001/0.01/0.1)."""
+    planes = S.hyperplanes(n_planes, dim)
+
+    def lit(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    bexpr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit(p)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS (SELECT vec_id, v, ({bexpr})::BIGINT AS b FROM e),
+cand AS (SELECT l.vec_id AS a, r.vec_id AS bb, l.v AS va, r.v AS vb
+         FROM bk l JOIN bk r ON l.b = r.b AND l.vec_id < r.vec_id),
+s AS (SELECT a, bb, list_dot_product(va, vb) AS dot,
+             sqrt(list_dot_product(va, va)) AS na,
+             sqrt(list_dot_product(vb, vb)) AS nb FROM cand)
+SELECT a, bb AS b, round(dot / (na * nb), 4) AS cosine
+FROM s WHERE round(dot / (na * nb), 4) >= {threshold} ORDER BY a, b
+"""
+
+
+@q("sim_near_dup_pairs", _near_dup_oracle_sql())
 def sim_near_dup_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(emb, threshold=0.9).orderBy("a", "b")
+    return S.embedding_near_dup_pairs(emb, threshold=0.42).orderBy("a", "b")
 
 
 @q("sim_ivf_topk")  # rows-only: recall vs brute force asserted in tests
@@ -3161,7 +3239,36 @@ def sim_knn_join(spark, sf_dir):
     return out.orderBy("query_id", "rank")
 
 
-@q("sim_knn_join_lsh")  # rows-only: recall vs exact join asserted in tests
+def _knn_join_lsh_oracle(k: int = 3, n_planes: int = 6, dim: int = 64) -> str:
+    """DuckDB twin of the multiprobe LSH kNN join: query probes its own
+    bucket + every 1-bit flip ≡ candidate buckets within hamming 1."""
+    planes = S.hyperplanes(n_planes, dim)
+
+    def lit(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    bexpr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit(p)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS (SELECT vec_id, v, ({bexpr})::BIGINT AS b FROM e),
+scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(q.v, c.v)
+                        / (sqrt(list_dot_product(q.v, q.v))
+                           * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+           FROM bk q JOIN bk c
+             ON bit_count(xor(q.b, c.b)) <= 1 AND q.vec_id <> c.vec_id),
+ranked AS (SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+@q("sim_knn_join_lsh", _knn_join_lsh_oracle())
 def sim_knn_join_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.knn_join_lsh(emb, k=3, n_planes=6).orderBy("query_id", "rank")
