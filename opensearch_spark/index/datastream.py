@@ -1,0 +1,166 @@
+"""Data streams + rollover (SURVEY §1 concept table: DataStreamFieldMapper,
+RolloverAction/TransportRolloverAction) — the append-only time-series
+abstraction over backing generations.
+
+Reference semantics: a data stream is a named alias over numbered backing
+indices; writes go to the current write index; ``_rollover`` cuts a new
+generation when the current one crosses a size/age condition; searches
+fan out over all generations, pruned by the timestamp ranges each backing
+index carries.
+
+Spark-first re-expression: a generation IS an immutable segment directory
+(the same layout `segments.py` merges — docs + flat postings + manifest),
+so the existing crash-safe manifest discipline and the global merge-sort
+are reused verbatim. What this layer adds:
+
+- **docBase discipline**: each appended generation's doc_ids start at the
+  stream's running doc count (Lucene per-segment docBase), so ids are
+  globally dense without any cross-generation shuffle at append time.
+- **rollover**: an append larger than ``rollover_max_docs`` is split into
+  multiple generations by local position — one narrow filter per chunk,
+  no shuffle.
+- **generation pruning**: manifests record per-generation ts_min/ts_max;
+  a time-bounded read unions ONLY the overlapping generation directories
+  (directory-level pruning, the analog of the reference skipping backing
+  indices whose ranges can't match).
+
+``materialize()`` = ``merge_segments`` — the force-merge that produces
+the query-optimal global index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from opensearch_spark.index.build import IndexConfig, InvertedIndex
+from opensearch_spark.index.segments import _atomic_write_json, read_manifest
+from opensearch_spark.analysis.analyzer import termfreq_udf
+
+
+class DataStream:
+    def __init__(self, out_dir: str, config: IndexConfig = IndexConfig(),
+                 rollover_max_docs: int = 1_000_000):
+        self.out_dir = out_dir
+        self.cfg = config
+        self.rollover_max_docs = rollover_max_docs
+        os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+
+    # ---------- manifest ----------
+    def generations(self) -> list[dict]:
+        return [m for _s, m in sorted(read_manifest(self.out_dir).items())]
+
+    def doc_count(self) -> int:
+        return sum(m["rows"] for m in self.generations())
+
+    # ---------- write path ----------
+    def append(self, spark: SparkSession, batch: DataFrame,
+               ts_col: str | None = None) -> list[int]:
+        """Index a batch as one or more new generations (rollover split).
+        Returns the new generation ids."""
+        gens = self.generations()
+        next_gen = (gens[-1]["segment_id"] + 1) if gens else 0
+        doc_base = self.doc_count()
+        cfg = self.cfg
+
+        # local dense ids in arrival order (per-partition counts — the
+        # same no-wide-shuffle discipline as assign_doc_ids mode=local)
+        from opensearch_spark.index.build import assign_doc_ids
+        with_ids = assign_doc_ids(batch, list(cfg.order_cols) or [], mode="local")
+        with_ids = with_ids.withColumn(
+            "_chunk", (F.col("doc_id") / F.lit(self.rollover_max_docs)).cast("int"))
+        n_chunks = with_ids.agg(F.max("_chunk")).collect()[0][0]
+        n_chunks = int(n_chunks) + 1 if n_chunks is not None else 0
+
+        new_gens: list[int] = []
+        udf = termfreq_udf(cfg.analyzer)
+        for c in range(n_chunks):
+            gen = next_gen + c
+            part = (with_ids.where(F.col("_chunk") == c).drop("_chunk")
+                    .withColumn("doc_id", F.col("doc_id")
+                                - F.lit(c * self.rollover_max_docs)
+                                + F.lit(doc_base)))
+            analyzed = part.withColumn("_tf", udf(F.col(cfg.field)))
+            seg_dir = os.path.join(self.out_dir, "segments", f"seg_{gen}")
+            docs = analyzed.select(
+                "doc_id",
+                *[c2 for c2 in part.columns if c2 != "doc_id"],
+                F.col("_tf.dl").alias("dl"),
+                F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
+            )
+            docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+            flat = analyzed.select(
+                "doc_id", F.col("_tf.dl").alias("dl"),
+                F.explode(F.expr("arrays_zip(_tf.terms, _tf.tfs)")).alias("z"),
+            ).select(
+                F.col("z.terms").alias("term"), "doc_id",
+                F.col("z.tfs").cast("long").alias("tf"), "dl",
+            )
+            (flat.repartition(max(2, cfg.n_parts), "term")
+                 .sortWithinPartitions("term", "doc_id")
+                 .write.mode("overwrite").parquet(os.path.join(seg_dir, "postings")))
+            agg_cols = [F.count("*").alias("rows"),
+                        F.min("doc_id").alias("base"),
+                        F.max("doc_id").alias("top")]
+            if ts_col is not None:
+                agg_cols += [F.min(ts_col).cast("string").alias("ts_min"),
+                             F.max(ts_col).cast("string").alias("ts_max")]
+            srow = docs.agg(*agg_cols).collect()[0]
+            man = {
+                "segment_id": gen,
+                "rows": int(srow["rows"]),
+                "doc_base": int(srow["base"]) if srow["base"] is not None else doc_base,
+                "status": "committed",
+                "attempt": 1,
+            }
+            if ts_col is not None:
+                man["ts_min"], man["ts_max"] = srow["ts_min"], srow["ts_max"]
+            _atomic_write_json(
+                os.path.join(self.out_dir, "manifest", f"seg_{gen}.json"), man)
+            doc_base += int(srow["rows"])
+            new_gens.append(gen)
+        return new_gens
+
+    # ---------- read path ----------
+    def _pruned_dirs(self, ts_min: str | None, ts_max: str | None) -> list[str]:
+        out = []
+        for m in self.generations():
+            if ts_min is not None and m.get("ts_max") is not None \
+                    and m["ts_max"] < ts_min:
+                continue
+            if ts_max is not None and m.get("ts_min") is not None \
+                    and m["ts_min"] > ts_max:
+                continue
+            out.append(os.path.join(self.out_dir, "segments",
+                                    f"seg_{m['segment_id']}"))
+        return out
+
+    def docs_view(self, spark: SparkSession, ts_min: str | None = None,
+                  ts_max: str | None = None,
+                  ts_col: str | None = "ts") -> DataFrame:
+        """Docs of the generations whose recorded time range overlaps
+        [ts_min, ts_max]. Two-level filtering, exactly the reference's
+        shape: non-overlapping generations are never READ (directory
+        pruning from the manifests), and the range predicate is then
+        applied row-level inside the surviving generations (whose ranges
+        may straddle the bound). Pass ts_col=None to skip the row filter
+        (pruning only)."""
+        dirs = self._pruned_dirs(ts_min, ts_max)
+        if not dirs:
+            return spark.read.parquet(
+                os.path.join(self.out_dir, "segments", "seg_0", "docs")).limit(0)
+        df = spark.read.parquet(*[os.path.join(d, "docs") for d in dirs])
+        if ts_col is not None and ts_col in df.columns:
+            if ts_min is not None:
+                df = df.where(F.col(ts_col) >= F.lit(ts_min).cast("timestamp"))
+            if ts_max is not None:
+                df = df.where(F.col(ts_col) <= F.lit(ts_max).cast("timestamp"))
+        return df
+
+    def materialize(self, spark: SparkSession) -> InvertedIndex:
+        """Force-merge all generations into the global query-optimal
+        index (the reference's _forcemerge on a rolled-over stream)."""
+        from opensearch_spark.index.segments import merge_segments
+        return merge_segments(spark, self.out_dir, self.cfg)

@@ -1,0 +1,89 @@
+"""Data streams + rollover: docBase discipline, generation pruning,
+force-merge equivalence."""
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.index.build import IndexConfig
+from opensearch_spark.index.datastream import DataStream
+
+CFG = IndexConfig(field="content", analyzer="standard_code", n_parts=2)
+
+
+def _batch(spark, start, n, day):
+    rows = [(f"r{start+i}", f"p/{start+i}", "c", "py",
+             f"import spark {['alpha','beta','gamma'][day-1]} word{(start+i) % 5}",
+             datetime(2024, 1, day)) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, ts timestamp")
+
+
+@pytest.fixture(scope="module")
+def stream(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ds"))
+    ds = DataStream(d, CFG, rollover_max_docs=40)
+    ds.append(spark, _batch(spark, 0, 30, day=1), ts_col="ts")
+    # 90 rows with rollover cap 40 -> split into 3 generations
+    ds.append(spark, _batch(spark, 30, 90, day=2), ts_col="ts")
+    ds.append(spark, _batch(spark, 120, 10, day=3), ts_col="ts")
+    return ds
+
+
+def test_docbase_dense_and_monotonic(stream, spark):
+    gens = stream.generations()
+    assert len(gens) == 5  # 1 + 3 (rollover split) + 1
+    assert stream.doc_count() == 130
+    base = 0
+    for m in gens:
+        assert m["doc_base"] == base
+        base += m["rows"]
+    ids = [r["doc_id"] for r in
+           stream.docs_view(spark).select("doc_id").collect()]
+    assert sorted(ids) == list(range(130))  # globally dense, no overlap
+
+
+def test_generation_time_pruning(stream, spark):
+    # day-2 window must read only the 3 day-2 generations
+    pruned = stream._pruned_dirs("2024-01-02", "2024-01-02 23:59:59")
+    assert len(pruned) == 3
+    v = stream.docs_view(spark, "2024-01-02", "2024-01-02 23:59:59")
+    assert v.count() == 90
+    # fully outside every range -> zero directories read
+    assert stream._pruned_dirs("2030-01-01", None) == []
+    assert stream.docs_view(spark, "2030-01-01", None).count() == 0
+
+
+def test_materialize_searches_all_generations(stream, spark):
+    from opensearch_spark.search.executor import Searcher
+    import opensearch_spark.search.queries as Q
+
+    idx = stream.materialize(spark)
+    assert idx.doc_count == 130
+    s = Searcher(spark, idx)
+    hits = s.search(Q.Match(field="content", text="beta"), k=130,
+                    mode="exhaustive")
+    docs = s.fetch(hits, columns=["content"]).collect()
+    assert len(docs) == 90
+    assert all("beta" in r["content"] for r in docs)
+    # sha256 invariant holds across the merged stream
+    combined = _batch(spark, 0, 30, 1).unionByName(
+        _batch(spark, 30, 90, 2)).unionByName(_batch(spark, 120, 10, 3))
+    assert idx.verify_sha256(spark, combined) == 0
+
+
+def test_docs_view_row_filters_straddling_generations(spark, tmp_path):
+    """A generation whose ts range straddles the bound survives pruning
+    but its out-of-range ROWS must still be filtered."""
+    ds = DataStream(str(tmp_path / "ds2"), CFG, rollover_max_docs=100)
+    rows = [(f"r{i}", f"p{i}", "c", "py", "import spark w",
+             datetime(2024, 1, 1 + i % 2)) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, ts timestamp")
+    ds.append(spark, df, ts_col="ts")  # ONE generation spanning both days
+    v = ds.docs_view(spark, "2024-01-01", "2024-01-01 23:59:59")
+    assert v.count() == 20
+    assert ds.docs_view(spark, None, None).count() == 40
