@@ -66,12 +66,16 @@ class IndexConfig:
 def _storage_level(name: str):
     from pyspark import StorageLevel
 
-    return {"memory": StorageLevel.MEMORY_AND_DISK,
+    # "memory" must match DataFrame.persist()'s default
+    # (MEMORY_AND_DISK_DESER) exactly — the pre-knob builds used bare
+    # .persist(), and a silent switch to the serialized level would
+    # change the benchmarked hot path
+    return {"memory": StorageLevel.MEMORY_AND_DISK_DESER,
             "disk": StorageLevel.DISK_ONLY}[name]
 
 
 def assign_doc_ids(df: DataFrame, order_cols: list[str], n_parts: int = 32,
-                   mode: str = "local") -> DataFrame:
+                   mode: str = "local", cache: bool = True) -> DataFrame:
     """Deterministic dense doc_id without a single-partition global window —
     and without sending the corpus through Python.
 
@@ -97,7 +101,11 @@ def assign_doc_ids(df: DataFrame, order_cols: list[str], n_parts: int = 32,
                       .sortWithinPartitions(*order_cols)
     else:
         sorted_df = df.sortWithinPartitions(*order_cols) if order_cols else df
-    sorted_df = sorted_df.persist()
+    # cache=False for repeated-append callers (datastream) that persist a
+    # derived frame themselves — the internal persist would otherwise
+    # accumulate one pinned copy per call with no owner to release it
+    if cache:
+        sorted_df = sorted_df.persist()
     counts = (
         sorted_df.select(F.spark_partition_id().alias("pid"))
         .groupBy("pid")

@@ -30,14 +30,35 @@ the query-optimal global index.
 
 from __future__ import annotations
 
-import json
 import os
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from opensearch_spark.index.build import IndexConfig, InvertedIndex
-from opensearch_spark.index.segments import _atomic_write_json, read_manifest
-from opensearch_spark.analysis.analyzer import termfreq_udf
+from opensearch_spark.index.segments import (
+    _atomic_write_json,
+    read_manifest,
+    write_segment_tables,
+)
+
+
+def _canon_ts(s: str | None) -> str | None:
+    """Canonicalize a caller timestamp string to the 'YYYY-MM-DD
+    HH:MM:SS[.ffffff]' form manifests store (Spark's timestamp->string
+    cast), so the lexicographic generation-pruning compare agrees with
+    the row-level timestamp-cast filter for every accepted spelling
+    (ISO 'T' separator, date-only, non-padded)."""
+    if s is None:
+        return None
+    t = s.strip().replace("T", " ")
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
+                "%Y-%m-%d %H:%M", "%Y-%m-%d"):
+        try:
+            return str(datetime.strptime(t, fmt))
+        except ValueError:
+            continue
+    raise ValueError(f"unrecognized timestamp string: {s!r}")
 
 
 class DataStream:
@@ -66,41 +87,28 @@ class DataStream:
         cfg = self.cfg
 
         # local dense ids in arrival order (per-partition counts — the
-        # same no-wide-shuffle discipline as assign_doc_ids mode=local)
+        # same no-wide-shuffle discipline as assign_doc_ids mode=local).
+        # cache=False: the segment writer persists the derived analyzed
+        # frame itself; assign_doc_ids' internal persist would pin one
+        # copy of every batch ever appended with nothing releasing it
         from opensearch_spark.index.build import assign_doc_ids
-        with_ids = assign_doc_ids(batch, list(cfg.order_cols) or [], mode="local")
+        with_ids = assign_doc_ids(batch, list(cfg.order_cols) or [],
+                                  mode="local", cache=False)
         with_ids = with_ids.withColumn(
             "_chunk", (F.col("doc_id") / F.lit(self.rollover_max_docs)).cast("int"))
         n_chunks = with_ids.agg(F.max("_chunk")).collect()[0][0]
         n_chunks = int(n_chunks) + 1 if n_chunks is not None else 0
 
         new_gens: list[int] = []
-        udf = termfreq_udf(cfg.analyzer)
         for c in range(n_chunks):
             gen = next_gen + c
             part = (with_ids.where(F.col("_chunk") == c).drop("_chunk")
                     .withColumn("doc_id", F.col("doc_id")
                                 - F.lit(c * self.rollover_max_docs)
                                 + F.lit(doc_base)))
-            analyzed = part.withColumn("_tf", udf(F.col(cfg.field)))
             seg_dir = os.path.join(self.out_dir, "segments", f"seg_{gen}")
-            docs = analyzed.select(
-                "doc_id",
-                *[c2 for c2 in part.columns if c2 != "doc_id"],
-                F.col("_tf.dl").alias("dl"),
-                F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
-            )
-            docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
-            flat = analyzed.select(
-                "doc_id", F.col("_tf.dl").alias("dl"),
-                F.explode(F.expr("arrays_zip(_tf.terms, _tf.tfs)")).alias("z"),
-            ).select(
-                F.col("z.terms").alias("term"), "doc_id",
-                F.col("z.tfs").cast("long").alias("tf"), "dl",
-            )
-            (flat.repartition(max(2, cfg.n_parts), "term")
-                 .sortWithinPartitions("term", "doc_id")
-                 .write.mode("overwrite").parquet(os.path.join(seg_dir, "postings")))
+            analyzed, docs = write_segment_tables(
+                part, list(part.columns), seg_dir, cfg)
             agg_cols = [F.count("*").alias("rows"),
                         F.min("doc_id").alias("base"),
                         F.max("doc_id").alias("top")]
@@ -119,12 +127,14 @@ class DataStream:
                 man["ts_min"], man["ts_max"] = srow["ts_min"], srow["ts_max"]
             _atomic_write_json(
                 os.path.join(self.out_dir, "manifest", f"seg_{gen}.json"), man)
+            analyzed.unpersist()
             doc_base += int(srow["rows"])
             new_gens.append(gen)
         return new_gens
 
     # ---------- read path ----------
     def _pruned_dirs(self, ts_min: str | None, ts_max: str | None) -> list[str]:
+        ts_min, ts_max = _canon_ts(ts_min), _canon_ts(ts_max)
         out = []
         for m in self.generations():
             if ts_min is not None and m.get("ts_max") is not None \
@@ -147,10 +157,15 @@ class DataStream:
         applied row-level inside the surviving generations (whose ranges
         may straddle the bound). Pass ts_col=None to skip the row filter
         (pruning only)."""
+        ts_min, ts_max = _canon_ts(ts_min), _canon_ts(ts_max)
         dirs = self._pruned_dirs(ts_min, ts_max)
         if not dirs:
-            return spark.read.parquet(
-                os.path.join(self.out_dir, "segments", "seg_0", "docs")).limit(0)
+            gens = self.generations()
+            if not gens:  # empty stream: no segment exists to borrow a schema
+                return spark.createDataFrame([], "doc_id long")
+            return spark.read.parquet(os.path.join(
+                self.out_dir, "segments",
+                f"seg_{gens[0]['segment_id']}", "docs")).limit(0)
         df = spark.read.parquet(*[os.path.join(d, "docs") for d in dirs])
         if ts_col is not None and ts_col in df.columns:
             if ts_min is not None:

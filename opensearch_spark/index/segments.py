@@ -35,6 +35,7 @@ from opensearch_spark.index.build import (
     IndexConfig,
     InvertedIndex,
     _atomic_write_json,
+    _storage_level,
     assign_doc_ids,
     encode_blocks,
 )
@@ -56,6 +57,38 @@ def read_manifest(out_dir: str) -> dict[int, dict]:
             if m.get("status") == "committed":
                 out[int(m["segment_id"])] = m
     return out
+
+
+def write_segment_tables(part: DataFrame, keep_cols: list[str],
+                         seg_dir: str, cfg: IndexConfig) -> DataFrame:
+    """Write one segment's docs + flat-postings tables (the on-disk
+    layout ``merge_segments`` reads) from a frame that already carries
+    ``doc_id``. Shared by the resumable batch build and the data-stream
+    append path so the layout has exactly one author. The analyzed frame
+    is persisted for the span of the two writes + the stats agg the
+    caller runs, and returned so the caller can unpersist after its
+    manifest commit."""
+    analyzed = part.withColumn(
+        "_tf", termfreq_udf(cfg.analyzer)(F.col(cfg.field)))
+    analyzed = analyzed.persist()
+    docs = analyzed.select(
+        "doc_id",
+        *[c for c in keep_cols if c != "doc_id"],
+        F.col("_tf.dl").alias("dl"),
+        F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+    flat = analyzed.select(
+        "doc_id", F.col("_tf.dl").alias("dl"),
+        F.explode(F.expr("arrays_zip(_tf.terms, _tf.tfs)")).alias("z"),
+    ).select(
+        F.col("z.terms").alias("term"), "doc_id",
+        F.col("z.tfs").cast("long").alias("tf"), "dl",
+    )
+    (flat.repartition(max(2, cfg.n_parts), "term")
+         .sortWithinPartitions("term", "doc_id")
+         .write.mode("overwrite").parquet(os.path.join(seg_dir, "postings")))
+    return analyzed, docs
 
 
 def build_segments(
@@ -81,7 +114,9 @@ def build_segments(
     seg_span = (total + n_segments - 1) // n_segments
     with_seg = with_ids.withColumn(
         "segment_id", (F.col("doc_id") / F.lit(seg_span)).cast("int"))
-    with_seg = with_seg.persist()
+    # honors cfg.cache_level ("disk" = the big-corpus posture the CLI's
+    # --cache-level flag selects — it must work on the resumable path too)
+    with_seg = with_seg.persist(_storage_level(cfg.cache_level))
 
     committed = read_manifest(out_dir)
     done_now = 0
@@ -91,26 +126,10 @@ def build_segments(
         if seg in committed:
             continue
         part = with_seg.where(F.col("segment_id") == seg)
-        analyzed = part.withColumn(
-            "_tf", termfreq_udf(cfg.analyzer)(F.col(cfg.field)))
         seg_dir = os.path.join(out_dir, "segments", f"seg_{seg}")
-        docs = analyzed.select(
-            "doc_id",
-            *[c for c in part.columns if c not in ("doc_id", "segment_id")],
-            F.col("_tf.dl").alias("dl"),
-            F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
-        )
-        docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
-        flat = analyzed.select(
-            "doc_id", F.col("_tf.dl").alias("dl"),
-            F.explode(F.expr("arrays_zip(_tf.terms, _tf.tfs)")).alias("z"),
-        ).select(
-            F.col("z.terms").alias("term"), "doc_id",
-            F.col("z.tfs").cast("long").alias("tf"), "dl",
-        )
-        (flat.repartition(max(2, cfg.n_parts), "term")
-             .sortWithinPartitions("term", "doc_id")
-             .write.mode("overwrite").parquet(os.path.join(seg_dir, "postings")))
+        analyzed, docs = write_segment_tables(
+            part, [c for c in part.columns if c != "segment_id"],
+            seg_dir, cfg)
         sig = docs.agg(
             F.expr(
                 "bit_xor(cast(conv(substr(content_sha256, 1, 15), 16, 10) as bigint))"
@@ -129,6 +148,7 @@ def build_segments(
             "status": "committed",
             "attempt": prev_attempt + 1,
         })
+        analyzed.unpersist()
         done_now += 1
         if fail_after is not None and done_now >= fail_after:
             with_seg.unpersist()

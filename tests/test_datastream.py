@@ -87,3 +87,18 @@ def test_docs_view_row_filters_straddling_generations(spark, tmp_path):
     v = ds.docs_view(spark, "2024-01-01", "2024-01-01 23:59:59")
     assert v.count() == 20
     assert ds.docs_view(spark, None, None).count() == 40
+
+
+def test_iso_timestamp_spellings_agree(stream, spark):
+    """ISO 'T'-separator and date-only bounds must prune identically to
+    the canonical spelling (regression: lexicographic compare vs 'T')."""
+    a = stream.docs_view(spark, "2024-01-02", "2024-01-02 23:59:59").count()
+    b = stream.docs_view(spark, "2024-01-02T00:00:00",
+                         "2024-01-02T23:59:59").count()
+    assert a == b == 90
+
+
+def test_empty_stream_docs_view(spark, tmp_path):
+    ds = DataStream(str(tmp_path / "empty_ds"), CFG)
+    assert ds.docs_view(spark).count() == 0
+    assert ds.generations() == []

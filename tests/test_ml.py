@@ -158,11 +158,11 @@ def test_hybrid_rrf_fusion_properties(spark, sf_dir):
               s.search(q, k=30, mode="exhaustive").collect()}
     cos_ids = {r["vec_id"] for r in S.cosine_topk(emb, qv, k=30).collect()}
     both = bm_ids & cos_ids
-    if both:
+    both_scores = [r["rrf_score"] for r in out if r["doc_id"] in both]
+    if both_scores:
         # a doc in both lists has strictly higher fused score than the
         # best possible single-leg score at its ranks' sum
-        top_both = max(r["rrf_score"] for r in out if r["doc_id"] in both)
-        assert top_both > 1.0 / (60 + 30)
+        assert max(both_scores) > 1.0 / (60 + 30)
 
 
 def test_hybrid_minmax_bounds(spark, sf_dir):
