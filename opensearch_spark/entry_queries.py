@@ -1856,6 +1856,50 @@ def join_terms_lookup(spark, sf_dir):
 # --------------------------------------------------------------------------
 # ingest processors ≈ scalar function library (SURVEY §2.10)
 # --------------------------------------------------------------------------
+_DS_CACHE: dict[str, object] = {}
+
+
+def _event_stream(spark, sf_dir):
+    """Build (or reuse) a DataStream over the events table: two appends
+    split mid-month (generations carry disjoint ts ranges), analyzed
+    field = event_type."""
+    from opensearch_spark.index.datastream import DataStream
+
+    key = os.path.abspath(sf_dir)
+    if key in _DS_CACHE:
+        return _DS_CACHE[key]
+    out = os.path.join(INDEX_ROOT,
+                       hashlib.sha256(key.encode()).hexdigest()[:16] + "_ds")
+    cfg = IndexConfig(field="event_type", analyzer="standard", n_parts=2)
+    ds = DataStream(out, cfg, rollover_max_docs=1 << 30)
+    if not ds.generations():
+        e = _docs(spark, sf_dir, "events")
+        ds.append(spark, e.where(F.col("ts") < "2024-01-15")
+                  .orderBy("event_id"), ts_col="ts")
+        ds.append(spark, e.where(F.col("ts") >= "2024-01-15")
+                  .orderBy("event_id"), ts_col="ts")
+    _DS_CACHE[key] = ds
+    return ds
+
+
+@q("stream_datastream_view", """
+SELECT event_id, event_type FROM events
+WHERE ts >= '2024-01-01' AND ts <= '2024-01-02 00:00:00'
+ORDER BY event_id
+""")
+def stream_datastream_view(spark, sf_dir):
+    """Data stream (DataStreamFieldMapper / RolloverAction analog):
+    time-bounded read over generation segments — manifests prune
+    non-overlapping generation directories, the surviving generation is
+    row-filtered. The day-1 window lies inside generation 0 at every sf
+    (generation 1 starts 2024-01-15), so generation 1 is never read
+    (directory-level pruning exercised)."""
+    ds = _event_stream(spark, sf_dir)
+    assert len(ds._pruned_dirs("2024-01-01", "2024-01-02 00:00:00")) == 1
+    return (ds.docs_view(spark, "2024-01-01", "2024-01-02 00:00:00")
+            .select("event_id", "event_type").orderBy("event_id"))
+
+
 @q("ingest_processors_extra", """
 SELECT event_id,
        lower(trim(event_type)) AS et_norm,
