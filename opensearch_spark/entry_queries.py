@@ -1394,6 +1394,95 @@ def agg_significant_terms(spark, sf_dir):
             .orderBy(F.desc("jlh"), "event_type"))
 
 
+@q("agg_significant_terms_chi2", """
+WITH fg AS (SELECT event_type, count(*) AS fg_count FROM events
+            WHERE value > 90.0 GROUP BY event_type),
+bg AS (SELECT event_type, count(*) AS bg_count FROM events GROUP BY event_type),
+tot AS (SELECT (SELECT count(*) FROM events WHERE value > 90.0) AS fg_total,
+               (SELECT count(*) FROM events) AS bg_total),
+cells AS (SELECT f.event_type, f.fg_count, b.bg_count,
+                 f.fg_count AS a,
+                 b.bg_count - f.fg_count AS b2,
+                 fg_total - f.fg_count AS c,
+                 bg_total - b.bg_count - fg_total + f.fg_count AS d
+          FROM fg f JOIN bg b USING (event_type) CROSS JOIN tot)
+SELECT event_type, fg_count, bg_count,
+       round((a * d - b2 * c) * (a * d - b2 * c) * (a + b2 + c + d) * 1.0
+             / ((a + b2) * (c + d) * (a + c) * (b2 + d)), 6) AS chi2
+FROM cells ORDER BY chi2 DESC, event_type
+""")
+def agg_significant_terms_chi2(spark, sf_dir):
+    """significant_terms, chi-square heuristic (significant/heuristics/
+    ChiSquare.java contingency form, background_is_superset=true):
+    chi2 = (ad-bc)^2 (a+b+c+d) / ((a+b)(c+d)(a+c)(b+d)) over the
+    fg/bg 2x2 table — pure column math, one shuffle per rate table."""
+    ev = _t(spark, sf_dir, "events")
+    fg = ev.where(F.col("value") > 90.0).groupBy("event_type") \
+           .agg(F.count("*").alias("fg_count"))
+    bg = ev.groupBy("event_type").agg(F.count("*").alias("bg_count"))
+    fg_total = ev.where(F.col("value") > 90.0).count()
+    bg_total = ev.count()
+    a = F.col("fg_count")
+    b2 = F.col("bg_count") - a
+    c = F.lit(fg_total) - a
+    d = F.lit(bg_total) - F.col("bg_count") - F.lit(fg_total) + a
+    chi2 = ((a * d - b2 * c) * (a * d - b2 * c) * (a + b2 + c + d)
+            / ((a + b2) * (c + d) * (a + c) * (b2 + d)))
+    return (fg.join(bg, "event_type")
+            .select("event_type", "fg_count", "bg_count",
+                    F.round(chi2, 6).alias("chi2"))
+            .orderBy(F.desc("chi2"), "event_type"))
+
+
+@q("agg_significant_terms_mi", """
+WITH fg AS (SELECT event_type, count(*) AS fg_count FROM events
+            WHERE value > 90.0 GROUP BY event_type),
+bg AS (SELECT event_type, count(*) AS bg_count FROM events GROUP BY event_type),
+tot AS (SELECT (SELECT count(*) FROM events WHERE value > 90.0) AS fg_total,
+               (SELECT count(*) FROM events) AS bg_total),
+cells AS (SELECT f.event_type, f.fg_count, b.bg_count, bg_total * 1.0 AS n,
+                 f.fg_count * 1.0 AS a,
+                 (b.bg_count - f.fg_count) * 1.0 AS b2,
+                 (fg_total - f.fg_count) * 1.0 AS c,
+                 (bg_total - b.bg_count - fg_total + f.fg_count) * 1.0 AS d
+          FROM fg f JOIN bg b USING (event_type) CROSS JOIN tot),
+mi AS (SELECT event_type, fg_count, bg_count,
+       (CASE WHEN a > 0 THEN (a/n) * log2((a/n) / (((a+b2)/n) * ((a+c)/n))) ELSE 0 END)
+     + (CASE WHEN b2 > 0 THEN (b2/n) * log2((b2/n) / (((a+b2)/n) * ((b2+d)/n))) ELSE 0 END)
+     + (CASE WHEN c > 0 THEN (c/n) * log2((c/n) / (((c+d)/n) * ((a+c)/n))) ELSE 0 END)
+     + (CASE WHEN d > 0 THEN (d/n) * log2((d/n) / (((c+d)/n) * ((b2+d)/n))) ELSE 0 END)
+       AS score FROM cells)
+SELECT event_type, fg_count, bg_count, round(score, 6) AS mi
+FROM mi ORDER BY mi DESC, event_type
+""")
+def agg_significant_terms_mi(spark, sf_dir):
+    """significant_terms, mutual-information heuristic
+    (significant/heuristics/MutualInformation.java): I(term; class) over
+    the fg/bg 2x2 contingency, zero cells contributing 0."""
+    ev = _t(spark, sf_dir, "events")
+    fg = ev.where(F.col("value") > 90.0).groupBy("event_type") \
+           .agg(F.count("*").alias("fg_count"))
+    bg = ev.groupBy("event_type").agg(F.count("*").alias("bg_count"))
+    fg_total = ev.where(F.col("value") > 90.0).count()
+    n = float(ev.count())
+    a = F.col("fg_count").cast("double")
+    b2 = (F.col("bg_count") - F.col("fg_count")).cast("double")
+    c = (F.lit(fg_total) - F.col("fg_count")).cast("double")
+    d = (F.lit(n) - F.col("bg_count").cast("double")
+         - F.lit(float(fg_total)) + F.col("fg_count"))
+
+    def term(p, row, col):
+        return F.when(p > 0, (p / n) * F.log2((p / n) / ((row / n) * (col / n)))) \
+                .otherwise(F.lit(0.0))
+
+    score = (term(a, a + b2, a + c) + term(b2, a + b2, b2 + d)
+             + term(c, c + d, a + c) + term(d, c + d, b2 + d))
+    return (fg.join(bg, "event_type")
+            .select("event_type", "fg_count", "bg_count",
+                    F.round(score, 6).alias("mi"))
+            .orderBy(F.desc("mi"), "event_type"))
+
+
 @q("agg_top_hits", """
 WITH ranked AS (
   SELECT event_type, event_id, value,
