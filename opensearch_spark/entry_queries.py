@@ -839,6 +839,51 @@ def search_rank_eval(spark, sf_dir):
     return rank_metrics(ranked, relevant, k=10)
 
 
+@q("search_rank_eval_graded", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('merge','spark','table') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('merge','spark','table') GROUP BY term),
+scored AS (SELECT tf.doc_id, round(sum({O.bm25_term()}), 4) AS score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id),
+ranked AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+           FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+grades AS (SELECT doc_id, count(*) AS grade FROM tf GROUP BY doc_id),
+top AS (SELECT r.rank, coalesce(g.grade, 0) AS grade,
+               (pow(2.0, coalesce(g.grade, 0)) - 1.0) / 8.0 AS r
+        FROM ranked r LEFT JOIN grades g USING (doc_id)),
+cascade AS (SELECT rank, grade, r,
+            coalesce(exp(sum(ln(1.0 - r)) OVER (ORDER BY rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 1.0) AS prior
+            FROM top),
+m AS (SELECT sum(r / rank * prior) AS err,
+             sum((pow(2.0, grade) - 1.0) / log2(rank + 1.0)) AS dcg
+      FROM cascade),
+ideal AS (SELECT sum((pow(2.0, grade) - 1.0) / log2(rn + 1.0)) AS idcg
+          FROM (SELECT grade, row_number() OVER (ORDER BY grade DESC, doc_id) AS rn
+                FROM grades) WHERE rn <= 10)
+SELECT round(err, 6) AS err,
+       round(dcg / greatest(idcg, 1e-12), 6) AS ndcg_at_k
+FROM m CROSS JOIN ideal
+""")
+def search_rank_eval_graded(spark, sf_dir):
+    """Graded rank-eval (ExpectedReciprocalRank.java + NDCG): grade =
+    number of distinct query terms the doc contains (0..3)."""
+    from opensearch_spark.search.rankeval import graded_metrics
+
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Match(field="text", text="spark table merge"),
+                    k=10, mode="exhaustive", round_scores=4)
+    ranked = with_ranks(hits)
+    terms = ["merge", "spark", "table"]
+    flat = s._flat_postings(terms)
+    grades = (flat.select("doc_id", "term").distinct()
+              .groupBy("doc_id").agg(F.count("*").alias("grade")))
+    return graded_metrics(ranked, grades, k=10, max_grade=3)
+
+
 @q("search_sort_field", f"""
 WITH {O.TOK_CTES},
 m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = 'value')

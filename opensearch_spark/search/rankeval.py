@@ -54,3 +54,39 @@ def rank_metrics(ranked: DataFrame, relevant: DataFrame, k: int = 10) -> DataFra
 
 def ideal_dcg(n_relevant: int, k: int) -> float:
     return sum(1.0 / math.log2(i + 2) for i in range(min(n_relevant, k)))
+
+
+def graded_metrics(ranked: DataFrame, grades: DataFrame, k: int = 10,
+                   max_grade: int = 3) -> DataFrame:
+    """Graded metrics: ERR + NDCG@k.
+
+    ``grades``: (doc_id, grade int 0..max_grade). ERR follows
+    ``ExpectedReciprocalRank.java``: R_i = (2^g - 1) / 2^max_grade,
+    ERR = Σ_i (R_i / i) Π_{j<i} (1 - R_j) — the cascade product is an
+    exp-of-sum-of-logs window over the (≤k)-row ranked frame (R < 1
+    always, so the log is defined). NDCG = DCG with the 2^g - 1 gain
+    over the ideal DCG of the k best grades.
+    """
+    from pyspark.sql import Window as W
+
+    g = grades.select("doc_id", F.col("grade").cast("int").alias("grade"))
+    top = (ranked.where(F.col("rank") <= k)
+           .join(g, "doc_id", "left").fillna(0, subset=["grade"]))
+    r_i = (F.pow(F.lit(2.0), F.col("grade")) - 1.0) / float(2 ** max_grade)
+    top = top.withColumn("_r", r_i)
+    w = W.orderBy("rank").rowsBetween(W.unboundedPreceding, -1)
+    prior = F.coalesce(F.exp(F.sum(F.log(1.0 - F.col("_r"))).over(w)),
+                       F.lit(1.0))
+    per = top.withColumn("_err_i", (F.col("_r") / F.col("rank")) * prior) \
+             .withColumn("_gain", (F.pow(F.lit(2.0), F.col("grade")) - 1.0)
+                         / F.log2(F.col("rank") + 1.0))
+    agg = per.agg(F.sum("_err_i").alias("_err"), F.sum("_gain").alias("_dcg"))
+    wi = W.orderBy(F.desc("grade"), F.asc("doc_id"))
+    ideal = (g.withColumn("_rn", F.row_number().over(wi))
+             .where(F.col("_rn") <= k)
+             .agg(F.sum((F.pow(F.lit(2.0), F.col("grade")) - 1.0)
+                        / F.log2(F.col("_rn") + 1.0)).alias("_idcg")))
+    return agg.crossJoin(ideal).select(
+        F.round("_err", 6).alias("err"),
+        F.round(F.col("_dcg") / F.greatest("_idcg", F.lit(1e-12)), 6)
+         .alias("ndcg_at_k"))
