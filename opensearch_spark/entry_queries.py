@@ -3684,10 +3684,34 @@ _DRIVER_VERIFIED_R1 = frozenset({
 })
 
 
+def _driver_verified() -> frozenset:
+    """Union of every green row recorded by any past round's driver
+    correctness run (CORRECTNESS_r*.json at the repo root) — rounds
+    after r1 need zero manual bookkeeping; the static R1 set is the
+    fallback for environments without the files."""
+    import glob
+    import json as _json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen = set(_DRIVER_VERIFIED_R1)
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("err") is None \
+                    and row.get("rows_match") in (True, None):
+                seen.add(name)
+    return frozenset(seen)
+
+
 def _rotate_verified_to_back() -> None:
     global QUERIES, ORACLES
-    order = ([k for k in QUERIES if k not in _DRIVER_VERIFIED_R1]
-             + [k for k in QUERIES if k in _DRIVER_VERIFIED_R1])
+    verified = _driver_verified()
+    order = ([k for k in QUERIES if k not in verified]
+             + [k for k in QUERIES if k in verified])
     QUERIES = {k: QUERIES[k] for k in order}
     ORACLES = {k: ORACLES[k] for k in order if k in ORACLES}
 

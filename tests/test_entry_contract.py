@@ -72,3 +72,23 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(df.columns) == {"doc_id", "score"}
+
+
+def test_rotation_reads_correctness_files(tmp_path, monkeypatch):
+    """Rounds after r1 need no manual bookkeeping: a green row in any
+    CORRECTNESS_r*.json rotates that gate out of the driver window."""
+    import opensearch_spark.entry_queries as eq
+
+    import glob as _glob
+    import os as _os
+
+    v = eq._driver_verified()
+    assert set(eq._DRIVER_VERIFIED_R1) <= v
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(eq.__file__)))
+    if _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")) == \
+            [_os.path.join(root, "CORRECTNESS_r01.json")]:
+        # r01's only red row (err: no_oracle) must NOT count as verified
+        assert "search_more_like_this" not in v
+    ks = list(eq.QUERIES)
+    assert all(k not in v for k in ks[:50]), \
+        "driver window must contain only unverified gates"
