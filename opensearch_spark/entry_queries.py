@@ -1479,6 +1479,45 @@ def agg_significant_terms_chi2(spark, sf_dir):
             .orderBy(F.desc("chi2"), "event_type"))
 
 
+@q("agg_significant_terms_gnd", """
+WITH fg AS (SELECT event_type, count(*) AS fg_count FROM events
+            WHERE value > 90.0 GROUP BY event_type),
+bg AS (SELECT event_type, count(*) AS bg_count FROM events GROUP BY event_type),
+tot AS (SELECT (SELECT count(*) FROM events WHERE value > 90.0) AS fg_total,
+               (SELECT count(*) FROM events) AS bg_total),
+x AS (SELECT f.event_type, f.fg_count, b.bg_count,
+             b.bg_count * 1.0 AS fx, fg_total * 1.0 AS fy,
+             f.fg_count * 1.0 AS fxy, bg_total * 1.0 AS n
+      FROM fg f JOIN bg b USING (event_type) CROSS JOIN tot)
+SELECT event_type, fg_count, bg_count,
+       round(CASE WHEN fx = fy AND fx = fxy THEN 1.0
+             ELSE exp(-1.0 * (greatest(ln(fx), ln(fy)) - ln(fxy))
+                      / (ln(n) - least(ln(fx), ln(fy)))) END, 6) AS gnd
+FROM x ORDER BY gnd DESC, event_type
+""")
+def agg_significant_terms_gnd(spark, sf_dir):
+    """significant_terms, Google-normalized-distance heuristic (GND.java:
+    exp(-(max(ln fx, ln fy) - ln fxy) / (ln N - min(ln fx, ln fy))) over
+    the NXY frequencies with background_is_superset; perfect
+    co-occurrence pinned to 1)."""
+    ev = _t(spark, sf_dir, "events")
+    fg = ev.where(F.col("value") > 90.0).groupBy("event_type") \
+           .agg(F.count("*").alias("fg_count"))
+    bg = ev.groupBy("event_type").agg(F.count("*").alias("bg_count"))
+    fg_total = float(ev.where(F.col("value") > 90.0).count())
+    n = float(ev.count())
+    fx = F.col("bg_count").cast("double")
+    fy = F.lit(fg_total)
+    fxy = F.col("fg_count").cast("double")
+    gnd = F.when((fx == fy) & (fx == fxy), F.lit(1.0)).otherwise(
+        F.exp(-1.0 * (F.greatest(F.log(fx), F.log(fy)) - F.log(fxy))
+              / (F.log(F.lit(n)) - F.least(F.log(fx), F.log(fy)))))
+    return (fg.join(bg, "event_type")
+            .select("event_type", "fg_count", "bg_count",
+                    F.round(gnd, 6).alias("gnd"))
+            .orderBy(F.desc("gnd"), "event_type"))
+
+
 @q("agg_significant_terms_mi", """
 WITH fg AS (SELECT event_type, count(*) AS fg_count FROM events
             WHERE value > 90.0 GROUP BY event_type),
