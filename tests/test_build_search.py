@@ -7,6 +7,7 @@ import os
 
 import duckdb
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from opensearch_spark.index.build import IndexConfig, InvertedIndex, build_index
@@ -184,3 +185,24 @@ def test_disk_cache_level_identical_index(spark, tmp_path):
         assert idx.doc_count == 400
     corpus.unpersist()
     assert outs["memory"] == outs["disk"]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.sampled_from(
+        ["spark", "table", "merge", "sort", "window", "batch", "value",
+         "fast", "slow", "the", "hash", "row", "scan"]),
+        min_size=1, max_size=5),
+    st.sampled_from(["or", "and"]),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=25),
+)
+def test_wand_exhaustive_property(searcher, words, op, msm, k):
+    """Block-max WAND must be rank-identical to exhaustive scoring for
+    ANY term multiset, operator, minimum_should_match and k (strict
+    upper bounds — pruning can never change the result set)."""
+    q = Match(field="text", text=" ".join(words), operator=op,
+              minimum_should_match=msm if op == "or" else 0)
+    ex = spark_rows(searcher.search(q, k=k, mode="exhaustive", round_scores=4))
+    wd = spark_rows(searcher.search(q, k=k, mode="wand", round_scores=4))
+    assert wd == ex
