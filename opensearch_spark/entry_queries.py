@@ -1446,13 +1446,13 @@ bg AS (SELECT event_type, count(*) AS bg_count FROM events GROUP BY event_type),
 tot AS (SELECT (SELECT count(*) FROM events WHERE value > 90.0) AS fg_total,
                (SELECT count(*) FROM events) AS bg_total),
 cells AS (SELECT f.event_type, f.fg_count, b.bg_count,
-                 f.fg_count AS a,
-                 b.bg_count - f.fg_count AS b2,
-                 fg_total - f.fg_count AS c,
-                 bg_total - b.bg_count - fg_total + f.fg_count AS d
+                 f.fg_count * 1.0 AS a,
+                 (b.bg_count - f.fg_count) * 1.0 AS b2,
+                 (fg_total - f.fg_count) * 1.0 AS c,
+                 (bg_total - b.bg_count - fg_total + f.fg_count) * 1.0 AS d
           FROM fg f JOIN bg b USING (event_type) CROSS JOIN tot)
 SELECT event_type, fg_count, bg_count,
-       round((a * d - b2 * c) * (a * d - b2 * c) * (a + b2 + c + d) * 1.0
+       round((a * d - b2 * c) * (a * d - b2 * c) * (a + b2 + c + d)
              / ((a + b2) * (c + d) * (a + c) * (b2 + d)), 6) AS chi2
 FROM cells ORDER BY chi2 DESC, event_type
 """)
@@ -1467,10 +1467,14 @@ def agg_significant_terms_chi2(spark, sf_dir):
     bg = ev.groupBy("event_type").agg(F.count("*").alias("bg_count"))
     fg_total = ev.where(F.col("value") > 90.0).count()
     bg_total = ev.count()
-    a = F.col("fg_count")
-    b2 = F.col("bg_count") - a
-    c = F.lit(fg_total) - a
-    d = F.lit(bg_total) - F.col("bg_count") - F.lit(fg_total) + a
+    # all-double contingency cells: the (ad-bc)^2(a+b+c+d) numerator is
+    # ~n^4 and overflows int64 from roughly sf0.2 (DuckDB would raise,
+    # non-ANSI Spark would silently wrap)
+    a = F.col("fg_count").cast("double")
+    b2 = (F.col("bg_count") - F.col("fg_count")).cast("double")
+    c = (F.lit(fg_total) - F.col("fg_count")).cast("double")
+    d = (F.lit(bg_total) - F.col("bg_count") - F.lit(fg_total)
+         + F.col("fg_count")).cast("double")
     chi2 = ((a * d - b2 * c) * (a * d - b2 * c) * (a + b2 + c + d)
             / ((a + b2) * (c + d) * (a + c) * (b2 + d)))
     return (fg.join(bg, "event_type")
@@ -1491,6 +1495,7 @@ x AS (SELECT f.event_type, f.fg_count, b.bg_count,
       FROM fg f JOIN bg b USING (event_type) CROSS JOIN tot)
 SELECT event_type, fg_count, bg_count,
        round(CASE WHEN fx = fy AND fx = fxy THEN 1.0
+             WHEN ln(n) = least(ln(fx), ln(fy)) THEN 0.0
              ELSE exp(-1.0 * (greatest(ln(fx), ln(fy)) - ln(fxy))
                       / (ln(n) - least(ln(fx), ln(fy)))) END, 6) AS gnd
 FROM x ORDER BY gnd DESC, event_type
@@ -1509,9 +1514,14 @@ def agg_significant_terms_gnd(spark, sf_dir):
     fx = F.col("bg_count").cast("double")
     fy = F.lit(fg_total)
     fxy = F.col("fg_count").cast("double")
-    gnd = F.when((fx == fy) & (fx == fxy), F.lit(1.0)).otherwise(
-        F.exp(-1.0 * (F.greatest(F.log(fx), F.log(fy)) - F.log(fxy))
-              / (F.log(F.lit(n)) - F.least(F.log(fx), F.log(fy)))))
+    # denominator 0 (a term in every background doc, not the perfect
+    # case): Java's x/0.0 = Inf, exp(-Inf) = 0 — pin explicitly so both
+    # engines agree instead of emitting NULL with divergent NULL ordering
+    gnd = (F.when((fx == fy) & (fx == fxy), F.lit(1.0))
+           .when(F.log(F.lit(n)) == F.least(F.log(fx), F.log(fy)), F.lit(0.0))
+           .otherwise(
+               F.exp(-1.0 * (F.greatest(F.log(fx), F.log(fy)) - F.log(fxy))
+                     / (F.log(F.lit(n)) - F.least(F.log(fx), F.log(fy))))))
     return (fg.join(bg, "event_type")
             .select("event_type", "fg_count", "bg_count",
                     F.round(gnd, 6).alias("gnd"))
@@ -2045,8 +2055,17 @@ def _event_stream(spark, sf_dir):
                        hashlib.sha256(key.encode()).hexdigest()[:16] + "_ds")
     cfg = IndexConfig(field="event_type", analyzer="standard", n_parts=2)
     ds = DataStream(out, cfg, rollover_max_docs=1 << 30)
-    if not ds.generations():
-        e = _docs(spark, sf_dir, "events")
+    e = _docs(spark, sf_dir, "events")
+    n_events = e.count()
+    # validate the on-disk stream before reuse (the _load_or_build
+    # discipline): a crash between the two appends, or stale state from
+    # an older layout, must trigger a rebuild — generation count AND
+    # total rows have to match exactly
+    gens = ds.generations()
+    if len(gens) != 2 or ds.doc_count() != n_events:
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        ds = DataStream(out, cfg, rollover_max_docs=1 << 30)
         ds.append(spark, e.where(F.col("ts") < "2024-01-15")
                   .orderBy("event_id"), ts_col="ts")
         ds.append(spark, e.where(F.col("ts") >= "2024-01-15")
@@ -3740,9 +3759,22 @@ def _driver_verified() -> frozenset:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if isinstance(row, dict) and row.get("err") is None \
-                    and row.get("rows_match") in (True, None):
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            # verified = the strongest check recorded actually PASSED:
+            # value-hash match for oracle gates; row-count for gates the
+            # driver compared rows-only; a bare rows-only run (no oracle)
+            # counts only if the driver recorded a produced row count.
+            # A hash_match=false row is a live FAILURE and must stay in
+            # the window to be re-run, never retired.
+            if row.get("hash_match") is True:
                 seen.add(name)
+            elif row.get("hash_match") is None:
+                if row.get("rows_match") is True:
+                    seen.add(name)
+                elif (row.get("rows_match") is None
+                        and row.get("spark_rows") is not None):
+                    seen.add(name)
     return frozenset(seen)
 
 

@@ -70,6 +70,13 @@ def graded_metrics(ranked: DataFrame, grades: DataFrame, k: int = 10,
     from pyspark.sql import Window as W
 
     g = grades.select("doc_id", F.col("grade").cast("int").alias("grade"))
+    # the reference (ExpectedReciprocalRank.java) rejects ratings above
+    # maxRelevance; without this, R >= 1 makes log(1-R) null and the
+    # window SUM silently drops the document from the cascade
+    top_grade = g.agg(F.max("grade")).collect()[0][0]
+    if top_grade is not None and int(top_grade) > max_grade:
+        raise ValueError(
+            f"graded_metrics: grade {top_grade} exceeds max_grade {max_grade}")
     top = (ranked.where(F.col("rank") <= k)
            .join(g, "doc_id", "left").fillna(0, subset=["grade"]))
     r_i = (F.pow(F.lit(2.0), F.col("grade")) - 1.0) / float(2 ** max_grade)

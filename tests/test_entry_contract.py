@@ -90,5 +90,9 @@ def test_rotation_reads_correctness_files(tmp_path, monkeypatch):
         # r01's only red row (err: no_oracle) must NOT count as verified
         assert "search_more_like_this" not in v
     ks = list(eq.QUERIES)
-    assert all(k not in v for k in ks[:50]), \
-        "driver window must contain only unverified gates"
+    # every unverified gate must sort strictly before every verified one
+    # (window-size-independent: once fewer than 50 unverified remain,
+    # verified gates legitimately enter the window's tail)
+    n_unverified = sum(1 for k in ks if k not in v)
+    assert all(k not in v for k in ks[:n_unverified])
+    assert all(k in v for k in ks[n_unverified:])

@@ -336,3 +336,12 @@ def test_validate_query_renders_bool(spark):
            }).collect()}
     assert out["b"] == (True, "+lang:en -text:x")
     assert out["bad"][0] is False
+
+
+def test_graded_metrics_rejects_overrange_grade(spark):
+    from opensearch_spark.search.rankeval import graded_metrics
+
+    ranked = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    grades = spark.createDataFrame([(1, 4)], "doc_id long, grade int")
+    with pytest.raises(ValueError):
+        graded_metrics(ranked, grades, k=2, max_grade=3).collect()
