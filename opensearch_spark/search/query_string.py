@@ -141,4 +141,9 @@ class _Parser:
 
 def parse_query_string(s: str, default_field: str = "content",
                        default_operator: str = "or") -> Q.Query:
-    return _Parser(_lex(s), default_field, default_operator).parse()
+    tokens = _lex(s)
+    if not tokens:
+        # Lucene's classic parser yields an empty BooleanQuery (matches
+        # nothing) for an empty/whitespace-only query string.
+        return Q.MatchNone()
+    return _Parser(tokens, default_field, default_operator).parse()

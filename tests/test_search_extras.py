@@ -36,6 +36,15 @@ def test_qs_negation_and_parens():
     assert len(ast.must_not) == 1 and isinstance(ast.must_not[0], Q.Match)
 
 
+def test_qs_whitespace_tolerance():
+    # Lucene's parser tolerates surrounding whitespace; an empty /
+    # whitespace-only string yields an empty BooleanQuery (matches nothing).
+    assert parse_query_string("spark table  ", default_field="f") == \
+        parse_query_string("spark table", default_field="f")
+    assert parse_query_string("   ", default_field="f") == Q.MatchNone()
+    assert parse_query_string("", default_field="f") == Q.MatchNone()
+
+
 def test_qs_default_operator_and():
     ast = parse_query_string("a b", default_field="f", default_operator="and")
     assert isinstance(ast, Q.Bool) and len(ast.must) == 2 and not ast.should
@@ -44,8 +53,6 @@ def test_qs_default_operator_and():
 def test_qs_errors():
     with pytest.raises(ValueError):
         parse_query_string("(a", default_field="f")
-    with pytest.raises(ValueError):
-        parse_query_string("", default_field="f")
 
 
 # ---------------- engine paths over the real corpus ----------------
