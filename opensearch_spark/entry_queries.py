@@ -667,6 +667,43 @@ def search_match_bool_prefix(spark, sf_dir):
                     k=10, mode="exhaustive", round_scores=4)
 
 
+@q("search_multi_match_bool_prefix", f"""
+WITH {O.TOK_CTES},
+{_TITLE_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'merge' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'merge'),
+bm AS (SELECT tf.doc_id, {O.bm25_term()} AS s
+       FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+pref AS (SELECT DISTINCT doc_id, 1.0 AS s FROM tok2 WHERE term LIKE 'so%'),
+sa AS (SELECT coalesce(bm.doc_id, pref.doc_id) AS doc_id,
+              coalesce(bm.s, 0.0) + coalesce(pref.s, 0.0) AS s
+       FROM bm FULL OUTER JOIN pref ON bm.doc_id = pref.doc_id),
+tf_b AS (SELECT doc_id, count(*) AS tf FROM ttok2 WHERE term = 'merge' GROUP BY doc_id),
+df_b AS (SELECT count(DISTINCT doc_id) AS df FROM ttok2 WHERE term = 'merge'),
+bm_b AS (SELECT tf_b.doc_id,
+                ln(1.0 + (tstats.N - df + 0.5) / (df + 0.5)) * (1.2 + 1.0) * tf_b.tf
+                / (tf_b.tf + 1.2 * (1.0 - 0.75 + 0.75 * tdl.dl / tstats.avgdl)) AS s
+         FROM tf_b CROSS JOIN df_b JOIN tdl USING (doc_id) CROSS JOIN tstats),
+pref_b AS (SELECT DISTINCT doc_id, 1.0 AS s FROM ttok2 WHERE term LIKE 'so%'),
+sb AS (SELECT coalesce(bm_b.doc_id, pref_b.doc_id) AS doc_id,
+              coalesce(bm_b.s, 0.0) + coalesce(pref_b.s, 0.0) AS s
+       FROM bm_b FULL OUTER JOIN pref_b ON bm_b.doc_id = pref_b.doc_id)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       round(greatest(coalesce(a.s, -1e18), coalesce(b.s, -1e18)), 4) AS score
+FROM sa a FULL OUTER JOIN sb b ON a.doc_id = b.doc_id
+ORDER BY round(greatest(coalesce(a.s, -1e18), coalesce(b.s, -1e18)), 4) DESC,
+         coalesce(a.doc_id, b.doc_id) LIMIT 10
+""")
+def search_multi_match_bool_prefix(spark, sf_dir):
+    """multi_match type=bool_prefix (MultiMatchQueryBuilder.java:130-151):
+    dis_max over per-field match_bool_prefix scores."""
+    s = get_searcher(spark, sf_dir)
+    return s.search(
+        MultiMatch(fields=["text", "title"], text="merge so",
+                   type="bool_prefix"),
+        k=10, mode="exhaustive", round_scores=4)
+
+
 _POS_CTE = """
 pos AS (
     SELECT doc_id,
@@ -2996,6 +3033,67 @@ def search_multi_match_phrase(spark, sf_dir):
         k=10, mode="exhaustive", round_scores=4)
 
 
+@q("search_multi_match_phrase_prefix", f"""
+WITH {O.TOK_CTES},
+{_TITLE_CTES},
+{_POS_CTE},
+ma AS (
+    SELECT a.doc_id, count(DISTINCT a.p) AS ptf
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    WHERE a.term = 'spark' AND b.term LIKE 'ta%'
+    GROUP BY a.doc_id
+),
+dfx_a AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'spark'),
+dfe_a AS (SELECT max(ln(1.0 + (stats.N - df + 0.5) / (df + 0.5))) AS max_idf
+          FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+                WHERE term LIKE 'ta%' GROUP BY term) CROSS JOIN stats),
+idf_a AS (SELECT ln(1.0 + (stats.N - dfx_a.df + 0.5) / (dfx_a.df + 0.5))
+                 + dfe_a.max_idf AS idf_sum
+          FROM dfx_a CROSS JOIN dfe_a CROSS JOIN stats),
+sa AS (SELECT ma.doc_id,
+              idf_a.idf_sum * (1.2 + 1.0) * ptf
+              / (ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+       FROM ma JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN idf_a),
+tpos AS (
+    SELECT doc_id,
+           unnest(list_slice(string_split_regex(trim(text), '\\s+'), 1, 8)) AS term,
+           unnest(range(len(list_slice(string_split_regex(trim(text), '\\s+'), 1, 8)))) AS p
+    FROM documents
+),
+mb AS (
+    SELECT a.doc_id, count(DISTINCT a.p) AS ptf
+    FROM tpos a JOIN tpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    WHERE a.term = 'spark' AND b.term LIKE 'ta%'
+    GROUP BY a.doc_id
+),
+dfx_b AS (SELECT count(DISTINCT doc_id) AS df FROM ttok2 WHERE term = 'spark'),
+dfe_b AS (SELECT max(ln(1.0 + (tstats.N - df + 0.5) / (df + 0.5))) AS max_idf
+          FROM (SELECT term, count(DISTINCT doc_id) AS df FROM ttok2
+                WHERE term LIKE 'ta%' GROUP BY term) CROSS JOIN tstats),
+idf_b AS (SELECT ln(1.0 + (tstats.N - dfx_b.df + 0.5) / (dfx_b.df + 0.5))
+                 + dfe_b.max_idf AS idf_sum
+          FROM dfx_b CROSS JOIN dfe_b CROSS JOIN tstats),
+sb AS (SELECT mb.doc_id,
+              idf_b.idf_sum * (1.2 + 1.0) * ptf
+              / (ptf + 1.2 * (1.0 - 0.75 + 0.75 * tdl.dl / tstats.avgdl)) AS s
+       FROM mb JOIN tdl USING (doc_id) CROSS JOIN tstats CROSS JOIN idf_b)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       round(greatest(coalesce(a.s, -1e18), coalesce(b.s, -1e18)), 4) AS score
+FROM sa a FULL OUTER JOIN sb b ON a.doc_id = b.doc_id
+ORDER BY round(greatest(coalesce(a.s, -1e18), coalesce(b.s, -1e18)), 4) DESC,
+         coalesce(a.doc_id, b.doc_id) LIMIT 10
+""")
+def search_multi_match_phrase_prefix(spark, sf_dir):
+    """multi_match type=phrase_prefix (MultiMatchQueryBuilder.java:130-151):
+    dis_max over per-field match_phrase_prefix scores — all five reference
+    multi_match types now gated."""
+    s = get_searcher(spark, sf_dir)
+    return s.search(
+        MultiMatch(fields=["text", "title"], text="spark ta",
+                   type="phrase_prefix"),
+        k=10, mode="exhaustive", round_scores=4)
+
+
 @q("search_fn_field_value", f"""
 WITH {O.TOK_CTES},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'spark' GROUP BY doc_id),
@@ -3344,6 +3442,33 @@ def search_scripted_similarity(spark, sf_dir):
     scores = s.score_scripted_similarity(
         Match(field="text", text="sort window"),
         "sqrt(tf) * ln((N + 1.0) / (df + 1.0)) * (cf * 1.0 / N)")
+    return (scores.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
+@q("search_dfi", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('scan','group') GROUP BY doc_id, term),
+cfreq AS (SELECT term, count(*) AS cf FROM tok2
+          WHERE term IN ('scan','group') GROUP BY term),
+scored AS (SELECT tf.doc_id,
+           sum(CASE WHEN tf <= ((cf + 1.0) * dl / (N * avgdl + 1.0)) THEN 0.0
+               ELSE log2( (tf - ((cf + 1.0) * dl / (N * avgdl + 1.0)))
+                          * (tf - ((cf + 1.0) * dl / (N * avgdl + 1.0)))
+                          / ((cf + 1.0) * dl / (N * avgdl + 1.0)) + 1.0 )
+               END) AS raw
+           FROM tf JOIN cfreq USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY tf.doc_id)
+SELECT doc_id, round(raw, 4) AS score FROM scored
+ORDER BY round(raw, 4) DESC, doc_id LIMIT 10
+""")
+def search_dfi(spark, sf_dir):
+    """DFI similarity, chi-squared independence measure
+    (SimilarityProviders.createDfiSimilarity:320-323): terms scoring at or
+    below their expected-under-independence frequency contribute 0."""
+    s = get_searcher(spark, sf_dir)
+    scores = s.score_dfi(Match(field="text", text="scan group"))
     return (scores.withColumn("score", F.round("score", 4))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 

@@ -1010,6 +1010,22 @@ class Searcher:
                 f"+ tf * log2(1.0 + {c!r} * avgdl / dl)) )")
         return self.score_scripted_similarity(q, expr)
 
+    def score_dfi(self, q: Q.Match) -> DataFrame:
+        """DFI (divergence-from-independence) similarity with the
+        chi-squared independence measure (SimilarityProviders.
+        createDfiSimilarity / Lucene DFISimilarity): the expected
+        frequency under independence is
+
+            e = (cf + 1) * dl / (sum_dl + 1)    with sum_dl = N * avgdl
+
+        and a term contributes log2(chi2 + 1) with
+        chi2 = (tf - e)^2 / e, but only when tf exceeds e (terms at or
+        below their independence expectation score 0)."""
+        e = "((cf + 1.0) * dl / (N * avgdl + 1.0))"
+        expr = (f"CASE WHEN tf <= {e} THEN 0.0 "
+                f"ELSE log2( (tf - {e}) * (tf - {e}) / {e} + 1.0 ) END")
+        return self.score_scripted_similarity(q, expr)
+
     def matched_queries(self, named: dict[str, Q.Query]) -> DataFrame:
         """Named queries (`matched_queries`, SearchModule.java:1055): one
         boolean indicator column per clause name, over docs matching any."""

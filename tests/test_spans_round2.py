@@ -435,6 +435,33 @@ def test_dfr_ib_scripted_positive_and_deterministic(searcher):
         assert all(s > 0 for _, s in a)
 
 
+def test_dfi_zeroes_at_or_below_expectation(searcher):
+    """DFI: a matching doc whose every term sits at or below its
+    independence expectation scores exactly 0 (still matches); others
+    score log2(chi2 + 1) > 0. Verified against a per-doc recompute."""
+    q = Q.Match(field="text", text="spark table")
+    got = {r["doc_id"]: r["score"] for r in searcher.score_dfi(q).collect()}
+    assert got, "query must match"
+    docs = searcher.index.docs(searcher.spark).select("doc_id", "text", "dl")
+    rows = docs.collect()
+    toks_by_doc = {r["doc_id"]: r["text"].lower().split() for r in rows}
+    dl_by_doc = {r["doc_id"]: r["dl"] for r in rows}
+    N = len(rows)
+    sum_dl = sum(dl_by_doc.values())
+    import math
+    for term in ("spark", "table"):
+        cf = sum(t.count(term) for t in toks_by_doc.values())
+        for doc_id, toks in toks_by_doc.items():
+            tf = toks.count(term)
+            if not tf:
+                continue
+            e = (cf + 1.0) * dl_by_doc[doc_id] / (sum_dl + 1.0)
+            want = 0.0 if tf <= e else math.log2((tf - e) ** 2 / e + 1.0)
+            assert doc_id in got
+            got[doc_id] -= want
+    assert all(abs(v) < 1e-6 for v in got.values())
+
+
 # ---------------- dedup clustering / knn join / pii / frames ----------------
 def test_dup_clusters_matches_networkx_free_reference(spark):
     from opensearch_spark.ml.dedup import dup_clusters
