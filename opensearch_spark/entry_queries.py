@@ -2191,6 +2191,7 @@ def ingest_pipeline(spark, sf_dir):
 from opensearch_spark.ml import dedup as D  # noqa: E402
 from opensearch_spark.ml import similarity as S  # noqa: E402
 from opensearch_spark.ml import textstats as TS  # noqa: E402
+from opensearch_spark.ml import curation as CU  # noqa: E402
 
 # shared SQL fragments mirroring ml.dedup exactly
 _SH2 = """
@@ -2342,6 +2343,49 @@ ORDER BY a, b
 def dedup_simhash_pairs(spark, sf_dir):
     fp = D.simhash(_docs(spark, sf_dir), "text")
     return D.simhash_pairs(fp, max_hamming=6).orderBy("a", "b")
+
+
+@q("curation_decontaminate", """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents),
+sh AS (SELECT doc_id, unnest(list_transform(range(greatest(len(t) - 2, 0)),
+           i -> list_aggregate(t[i + 1:i + 3], 'string_agg', ' '))) AS shingle
+       FROM toks),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+SELECT doc_id, count(DISTINCT shingle) AS n_contaminated
+FROM tr JOIN ev USING (shingle)
+GROUP BY doc_id ORDER BY doc_id
+""")
+def curation_decontaminate(spark, sf_dir):
+    """Eval-set decontamination gate: docs with doc_id % 50 == 0 play the
+    held-out eval set; every other doc sharing a word trigram with them is
+    flagged. n=3 keeps the gate non-vacuous on the ~31-term synthetic
+    vocabulary (n=8, the GPT-3-style default, flags only the exact dups)."""
+    d = _docs(spark, sf_dir)
+    ev = d.where(F.col("doc_id") % 50 == 0)
+    tr = d.where(F.col("doc_id") % 50 != 0)
+    return CU.decontaminate(tr, ev, "text", "doc_id", n=3).orderBy("doc_id")
+
+
+@q("curation_pack_sequences", """
+WITH t AS (SELECT doc_id, lang,
+                  len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS fin
+      FROM t)
+SELECT doc_id, lang, n_tokens,
+       (fin - n_tokens) // 64 AS start_seq,
+       (fin - 1) // 64 AS end_seq,
+       (fin - n_tokens) % 64 AS offset_in_seq
+FROM c ORDER BY doc_id
+""")
+def curation_pack_sequences(spark, sf_dir):
+    """Token-budget packing gate: per-lang token tapes chunked into 64-token
+    training sequences; verifies every doc's (start_seq, end_seq, offset)."""
+    return CU.pack_sequences(_docs(spark, sf_dir), 64, "text", "doc_id",
+                             part_col="lang").orderBy("doc_id")
 
 
 @q("text_token_stats", """
