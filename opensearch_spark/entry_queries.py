@@ -2388,6 +2388,79 @@ def curation_pack_sequences(spark, sf_dir):
                              part_col="lang").orderBy("doc_id")
 
 
+@q("curation_repetition", """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents),
+g AS (SELECT doc_id, len(t) AS n,
+             unnest(list_transform(range(greatest(len(t) - 1, 0)),
+                 i -> list_aggregate(t[i + 1:i + 2], 'string_agg', ' '))) AS gram
+      FROM toks),
+c AS (SELECT doc_id, any_value(n) AS n, gram, count(*) AS cnt
+      FROM g GROUP BY doc_id, gram)
+SELECT doc_id, any_value(n) AS n_tokens,
+       round(least(CAST(1 AS DOUBLE), max(cnt) * 2.0 / any_value(n)), 6)
+           AS top2gram_frac,
+       round(least(CAST(1 AS DOUBLE),
+                   coalesce(sum(cnt) FILTER (cnt >= 2), 0) * 2.0 / any_value(n)),
+             6) AS dup2gram_frac
+FROM c GROUP BY doc_id ORDER BY doc_id
+""")
+def curation_repetition(spark, sf_dir):
+    """Gopher-style repetition signals at n=2 (the synthetic corpus has no
+    repeated 5-grams, so the classic dup-5gram variant would be vacuous)."""
+    return (CU.repetition_stats(_docs(spark, sf_dir), "text", top_n=2, dup_n=2)
+            .orderBy("doc_id"))
+
+
+@q("curation_sample_stratified", """
+WITH k AS (SELECT doc_id, source,
+                  ('0x' || substr(md5(doc_id::VARCHAR || 'r2'), 1, 8))::BIGINT
+                      AS key
+           FROM documents)
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk
+    FROM k)
+WHERE rk <= 5 ORDER BY doc_id
+""")
+def curation_sample_stratified(spark, sf_dir):
+    """Deterministic per-source holdout draw: 5 docs per source, ranked by
+    salted md5 — reproducible across engines and runs."""
+    return (CU.sample_stratified(_docs(spark, sf_dir), "source", 5, salt="r2")
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
+@q("curation_source_mix", """
+WITH t AS (SELECT doc_id, source,
+                  len(string_split_regex(trim(text), '\\s+'))::BIGINT AS tok
+           FROM documents),
+shares(source, share) AS (VALUES
+    ('src0', CAST(0.35 AS DOUBLE)), ('src1', CAST(0.1 AS DOUBLE)),
+    ('src2', CAST(0.25 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE)),
+    ('src4', CAST(0.2 AS DOUBLE))),
+tot AS (SELECT source, sum(tok) AS st FROM t
+        WHERE source IN (SELECT source FROM shares)
+        GROUP BY source),
+g AS (SELECT sum(st) AS grand FROM tot),
+r AS (SELECT source,
+             round(least(CAST(1 AS DOUBLE), share * grand / st), 9) AS keep_rate
+      FROM tot JOIN shares USING (source), g)
+SELECT doc_id, source, keep_rate
+FROM t JOIN r USING (source)
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'mix'), 1, 8))::BIGINT
+      / 4294967296.0 < keep_rate
+ORDER BY doc_id
+""")
+def curation_source_mix(spark, sf_dir):
+    """Data-mixing rebalance: five sources get target share 0.35/0.1/0.25/
+    0.1/0.2 of the kept-token budget (the other fifteen are dropped);
+    src0's rate caps at 1.0, the rest thin deterministically."""
+    shares = {"src0": 0.35, "src1": 0.1, "src2": 0.25,
+              "src3": 0.1, "src4": 0.2}
+    return (CU.source_mix(_docs(spark, sf_dir), shares, salt="mix")
+            .select("doc_id", "source", "keep_rate").orderBy("doc_id"))
+
+
 @q("text_token_stats", """
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
                   length(trim(text)) AS chars

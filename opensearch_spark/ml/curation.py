@@ -10,6 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+# Deterministic uniform-ish value in [0, 2^32) from a string column — the
+# one hash with bit-identical spellings in Spark and DuckDB, which keeps
+# every sampling decision oracle-checkable.
+from opensearch_spark.ml.dedup import str_hash32 as _md5_u32
+
 
 def _shingle_expr(text_col: str, n: int):
     """Word n-gram shingles as an array expression (NOT distinct, NOT
@@ -88,3 +93,92 @@ def pack_sequences(df: DataFrame, max_tokens: int, text_col: str = "text",
         F.floor((end - 1) / max_tokens).cast("long").alias("end_seq"),
         (start % max_tokens).cast("long").alias("offset_in_seq"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", top_n: int = 2,
+                     dup_n: int = 2) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 "repetition removal"), as token fractions rather than Gopher's
+    character fractions (documented divergence — same filtering intent,
+    simpler cross-engine arithmetic):
+
+    - ``top{top_n}gram_frac``: tokens covered by the single most frequent
+      word ``top_n``-gram / total tokens (capped at 1.0 — overlapping
+      occurrences are each counted).
+    - ``dup{dup_n}gram_frac``: tokens covered by ``dup_n``-grams occurring
+      more than once / total tokens (capped at 1.0).
+
+    Scale shape: one explode + one (doc, gram) hash aggregation with
+    map-side partial counts, then a per-doc agg — two narrow shuffles on
+    keys that cannot be skewed worse than the document length itself.
+    """
+    if top_n != dup_n:
+        raise ValueError("repetition_stats: top_n != dup_n requires two "
+                         "passes; call twice and join")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = df.select(
+        F.col(id_col), F.size(toks).cast("long").alias("n_tokens"),
+        F.explode(_shingle_expr(text_col, top_n)).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "gram").agg(
+        F.first("n_tokens").alias("n_tokens"), F.count("*").alias("cnt"))
+    one = F.lit(1.0)
+    return counts.groupBy(id_col).agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.round(F.least(one, F.max("cnt") * float(top_n) / F.first("n_tokens")),
+                6).alias(f"top{top_n}gram_frac"),
+        F.round(F.least(one, F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))
+                                   .otherwise(F.lit(0)))
+                        * float(dup_n) / F.first("n_tokens")),
+                6).alias(f"dup{dup_n}gram_frac"),
+    )
+
+
+def sample_stratified(df: DataFrame, strata_col: str, n_per_stratum: int,
+                      id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_stratum`` docs with the
+    smallest ``md5(id || salt)`` rank inside each stratum — a reproducible
+    eval-set / holdout builder (change ``salt`` to draw a fresh sample).
+
+    Scale shape: one window per stratum key. Strata are things like
+    ``source`` or ``lang`` (hundreds to thousands of groups), so the
+    rank window parallelizes across strata; no global sort.
+    """
+    key = _md5_u32(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= n_per_stratum)
+            .drop("_rk"))
+
+
+def source_mix(df: DataFrame, target_shares: dict[str, float],
+               source_col: str = "source", text_col: str = "text",
+               id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Data-mixing rebalance: given target token shares per source (e.g.
+    ``{"wiki": 0.3, "code": 0.7}``), compute each source's deterministic
+    keep-rate so the *expected* kept-token mix matches the target (sources
+    absent from the map get share 0 = dropped), then keep each doc iff
+    ``md5(id || salt)`` falls under its source's rate. Returns the kept
+    docs with ``keep_rate`` attached. Rates are capped at 1.0 —
+    up-sampling (rate > 1) is epoch repetition, out of scope here.
+
+    Scale shape: per-source token totals are a tiny aggregate collected to
+    the driver (|sources| rows), re-broadcast as a literal map; the big
+    side is a single filter scan — no shuffle of the corpus.
+    """
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    totals = {r[source_col]: r["tok"]
+              for r in df.groupBy(source_col).agg(F.sum(n_tok).alias("tok"))
+              .collect()}
+    grand = sum(totals.get(s, 0) for s in target_shares)
+    rates = {s: min(1.0, (share * grand) / totals[s])
+             for s, share in target_shares.items()
+             if totals.get(s) and share > 0}
+    rate_col = F.lit(None).cast("double")
+    for s, r in rates.items():
+        rate_col = F.when(F.col(source_col) == s, F.lit(r)).otherwise(rate_col)
+    u = _md5_u32(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return (df.withColumn("keep_rate", F.round(rate_col, 9))
+            .where(F.col("keep_rate").isNotNull()
+                   & (u / F.lit(float(2 ** 32)) < F.col("keep_rate"))))

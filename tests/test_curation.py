@@ -46,6 +46,81 @@ class TestDecontaminate:
         assert "BroadcastHashJoin" in plan
 
 
+class TestRepetitionStats:
+    def test_hand_computed_fracs(self, spark):
+        # "a b a b c": bigrams [a b, b a, a b, b c]; top = "a b" ×2
+        # top2gram_frac = 2*2/5 = 0.8 ; dup2gram_frac = 2*2/5 = 0.8
+        df = _docs(spark, [{"doc_id": 1, "text": "a b a b c"},
+                           {"doc_id": 2, "text": "x y z"}])
+        out = {r["doc_id"]: r for r in CU.repetition_stats(df).collect()}
+        assert out[1]["top2gram_frac"] == 0.8
+        assert out[1]["dup2gram_frac"] == 0.8
+        # no repeats: top frac = 2/3, dup frac = 0
+        assert out[2]["top2gram_frac"] == round(2 / 3, 6)
+        assert out[2]["dup2gram_frac"] == 0.0
+
+    def test_frac_capped_at_one(self, spark):
+        # "a a a a": bigram "a a" ×3 -> 3*2/4 = 1.5, capped to 1.0
+        df = _docs(spark, [{"doc_id": 1, "text": "a a a a"}])
+        r = CU.repetition_stats(df).collect()[0]
+        assert r["top2gram_frac"] == 1.0 and r["dup2gram_frac"] == 1.0
+
+    def test_mismatched_n_rejected(self, spark):
+        df = _docs(spark, [{"doc_id": 1, "text": "a b"}])
+        import pytest
+        with pytest.raises(ValueError):
+            CU.repetition_stats(df, top_n=2, dup_n=5)
+
+
+class TestSampleStratified:
+    def test_exact_count_and_determinism(self, spark):
+        rows = [{"doc_id": i, "lang": "py" if i % 2 else "go",
+                 "text": "a"} for i in range(40)]
+        df = _docs(spark, rows)
+        s1 = sorted(r["doc_id"] for r in
+                    CU.sample_stratified(df, "lang", 3, salt="s").collect())
+        s2 = sorted(r["doc_id"] for r in
+                    CU.sample_stratified(df, "lang", 3, salt="s").collect())
+        assert s1 == s2 and len(s1) == 6  # 3 per stratum × 2 strata
+        # a different salt draws a different sample
+        s3 = sorted(r["doc_id"] for r in
+                    CU.sample_stratified(df, "lang", 3, salt="t").collect())
+        assert s3 != s1
+
+    def test_small_stratum_fully_kept(self, spark):
+        df = _docs(spark, [{"doc_id": 1, "lang": "rs", "text": "a"},
+                           {"doc_id": 2, "lang": "py", "text": "a"},
+                           {"doc_id": 3, "lang": "py", "text": "a"}])
+        out = CU.sample_stratified(df, "lang", 5).collect()
+        assert len(out) == 3
+
+
+class TestSourceMix:
+    def test_rates_and_drops(self, spark):
+        rows = ([{"doc_id": i, "source": "big", "text": "a b c d"}
+                 for i in range(50)]
+                + [{"doc_id": 100 + i, "source": "small", "text": "a b"}
+                   for i in range(5)]
+                + [{"doc_id": 200, "source": "unlisted", "text": "a"}])
+        df = _docs(spark, rows)
+        out = CU.source_mix(df, {"big": 0.5, "small": 0.5}).collect()
+        # unlisted source dropped entirely
+        assert all(r["source"] != "unlisted" for r in out)
+        # small side is tiny -> rate caps at 1.0, every doc kept
+        small = [r for r in out if r["source"] == "small"]
+        assert len(small) == 5 and all(r["keep_rate"] == 1.0 for r in small)
+        # big side thinned: grand=210, target 105, big tokens 200 -> 0.525
+        big = [r for r in out if r["source"] == "big"]
+        assert 0 < len(big) < 50
+        assert all(r["keep_rate"] == 0.525 for r in big)
+
+    def test_no_corpus_shuffle(self, spark):
+        df = _docs(spark, [{"doc_id": 1, "source": "s", "text": "a b"}])
+        plan = CU.source_mix(df, {"s": 1.0})._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan  # pure filter scan, no shuffle
+
+
 class TestPackSequences:
     def test_boundary_spanning_doc(self, spark):
         # tape (no part_col): doc 1 = 3 tok, doc 2 = 4 tok, max_tokens = 5
