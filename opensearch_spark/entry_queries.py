@@ -1276,6 +1276,47 @@ def agg_histogram(spark, sf_dir):
             .agg(F.count("*").alias("doc_count")).orderBy("bucket"))
 
 
+@q("agg_variable_width_histogram", """
+WITH b AS (SELECT quantile_cont(o_totalprice,
+               [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+           FROM orders),
+a AS (SELECT o_totalprice AS v,
+             len(list_filter((SELECT qs FROM b), q -> v >= q)) AS bucket
+      FROM orders)
+SELECT bucket, min(v) AS min_val, max(v) AS max_val,
+       round(avg(v), 6) AS centroid, count(*) AS doc_count
+FROM a GROUP BY bucket ORDER BY bucket
+""")
+def agg_variable_width_histogram(spark, sf_dir):
+    """variable_width_histogram re-expressed Spark-first: the reference's
+    collector (VariableWidthHistogramAggregator.java) streams values into
+    nearest-centroid clusters, which makes bucket boundaries depend on
+    document arrival ORDER — not reproducible across shard orderings even
+    against itself. The distribution-sound deterministic equivalent is
+    equal-depth bucketing at exact quantile boundaries (buckets adapt
+    their width to the data, the aggregation's whole point), which also
+    distributes: one bounded percentile aggregate (swap in
+    approx_percentile at 100 TB, documented tolerance) + one hash agg on
+    the bucket id. Spark's exact `percentile` linear interpolation is
+    bit-identical to DuckDB's quantile_cont (verified at both SFs).
+    Returns per-bucket min/max/centroid/count like the reference's
+    response (min, max, centroid = its cluster stats)."""
+    df = _t(spark, sf_dir, "orders")
+    ps = [k / 8 for k in range(1, 8)]
+    qs = df.select(F.expr(
+        f"percentile(o_totalprice, array({','.join(map(str, ps))}))"
+    ).alias("q")).collect()[0]["q"]
+    bucket = sum(
+        (F.col("o_totalprice") >= F.lit(float(b))).cast("int") for b in qs
+    ).cast("long").alias("bucket")
+    return (df.select(F.col("o_totalprice").alias("v"), bucket)
+            .groupBy("bucket")
+            .agg(F.min("v").alias("min_val"), F.max("v").alias("max_val"),
+                 F.round(F.avg("v"), 6).alias("centroid"),
+                 F.count("*").alias("doc_count"))
+            .orderBy("bucket"))
+
+
 @q("agg_date_histogram", """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS doc_count,
        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
