@@ -550,6 +550,56 @@ ORDER BY round({comb}, 4) DESC, coalesce(a.doc_id, b.doc_id) LIMIT 10
 """
 
 
+def _index_pattern_oracle() -> str:
+    return f"""
+WITH {O.TOK_CTES},
+{_TITLE_CTES},
+tf_a AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+         WHERE term IN ('merge', 'window') GROUP BY doc_id, term),
+df_a AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+         WHERE term IN ('merge', 'window') GROUP BY term),
+sa AS (SELECT tf_a.doc_id, sum({O.bm25_term(tf='tf_a.tf')}) AS s
+       FROM tf_a JOIN df_a USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY tf_a.doc_id),
+tf_b AS (SELECT doc_id, term, count(*) AS tf FROM ttok2
+         WHERE term IN ('merge', 'window') GROUP BY doc_id, term),
+df_b AS (SELECT term, count(DISTINCT doc_id) AS df FROM ttok2
+         WHERE term IN ('merge', 'window') GROUP BY term),
+sb AS (SELECT tf_b.doc_id,
+              sum(ln(1.0 + (tstats.N - df + 0.5) / (df + 0.5)) * (1.2 + 1.0) * tf_b.tf
+                  / (tf_b.tf + 1.2 * (1.0 - 0.75 + 0.75 * tdl.dl / tstats.avgdl))) AS s
+       FROM tf_b JOIN df_b USING (term) JOIN tdl USING (doc_id) CROSS JOIN tstats
+       GROUP BY tf_b.doc_id),
+ta AS (SELECT 'docs' AS idx, doc_id, round(s, 4) AS score FROM sa
+       ORDER BY round(s, 4) DESC, doc_id LIMIT 10),
+tb AS (SELECT 'docs_title' AS idx, doc_id, round(s, 4) AS score FROM sb
+       ORDER BY round(s, 4) DESC, doc_id LIMIT 10),
+u AS (SELECT * FROM ta UNION ALL SELECT * FROM tb)
+SELECT idx AS "_index", doc_id, score FROM u
+ORDER BY score DESC, "_index", doc_id LIMIT 10
+"""
+
+
+@q("search_index_pattern", _index_pattern_oracle())
+def search_index_pattern(spark, sf_dir):
+    """Cross-index search (`GET docs*/_search` — an index pattern/alias
+    spanning two indexes): each index collects its own top-k with its own
+    collection stats (per-index dl/avgdl/df, exactly the reference's
+    per-index scoring), then the coordinator merge-sorts the bounded
+    per-index results into a global top-k tagging hits with `_index`.
+    ref: action/search/TransportSearchAction.java shard fan-out +
+    SearchPhaseController merge."""
+    s = get_searcher(spark, sf_dir)
+    a = (s.search(Match(field="text", text="merge window"), k=10,
+                  mode="wand", round_scores=4)
+         .select(F.lit("docs").alias("_index"), "doc_id", "score"))
+    b = (s.search(Match(field="title", text="merge window"), k=10,
+                  mode="wand", round_scores=4)
+         .select(F.lit("docs_title").alias("_index"), "doc_id", "score"))
+    return (a.unionByName(b)
+            .orderBy(F.desc("score"), "_index", "doc_id").limit(10))
+
+
 @q("search_match_all", """
 SELECT doc_id, 1.0 AS score FROM documents ORDER BY doc_id
 """)
@@ -2325,6 +2375,49 @@ FROM inter JOIN sz x ON inter.a = x.doc_id JOIN sz y ON inter.b = y.doc_id
 WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5
 ORDER BY a, b
 """
+
+
+def _fuzzy_decon_oracle() -> str:
+    perms = D.perm_constants()
+    vals = ", ".join(f"({j}, {a}, {b})" for j, a, b in perms)
+    return f"""
+WITH {_SH2},
+perms(j, a, b) AS (VALUES {vals}),
+x AS (SELECT doc_id, shingle,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {D.MOD_X} AS x
+      FROM sh),
+sig AS (SELECT doc_id, j, min((a * x + b) % {D.MOD_H}) AS mh
+        FROM x CROSS JOIN perms GROUP BY doc_id, j),
+banded AS (
+    SELECT doc_id, j // {D.BAND_ROWS} AS band,
+           string_agg(j || ':' || mh, ',' ORDER BY j || ':' || mh) AS sig
+    FROM sig GROUP BY doc_id, j // {D.BAND_ROWS}),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM banded l JOIN banded r ON l.band = r.band AND l.sig = r.sig
+         WHERE l.doc_id % 50 <> 0 AND r.doc_id % 50 = 0),
+inter AS (SELECT c.a, c.b, count(*) AS i
+          FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                      JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+          GROUP BY c.a, c.b)
+SELECT a AS doc_id, b AS eval_id,
+       round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
+FROM inter JOIN sz x ON inter.a = x.doc_id JOIN sz y ON inter.b = y.doc_id
+WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5
+ORDER BY doc_id, eval_id
+"""
+
+
+@q("curation_decontaminate_fuzzy", _fuzzy_decon_oracle())
+def curation_decontaminate_fuzzy(spark, sf_dir):
+    """Near-dup decontamination: MinHash-LSH candidates between the train
+    split (doc_id % 50 != 0) and the eval split, verified at jaccard ≥
+    0.5 on distinct bigram shingles."""
+    d = _docs(spark, sf_dir)
+    ev = d.where(F.col("doc_id") % 50 == 0)
+    tr = d.where(F.col("doc_id") % 50 != 0)
+    return (CU.decontaminate_fuzzy(tr, ev, "text", "doc_id",
+                                   n=2, threshold=0.5)
+            .orderBy("doc_id", "eval_id"))
 
 
 @q("dedup_minhash_lsh", _minhash_oracle())

@@ -95,6 +95,47 @@ def pack_sequences(df: DataFrame, max_tokens: int, text_col: str = "text",
     )
 
 
+def decontaminate_fuzzy(df: DataFrame, eval_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 2, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate eval-set decontamination (the Llama-style MinHash
+    variant of [[decontaminate]]'s exact n-gram overlap): training docs
+    whose shingle-set jaccard with ANY eval doc is ≥ ``threshold``, found
+    via MinHash LSH band-join candidates and verified exactly. Returns
+    (``id_col``, eval_id, jaccard) — anti-join on ``id_col`` to drop.
+
+    Scale shape: the corpus side is one signature pass (wide min-agg, one
+    shuffle of n_docs rows); the eval side is tiny by construction, so its
+    band keys AND its shingle hashes broadcast — candidate generation and
+    verification never shuffle the corpus a second time.
+    """
+    from opensearch_spark.ml import dedup as D
+
+    sh_t = D.shingles(df, text_col, n, id_col).persist()
+    sh_e = D.shingles(eval_df, text_col, n, id_col)
+    bt = D.banded_signatures(sh_t, id_col)
+    be = D.banded_signatures(sh_e, id_col)
+    cand = (bt.select(F.col(id_col).alias("a"), "band", "sig")
+            .join(F.broadcast(be.select(F.col(id_col).alias("b"), "band", "sig")),
+                  ["band", "sig"])
+            .select("a", "b").distinct())
+    sz_t = sh_t.groupBy(id_col).agg(F.count("*").alias("sza"))
+    sz_e = sh_e.groupBy(id_col).agg(F.count("*").alias("szb"))
+    ha = sh_t.select(F.col(id_col).alias("a"), F.xxhash64("shingle").alias("_h"))
+    hb = sh_e.select(F.col(id_col).alias("b"), F.xxhash64("shingle").alias("_h"))
+    inter = (cand.join(ha, "a")
+             .join(F.broadcast(hb), ["b", "_h"])
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sz_t.select(F.col(id_col).alias("a"), "sza"), "a")
+            .join(F.broadcast(sz_e.select(F.col(id_col).alias("b"), "szb")), "b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select(F.col("a").alias(id_col), F.col("b").alias("eval_id"),
+                    "jaccard"))
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", top_n: int = 2,
                      dup_n: int = 2) -> DataFrame:

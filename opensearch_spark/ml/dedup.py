@@ -110,15 +110,13 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES,
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
-                      n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS,
-                      threshold: float = 0.5, id_col: str = "doc_id") -> DataFrame:
-    """MinHash + LSH banding → candidate pairs → exact-jaccard verify."""
-    sh = shingles(df, text_col, n, id_col).persist()
-    # one wide min-agg computes all n_hashes signatures in a single pass —
-    # no perm cross-join (16× row blowup) and no second (doc, band)
-    # shuffle: partial map-side mins make this one light shuffle of
-    # n_docs rows regardless of shingle count
+def banded_signatures(sh: DataFrame, id_col: str = "doc_id",
+                      n_hashes: int = N_HASHES,
+                      band_rows: int = BAND_ROWS) -> DataFrame:
+    """(doc, band, sig) LSH band keys. One wide min-agg computes all
+    n_hashes signatures in a single pass — no perm cross-join (16× row
+    blowup) and no second (doc, band) shuffle: partial map-side mins make
+    this one light shuffle of n_docs rows regardless of shingle count."""
     perms = perm_constants(n_hashes)
     x = sh.withColumn("x", str_hash32(F.col("shingle")) % MOD_X)
     sig_wide = x.groupBy(id_col).agg(
@@ -136,9 +134,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
         )
         for bnd in range(n_bands)
     ]
-    banded = sig_wide.select(
+    return sig_wide.select(
         id_col, F.explode(F.array(*band_structs)).alias("_b")
     ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.sig").alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
+                      n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS,
+                      threshold: float = 0.5, id_col: str = "doc_id") -> DataFrame:
+    """MinHash + LSH banding → candidate pairs → exact-jaccard verify."""
+    sh = shingles(df, text_col, n, id_col).persist()
+    banded = banded_signatures(sh, id_col, n_hashes, band_rows)
     a = banded.select(F.col(id_col).alias("a"), "band", "sig")
     b = banded.select(F.col(id_col).alias("b"), "band", "sig")
     cand = (

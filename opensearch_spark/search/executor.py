@@ -1175,6 +1175,14 @@ class Searcher:
         behavior). ``round_scores`` rounds for oracle comparison; candidates
         are over-fetched by ``margin`` then re-ranked on the rounded score so
         rounding cannot flip the cut (see bench/oracle notes)."""
+        # route whole-query extra-field searches (multi-field mapping) to
+        # that field's index — score() dispatches per leaf (line ~366), but
+        # the WAND fast path below would otherwise read this index's
+        # postings for a foreign field's terms
+        qf = getattr(q, "field", None)
+        if qf is not None and qf != self.field and qf in self.extra_fields:
+            return self.extra_fields[qf].search(
+                q, k=k, mode=mode, round_scores=round_scores, margin=margin)
         use_wand = mode == "wand" or (mode == "auto" and isinstance(q, Q.Match))
         kk = k + margin if round_scores is not None else k
         if use_wand and isinstance(q, Q.Match):

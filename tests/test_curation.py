@@ -46,6 +46,38 @@ class TestDecontaminate:
         assert "BroadcastHashJoin" in plan
 
 
+class TestDecontaminateFuzzy:
+    def test_near_dup_found_clean_doc_not(self, spark):
+        # near = base + one trailing word: bigram jaccard 11/12 ≈ 0.92 —
+        # high enough that the fixed deterministic permutations land a
+        # full-band match (LSH recall at j≈0.7 is only ~0.6; don't test
+        # band behavior with mid-similarity pairs)
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        near = base + " postscript"
+        train = _docs(spark, [
+            {"doc_id": 1, "text": near},
+            {"doc_id": 2, "text": "completely different words here entirely"},
+        ])
+        ev = _docs(spark, [{"doc_id": 100, "text": base}])
+        out = CU.decontaminate_fuzzy(train, ev, n=2, threshold=0.5).collect()
+        assert [(r["doc_id"], r["eval_id"]) for r in out] == [(1, 100)]
+        assert 0.5 <= out[0]["jaccard"] < 1.0
+
+    def test_exact_dup_jaccard_one(self, spark):
+        t = "alpha beta gamma delta epsilon"
+        train = _docs(spark, [{"doc_id": 7, "text": t}])
+        ev = _docs(spark, [{"doc_id": 70, "text": t}])
+        out = CU.decontaminate_fuzzy(train, ev, n=2).collect()
+        assert out[0]["jaccard"] == 1.0
+
+    def test_eval_side_broadcasts(self, spark):
+        train = _docs(spark, [{"doc_id": 1, "text": "a b c d e"}])
+        ev = _docs(spark, [{"doc_id": 2, "text": "a b c d e"}])
+        plan = CU.decontaminate_fuzzy(train, ev)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
 class TestRepetitionStats:
     def test_hand_computed_fracs(self, spark):
         # "a b a b c": bigrams [a b, b a, a b, b c]; top = "a b" ×2

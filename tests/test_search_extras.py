@@ -298,6 +298,22 @@ def test_msearch_extra_field_routes_correctly(searcher):
            [(r["doc_id"], r["score"]) for r in solo]
 
 
+def test_wand_extra_field_routes_correctly(searcher):
+    """Regression: search() with mode='wand' on an extra analyzed field
+    must dispatch to that field's index — the WAND fast path used to read
+    the MAIN index's postings for title terms (only score()/exhaustive
+    dispatched), silently returning text-field scores."""
+    q = Q.Match(field="title", text="merge window")
+    wd = searcher.search(q, k=10, mode="wand", round_scores=4).collect()
+    ex = searcher.search(q, k=10, mode="exhaustive", round_scores=4).collect()
+    assert [(r["doc_id"], r["score"]) for r in wd] == \
+           [(r["doc_id"], r["score"]) for r in ex]
+    tx = searcher.search(Q.Match(field="text", text="merge window"),
+                         k=10, mode="wand", round_scores=4).collect()
+    assert [(r["doc_id"], r["score"]) for r in wd] != \
+           [(r["doc_id"], r["score"]) for r in tx]
+
+
 def test_fvh_fragment_tokens_align_with_analyzer_positions(spark, tmp_path):
     """snake_case docs: analyzer emits 3 positions per token, whitespace
     split 1 — the fragment must come from the analyzed stream."""
