@@ -1183,7 +1183,20 @@ class Searcher:
         if qf is not None and qf != self.field and qf in self.extra_fields:
             return self.extra_fields[qf].search(
                 q, k=k, mode=mode, round_scores=round_scores, margin=margin)
-        use_wand = mode == "wand" or (mode == "auto" and isinstance(q, Q.Match))
+        if isinstance(q, Q.Match) and q.field != self.field:
+            # keyword-column match degenerates to a term query in score();
+            # unknown fields fail fast here instead of silently scoring
+            # this index's postings (wand) or raising a raw Catalyst
+            # unresolved-column error (exhaustive)
+            known = {self.field, *self.extra_fields,
+                     *self.index.meta.get("keyword_cols", [])}
+            if q.field not in known:
+                raise KeyError(
+                    f"no index or keyword column for field {q.field!r}")
+            use_wand = False  # WAND is postings-only; term path scores it
+        else:
+            use_wand = (mode == "wand"
+                        or (mode == "auto" and isinstance(q, Q.Match)))
         kk = k + margin if round_scores is not None else k
         if use_wand and isinstance(q, Q.Match):
             scores = self._match_wand(q, kk)

@@ -2,6 +2,7 @@
 (opensearch_spark/ml/curation.py): eval-set decontamination and
 token-budget sequence packing."""
 
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row
 
 from opensearch_spark.ml import curation as CU
@@ -188,3 +189,49 @@ class TestPackSequences:
         # each lang starts its own tape at 0
         assert out[1]["start_seq"] == 0 and out[1]["end_seq"] == 1
         assert out[2]["start_seq"] == 0 and out[2]["offset_in_seq"] == 0
+
+
+_WORDS = st.sampled_from(["a", "b", "c", "d", "e"])
+_DOC = st.lists(_WORDS, min_size=1, max_size=12).map(" ".join)
+
+
+class TestCurationProperties:
+    @settings(max_examples=10, deadline=None)
+    @given(docs=st.lists(_DOC, min_size=1, max_size=8),
+           max_tokens=st.integers(min_value=1, max_value=9))
+    def test_pack_matches_reference_tape(self, spark, docs, max_tokens):
+        """pack_sequences == a literal python token tape walk."""
+        df = _docs(spark, [{"doc_id": i, "text": t}
+                           for i, t in enumerate(docs)])
+        got = {r["doc_id"]: (r["n_tokens"], r["start_seq"], r["end_seq"],
+                             r["offset_in_seq"])
+               for r in CU.pack_sequences(df, max_tokens).collect()}
+        pos = 0
+        for i, t in enumerate(docs):
+            n = len(t.split())
+            want = (n, pos // max_tokens, (pos + n - 1) // max_tokens,
+                    pos % max_tokens)
+            assert got[i] == want, (i, got[i], want)
+            pos += n
+
+    @settings(max_examples=10, deadline=None)
+    @given(train=st.lists(_DOC, min_size=1, max_size=6),
+           ev=st.lists(_DOC, min_size=1, max_size=3),
+           n=st.integers(min_value=1, max_value=3))
+    def test_decontaminate_matches_bruteforce(self, spark, train, ev, n):
+        """decontaminate == brute-force n-gram set intersection."""
+        tdf = _docs(spark, [{"doc_id": i, "text": t}
+                            for i, t in enumerate(train)])
+        edf = _docs(spark, [{"doc_id": 100 + i, "text": t}
+                            for i, t in enumerate(ev)])
+        got = {r["doc_id"]: r["n_contaminated"]
+               for r in CU.decontaminate(tdf, edf, n=n).collect()}
+
+        def grams(t):
+            w = t.split()
+            return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+        eset = set().union(*(grams(t) for t in ev))
+        want = {i: len(grams(t) & eset) for i, t in enumerate(train)
+                if grams(t) & eset}
+        assert got == want

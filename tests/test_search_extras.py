@@ -314,6 +314,19 @@ def test_wand_extra_field_routes_correctly(searcher):
            [(r["doc_id"], r["score"]) for r in tx]
 
 
+def test_match_field_routing_matrix(searcher):
+    """Match routing under every mode: keyword columns degenerate to term
+    queries (reference: match on a keyword field is an exact term), and
+    unknown fields raise a clean KeyError on BOTH the wand and exhaustive
+    paths (wand used to silently score the text index's postings)."""
+    kw = searcher.search(Q.Match(field="lang", text="de"),
+                         k=5, mode="wand").collect()
+    assert len(kw) > 0 and all(r["score"] == 1.0 for r in kw)
+    for m in ("wand", "exhaustive", "auto"):
+        with pytest.raises(KeyError):
+            searcher.search(Q.Match(field="nosuch", text="spark"), k=5, mode=m)
+
+
 def test_fvh_fragment_tokens_align_with_analyzer_positions(spark, tmp_path):
     """snake_case docs: analyzer emits 3 positions per token, whitespace
     split 1 — the fragment must come from the analyzed stream."""
