@@ -4093,6 +4093,183 @@ def field_caps(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# geo family over the deterministic derived geo_point (search/geo.py):
+# GeoDistanceQueryBuilder / GeoBoundingBoxQueryBuilder / GeoTileGrid /
+# GeoCentroid / GeoBounds / GeoDistanceSortBuilder
+# --------------------------------------------------------------------------
+from opensearch_spark.search.geo import (  # noqa: E402
+    GEO_SQL_CTE, geo_bounding_box, geo_distance, geotile_sql, geotile_xy,
+    haversine_sql, with_geo,
+)
+
+_GEO_X4, _GEO_Y4 = geotile_sql(4)
+
+
+@q("search_geo_distance", f"""
+WITH {GEO_SQL_CTE},
+d AS (SELECT doc_id, round({haversine_sql(10.0, 20.0)}, 3) AS dist_km FROM g)
+SELECT doc_id, dist_km FROM d WHERE dist_km <= 3000
+ORDER BY dist_km, doc_id LIMIT 10
+""")
+def search_geo_distance(spark, sf_dir):
+    """geo_distance query + geo-distance sort (GeoDistanceQueryBuilder.java,
+    GeoDistanceSortBuilder.java): nearest 10 docs within 3000 km of
+    (10, 20). Plan: bounding-box range prefilter (parquet-pushable) →
+    haversine (codegen trig) → TakeOrderedAndProject."""
+    docs = with_geo(_docs(spark, sf_dir))
+    return (geo_distance(docs, 10.0, 20.0, 3000.0)
+            .select("doc_id", "dist_km")
+            .orderBy("dist_km", "doc_id").limit(10))
+
+
+@q("search_geo_bounding_box", f"""
+WITH {GEO_SQL_CTE}
+SELECT doc_id, round(lat, 2) AS lat, round(lon, 2) AS lon FROM g
+WHERE lat <= 30.0 AND lat >= -10.0 AND lon >= -40.0 AND lon <= 40.0
+ORDER BY doc_id LIMIT 25
+""")
+def search_geo_bounding_box(spark, sf_dir):
+    """geo_bounding_box (GeoBoundingBoxQueryBuilder.java): pure range
+    predicates — pushes to the scan."""
+    docs = with_geo(_docs(spark, sf_dir))
+    return (geo_bounding_box(docs, top=30.0, left=-40.0, bottom=-10.0, right=40.0)
+            .select("doc_id", F.round("lat", 2).alias("lat"),
+                    F.round("lon", 2).alias("lon"))
+            .orderBy("doc_id").limit(25))
+
+
+@q("agg_geotile_grid", f"""
+WITH {GEO_SQL_CTE},
+t AS (SELECT {_GEO_X4} AS tile_x, {_GEO_Y4} AS tile_y FROM g)
+SELECT tile_x, tile_y, count(*) AS doc_count
+FROM t GROUP BY tile_x, tile_y
+ORDER BY doc_count DESC, tile_x, tile_y LIMIT 15
+""")
+def agg_geotile_grid(spark, sf_dir):
+    """geotile_grid bucket agg at zoom 4 (GeoTileGridAggregationBuilder.java,
+    tile math GeoTileUtils.longEncode): two integer exprs + one hash agg."""
+    docs = with_geo(_docs(spark, sf_dir))
+    x, y = geotile_xy(F.col("lat"), F.col("lon"), 4)
+    return (docs.select(x.alias("tile_x"), y.alias("tile_y"))
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), "tile_x", "tile_y").limit(15))
+
+
+@q("agg_geo_centroid", f"""
+WITH {GEO_SQL_CTE}
+SELECT lang, round(avg(lat), 4) AS centroid_lat,
+       round(avg(lon), 4) AS centroid_lon, count(*) AS doc_count
+FROM g GROUP BY lang ORDER BY lang
+""")
+def agg_geo_centroid(spark, sf_dir):
+    """geo_centroid metric agg per lang bucket
+    (GeoCentroidAggregationBuilder.java): arithmetic mean of the points."""
+    docs = with_geo(_docs(spark, sf_dir))
+    return (docs.groupBy("lang")
+            .agg(F.round(F.avg("lat"), 4).alias("centroid_lat"),
+                 F.round(F.avg("lon"), 4).alias("centroid_lon"),
+                 F.count("*").alias("doc_count"))
+            .orderBy("lang"))
+
+
+@q("agg_geo_bounds", f"""
+WITH {GEO_SQL_CTE}
+SELECT lang, round(max(lat), 2) AS top_lat, round(min(lat), 2) AS bottom_lat,
+       round(min(lon), 2) AS left_lon, round(max(lon), 2) AS right_lon
+FROM g GROUP BY lang ORDER BY lang
+""")
+def agg_geo_bounds(spark, sf_dir):
+    """geo_bounds metric agg (GeoBoundsAggregator.java): min/max envelope
+    per bucket — exact min/max, order-insensitive at any parallelism."""
+    docs = with_geo(_docs(spark, sf_dir))
+    return (docs.groupBy("lang")
+            .agg(F.round(F.max("lat"), 2).alias("top_lat"),
+                 F.round(F.min("lat"), 2).alias("bottom_lat"),
+                 F.round(F.min("lon"), 2).alias("left_lon"),
+                 F.round(F.max("lon"), 2).alias("right_lon"))
+            .orderBy("lang"))
+
+
+# --------------------------------------------------------------------------
+# percolator (reverse search): stored queries matched against streaming
+# documents — modules/percolator/PercolateQueryBuilder.java,
+# PercolatorFieldMapper.java (term-extraction prefilter: QueryAnalyzer.java)
+# --------------------------------------------------------------------------
+def _perc_queries():
+    from opensearch_spark.search.percolate import PercQuery
+
+    return [
+        PercQuery(1, "match", "text", terms=("dup", "vector"), min_should_match=1),
+        PercQuery(2, "match", "text", terms=("dup", "merge"), min_should_match=2),
+        PercQuery(3, "match", "text", terms=("batch", "stream", "window"),
+                  min_should_match=2),
+        PercQuery(4, "term", "lang", value="es"),
+        PercQuery(5, "term", "source", value="src1"),
+        PercQuery(6, "range", "n_chars", lo=100.0, hi=200.0),
+        PercQuery(7, "range", "n_chars", hi=64.0),
+    ]
+
+
+_PERC_PAIR_CTES = """
+d AS (SELECT * FROM documents {doc_filter}),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM d
+),
+dterm AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''),
+m1 AS (SELECT doc_id, 1 AS query_id FROM dterm
+       WHERE term IN ('dup', 'vector') GROUP BY doc_id HAVING count(*) >= 1),
+m2 AS (SELECT doc_id, 2 AS query_id FROM dterm
+       WHERE term IN ('dup', 'merge') GROUP BY doc_id HAVING count(*) >= 2),
+m3 AS (SELECT doc_id, 3 AS query_id FROM dterm
+       WHERE term IN ('batch', 'stream', 'window')
+       GROUP BY doc_id HAVING count(*) >= 2),
+m4 AS (SELECT doc_id, 4 AS query_id FROM d WHERE lang = 'es'),
+m5 AS (SELECT doc_id, 5 AS query_id FROM d WHERE source = 'src1'),
+m6 AS (SELECT doc_id, 6 AS query_id FROM d WHERE n_chars BETWEEN 100 AND 200),
+m7 AS (SELECT doc_id, 7 AS query_id FROM d WHERE n_chars <= 64),
+pairs AS (
+    SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3
+    UNION ALL SELECT * FROM m4 UNION ALL SELECT * FROM m5
+    UNION ALL SELECT * FROM m6 UNION ALL SELECT * FROM m7
+)
+"""
+
+
+@q("search_percolate", f"""
+WITH {_PERC_PAIR_CTES.format(doc_filter="")}
+SELECT CAST(query_id AS BIGINT) AS query_id, count(*) AS n_matches,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc
+FROM pairs GROUP BY query_id ORDER BY query_id
+""")
+def search_percolate(spark, sf_dir):
+    """Percolate the whole documents table against 7 stored queries
+    (match or/and/msm, keyword term, numeric range) and return each
+    query's match-set fingerprint. Ref: PercolateQueryBuilder.java;
+    prefilter design from PercolatorFieldMapper.EXTRACTED_TERMS_FIELD +
+    QueryAnalyzer.java, re-expressed as a broadcast term-index join."""
+    from opensearch_spark.search.percolate import percolate_counts
+
+    return percolate_counts(spark, _perc_queries(), _docs(spark, sf_dir))
+
+
+@q("search_percolate_pairs", f"""
+WITH {_PERC_PAIR_CTES.format(doc_filter="WHERE doc_id < 40")}
+SELECT doc_id, CAST(query_id AS BIGINT) AS query_id
+FROM pairs ORDER BY doc_id, query_id
+""")
+def search_percolate_pairs(spark, sf_dir):
+    """Pair-level percolate parity on a bounded doc slice (the per-doc
+    'which alerts fire' shape of the reference API)."""
+    from opensearch_spark.search.percolate import percolate
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 40)
+    return (percolate(spark, _perc_queries(), docs)
+            .orderBy("doc_id", "query_id"))
+
+
+# --------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate verifies the first
 # ~50 queries() entries each round. Gates with a green row in
 # CORRECTNESS_r01.json are rotated to the back so every unverified gate

@@ -1,0 +1,137 @@
+"""Geo queries, sorts, and grid aggregations.
+
+Reference: ``server/src/main/java/org/opensearch/index/query/
+GeoDistanceQueryBuilder.java``, ``GeoBoundingBoxQueryBuilder.java``,
+``search/aggregations/bucket/geogrid/GeoTileGridAggregationBuilder.java``
+(+ ``GeoTileUtils.java`` for the slippy-map tile math),
+``search/aggregations/metrics/GeoCentroidAggregationBuilder.java`` and
+``GeoBoundsAggregator.java``, ``search/sort/GeoDistanceSortBuilder.java``.
+
+The test corpus has no geo columns, so the gates derive a DETERMINISTIC
+``geo_point`` per document from ``doc_id`` (pure integer-mod arithmetic —
+reproducible in both engines, no external data). The operators themselves
+are generic: give ``haversine_km`` / ``geotile_xy`` real lat/lon columns
+and the same plans apply.
+
+All geo math is JVM-side column arithmetic (whole-stage codegen): a
+distance filter is a scan + filter (pushdown-friendly once the bounding
+prefilter is applied), the tile grid is two integer expressions + one
+hash aggregate — nothing here shuffles more than the grouping requires.
+A 100 TB geo-distance query should prefilter with the cheap bounding box
+(lat/lon range predicates push to parquet row-group stats) before the
+trig — ``geo_distance`` below does exactly that.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+EARTH_RADIUS_KM = 6371.0088  # mean Earth radius (IUGG), GeoUtils.java
+
+
+def with_geo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the deterministic derived geo_point: lat ∈ [-60, 60),
+    lon ∈ [-180, 180), two-decimal grid (id-hash mod arithmetic)."""
+    return df.withColumn(
+        "lat", F.lit(-60.0) + ((F.col(id_col) * 7919) % 12000) / F.lit(100.0)
+    ).withColumn(
+        "lon", F.lit(-180.0) + ((F.col(id_col) * 104729) % 36000) / F.lit(100.0)
+    )
+
+
+# the same derivation as DuckDB-runnable SQL (oracle twin)
+GEO_SQL_CTE = """
+g AS (
+    SELECT *,
+           -60.0 + ((doc_id * 7919) % 12000) / 100.0 AS lat,
+           -180.0 + ((doc_id * 104729) % 36000) / 100.0 AS lon
+    FROM documents
+)
+"""
+
+
+def haversine_km(lat: Column, lon: Column,
+                 origin_lat: float, origin_lon: float) -> Column:
+    """Great-circle distance to a fixed origin (GeoDistance.ARC)."""
+    dlat = F.radians(lat - F.lit(origin_lat)) / 2
+    dlon = F.radians(lon - F.lit(origin_lon)) / 2
+    a = (F.sin(dlat) * F.sin(dlat)
+         + math.cos(math.radians(origin_lat)) * F.cos(F.radians(lat))
+         * F.sin(dlon) * F.sin(dlon))
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def haversine_sql(origin_lat: float, origin_lon: float) -> str:
+    """Identical formula as DuckDB SQL over g.lat/g.lon (shared shape with
+    haversine_km so both engines round-trip to the same 3 decimals)."""
+    return (
+        f"2 * {EARTH_RADIUS_KM} * asin(sqrt("
+        f"sin(radians(lat - {origin_lat}) / 2) * sin(radians(lat - {origin_lat}) / 2)"
+        f" + cos(radians({origin_lat})) * cos(radians(lat))"
+        f" * sin(radians(lon - {origin_lon}) / 2) * sin(radians(lon - {origin_lon}) / 2)"
+        f"))"
+    )
+
+
+def _bounding_box_deg(origin_lat: float, radius_km: float) -> tuple[float, float]:
+    """Conservative lat/lon half-widths (degrees) enclosing the radius —
+    the cheap prefilter Lucene gets from the BKD tree; here it becomes a
+    parquet-pushable range predicate."""
+    dlat = math.degrees(radius_km / EARTH_RADIUS_KM)
+    cos_lat = max(0.01, math.cos(math.radians(origin_lat)))
+    dlon = math.degrees(radius_km / (EARTH_RADIUS_KM * cos_lat))
+    return dlat * 1.001, min(180.0, dlon * 1.001)
+
+
+def geo_distance(df: DataFrame, origin_lat: float, origin_lon: float,
+                 radius_km: float, *, round_to: int = 3) -> DataFrame:
+    """Filter to points within radius_km of the origin; adds ``dist_km``
+    (rounded, so the inclusion decision is identical across engines).
+    Plan: bounding-box range prefilter (pushdown) → haversine → filter."""
+    dlat, dlon = _bounding_box_deg(origin_lat, radius_km)
+    pre = df.where(
+        (F.col("lat") >= origin_lat - dlat) & (F.col("lat") <= origin_lat + dlat)
+        & (F.col("lon") >= origin_lon - dlon) & (F.col("lon") <= origin_lon + dlon)
+    )
+    d = F.round(haversine_km(F.col("lat"), F.col("lon"), origin_lat, origin_lon),
+                round_to)
+    return pre.withColumn("dist_km", d).where(F.col("dist_km") <= radius_km)
+
+
+def geo_bounding_box(df: DataFrame, top: float, left: float,
+                     bottom: float, right: float) -> DataFrame:
+    """GeoBoundingBoxQueryBuilder.java: pure range predicates."""
+    return df.where(
+        (F.col("lat") <= F.lit(top)) & (F.col("lat") >= F.lit(bottom))
+        & (F.col("lon") >= F.lit(left)) & (F.col("lon") <= F.lit(right))
+    )
+
+
+def geotile_xy(lat: Column, lon: Column, zoom: int) -> tuple[Column, Column]:
+    """Slippy-map tile coordinates (GeoTileUtils.longEncode): x from the
+    linear lon scale, y from the Mercator projection."""
+    n = float(1 << zoom)
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
+    lat_rad = F.radians(lat)
+    merc = F.log(F.tan(lat_rad) + F.lit(1.0) / F.cos(lat_rad))
+    y = F.floor((F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * F.lit(n)).cast("long")
+    # clamp (GeoTileUtils checks bounds); lat within ±60 never hits them,
+    # but keep the operator total for arbitrary inputs
+    nmax = (1 << zoom) - 1
+    x = F.greatest(F.lit(0), F.least(F.lit(nmax), x))
+    y = F.greatest(F.lit(0), F.least(F.lit(nmax), y))
+    return x, y
+
+
+def geotile_sql(zoom: int) -> tuple[str, str]:
+    """DuckDB twin of geotile_xy over g.lat/g.lon."""
+    n = float(1 << zoom)
+    nmax = (1 << zoom) - 1
+    x = (f"greatest(0, least({nmax}, "
+         f"CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT)))")
+    y = (f"greatest(0, least({nmax}, CAST(floor((1.0 - "
+         f"ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()"
+         f") / 2.0 * {n}) AS BIGINT)))")
+    return x, y

@@ -1,0 +1,156 @@
+"""Percolator: reverse search — store queries, stream documents, return
+which stored queries match each document.
+
+Reference behavior: ``modules/percolator/src/main/java/org/opensearch/
+percolator/PercolateQueryBuilder.java`` and ``PercolatorFieldMapper.java``
+(queries are indexed with their extracted terms; a candidate ``TermsQuery``
+over the extracted terms prefilters which stored queries are verified per
+document — ``QueryAnalyzer.java``). This module re-expresses that design
+Spark-first:
+
+* the stored-query set is SMALL relative to the corpus → build a
+  (term → query) prefilter table and **broadcast** it;
+* documents are analyzed ONCE (the same Arrow-vectorized analyzer as the
+  index build, no per-row Python) and joined against the broadcast
+  prefilter — a map-side join, so percolating N docs against Q queries
+  is one scan of the docs, never N×Q;
+* candidate (doc, query) pairs are exactly verified per query kind
+  (min_should_match counting for match queries; keyword equality; range
+  bounds). Range/exists-style queries have no required terms — Lucene
+  marks them "verified candidates by match-all extraction"; here they
+  evaluate as a broadcast theta-join on the numeric predicate.
+
+At 100 TB: docs-side is a single pass (analyze → explode distinct terms →
+broadcast-join → partial-agg groupBy(doc,query)); no shuffle of the corpus
+beyond the terms explode's map-side combine, and the stored-query state is
+O(queries) broadcast bytes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from opensearch_spark.analysis.analyzer import analyze_udf
+
+
+@dataclass(frozen=True)
+class PercQuery:
+    """One stored query. kind ∈ {'match', 'term', 'range'}.
+
+    match  — analyzed terms over ``field``; matches when at least
+             ``min_should_match`` distinct query terms appear
+             (operator=and ≡ msm=len(terms), or ≡ msm=1).
+    term   — keyword equality on ``field`` (un-analyzed).
+    range  — lo <= field <= hi on a numeric column (either bound optional).
+    """
+
+    query_id: int
+    kind: str
+    field: str
+    terms: tuple[str, ...] = dfield(default=())
+    min_should_match: int = 1
+    value: str | None = None
+    lo: float | None = None
+    hi: float | None = None
+
+
+def _queries_df(spark: SparkSession, queries: list[PercQuery]) -> DataFrame:
+    rows = [
+        (q.query_id, q.kind, q.field, list(q.terms), q.min_should_match,
+         q.value, q.lo, q.hi)
+        for q in queries
+    ]
+    return spark.createDataFrame(
+        rows,
+        "query_id long, kind string, field string, terms array<string>, "
+        "msm int, value string, lo double, hi double",
+    )
+
+
+def percolate(
+    spark: SparkSession,
+    queries: list[PercQuery],
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """Return the (doc_id, query_id) match pairs.
+
+    One docs scan per used field class (analyzed text fields share a single
+    analyze pass); stored queries always broadcast.
+    """
+    qdf = _queries_df(spark, queries)
+    parts: list[DataFrame] = []
+
+    # --- match queries: term-prefilter join + msm verification -----------
+    match_qs = [q for q in queries if q.kind == "match"]
+    for text_field in sorted({q.field for q in match_qs}):
+        q_terms = F.broadcast(
+            qdf.where((F.col("kind") == "match") & (F.col("field") == text_field))
+               .select("query_id", "msm", F.explode(F.array_distinct("terms")).alias("term"))
+        )
+        tok = analyze_udf(analyzer)
+        doc_terms = (
+            docs.select(id_col, F.explode(F.array_distinct(tok(F.col(text_field)))).alias("term"))
+        )
+        cand = doc_terms.join(q_terms, "term")
+        verified = (
+            cand.groupBy(id_col, "query_id", "msm")
+                .agg(F.count("*").alias("_matched"))
+                .where(F.col("_matched") >= F.col("msm"))
+                .select(id_col, "query_id")
+        )
+        parts.append(verified)
+
+    # --- term (keyword) queries: broadcast equality join ------------------
+    term_qs = [q for q in queries if q.kind == "term"]
+    for kw_field in sorted({q.field for q in term_qs}):
+        qk = F.broadcast(
+            qdf.where((F.col("kind") == "term") & (F.col("field") == kw_field))
+               .select("query_id", F.col("value").alias("_v"))
+        )
+        parts.append(
+            docs.join(qk, docs[kw_field] == qk["_v"]).select(id_col, "query_id")
+        )
+
+    # --- range queries: broadcast theta join ------------------------------
+    range_qs = [q for q in queries if q.kind == "range"]
+    for num_field in sorted({q.field for q in range_qs}):
+        qr = F.broadcast(
+            qdf.where((F.col("kind") == "range") & (F.col("field") == num_field))
+               .select("query_id", "lo", "hi")
+        )
+        cond = (
+            (qr["lo"].isNull() | (docs[num_field] >= qr["lo"]))
+            & (qr["hi"].isNull() | (docs[num_field] <= qr["hi"]))
+        )
+        parts.append(docs.join(qr, cond).select(id_col, "query_id"))
+
+    if not parts:
+        return spark.createDataFrame([], f"{id_col} long, query_id long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def percolate_counts(
+    spark: SparkSession,
+    queries: list[PercQuery],
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """Per-query match summary: (query_id, n_matches, min_doc, max_doc,
+    sum_doc) — a compact, order-insensitive fingerprint of the match set."""
+    pairs = percolate(spark, queries, docs, id_col=id_col, analyzer=analyzer)
+    return (
+        pairs.groupBy("query_id")
+             .agg(F.count("*").alias("n_matches"),
+                  F.min(id_col).alias("min_doc"),
+                  F.max(id_col).alias("max_doc"),
+                  F.sum(id_col).alias("sum_doc"))
+             .orderBy("query_id")
+    )

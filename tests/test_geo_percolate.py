@@ -1,0 +1,138 @@
+"""Geo operators (search/geo.py) and the percolator (search/percolate.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.search.geo import (
+    geo_bounding_box, geo_distance, geotile_xy, haversine_km, with_geo,
+)
+from opensearch_spark.search.percolate import PercQuery, percolate, percolate_counts
+
+
+# --------------------------------------------------------------------- geo
+def test_haversine_known_distance(spark):
+    # Paris (48.8566, 2.3522) → London (51.5074, -0.1278) ≈ 343.5 km
+    df = spark.createDataFrame([(51.5074, -0.1278)], "lat double, lon double")
+    d = df.select(haversine_km(F.col("lat"), F.col("lon"), 48.8566, 2.3522)
+                  .alias("d")).collect()[0]["d"]
+    assert abs(d - 343.5) < 1.0
+
+
+def test_haversine_zero_and_antipode(spark):
+    df = spark.createDataFrame([(10.0, 20.0), (-10.0, -160.0)],
+                               "lat double, lon double")
+    ds = [r["d"] for r in df.select(
+        haversine_km(F.col("lat"), F.col("lon"), 10.0, 20.0).alias("d")
+    ).collect()]
+    assert ds[0] == pytest.approx(0.0, abs=1e-9)
+    assert ds[1] == pytest.approx(math.pi * 6371.0088, rel=1e-6)  # antipode
+
+
+def test_geotile_known_values(spark):
+    # zoom 1: lon<0 → x=0, lon>0 → x=1; lat>0 → y=0, lat<0 → y=1
+    df = spark.createDataFrame(
+        [(40.0, -74.0), (40.0, 74.0), (-40.0, -74.0), (-40.0, 74.0)],
+        "lat double, lon double")
+    x, y = geotile_xy(F.col("lat"), F.col("lon"), 1)
+    got = [(r["x"], r["y"]) for r in df.select(x.alias("x"), y.alias("y")).collect()]
+    assert got == [(0, 0), (1, 0), (0, 1), (1, 1)]
+
+
+def test_geo_distance_prefilter_loses_nothing(spark, sf_dir):
+    """The bounding-box prefilter must be a superset of the radius."""
+    docs = with_geo(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    fast = geo_distance(docs, 10.0, 20.0, 4000.0).select("doc_id")
+    exact = docs.withColumn(
+        "d", F.round(haversine_km(F.col("lat"), F.col("lon"), 10.0, 20.0), 3)
+    ).where(F.col("d") <= 4000.0).select("doc_id")
+    assert {r[0] for r in fast.collect()} == {r[0] for r in exact.collect()}
+
+
+def test_with_geo_bounds_and_determinism(spark, sf_dir):
+    docs = with_geo(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    row = docs.agg(F.min("lat"), F.max("lat"), F.min("lon"), F.max("lon")).collect()[0]
+    assert -60.0 <= row[0] and row[1] < 60.0
+    assert -180.0 <= row[2] and row[3] < 180.0
+    a = docs.select("doc_id", "lat", "lon").orderBy("doc_id").limit(5).collect()
+    b = docs.select("doc_id", "lat", "lon").orderBy("doc_id").limit(5).collect()
+    assert a == b
+
+
+def test_geo_bounding_box_is_range_only(spark, sf_dir):
+    docs = with_geo(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    out = geo_bounding_box(docs, top=30.0, left=-40.0, bottom=-10.0, right=40.0)
+    rows = out.select("lat", "lon").collect()
+    assert rows, "box must be non-vacuous on the test corpus"
+    assert all(-10.0 <= r["lat"] <= 30.0 and -40.0 <= r["lon"] <= 40.0 for r in rows)
+
+
+# --------------------------------------------------------------- percolator
+def _tiny_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "s0", 16),
+            (2, "alpha alpha delta", "fr", "s1", 17),
+            (3, "epsilon zeta", "en", "s0", 12),
+            (4, "beta delta", "de", "s2", 300),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _qs():
+    return [
+        PercQuery(1, "match", "text", terms=("alpha",)),                     # or
+        PercQuery(2, "match", "text", terms=("alpha", "delta"),
+                  min_should_match=2),                                       # and
+        PercQuery(3, "match", "text", terms=("beta", "zeta", "omega"),
+                  min_should_match=1),
+        PercQuery(4, "term", "lang", value="en"),
+        PercQuery(5, "range", "n_chars", lo=15.0, hi=20.0),
+        PercQuery(6, "range", "n_chars", hi=12.0),
+    ]
+
+
+def test_percolate_semantics(spark):
+    pairs = {(r["doc_id"], r["query_id"])
+             for r in percolate(spark, _qs(), _tiny_docs(spark)).collect()}
+    assert pairs == {
+        (1, 1), (2, 1),                 # 'alpha' present
+        (2, 2),                         # both 'alpha' and 'delta'
+        (1, 3), (3, 3), (4, 3),         # any of beta/zeta/omega
+        (1, 4), (3, 4),                 # lang=en
+        (1, 5), (2, 5),                 # n_chars in [15, 20]
+        (3, 6),                         # n_chars <= 12
+    }
+
+
+def test_percolate_msm_counts_distinct_terms(spark):
+    """doc 2 has 'alpha' twice — tf must NOT satisfy msm=2 alone."""
+    docs = spark.createDataFrame([(9, "alpha alpha alpha", "en", "s", 10)],
+                                 "doc_id long, text string, lang string, "
+                                 "source string, n_chars long")
+    qs = [PercQuery(1, "match", "text", terms=("alpha", "delta"),
+                    min_should_match=2)]
+    assert percolate(spark, qs, docs).count() == 0
+
+
+def test_percolate_counts_shape(spark):
+    out = percolate_counts(spark, _qs(), _tiny_docs(spark))
+    rows = {r["query_id"]: (r["n_matches"], r["sum_doc"]) for r in out.collect()}
+    assert rows[1] == (2, 3) and rows[3] == (3, 8)
+    assert out.columns == ["query_id", "n_matches", "min_doc", "max_doc", "sum_doc"]
+
+
+def test_percolate_plan_broadcasts_queries(spark):
+    """The stored-query side must broadcast: the docs corpus is never
+    shuffled against it (the 100 TB posture: one scan of the docs)."""
+    plan = percolate(spark, _qs(), _tiny_docs(spark))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_percolate_empty_query_set(spark):
+    out = percolate(spark, [], _tiny_docs(spark))
+    assert out.count() == 0 and out.columns == ["doc_id", "query_id"]
