@@ -4191,6 +4191,58 @@ def agg_geo_bounds(spark, sf_dir):
             .orderBy("lang"))
 
 
+@q("agg_geo_distance_range", f"""
+WITH {GEO_SQL_CTE},
+dd AS (SELECT doc_id, n_chars, round({haversine_sql(0.0, 0.0)}, 3) AS dist FROM g)
+SELECT CASE WHEN dist < 3000 THEN '0-3000' WHEN dist < 8000 THEN '3000-8000'
+            WHEN dist < 14000 THEN '8000-14000' ELSE '14000+' END AS bucket,
+       count(*) AS doc_count, round(avg(n_chars), 2) AS avg_chars
+FROM dd GROUP BY 1 ORDER BY bucket
+""")
+def agg_geo_distance_range(spark, sf_dir):
+    """geo_distance range bucket agg (GeoDistanceAggregationBuilder.java):
+    distance-to-origin CASE buckets + per-bucket metrics — one codegen
+    expression and one hash agg, same shape as the numeric range agg."""
+    from opensearch_spark.search.geo import haversine_km
+
+    docs = with_geo(_docs(spark, sf_dir))
+    dist = F.round(haversine_km(F.col("lat"), F.col("lon"), 0.0, 0.0), 3)
+    bucket = (F.when(dist < 3000, "0-3000")
+               .when(dist < 8000, "3000-8000")
+               .when(dist < 14000, "8000-14000")
+               .otherwise("14000+"))
+    return (docs.select(bucket.alias("bucket"), "n_chars")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("doc_count"),
+                 F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+            .orderBy("bucket"))
+
+
+@q("curation_unigram_logppl", """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM documents
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+cf AS (SELECT term, count(*) AS cf FROM tok2 GROUP BY term),
+tot AS (SELECT sum(cf) AS total FROM cf),
+p AS (SELECT term, cf * 1.0 / total AS p FROM cf CROSS JOIN tot),
+d AS (SELECT doc_id, -avg(ln(p)) AS logppl, count(*) AS n_tokens
+      FROM tok2 JOIN p USING (term) GROUP BY doc_id)
+SELECT doc_id, round(logppl, 4) AS logppl, n_tokens FROM d
+ORDER BY round(logppl, 4) DESC, doc_id LIMIT 15
+""")
+def curation_unigram_logppl(spark, sf_dir):
+    """Perplexity-proxy quality filter (order-0 CCNet shape): the 15 most
+    lexically atypical docs under the corpus's own unigram LM — the tail a
+    curation pipeline would drop/down-weight. ml/curation.unigram_logppl."""
+    from opensearch_spark.ml.curation import unigram_logppl
+
+    out = unigram_logppl(_docs(spark, sf_dir))
+    return (out.select("doc_id", F.round("logppl", 4).alias("logppl"), "n_tokens")
+            .orderBy(F.desc(F.round("logppl", 4)), "doc_id").limit(15))
+
+
 # --------------------------------------------------------------------------
 # percolator (reverse search): stored queries matched against streaming
 # documents — modules/percolator/PercolateQueryBuilder.java,

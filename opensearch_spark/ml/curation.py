@@ -223,3 +223,32 @@ def source_mix(df: DataFrame, target_shares: dict[str, float],
     return (df.withColumn("keep_rate", F.round(rate_col, 9))
             .where(F.col("keep_rate").isNotNull()
                    & (u / F.lit(float(2 ** 32)) < F.col("keep_rate"))))
+
+
+def unigram_logppl(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Perplexity-proxy quality signal: per-doc mean negative
+    log-likelihood under the corpus's own unigram LM (the classic
+    CCNet-style perplexity filter, reduced to its order-0 public form —
+    no external LM, fully deterministic). High ``logppl`` = the doc is
+    lexically atypical for the corpus (often boilerplate, noise, or
+    another language); curation pipelines drop or down-weight the tail.
+
+    Scale shape: one explode of the token stream feeding two hash
+    aggregates (term counts, then per-doc mean); the term-probability
+    table is vocabulary-sized and broadcast back onto the token stream —
+    the corpus itself is scanned once and never self-joined.
+    """
+    toks = df.select(
+        id_col,
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    cf = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("total"))
+    p = (cf.crossJoin(F.broadcast(total))
+           .withColumn("p", F.col("cf") / F.col("total"))
+           .select("term", "p"))
+    return (toks.join(F.broadcast(p), "term")
+            .groupBy(id_col)
+            .agg((-F.avg(F.log("p"))).alias("logppl"),
+                 F.count("*").alias("n_tokens")))

@@ -235,3 +235,18 @@ class TestCurationProperties:
         want = {i: len(grams(t) & eset) for i, t in enumerate(train)
                 if grams(t) & eset}
         assert got == want
+
+
+def test_unigram_logppl_ranks_rare_docs_higher(spark):
+    from opensearch_spark.ml.curation import unigram_logppl
+
+    df = spark.createDataFrame(
+        [(1, "common common common common"),
+         (2, "common common rare1 rare2")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in unigram_logppl(df).collect()}
+    assert rows[2]["logppl"] > rows[1]["logppl"]
+    assert rows[1]["n_tokens"] == 4 and rows[2]["n_tokens"] == 4
+    # doc 1 is all 'common' (p = 6/8): logppl = -ln(0.75)
+    import math
+    assert abs(rows[1]["logppl"] - (-math.log(6 / 8))) < 1e-9
