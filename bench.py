@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "search_msearch",
     "dedup_chunks_global",
     "pipeline_training_data",
+    # former non-goals closed late in round 2
+    "search_percolate",
+    "search_geo_distance",
+    "agg_geotile_grid",
+    "curation_unigram_logppl",
 ]
 
 

@@ -4243,6 +4243,52 @@ def curation_unigram_logppl(spark, sf_dir):
             .orderBy(F.desc(F.round("logppl", 4)), "doc_id").limit(15))
 
 
+_COSINE_CTES = """
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (SELECT e.vec_id, e.label,
+                 unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+                 unnest(q.qe) AS y
+          FROM embeddings e CROSS JOIN q),
+s AS (SELECT vec_id, any_value(label) AS label,
+             sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+      FROM pairs GROUP BY vec_id),
+sc AS (SELECT vec_id, label,
+              round(dot / (sqrt(nx) * sqrt(ny)), 4) AS cosine
+       FROM s WHERE vec_id <> 0)
+"""
+
+
+@q("sim_knn_filtered", f"""
+WITH {_COSINE_CTES}
+SELECT vec_id, cosine FROM sc WHERE label = 2
+ORDER BY cosine DESC, vec_id LIMIT 10
+""")
+def sim_knn_filtered(spark, sf_dir):
+    """Filtered kNN (k-NN plugin filtered search — KNNQueryBuilder.java
+    `filter` param): metadata predicate applied BEFORE scoring, so the
+    top-k is over the filtered candidate set (not post-filtered results).
+    Plan: pushable filter → single-scan JVM cosine fold →
+    TakeOrderedAndProject."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return S.cosine_topk(emb.where(F.col("label") == 2), qv, k=10, exclude_id=0)
+
+
+@q("sim_radius_search", f"""
+WITH {_COSINE_CTES}
+SELECT vec_id, cosine FROM sc WHERE cosine >= 0.25
+ORDER BY cosine DESC, vec_id
+""")
+def sim_radius_search(spark, sf_dir):
+    """Radial search (k-NN plugin min_score bounded retrieval): every
+    vector with rounded cosine ≥ 0.25 — result size is data-driven, not
+    k-capped. Single scan + filter, no shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return (S.radius_search(emb, qv, 0.25, exclude_id=0)
+            .orderBy(F.desc("cosine"), "vec_id"))
+
+
 # --------------------------------------------------------------------------
 # percolator (reverse search): stored queries matched against streaming
 # documents — modules/percolator/PercolateQueryBuilder.java,

@@ -430,3 +430,17 @@ def hybrid_minmax(searcher, q, emb_df: DataFrame, query_vec: list[float],
              + F.coalesce(F.col("n_cos"), F.lit(0.0)) * w_vector)
     return (j.select("doc_id", F.round(score, 6).alias("hybrid_score"))
             .orderBy(F.desc("hybrid_score"), F.asc("doc_id")).limit(k))
+
+
+def radius_search(df: DataFrame, query_vec: list[float], min_cosine: float,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  exclude_id: int | None = None) -> DataFrame:
+    """Radial search (k-NN plugin 'radial search': min_score / max_distance
+    bounded retrieval instead of top-k — KNNQueryBuilder.java's minScore
+    path). The inclusion decision is made on the 4-decimal-rounded cosine
+    so it is reproducible across engines; plan = the same single-scan
+    JVM fold as cosine_scores + a filter (no shuffle at all)."""
+    s = cosine_scores(df, query_vec, vec_col, id_col)  # cosine pre-rounded(4)
+    if exclude_id is not None:
+        s = s.where(F.col(id_col) != exclude_id)
+    return s.where(F.col("cosine") >= min_cosine)
