@@ -136,3 +136,29 @@ def test_percolate_plan_broadcasts_queries(spark):
 def test_percolate_empty_query_set(spark):
     out = percolate(spark, [], _tiny_docs(spark))
     assert out.count() == 0 and out.columns == ["doc_id", "query_id"]
+
+
+def test_streaming_percolate_matches_batch(spark, tmp_path):
+    """Streaming percolation (alerts) gives the same pairs as the batch
+    operator over the same rows — single code path by construction."""
+    from opensearch_spark.streaming.alerts import start_streaming_percolate
+
+    docs = _tiny_docs(spark)
+    src = str(tmp_path / "stream_src")
+    docs.repartition(2).write.parquet(src)
+
+    got: list[tuple] = []
+    epochs: list[int] = []
+
+    def sink(rows, epoch):
+        got.extend(rows)
+        epochs.append(epoch)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = start_streaming_percolate(spark, stream, _qs(), sink)
+    q.awaitTermination(120)
+
+    batch = {(r["doc_id"], r["query_id"])
+             for r in percolate(spark, _qs(), docs).collect()}
+    assert set(got) == batch and len(got) == len(batch)
+    assert epochs, "at least one micro-batch must fire"
