@@ -95,6 +95,100 @@ ANALYZERS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# token filters (reference: modules/common-analysis registers these factories
+# in CommonAnalysisModulePlugin.java — stop, asciifolding, edge_ngram,
+# synonym, stemmer; semantics below follow the public Lucene filters).
+# Chained analyzers renumber token positions after removal (Lucene's
+# StopFilter instead leaves position-increment gaps); indexes built with a
+# filter chain therefore default to with_positions=False and position-based
+# queries over them are a documented divergence.
+# ---------------------------------------------------------------------------
+
+# Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (33 words)
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with".split()
+)
+
+
+def stem_minimal_english(t: str) -> str:
+    """Plural-only s-stemmer (Harman 1991), Lucene EnglishMinimalStemFilter:
+    tables→table, queries→query; -ss/-us and -[iaoe]es forms unchanged."""
+    n = len(t)
+    if n < 3 or t[-1] != "s":
+        return t
+    c = t[-2]
+    if c in ("u", "s"):
+        return t
+    if c == "e":
+        if n > 3 and t[-3] == "i" and t[-4] not in ("a", "e"):
+            return t[:-3] + "y"
+        if t[-3] in ("i", "a", "o", "e"):
+            return t
+        return t[:-1]
+    return t[:-1]
+
+
+def ascii_fold(t: str) -> str:
+    """asciifolding filter: strip combining marks (NFKD), e.g. café→cafe."""
+    import unicodedata
+
+    return "".join(
+        ch for ch in unicodedata.normalize("NFKD", t)
+        if not unicodedata.combining(ch)
+    )
+
+
+def make_filter_chain(base: str = "standard", *,
+                      stopwords: frozenset | None = None,
+                      synonyms: dict[str, str] | None = None,
+                      stem: bool = False,
+                      fold: bool = False,
+                      edge_ngram: tuple[int, int] | None = None):
+    """Compose a tokenizer + token-filter chain into a tokenize() callable.
+
+    Filter order mirrors a typical reference mapping (fold → stop →
+    synonym → stem → edge_ngram). Synonyms are single-token equivalence
+    classes mapped to a canonical term (index- and query-time symmetric,
+    the reference's `synonym` filter with `a, b => canon` rules)."""
+    tok = ANALYZERS[base]
+
+    def chain(text: str) -> list[str]:
+        out = tok(text)
+        if fold:
+            out = [ascii_fold(t) for t in out]
+        if stopwords:
+            out = [t for t in out if t not in stopwords]
+        if synonyms:
+            out = [synonyms.get(t, t) for t in out]
+        if stem:
+            out = [stem_minimal_english(t) for t in out]
+        if edge_ngram:
+            lo, hi = edge_ngram
+            out = [t[:k] for t in out for k in range(lo, min(len(t), hi) + 1)]
+        return out
+
+    return chain
+
+
+def register_analyzer(name: str, fn) -> None:
+    ANALYZERS[name] = fn
+
+
+# built-in chained analyzers used by the query catalogue
+register_analyzer(
+    "english_light",
+    make_filter_chain("standard", stopwords=ENGLISH_STOP_WORDS, stem=True))
+register_analyzer("edge_ngram_1_8",
+                  make_filter_chain("standard", edge_ngram=(1, 8)))
+register_analyzer("fold", make_filter_chain("standard", fold=True))
+register_analyzer(
+    "synonym_demo",
+    make_filter_chain("standard",
+                      synonyms={"tbl": "table", "rapid": "fast"}))
+
+
 def tokenize(text: str, analyzer: str = "standard") -> list[str]:
     return ANALYZERS[analyzer](text)
 

@@ -1240,6 +1240,224 @@ def api_validate_query(spark, sf_dir):
     ).orderBy("query_id")
 
 
+def _pluralized(corpus: DataFrame) -> DataFrame:
+    """Spark twin of O.PLURALIZE_SQL: inject plural forms into the corpus
+    (its vocabulary has none) so the stemmer chain has real work to do."""
+    return corpus.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"\btable\b", "tables"),
+            r"\bquery\b", "queries"))
+
+
+def _alt_searcher(spark, sf_dir, suffix: str, analyzer: str,
+                  transform=None, **searcher_kw) -> Searcher:
+    """Build (or reuse on disk) a secondary index over documents.text with a
+    non-default analyzer chain; positions off (chained analyzers renumber
+    positions — see analysis.analyzer filter-chain note)."""
+    key = os.path.abspath(sf_dir)
+    out = os.path.join(
+        INDEX_ROOT,
+        hashlib.sha256(key.encode()).hexdigest()[:16]) + "_" + suffix
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    if transform is not None:
+        corpus = transform(corpus)
+    n = corpus.count()
+    idx = _load_or_build(
+        spark, corpus, out,
+        IndexConfig(field="text", analyzer=analyzer, id_col="doc_id",
+                    n_parts=4, bucket_span=1 << 12), n)
+    idx.cache(spark)
+    return Searcher(spark, idx, **searcher_kw)
+
+
+@q("api_analyze_chain", f"""
+WITH src AS (
+    SELECT doc_id, {O.PLURALIZE_SQL} AS text2
+    FROM documents WHERE doc_id < 30
+),
+toks AS (
+    SELECT doc_id, term, p FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(text2, '\\s+')) AS term,
+               unnest(range(len(string_split_regex(text2, '\\s+')))) AS p
+        FROM src)
+    WHERE term <> '' AND term NOT IN {O.ENGLISH_STOP_SQL}
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS INT)
+           AS position,
+       {O.stem_minimal_sql()} AS token
+FROM toks ORDER BY doc_id, position
+""")
+def api_analyze_chain(spark, sf_dir):
+    """_analyze with a token-filter chain (CommonAnalysisModulePlugin.java:
+    stop + stemmer factories; Lucene EnglishMinimalStemFilter semantics):
+    standard tokenizer → English stop removal → plural s-stemmer, positions
+    renumbered after removal."""
+    from opensearch_spark.search.apis import analyze_api
+
+    d = _pluralized(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 30).select("doc_id", "text"))
+    return analyze_api(d, "text", "english_light").orderBy("doc_id", "position")
+
+
+@q("api_analyze_fold", """
+WITH src AS (
+    SELECT doc_id, replace(text, 'a', 'á') AS text2
+    FROM documents WHERE doc_id < 20
+),
+t AS (SELECT doc_id, string_split_regex(trim(text2), '\\s+') AS toks FROM src)
+SELECT doc_id, CAST(unnest(range(len(toks))) AS INT) AS position,
+       strip_accents(unnest(toks)) AS token
+FROM t ORDER BY doc_id, position
+""")
+def api_analyze_fold(spark, sf_dir):
+    """asciifolding token filter (ASCIIFoldingTokenFilterFactory in
+    common-analysis; Lucene ASCIIFoldingFilter): accents injected
+    deterministically (a→á), folded back by the chain — the output token
+    stream round-trips to the standard analysis of the original text."""
+    from opensearch_spark.search.apis import analyze_api
+
+    d = (_docs(spark, sf_dir).where(F.col("doc_id") < 20)
+         .select("doc_id", F.regexp_replace("text", "a", "á").alias("text")))
+    return analyze_api(d, "text", "fold").orderBy("doc_id", "position")
+
+
+@q("search_match_stemmed", f"""
+WITH src AS (SELECT doc_id, {O.PLURALIZE_SQL} AS text2 FROM documents),
+tok2 AS (
+    SELECT doc_id, {O.stem_minimal_sql()} AS term FROM (
+        SELECT doc_id, unnest(string_split_regex(text2, '\\s+')) AS term
+        FROM src)
+    WHERE term <> '' AND term NOT IN {O.ENGLISH_STOP_SQL}
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS N,
+           (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('table','query') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('table','query') GROUP BY term),
+scored AS (SELECT tf.doc_id, sum({O.bm25_term()}) AS raw_score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY tf.doc_id)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scored ORDER BY round(raw_score, 4) DESC, doc_id LIMIT 10
+""")
+def search_match_stemmed(spark, sf_dir):
+    """match over an english_light-analyzed index (stop + plural stemmer):
+    query text 'tables queries' stems to the same terms the index stores,
+    dl/avgdl computed post-filter — the analyzer-chain twin of the
+    reference's `english` analyzer mapping."""
+    s = _alt_searcher(spark, sf_dir, "stem", "english_light",
+                      transform=_pluralized)
+    return s.search(Match(field="text", text="tables queries"),
+                    k=10, mode="wand", round_scores=4)
+
+
+@q("search_edge_ngram_autocomplete", f"""
+WITH toks AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+        FROM documents) WHERE term <> ''
+),
+dl AS (SELECT doc_id, sum(least(length(term), 8)) AS dl
+       FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS N,
+           (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, count(*) AS tf FROM toks
+       WHERE term LIKE 'spa%' GROUP BY doc_id),
+dfreq AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id,
+       round({O.bm25_term()}, 4) AS score
+FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+ORDER BY score DESC, tf.doc_id LIMIT 10
+""")
+def search_edge_ngram_autocomplete(spark, sf_dir):
+    """search-as-you-type: index side edge_ngram(1,8) filter
+    (EdgeNGramTokenFilterFactory in common-analysis), query side standard —
+    the reference's autocomplete mapping pattern (index_analyzer ≠
+    search_analyzer). BM25 over the ngram stream: dl counts emitted grams,
+    tf('spa') = tokens with that prefix."""
+    s = _alt_searcher(spark, sf_dir, "edge", "edge_ngram_1_8")
+    return s.search(
+        Match(field="text", text="spa", analyzer="standard"),
+        k=10, mode="wand", round_scores=4)
+
+
+@q("search_synonym_match", O.match_sql(["table", "fast"], k=10))
+def search_synonym_match(spark, sf_dir):
+    """query-time synonym expansion (SynonymTokenFilterFactory, rules
+    `tbl => table`, `rapid => fast`): the match query's analyzer param
+    routes 'tbl rapid' through the synonym chain onto the standard index —
+    same hits and scores as matching the canonical terms directly."""
+    s = get_searcher(spark, sf_dir)
+    return s.search(
+        Match(field="text", text="tbl rapid", analyzer="synonym_demo"),
+        k=10, mode="wand", round_scores=4)
+
+
+@q("curation_gopher_quality", f"""
+WITH words AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(toks) AS n_words,
+           list_aggregate(list_transform(toks, t -> length(t)), 'sum') * 1.0
+               / len(toks) AS mean_word_len,
+           len(list_filter(toks, t -> t IN ('a','an','and','the','to','of',
+                                            'is','in','that','with')))
+               AS stop_hits,
+           len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio
+    FROM words
+)
+SELECT doc_id, n_words, round(mean_word_len, 4) AS mean_word_len,
+       stop_hits, round(distinct_ratio, 4) AS distinct_ratio,
+       (n_words BETWEEN 5 AND 10000
+        AND mean_word_len BETWEEN 2 AND 12
+        AND stop_hits >= 1
+        AND distinct_ratio >= 0.2) AS keep
+FROM m ORDER BY doc_id
+""")
+def curation_gopher_quality(spark, sf_dir):
+    """Gopher-style composite quality rules (Rae et al. 2021 §A1.1, public):
+    word-count bounds, mean-word-length window, stopword presence, and a
+    distinct-token-ratio repetition guard — one codegen pass, no UDFs; the
+    standard pre-training quality filter alongside text_quality's ratios."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stopset = ("a", "an", "and", "the", "to", "of", "is", "in", "that", "with")
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        (F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                     F.lit(0), lambda a, x: a + x).cast("double")
+         / F.size(toks)).alias("mean_word_len"),
+        F.size(F.filter(toks, lambda t: t.isin(*stopset))).alias("stop_hits"),
+        (F.size(F.array_distinct(toks)).cast("double")
+         / F.size(toks)).alias("distinct_ratio"),
+    )
+    return m.select(
+        "doc_id", "n_words",
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        "stop_hits",
+        F.round("distinct_ratio", 4).alias("distinct_ratio"),
+        (F.col("n_words").between(5, 10000)
+         & F.col("mean_word_len").between(2, 12)
+         & (F.col("stop_hits") >= 1)
+         & (F.col("distinct_ratio") >= 0.2)).alias("keep"),
+    ).orderBy("doc_id")
+
+
 @q("search_template", O.match_sql(["vector", "window"], k=10))
 def search_template(spark, sf_dir):
     """_search/template (mustache interpolation subset): render params

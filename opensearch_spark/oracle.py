@@ -31,6 +31,38 @@ stats AS (
 """
 
 
+# Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET — must stay identical to
+# analysis.analyzer.ENGLISH_STOP_WORDS
+ENGLISH_STOP_SQL = (
+    "('a','an','and','are','as','at','be','but','by','for','if','in',"
+    "'into','is','it','no','not','of','on','or','such','that','the',"
+    "'their','then','there','these','they','this','to','was','will','with')"
+)
+
+
+def stem_minimal_sql(col: str = "term") -> str:
+    """SQL twin of analysis.analyzer.stem_minimal_english (Lucene
+    EnglishMinimalStemFilter): plural-only s-stemmer as a CASE expression."""
+    return f"""CASE
+      WHEN length({col}) < 3 OR substr({col}, -1) <> 's' THEN {col}
+      WHEN substr({col}, -2, 1) IN ('u','s') THEN {col}
+      WHEN substr({col}, -2, 1) = 'e' THEN CASE
+        WHEN length({col}) > 3 AND substr({col}, -3, 1) = 'i'
+             AND substr({col}, -4, 1) NOT IN ('a','e')
+          THEN substr({col}, 1, length({col}) - 3) || 'y'
+        WHEN substr({col}, -3, 1) IN ('i','a','o','e') THEN {col}
+        ELSE substr({col}, 1, length({col}) - 1)
+      END
+      ELSE substr({col}, 1, length({col}) - 1)
+    END"""
+
+
+# deterministic pluralizing rewrite used by the stemmer gates (the corpus
+# vocabulary has no plural forms); applied identically on the Spark side
+PLURALIZE_SQL = ("regexp_replace(regexp_replace(text, '\\btable\\b', "
+                 "'tables', 'g'), '\\bquery\\b', 'queries', 'g')")
+
+
 def _terms_list(terms: list[str]) -> str:
     inner = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return f"({inner})"

@@ -90,8 +90,8 @@ class Searcher:
             )
 
     # ---------- term statistics ----------
-    def analyze(self, text: str) -> list[str]:
-        return tokenize(text, self.index.analyzer)
+    def analyze(self, text: str, analyzer: str | None = None) -> list[str]:
+        return tokenize(text, analyzer or self.index.analyzer)
 
     def _searcher_for(self, field: str) -> "Searcher":
         if field == self.field:
@@ -176,7 +176,7 @@ class Searcher:
 
     # ---------- scoring: match ----------
     def _match_exhaustive(self, q: Q.Match) -> DataFrame:
-        terms = self.analyze(q.text)
+        terms = self.analyze(q.text, getattr(q, "analyzer", None))
         dfs = self.term_dfs(terms)
         live = [t for t in dict.fromkeys(terms) if t in dfs]
         n_required = self._n_required(q, live, terms)
@@ -209,7 +209,7 @@ class Searcher:
     def _match_wand(self, q: Q.Match, k: int) -> DataFrame:
         from opensearch_spark.search.wand import wand_partition_fn
 
-        terms = self.analyze(q.text)
+        terms = self.analyze(q.text, getattr(q, "analyzer", None))
         dfs = self.term_dfs(terms)
         live = [t for t in dict.fromkeys(terms) if t in dfs]
         if not live or (q.operator == "and" and len(live) < len(set(terms))):

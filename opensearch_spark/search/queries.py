@@ -36,6 +36,10 @@ class Match(Query):
     operator: str = "or"  # or|and
     minimum_should_match: int = 0
     boost: float = 1.0
+    #: query-time analyzer override (the reference match query's `analyzer`
+    #: param; used e.g. for query-side synonym expansion or autocomplete
+    #: where the index side is edge-ngrammed but the query side is not)
+    analyzer: str | None = None
 
 
 @dataclass

@@ -87,3 +87,59 @@ def test_analyze_udf_matches_python(spark):
     ]
     assert got[0] == tokenize_standard_code(rows[0][0])
     assert got[1] == [] and got[2] == []
+
+
+# ---------------------------------------------------------------------------
+# token-filter chain (stop / stem / fold / synonym / edge_ngram)
+# ---------------------------------------------------------------------------
+
+def test_minimal_english_stem():
+    from opensearch_spark.analysis.analyzer import stem_minimal_english as st
+
+    # Lucene EnglishMinimalStemFilter semantics (Harman s-stemmer)
+    assert st("tables") == "table"
+    assert st("queries") == "query"     # -ies -> -y
+    assert st("ponies") == "pony"
+    assert st("glass") == "glass"       # -ss unchanged
+    assert st("bus") == "bus"           # -us unchanged
+    assert st("goes") == "goes"         # -oes unchanged
+    assert st("dies") == "dy"           # -ies -> -y (4th-from-end not a/e)
+    assert st("is") == "is"             # len < 3
+    assert st("table") == "table"       # no trailing s
+
+
+def test_stop_and_stem_chain():
+    from opensearch_spark.analysis import tokenize
+
+    assert tokenize("the tables and queries", "english_light") == [
+        "table", "query"]
+
+
+def test_fold_chain():
+    from opensearch_spark.analysis import tokenize
+
+    assert tokenize("Café Über naïve", "fold") == ["cafe", "uber", "naive"]
+
+
+def test_synonym_chain():
+    from opensearch_spark.analysis import tokenize
+
+    assert tokenize("tbl rapid spark", "synonym_demo") == [
+        "table", "fast", "spark"]
+
+
+def test_edge_ngram_chain():
+    from opensearch_spark.analysis import tokenize
+
+    assert tokenize("go spark", "edge_ngram_1_8") == [
+        "g", "go", "s", "sp", "spa", "spar", "spark"]
+    # max_gram caps long tokens at 8 prefixes
+    assert tokenize("refactoring", "edge_ngram_1_8") == [
+        "r", "re", "ref", "refa", "refac", "refact", "refacto", "refactor"]
+
+
+def test_match_analyzer_override_is_plumbed():
+    from opensearch_spark.search import Match
+
+    q = Match(field="text", text="tbl", analyzer="synonym_demo")
+    assert q.analyzer == "synonym_demo"
