@@ -51,7 +51,9 @@ def _load_or_build(spark, corpus, out, cfg, n) -> InvertedIndex:
         if (idx.doc_count == n
                 and idx.meta.get("layout_version") == LAYOUT_VERSION
                 and idx.meta.get("analyzer") == cfg.analyzer
-                and bool(idx.meta.get("with_positions")) == cfg.with_positions):
+                and bool(idx.meta.get("with_positions")) == cfg.with_positions
+                and idx.meta.get("index_options", "freqs")
+                    == getattr(cfg, "index_options", "freqs")):
             return idx
     return build_index(spark, corpus, out, cfg)
 
@@ -1251,7 +1253,8 @@ def _pluralized(corpus: DataFrame) -> DataFrame:
 
 
 def _alt_searcher(spark, sf_dir, suffix: str, analyzer: str,
-                  transform=None, **searcher_kw) -> Searcher:
+                  transform=None, index_options: str = "freqs",
+                  **searcher_kw) -> Searcher:
     """Build (or reuse on disk) a secondary index over documents.text with a
     non-default analyzer chain; positions off (chained analyzers renumber
     positions — see analysis.analyzer filter-chain note)."""
@@ -1266,7 +1269,8 @@ def _alt_searcher(spark, sf_dir, suffix: str, analyzer: str,
     idx = _load_or_build(
         spark, corpus, out,
         IndexConfig(field="text", analyzer=analyzer, id_col="doc_id",
-                    n_parts=4, bucket_span=1 << 12), n)
+                    n_parts=4, bucket_span=1 << 12,
+                    index_options=index_options), n)
     idx.cache(spark)
     return Searcher(spark, idx, **searcher_kw)
 
@@ -1390,6 +1394,28 @@ def search_edge_ngram_autocomplete(spark, sf_dir):
     return s.search(
         Match(field="text", text="spa", analyzer="standard"),
         k=10, mode="wand", round_scores=4)
+
+
+@q("search_match_only_text", f"""
+WITH {O.TOK_CTES},
+hit AS (SELECT DISTINCT doc_id, term FROM tok2
+        WHERE term IN ('spark','vector','merge')),
+dfreq AS (SELECT term, count(*) AS df FROM hit GROUP BY term),
+scored AS (
+    SELECT hit.doc_id, sum({O.bm25_term(tf='1')}) AS raw_score
+    FROM hit JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY hit.doc_id)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scored ORDER BY round(raw_score, 4) DESC, doc_id LIMIT 10
+""")
+def search_match_only_text(spark, sf_dir):
+    """match_only_text field type (MatchOnlyTextFieldMapper.java:42,59 —
+    IndexOptions.DOCS): postings store no term frequencies, scoring treats
+    tf≡1, norms (dl) kept; the cheap high-volume-logs mapping. Index built
+    with index_options='docs'; same WAND machinery on the degenerate tf."""
+    s = _alt_searcher(spark, sf_dir, "mot", "standard", index_options="docs")
+    return s.search(Match(field="text", text="spark vector merge"),
+                    k=10, mode="wand", round_scores=4)
 
 
 @q("search_synonym_match", O.match_sql(["table", "fast"], k=10))
@@ -3042,6 +3068,38 @@ def sim_cosine_topk(spark, sf_dir):
     qv = [float(x) for x in
           emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return S.cosine_topk(emb, qv, k=10, exclude_id=0)
+
+
+@q("sim_sq8_topk", """
+WITH st AS (
+    SELECT min(x) AS mn, (max(x) - min(x)) / 255.0 AS scale
+    FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
+),
+dq AS (
+    SELECT e.vec_id,
+           list_transform(
+               CAST(e.embedding AS DOUBLE[]),
+               x -> st.mn + round((x - st.mn) / st.scale) * st.scale) AS v
+    FROM embeddings e CROSS JOIN st
+),
+q AS (SELECT v AS qv FROM dq WHERE vec_id = 0),
+pairs AS (SELECT d.vec_id, unnest(d.v) AS x, unnest(q.qv) AS y
+          FROM dq d CROSS JOIN q),
+s AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+      FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 4) AS cosine
+FROM s WHERE vec_id <> 0
+ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 4) DESC, vec_id LIMIT 10
+""")
+def sim_sq8_topk(spark, sf_dir):
+    """int8 scalar-quantized cosine top-k (the reference's byte-quantized
+    knn_vector path; Lucene-style scalar quantizer with a global range):
+    quantize→dequantize round-trip on both sides, exact SQL twin — unlike
+    LSH/IVF this ANN variant is hash-gated, not recall-gated."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return S.sq8_topk(emb, qv, k=10, exclude_id=0)
 
 
 _ANN_CACHE: dict[str, "S.AnnIndex"] = {}

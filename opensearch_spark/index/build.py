@@ -54,6 +54,12 @@ class IndexConfig:
     k1: float = 1.2
     b: float = 0.75
     with_positions: bool = False
+    # "freqs" (text field default) | "docs" (match_only_text,
+    # MatchOnlyTextFieldMapper.java:42,59 — IndexOptions.DOCS): postings
+    # keep no term frequencies (tf ≡ 1 at score time), positions are
+    # unavailable; norms (dl) are still stored. The tf run of 1s varbyte-
+    # encodes to 1 byte/posting, so the posting payload shrinks accordingly.
+    index_options: str = "freqs"
     # storage level for the analyzed-frame cache that every build stage
     # reads. "memory" = MEMORY_AND_DISK (default). "disk" = DISK_ONLY:
     # past the point where the columnar cache fits the executor heap
@@ -462,6 +468,17 @@ def build_index(
         doc_count = int(srow["n"])
         sum_dl = int(srow["s"] or 0)
     avgdl = sum_dl / doc_count if doc_count else 0.0
+
+    if cfg.index_options == "docs":
+        # match_only_text: drop term frequencies before any downstream
+        # consumer (postings, dictionary cf) — dl/norms stay exact
+        if cfg.with_positions:
+            raise ValueError(
+                "index_options='docs' (match_only_text) cannot store positions")
+        analyzed = analyzed.withColumn(
+            "_tf",
+            F.col("_tf").withField(
+                "tfs", F.transform("_tf.tfs", lambda t: F.lit(1))))
 
     # --- flat postings: narrow explode of the cached per-doc arrays ---
     zip_expr = ("arrays_zip(_tf.terms, _tf.tfs, _tf.poss)"

@@ -444,3 +444,65 @@ def radius_search(df: DataFrame, query_vec: list[float], min_cosine: float,
     if exclude_id is not None:
         s = s.where(F.col(id_col) != exclude_id)
     return s.where(F.col("cosine") >= min_cosine)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (the reference's knn_vector byte/quantized path;
+# Lucene 9.9-style scalar quantizer, simplified to a global [min,max] range)
+# ---------------------------------------------------------------------------
+
+def sq8_stats(df: DataFrame, vec_col: str = "embedding") -> tuple[float, float]:
+    """Global component range — ONE metadata-light aggregation pass; at
+    100 TB this is the whole training cost of the quantizer (vs k-means
+    for IVF/PQ)."""
+    row = df.select(
+        F.min(F.array_min(vec_col)).alias("mn"),
+        F.max(F.array_max(vec_col)).alias("mx"),
+    ).first()
+    return float(row["mn"]), float(row["mx"])
+
+
+def _sq8_dequant_col(vec_col, mn: float, scale: float):
+    # quantize to 0..255 then de-quantize: the scored vector is exactly what
+    # an int8-stored index would reconstruct (4x smaller storage at scale;
+    # round() is HALF_UP on both Spark and DuckDB for non-negative inputs)
+    return F.transform(
+        vec_col,
+        lambda x: F.lit(mn)
+        + F.round((x.cast("double") - F.lit(mn)) / F.lit(scale)).cast("double")
+        * F.lit(scale),
+    )
+
+
+def sq8_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             exclude_id: int | None = None,
+             stats: tuple[float, float] | None = None) -> DataFrame:
+    """Approximate cosine top-k over int8 scalar-quantized vectors.
+
+    Both sides of the dot product are quantize→dequantize round-tripped, so
+    the score is the one a byte-vector index computes. Plan shape is
+    identical to cosine_topk (scan + codegen fold + TakeOrderedAndProject);
+    only the per-component reconstruction differs."""
+    import math
+
+    mn, mx = stats or sq8_stats(df, vec_col)
+    scale = (mx - mn) / 255.0
+    if scale == 0.0:
+        raise ValueError("sq8: constant corpus (max == min), nothing to quantize")
+    # floor(v+0.5) == HALF_UP for the non-negative (x-mn)/scale
+    dq = [mn + math.floor((float(x) - mn) / scale + 0.5) * scale
+          for x in query_vec]
+    deq = _sq8_dequant_col(F.col(vec_col), mn, scale)
+    qarr = F.array(*[F.lit(float(v)) for v in dq])
+    dot = F.aggregate(F.zip_with(deq, qarr, lambda x, y: x * y),
+                      F.lit(0.0), lambda a, v: a + v)
+    nx = F.aggregate(deq, F.lit(0.0), lambda a, v: a + v * v)
+    ny = float(sum(v * v for v in dq))
+    s = df.select(
+        F.col(id_col),
+        F.round(dot / (F.sqrt(nx) * F.lit(math.sqrt(ny))), 4).alias("cosine"),
+    )
+    if exclude_id is not None:
+        s = s.where(F.col(id_col) != exclude_id)
+    return s.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

@@ -206,3 +206,35 @@ def test_wand_exhaustive_property(searcher, words, op, msm, k):
     ex = spark_rows(searcher.search(q, k=k, mode="exhaustive", round_scores=4))
     wd = spark_rows(searcher.search(q, k=k, mode="wand", round_scores=4))
     assert wd == ex
+
+
+def test_match_only_text_postings_have_unit_tf(spark, tmp_path):
+    """index_options='docs' (match_only_text): every decoded posting tf is 1,
+    dictionary cf == df, and positions are refused at build time."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from opensearch_spark.index.build import IndexConfig, build_index
+    from opensearch_spark.search import Match, Searcher
+
+    corpus = spark.createDataFrame(
+        [(0, "spark spark spark table"), (1, "spark table table"),
+         (2, "merge merge")],
+        "doc_id long, text string")
+    idx = build_index(
+        spark, corpus, str(tmp_path / "mot"),
+        IndexConfig(field="text", analyzer="standard", id_col="doc_id",
+                    n_parts=2, index_options="docs"))
+    d = idx.dictionary(spark).collect()
+    assert all(r["cf"] == r["df"] for r in d)
+    s = Searcher(spark, idx)
+    flat = s._flat_postings(["spark", "table", "merge"]).collect()
+    assert flat and all(r["tf"] == 1 for r in flat)
+    # dl keeps the full token count (norms unaffected by dropped freqs)
+    assert {r["doc_id"]: r["dl"] for r in flat if True}[0] == 4
+
+    with _pytest.raises(ValueError):
+        build_index(spark, corpus, str(tmp_path / "bad"),
+                    IndexConfig(field="text", analyzer="standard",
+                                id_col="doc_id", with_positions=True,
+                                index_options="docs"))

@@ -182,3 +182,31 @@ def test_hybrid_minmax_bounds(spark, sf_dir):
     # vec_id 0 is its own nearest neighbour → cosine leg max → >= 0.5
     top = max(r["hybrid_score"] for r in out)
     assert top >= 0.5
+
+
+def test_sq8_topk_close_to_exact(spark):
+    from opensearch_spark.ml import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    exact = [r["vec_id"]
+             for r in S.cosine_topk(emb, qv, k=10, exclude_id=0).collect()]
+    quant = [r["vec_id"]
+             for r in S.sq8_topk(emb, qv, k=10, exclude_id=0).collect()]
+    # 8-bit quantization on 64-dim unit-ish vectors: top-10 nearly identical
+    assert len(set(exact) & set(quant)) >= 8
+    # deterministic
+    again = [r["vec_id"]
+             for r in S.sq8_topk(emb, qv, k=10, exclude_id=0).collect()]
+    assert quant == again
+
+
+def test_sq8_constant_corpus_raises(spark):
+    import pytest as _pytest
+
+    from opensearch_spark.ml import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(3)], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError):
+        S.sq8_topk(df, [1.0, 1.0], k=2)
