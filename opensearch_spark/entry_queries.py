@@ -602,6 +602,65 @@ def search_index_pattern(spark, sf_dir):
             .orderBy(F.desc("score"), "_index", "doc_id").limit(10))
 
 
+@q("search_sparse_vector", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark','vector','merge') GROUP BY doc_id, term),
+w AS (SELECT * FROM (VALUES ('spark', 2.0), ('vector', 1.0),
+                            ('merge', 0.5)) AS v(term, w)),
+scored AS (SELECT doc_id, sum(w.w * tf.tf) AS s
+           FROM tf JOIN w USING (term) GROUP BY doc_id)
+SELECT doc_id, round(s, 4) AS score
+FROM scored ORDER BY round(s, 4) DESC, doc_id LIMIT 10
+""")
+def search_sparse_vector(spark, sf_dir):
+    """neural_sparse / rank_features scoring (SPLADE-style learned sparse):
+    query = {term: weight} map, score = Σ w·tf raw impact dot product over
+    the same inverted index that serves BM25 — no IDF, no length norms."""
+    s = get_searcher(spark, sf_dir)
+    return s.sparse_topk({"spark": 2.0, "vector": 1.0, "merge": 0.5},
+                         k=10, round_scores=4)
+
+
+@q("search_sort_indexed", """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars, doc_id LIMIT 10
+""")
+def search_sort_indexed(spark, sf_dir):
+    """Index sorting + sort-based early termination (index.sort.* settings,
+    IndexSortConfig.java; Lucene IndexWriterConfig.setIndexSort): docs
+    written range-partitioned/sorted by the sort key with a per-file
+    (min,max,rows) manifest — top-k reads only the file prefix covering k
+    (early termination as file pruning; one file instead of the table at
+    100 TB)."""
+    from opensearch_spark.index import sorted_store as SS
+
+    key = os.path.abspath(sf_dir)
+    out = os.path.join(
+        INDEX_ROOT,
+        hashlib.sha256(key.encode()).hexdigest()[:16]) + "_sorted"
+    if not os.path.exists(os.path.join(out, SS.MANIFEST)):
+        SS.write_sorted(_docs(spark, sf_dir).select("doc_id", "n_chars"),
+                        out, "n_chars", "doc_id")
+    return SS.topk_sorted(spark, out, 10, ascending=True,
+                          columns=["doc_id", "n_chars"])
+
+
+@q("api_filtered_alias",
+   O.match_sql(["vector", "stream"], k=10, extra_filter="lang = 'en'"))
+def api_filtered_alias(spark, sf_dir):
+    """Filtered alias (`_aliases` API, AliasMetadata.filter): the alias
+    carries a term filter that is AND-ed into every search against it in
+    filter context — same hits/scores as an explicit bool filter."""
+    from opensearch_spark.search.apis import AliasRegistry
+
+    s = get_searcher(spark, sf_dir)
+    reg = AliasRegistry().put(
+        "docs_en", s, flt=Term(field="lang", value="en"), index_name="docs")
+    out = reg.search("docs_en", Match(field="text", text="vector stream"),
+                     k=10, mode="exhaustive", round_scores=4)
+    return out.select("doc_id", "score")
+
+
 @q("search_match_all", """
 SELECT doc_id, 1.0 AS score FROM documents ORDER BY doc_id
 """)

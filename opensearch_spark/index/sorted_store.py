@@ -1,0 +1,145 @@
+"""Index sorting + sort-based early termination.
+
+Reference: OpenSearch index sorting (``index.sort.field`` settings,
+``IndexSortConfig.java``; Lucene ``IndexWriterConfig.setIndexSort``) lets a
+top-k-by-sort-field query terminate after the first k docs per segment
+because segments store docs in sort order.
+
+Spark-first re-expression: write the table range-partitioned by
+(sort_key, tiebreak) with rows sorted inside each file, and record a
+manifest of per-file (min, max, rows) for the sort key — the parquet
+footer stats, lifted to a driver-readable JSON. A top-k query then reads
+ONLY the file prefix whose cumulative row count covers k (plus boundary
+ties): early termination becomes file pruning, so at 100 TB a top-10 by
+timestamp touches one file instead of the whole table. The same manifest
+serves range predicates (files with [min,max] ∩ predicate = ∅ are skipped
+— Lucene's PointValues skipping analog).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MANIFEST = "sort_manifest.json"
+
+
+def write_sorted(df: DataFrame, out_dir: str, sort_col: str,
+                 tiebreak_col: str, n_parts: int = 8) -> dict:
+    """Write ``df`` as a sort-partitioned parquet table + manifest.
+
+    repartitionByRange gives non-overlapping value ranges per output file
+    (equal keys can only touch at boundaries); sortWithinPartitions makes
+    each file internally sorted, so a reader of the selected file prefix
+    sees fully sorted data after a cheap k-way merge (Spark's orderBy over
+    an already-clustered subset)."""
+    (df.repartitionByRange(n_parts, F.col(sort_col), F.col(tiebreak_col))
+       .sortWithinPartitions(sort_col, tiebreak_col)
+       .write.mode("overwrite").parquet(out_dir))
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir)
+        if f.endswith(".parquet"))
+    entries = []
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        mn = mx = None
+        rows = md.num_rows
+        if rows == 0:
+            continue
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            for ci in range(grp.num_columns):
+                col = grp.column(ci)
+                if col.path_in_schema == sort_col and col.statistics:
+                    st = col.statistics
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+        entries.append({"file": os.path.basename(path), "rows": rows,
+                        "min": mn, "max": mx})
+    manifest = {"sort_col": sort_col, "tiebreak_col": tiebreak_col,
+                "files": entries}
+    tmp = os.path.join(out_dir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST))
+    return manifest
+
+
+def _load_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as f:
+        return json.load(f)
+
+
+def prune_files_topk(manifest: dict, k: int, ascending: bool = True) -> list[str]:
+    """File prefix covering the global top-k by sort key.
+
+    Files sorted by min (asc) / max (desc); accumulate until ≥ k rows, then
+    keep every further file whose range can still contain a value ≤/≥ the
+    bound B = worst stat of the chosen prefix — any top-k row has value
+    within B, so the selection is sufficient (ties at range boundaries are
+    the only extra files for non-overlapping ranges)."""
+    fs = manifest["files"]
+    fs = (sorted(fs, key=lambda e: (e["min"], e["max"])) if ascending
+          else sorted(fs, key=lambda e: (-e["max"], -e["min"])))
+    chosen, cum = [], 0
+    for e in fs:
+        if cum < k:
+            chosen.append(e)
+            cum += e["rows"]
+        else:
+            bound = (max(c["max"] for c in chosen) if ascending
+                     else min(c["min"] for c in chosen))
+            if (ascending and e["min"] <= bound) or \
+               (not ascending and e["max"] >= bound):
+                chosen.append(e)
+            else:
+                break
+    return [e["file"] for e in chosen]
+
+
+def prune_files_range(manifest: dict, lo=None, hi=None) -> list[str]:
+    """Files whose [min,max] intersects [lo,hi] (PointValues-style skip)."""
+    out = []
+    for e in manifest["files"]:
+        if lo is not None and e["max"] < lo:
+            continue
+        if hi is not None and e["min"] > hi:
+            continue
+        out.append(e["file"])
+    return out
+
+
+def topk_sorted(spark: SparkSession, path: str, k: int,
+                ascending: bool = True,
+                columns: list[str] | None = None) -> DataFrame:
+    """Early-terminated top-k over a write_sorted table: reads only the
+    pruned file prefix, then a bounded sort+limit on that subset."""
+    m = _load_manifest(path)
+    files = prune_files_topk(m, k, ascending)
+    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    sc, tb = m["sort_col"], m["tiebreak_col"]
+    order = ([F.asc(sc), F.asc(tb)] if ascending
+             else [F.desc(sc), F.asc(tb)])
+    out = df.orderBy(*order).limit(k)
+    return out.select(*columns) if columns else out
+
+
+def range_scan_sorted(spark: SparkSession, path: str,
+                      lo=None, hi=None) -> DataFrame:
+    """Range predicate over a write_sorted table with manifest file skip;
+    the residual filter still applies (file stats are a superset)."""
+    m = _load_manifest(path)
+    files = prune_files_range(m, lo, hi)
+    sc = m["sort_col"]
+    if not files:
+        return (spark.read.parquet(path).where(F.lit(False)))
+    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    if lo is not None:
+        df = df.where(F.col(sc) >= lo)
+    if hi is not None:
+        df = df.where(F.col(sc) <= hi)
+    return df

@@ -23,12 +23,16 @@ def _shingle_expr(text_col: str, n: int):
         return F.split(F.trim(F.col(text_col)), r"\s+")
     # NB: sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — docs
     # shorter than n tokens need an explicit empty-array branch.
+    # bind the token array ONCE via a single-element-array lambda (no
+    # `let` in Spark SQL): a split() in the shingle lambda body would be
+    # re-evaluated per element — O(len²) regex work on long docs
     toks = f"split(trim({text_col}), '\\\\s+')"
     return F.expr(
-        f"CASE WHEN size({toks}) >= {n} "
-        f"THEN transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        f"flatten(transform(array({toks}), _t -> "
+        f"CASE WHEN size(_t) >= {n} "
+        f"THEN transform(sequence(1, size(_t) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_t, i, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END))"
     )
 
 

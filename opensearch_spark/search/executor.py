@@ -1044,6 +1044,29 @@ class Searcher:
         scoring or fetch."""
         return self.matching_docs(q).count()
 
+    def sparse_topk(self, weights: dict[str, float], k: int = 10,
+                    round_scores: int | None = None) -> DataFrame:
+        """Learned-sparse retrieval (the reference's neural_sparse query /
+        rank_features scoring, SPLADE-style): score = Σ_t w_t · tf(doc, t)
+        — a raw impact dot product over the inverted index, no IDF/norms.
+
+        Plan: term-pruned postings decode for just the weighted terms, a
+        broadcast weights join, one (doc_id) aggregation,
+        TakeOrderedAndProject — identical shape to a match, so the same
+        posting layout serves lexical BM25 and learned-sparse queries."""
+        live = [t for t in weights if t in self.term_dfs(list(weights))]
+        if not live:
+            return self._empty_scores()
+        flat = self._flat_postings(live)
+        wdf = self.spark.createDataFrame(
+            [(t, float(weights[t])) for t in live], "term string, w double")
+        scored = (flat.join(F.broadcast(wdf), "term")
+                  .groupBy("doc_id")
+                  .agg(F.sum(F.col("w") * F.col("tf")).alias("score")))
+        if round_scores is not None:
+            scored = scored.withColumn("score", F.round("score", round_scores))
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def msearch(self, queries: dict[str, Q.Query], k: int = 10,
                 round_scores: int | None = None, margin: int = 50) -> DataFrame:
         """_msearch (TransportMultiSearchAction): several queries, one

@@ -81,6 +81,14 @@ def percolate(
     One docs scan per used field class (analyzed text fields share a single
     analyze pass); stored queries always broadcast.
     """
+    # a small single-file corpus arrives as ONE partition — the analyze
+    # UDF pass (the dominant cost) would run on one core and one Python
+    # worker; re-spread to the session's parallelism (no-op at cluster
+    # scale where the source has many splits)
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+
     qdf = _queries_df(spark, queries)
     parts: list[DataFrame] = []
 

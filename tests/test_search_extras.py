@@ -381,3 +381,25 @@ def test_graded_metrics_rejects_overrange_grade(spark):
     grades = spark.createDataFrame([(1, 4)], "doc_id long, grade int")
     with pytest.raises(ValueError):
         graded_metrics(ranked, grades, k=2, max_grade=3).collect()
+
+
+def test_sparse_topk_matches_manual(spark, searcher):
+    """sparse_topk = sum of w*tf over the postings (neural_sparse-style
+    impact dot product) — verified against a hand-computed frame."""
+    from pyspark.sql import functions as F
+
+    s = searcher
+    w = {"spark": 2.0, "table": 1.0}
+    got = {r["doc_id"]: r["score"]
+           for r in s.sparse_topk(w, k=5, round_scores=4).collect()}
+    flat = s._flat_postings(list(w)).collect()
+    manual = {}
+    for r in flat:
+        manual[r["doc_id"]] = manual.get(r["doc_id"], 0.0) + w[r["term"]] * r["tf"]
+    want = dict(sorted(manual.items(),
+                       key=lambda kv: (-kv[1], kv[0]))[:5])
+    assert got == {k: round(v, 4) for k, v in want.items()}
+
+
+def test_sparse_topk_absent_terms_empty(spark, searcher):
+    assert searcher.sparse_topk({"zzznotaterm": 3.0}, k=5).count() == 0
