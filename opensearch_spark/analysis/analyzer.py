@@ -189,6 +189,23 @@ register_analyzer(
                       synonyms={"tbl": "table", "rapid": "fast"}))
 
 
+def tokenize_char_trigram(text: str) -> list[str]:
+    """Character trigrams of each standard token (the reference `wildcard`
+    field type, WildcardFieldMapper.java: ngram-indexed acceleration for
+    wildcard/regexp — grams prefilter candidates, the pattern verifies).
+    Tokens shorter than 3 chars are emitted whole."""
+    out: list[str] = []
+    for tok in tokenize_standard(text):
+        if len(tok) < 3:
+            out.append(tok)
+        else:
+            out.extend(tok[i:i + 3] for i in range(len(tok) - 2))
+    return out
+
+
+register_analyzer("char_trigram", tokenize_char_trigram)
+
+
 def tokenize(text: str, analyzer: str = "standard") -> list[str]:
     return ANALYZERS[analyzer](text)
 

@@ -602,6 +602,32 @@ def search_index_pattern(spark, sf_dir):
             .orderBy(F.desc("score"), "_index", "doc_id").limit(10))
 
 
+@q("search_wildcard_accel", f"""
+WITH {O.TOK_CTES}
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok2
+WHERE term LIKE '%erge%' ORDER BY doc_id
+""")
+def search_wildcard_accel(spark, sf_dir):
+    """wildcard FIELD TYPE (WildcardFieldMapper.java — not the dictionary-
+    scan wildcard QUERY): a char-trigram index prefilters candidate docs
+    (grams of the pattern's literal runs, AND-intersected posting lists),
+    then the real pattern verifies per candidate. At scale this replaces
+    the O(vocabulary) dictionary scan of `*infix*` patterns with a few
+    posting lookups + a candidate-bounded verify — the same two-phase
+    plan the reference runs."""
+    tri = _alt_searcher(spark, sf_dir, "tri", "char_trigram")
+    # literal run 'erge' from pattern '*erge*' → trigram AND-prefilter;
+    # the char_trigram analyzer turns the literal into its grams
+    cand = tri.matching_docs(
+        Match(field="text", text="erge", operator="and"))
+    docs = _docs(spark, sf_dir).join(cand, "doc_id", "left_semi")
+    verified = docs.where(
+        F.exists(F.split(F.trim(F.col("text")), r"\s+"),
+                 lambda t: t.like("%erge%")))
+    return (verified.select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id"))
+
+
 @q("search_sparse_vector", f"""
 WITH {O.TOK_CTES},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2

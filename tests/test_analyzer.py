@@ -143,3 +143,9 @@ def test_match_analyzer_override_is_plumbed():
 
     q = Match(field="text", text="tbl", analyzer="synonym_demo")
     assert q.analyzer == "synonym_demo"
+
+
+def test_char_trigram_chain():
+    from opensearch_spark.analysis import tokenize
+
+    assert tokenize("merge go", "char_trigram") == ["mer", "erg", "rge", "go"]

@@ -403,3 +403,20 @@ def test_sparse_topk_matches_manual(spark, searcher):
 
 def test_sparse_topk_absent_terms_empty(spark, searcher):
     assert searcher.sparse_topk({"zzznotaterm": 3.0}, k=5).count() == 0
+
+
+def test_wildcard_accel_prefilter_is_superset(spark, sf_dir):
+    """Trigram candidates ⊇ verified matches, and both agree with the
+    direct per-token LIKE scan (the two-phase wildcard-field plan)."""
+    from opensearch_spark.entry_queries import QUERIES, _alt_searcher
+
+    tri = _alt_searcher(spark, sf_dir, "tri", "char_trigram")
+    cand = {r["doc_id"] for r in tri.matching_docs(
+        Q.Match(field="text", text="erge", operator="and")).collect()}
+    verified = {r["doc_id"]
+                for r in QUERIES["search_wildcard_accel"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    direct = {r["doc_id"] for r in docs.where(
+        F.expr("exists(split(trim(text), '\\\\s+'), t -> t LIKE '%erge%')")).collect()}
+    assert verified == direct
+    assert verified <= cand
