@@ -602,6 +602,53 @@ def search_index_pattern(spark, sf_dir):
             .orderBy(F.desc("score"), "_index", "doc_id").limit(10))
 
 
+@q("ingest_upsert_versioned", """
+WITH base AS (SELECT doc_id, text, 1 AS version, 0 AS w FROM documents),
+upd AS (SELECT doc_id, 'v2 ' || text AS text, 2 AS version, 1 AS w
+        FROM documents WHERE doc_id % 7 = 0),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+win AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY version DESC, w DESC) AS rn
+        FROM allr)
+SELECT doc_id, version, length(text) AS n_chars_new
+FROM win WHERE rn = 1 ORDER BY doc_id
+""")
+def ingest_upsert_versioned(spark, sf_dir):
+    """Optimistic-concurrency upsert (InternalEngine versioned indexing,
+    VersionFieldMapper.java): per id the highest version wins, writer
+    order breaks ties; produces the next immutable snapshot (segments
+    don't rewrite in place, neither does parquet). One max_by shuffle."""
+    from opensearch_spark.index.versioning import upsert_versioned
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = d.withColumn("version", F.lit(1))
+    upd = (d.where(F.col("doc_id") % 7 == 0)
+           .select("doc_id", F.concat(F.lit("v2 "), F.col("text")).alias("text"))
+           .withColumn("version", F.lit(2)))
+    out = upsert_versioned(base, upd, "doc_id", "version")
+    return out.select("doc_id", "version",
+                      F.length("text").alias("n_chars_new")).orderBy("doc_id")
+
+
+@q("index_routing_shards", """
+SELECT doc_id,
+       CAST(('0x' || substr(md5(CAST(lang AS VARCHAR)), 1, 8))::BIGINT % 4
+            AS INT) AS shard
+FROM documents ORDER BY doc_id
+""")
+def index_routing_shards(spark, sf_dir):
+    """Custom routing (_routing; OperationRouting.java `hash(routing) %
+    num_shards`): deterministic doc→shard map, equal routing keys
+    colocate so routed queries prune to one shard. md5-derived hash here
+    (vs the reference's murmur3) — the hash is an implementation detail,
+    the contract is the deterministic colocating map, and md5 lets the
+    oracle reproduce it bit-for-bit."""
+    from opensearch_spark.index.versioning import routing_partition
+
+    return (routing_partition(_docs(spark, sf_dir), "lang", 4)
+            .select("doc_id", "shard").orderBy("doc_id"))
+
+
 @q("search_wildcard_accel", f"""
 WITH {O.TOK_CTES}
 SELECT DISTINCT doc_id, 1.0 AS score FROM tok2

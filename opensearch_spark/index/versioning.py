@@ -1,0 +1,54 @@
+"""Document versioning + routing: the reference's write-path concurrency
+and shard-placement semantics, re-expressed as deterministic columnar ops.
+
+- ``upsert_versioned``: optimistic-concurrency upsert (InternalEngine
+  versioned indexing, ``VersionFieldMapper.java``; seq_no/primary_term in
+  ``SeqNoFieldMapper.java``): for each document id the highest version
+  wins, ties broken by a deterministic writer order — exactly what a
+  last-writer-wins bulk upsert into an index produces. One groupBy with a
+  max_by struct; at 100 TB this is a single hash shuffle of the combined
+  change stream (the base table never rewrites in place — parquet is
+  immutable like segments, the upsert produces the next snapshot).
+- ``routing_partition``: custom routing (``_routing``,
+  ``cluster/routing/OperationRouting.java``: shard = hash(routing) %
+  num_shards). The reference uses murmur3; we use the first-8-hex-of-md5
+  integer hash so the DuckDB oracle reproduces the assignment bit-for-bit
+  (the hash function is an implementation detail, the CONTRACT is a
+  deterministic total map routing→shard that colocates equal keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def upsert_versioned(base: DataFrame, updates: DataFrame,
+                     id_col: str = "doc_id",
+                     version_col: str = "version") -> DataFrame:
+    """Last-writer-wins merge of base + updates snapshots: max version per
+    id; on equal versions the row with the greater ``_writer`` tag wins
+    (updates=1 beats base=0 — the reference's 'index overwrites' path)."""
+    cols = base.columns
+    if set(cols) != set(updates.columns):
+        raise ValueError("upsert_versioned: base/updates schemas differ")
+    tagged = (base.withColumn("_writer", F.lit(0))
+              .unionByName(updates.withColumn("_writer", F.lit(1))))
+    payload = [c for c in cols if c not in (id_col, version_col)]
+    pick = F.struct(F.col(version_col), F.col("_writer"),
+                    *[F.col(c) for c in payload])
+    won = (tagged.groupBy(id_col)
+           .agg(F.max(pick).alias("_w")))
+    out_cols = ([F.col(id_col), F.col(f"_w.{version_col}").alias(version_col)]
+                + [F.col(f"_w.{c}").alias(c) for c in payload])
+    return won.select(*out_cols)
+
+
+def routing_partition(df: DataFrame, routing_col: str,
+                      n_shards: int) -> DataFrame:
+    """Add a ``shard`` column: first-8-hex-of-md5(routing) % n_shards —
+    the deterministic doc→shard map (equal routing keys colocate; a
+    routed query prunes to one shard, ref OperationRouting.java:
+    ``shardId = hash(routing) % numPrimaryShards``)."""
+    h = F.conv(F.substring(F.md5(F.col(routing_col).cast("string")), 1, 8),
+               16, 10).cast("long")
+    return df.withColumn("shard", (h % n_shards).cast("int"))

@@ -238,3 +238,47 @@ def test_match_only_text_postings_have_unit_tf(spark, tmp_path):
                     IndexConfig(field="text", analyzer="standard",
                                 id_col="doc_id", with_positions=True,
                                 index_options="docs"))
+
+
+def test_upsert_versioned_semantics(spark):
+    from opensearch_spark.index.versioning import upsert_versioned
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 3), (3, "c", 1)],
+        "doc_id long, text string, version int")
+    upd = spark.createDataFrame(
+        [(1, "a2", 2), (2, "b-stale", 2), (3, "c-tie", 1), (4, "new", 1)],
+        "doc_id long, text string, version int")
+    got = {r["doc_id"]: (r["text"], r["version"])
+           for r in upsert_versioned(base, upd).collect()}
+    assert got == {
+        1: ("a2", 2),       # higher version wins
+        2: ("b", 3),        # stale update loses
+        3: ("c-tie", 1),    # equal version: updates side wins
+        4: ("new", 1),      # insert
+    }
+
+
+def test_upsert_versioned_schema_mismatch(spark):
+    import pytest as _pytest
+
+    from opensearch_spark.index.versioning import upsert_versioned
+
+    base = spark.createDataFrame([(1, 1)], "doc_id long, version int")
+    upd = spark.createDataFrame([(1, 1, "x")],
+                                "doc_id long, version int, extra string")
+    with _pytest.raises(ValueError):
+        upsert_versioned(base, upd)
+
+
+def test_routing_colocates_equal_keys(spark):
+    from opensearch_spark.index.versioning import routing_partition
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 5}") for i in range(50)], "doc_id long, rt string")
+    out = routing_partition(df, "rt", 4).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["rt"], set()).add(r["shard"])
+    assert all(len(s) == 1 for s in by_key.values())
+    assert all(0 <= r["shard"] < 4 for r in out)
