@@ -602,6 +602,32 @@ def search_index_pattern(spark, sf_dir):
             .orderBy(F.desc("score"), "_index", "doc_id").limit(10))
 
 
+@q("api_snapshot_restore", O.match_sql(["vector", "window"], k=10))
+def api_snapshot_restore(spark, sf_dir):
+    """_snapshot API (SnapshotShardsService.java, fs repository): snapshot
+    = file-level copy of the immutable index tree + per-file (size, md5)
+    manifest; restore verifies every file and copies back. The restored
+    index serves the same query with identical scores — proven against
+    the oracle."""
+    import shutil
+
+    from opensearch_spark.index.build import InvertedIndex
+    from opensearch_spark.index.snapshot import restore_index, snapshot_index
+
+    s = get_searcher(spark, sf_dir)  # ensure the source index exists
+    src = s.index.path
+    snap = src + "_snap"
+    rest = src + "_restored"
+    if not os.path.exists(os.path.join(rest, "meta.json")):
+        shutil.rmtree(snap, ignore_errors=True)
+        shutil.rmtree(rest, ignore_errors=True)
+        snapshot_index(src, snap)
+        restore_index(snap, rest)
+    restored = Searcher(spark, InvertedIndex(rest))
+    return restored.search(Match(field="text", text="vector window"),
+                           k=10, mode="wand", round_scores=4)
+
+
 @q("ingest_upsert_versioned", """
 WITH base AS (SELECT doc_id, text, 1 AS version, 0 AS w FROM documents),
 upd AS (SELECT doc_id, 'v2 ' || text AS text, 2 AS version, 1 AS w

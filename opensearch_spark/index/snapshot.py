@@ -1,0 +1,89 @@
+"""Snapshot / restore: the reference's `_snapshot` API re-expressed.
+
+Reference semantics (``SnapshotShardsService.java``, repositories/fs):
+a snapshot is a file-level copy of the immutable segment files plus a
+manifest; restore copies them back and verifies integrity. Our index
+layout is already immutable parquet directories + meta.json (segments
+never rewrite), so snapshot = recursive copy + an integrity manifest
+(per-file size + md5), restore = copy back + full verification. At
+cluster scale the copy is `hadoop distcp`/object-store copy of the same
+immutable files — the manifest logic is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+
+SNAP_MANIFEST = "snapshot_manifest.json"
+
+
+def _file_md5(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _walk(root: str) -> list[str]:
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            out.append(os.path.relpath(p, root))
+    return sorted(out)
+
+
+def snapshot_index(index_path: str, snap_dir: str) -> dict:
+    """Copy the immutable index tree into ``snap_dir`` and write an
+    integrity manifest (relpath → size, md5). Fails if the source has no
+    meta.json (not a committed index)."""
+    if not os.path.exists(os.path.join(index_path, "meta.json")):
+        raise ValueError(f"not a committed index (no meta.json): {index_path}")
+    if os.path.exists(snap_dir):
+        raise ValueError(f"snapshot target exists: {snap_dir}")
+    shutil.copytree(index_path, snap_dir)
+    files = {}
+    for rel in _walk(snap_dir):
+        if rel == SNAP_MANIFEST:
+            continue
+        p = os.path.join(snap_dir, rel)
+        files[rel] = {"bytes": os.path.getsize(p), "md5": _file_md5(p)}
+    manifest = {"source": os.path.abspath(index_path), "files": files}
+    tmp = os.path.join(snap_dir, SNAP_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(snap_dir, SNAP_MANIFEST))
+    return manifest
+
+
+def verify_snapshot(snap_dir: str) -> int:
+    """Return the number of corrupt/missing files vs the manifest (0 = ok)."""
+    with open(os.path.join(snap_dir, SNAP_MANIFEST)) as f:
+        manifest = json.load(f)
+    bad = 0
+    for rel, want in manifest["files"].items():
+        p = os.path.join(snap_dir, rel)
+        if (not os.path.exists(p)
+                or os.path.getsize(p) != want["bytes"]
+                or _file_md5(p) != want["md5"]):
+            bad += 1
+    return bad
+
+
+def restore_index(snap_dir: str, dest: str) -> str:
+    """Restore a snapshot into ``dest`` (must not exist) after verifying
+    every file against the manifest; the restored tree is byte-identical
+    to the snapshotted index and immediately servable."""
+    bad = verify_snapshot(snap_dir)
+    if bad:
+        raise ValueError(f"snapshot corrupt: {bad} files fail verification")
+    if os.path.exists(dest):
+        raise ValueError(f"restore target exists: {dest}")
+    shutil.copytree(snap_dir, dest)
+    os.remove(os.path.join(dest, SNAP_MANIFEST))
+    return dest

@@ -282,3 +282,44 @@ def test_routing_colocates_equal_keys(spark):
         by_key.setdefault(r["rt"], set()).add(r["shard"])
     assert all(len(s) == 1 for s in by_key.values())
     assert all(0 <= r["shard"] < 4 for r in out)
+
+
+def test_snapshot_restore_roundtrip(spark, tmp_path):
+    """Snapshot → verify → restore: byte-identical servable index;
+    corruption is detected."""
+    import os
+
+    import pytest as _pytest
+
+    from opensearch_spark.index.build import IndexConfig, InvertedIndex, build_index
+    from opensearch_spark.index.snapshot import (
+        restore_index, snapshot_index, verify_snapshot)
+    from opensearch_spark.search import Match, Searcher
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(20)],
+        "doc_id long, text string")
+    src = str(tmp_path / "idx")
+    idx = build_index(spark, corpus, src,
+                      IndexConfig(field="text", analyzer="standard",
+                                  id_col="doc_id", n_parts=2))
+    snap = str(tmp_path / "snap")
+    snapshot_index(src, snap)
+    assert verify_snapshot(snap) == 0
+    rest = restore_index(snap, str(tmp_path / "rest"))
+    a = Searcher(spark, idx).search(
+        Match(field="text", text="alpha"), k=5, round_scores=4).collect()
+    b = Searcher(spark, InvertedIndex(rest)).search(
+        Match(field="text", text="alpha"), k=5, round_scores=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # corrupt one byte -> verification counts it and restore refuses
+    victim = next(
+        os.path.join(dp, f) for dp, _, fs in os.walk(snap) for f in fs
+        if f.endswith(".parquet"))
+    with open(victim, "r+b") as f:
+        f.seek(0)
+        f.write(b"\xff")
+    assert verify_snapshot(snap) >= 1
+    with _pytest.raises(ValueError):
+        restore_index(snap, str(tmp_path / "rest2"))
