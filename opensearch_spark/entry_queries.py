@@ -618,11 +618,24 @@ def api_snapshot_restore(spark, sf_dir):
     src = s.index.path
     snap = src + "_snap"
     rest = src + "_restored"
-    if not os.path.exists(os.path.join(rest, "meta.json")):
+
+    def _fresh() -> bool:
+        # the restored copy is reusable only if it matches the CURRENT
+        # source (layout bumps / analyzer changes rebuild the source via
+        # _load_or_build — the restored tree must follow, not serve stale)
+        if not os.path.exists(os.path.join(rest, "meta.json")):
+            return False
+        r = InvertedIndex(rest)
+        return (r.meta.get("layout_version") == s.index.meta.get("layout_version")
+                and r.doc_count == s.index.doc_count
+                and r.meta.get("analyzer") == s.index.meta.get("analyzer"))
+
+    if not _fresh():
         shutil.rmtree(snap, ignore_errors=True)
         shutil.rmtree(rest, ignore_errors=True)
         snapshot_index(src, snap)
         restore_index(snap, rest)
+        shutil.rmtree(snap, ignore_errors=True)  # keep only the restore
     restored = Searcher(spark, InvertedIndex(rest))
     return restored.search(Match(field="text", text="vector window"),
                            k=10, mode="wand", round_scores=4)
@@ -694,8 +707,11 @@ def search_wildcard_accel(spark, sf_dir):
     cand = tri.matching_docs(
         Match(field="text", text="erge", operator="and"))
     docs = _docs(spark, sf_dir).join(cand, "doc_id", "left_semi")
+    # verify over the SAME lowercased token stream the trigram prefilter
+    # indexes (standard analyzer lowercases; a raw-token verify would
+    # silently drop uppercase occurrences the prefilter admitted)
     verified = docs.where(
-        F.exists(F.split(F.trim(F.col("text")), r"\s+"),
+        F.exists(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
                  lambda t: t.like("%erge%")))
     return (verified.select("doc_id", F.lit(1.0).alias("score"))
             .orderBy("doc_id"))

@@ -53,11 +53,10 @@ def snapshot_index(index_path: str, snap_dir: str) -> dict:
             continue
         p = os.path.join(snap_dir, rel)
         files[rel] = {"bytes": os.path.getsize(p), "md5": _file_md5(p)}
+    from opensearch_spark.index.build import _atomic_write_json
+
     manifest = {"source": os.path.abspath(index_path), "files": files}
-    tmp = os.path.join(snap_dir, SNAP_MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(snap_dir, SNAP_MANIFEST))
+    _atomic_write_json(os.path.join(snap_dir, SNAP_MANIFEST), manifest)
     return manifest
 
 

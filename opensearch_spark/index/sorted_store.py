@@ -60,12 +60,11 @@ def write_sorted(df: DataFrame, out_dir: str, sort_col: str,
                     mx = st.max if mx is None else max(mx, st.max)
         entries.append({"file": os.path.basename(path), "rows": rows,
                         "min": mn, "max": mx})
+    from opensearch_spark.index.build import _atomic_write_json
+
     manifest = {"sort_col": sort_col, "tiebreak_col": tiebreak_col,
                 "files": entries}
-    tmp = os.path.join(out_dir, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(out_dir, MANIFEST))
+    _atomic_write_json(os.path.join(out_dir, MANIFEST), manifest)
     return manifest
 
 
@@ -83,21 +82,28 @@ def prune_files_topk(manifest: dict, k: int, ascending: bool = True) -> list[str
     within B, so the selection is sufficient (ties at range boundaries are
     the only extra files for non-overlapping ranges)."""
     fs = manifest["files"]
+    # reverse=True (not value negation) so non-numeric sort keys — strings,
+    # dates — order correctly in the descending case
     fs = (sorted(fs, key=lambda e: (e["min"], e["max"])) if ascending
-          else sorted(fs, key=lambda e: (-e["max"], -e["min"])))
+          else sorted(fs, key=lambda e: (e["max"], e["min"]), reverse=True))
     chosen, cum = [], 0
+    bound = None
     for e in fs:
         if cum < k:
             chosen.append(e)
             cum += e["rows"]
-        else:
+            continue
+        if bound is None:
+            # freeze the bound at the k-covering prefix: tie-appended files
+            # must NOT extend it, else chained boundary ties cascade into a
+            # full-table selection
             bound = (max(c["max"] for c in chosen) if ascending
                      else min(c["min"] for c in chosen))
-            if (ascending and e["min"] <= bound) or \
-               (not ascending and e["max"] >= bound):
-                chosen.append(e)
-            else:
-                break
+        if (ascending and e["min"] <= bound) or \
+           (not ascending and e["max"] >= bound):
+            chosen.append(e)
+        else:
+            break
     return [e["file"] for e in chosen]
 
 

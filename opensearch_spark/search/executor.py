@@ -1054,7 +1054,8 @@ class Searcher:
         broadcast weights join, one (doc_id) aggregation,
         TakeOrderedAndProject — identical shape to a match, so the same
         posting layout serves lexical BM25 and learned-sparse queries."""
-        live = [t for t in weights if t in self.term_dfs(list(weights))]
+        dfs = self.term_dfs(list(weights))
+        live = [t for t in weights if t in dfs]
         if not live:
             return self._empty_scores()
         flat = self._flat_postings(live)
@@ -1092,7 +1093,8 @@ class Searcher:
             u = reduce(DataFrame.unionByName, frames)
             return u.select("query_id", "doc_id", "score")
 
-        per_q = {qid: self.analyze(q.text) for qid, q in queries.items()}
+        per_q = {qid: self.analyze(q.text, getattr(q, "analyzer", None))
+                 for qid, q in queries.items()}
         all_terms = list(dict.fromkeys(
             t for terms in per_q.values() for t in terms))
         dfs = self.term_dfs(all_terms)
@@ -1284,7 +1286,7 @@ class Searcher:
     def explain(self, q: Q.Match) -> DataFrame:
         """Per-hit score breakdown (TransportExplainAction analog): one row
         per (doc, term) with idf / tf-part / norm components."""
-        terms = self.analyze(q.text)
+        terms = self.analyze(q.text, getattr(q, "analyzer", None))
         dfs = self.term_dfs(terms)
         live = [t for t in dict.fromkeys(terms) if t in dfs]
         if not live:

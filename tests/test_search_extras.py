@@ -420,3 +420,15 @@ def test_wildcard_accel_prefilter_is_superset(spark, sf_dir):
         F.expr("exists(split(trim(text), '\\\\s+'), t -> t LIKE '%erge%')")).collect()}
     assert verified == direct
     assert verified <= cand
+
+
+def test_msearch_fused_respects_analyzer_override(spark, searcher):
+    """Regression: the msearch fused path must route the match query's
+    analyzer param like search() does — synonym batch == direct batch."""
+    syn = searcher.msearch(
+        {"q": Q.Match(field="text", text="tbl rapid", analyzer="synonym_demo")},
+        k=5, round_scores=4).collect()
+    direct = searcher.msearch(
+        {"q": Q.Match(field="text", text="table fast")},
+        k=5, round_scores=4).collect()
+    assert sorted(map(tuple, syn)) == sorted(map(tuple, direct))

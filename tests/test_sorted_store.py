@@ -61,3 +61,35 @@ def test_range_scan_matches_filter(spark, store):
 def test_range_scan_empty(spark, store):
     out, _, _ = store
     assert SS.range_scan_sorted(spark, out, lo=999).count() == 0
+
+
+def test_topk_desc_string_sort_key(spark, tmp_path):
+    """Descending pruning must work for non-numeric sort keys (strings) —
+    regression: the old order key negated min/max numerically."""
+    out = str(tmp_path / "sdocs")
+    df = spark.createDataFrame(
+        [(i, f"commit{i:03d}") for i in range(100)],
+        "doc_id long, sha string")
+    SS.write_sorted(df, out, "sha", "doc_id", n_parts=4)
+    got = [r["sha"] for r in SS.topk_sorted(spark, out, 5, ascending=False).collect()]
+    assert got == [f"commit{i:03d}" for i in range(99, 94, -1)]
+
+
+def test_tie_bound_frozen_no_cascade(spark, tmp_path):
+    """Chained boundary ties must not cascade the tie bound into a
+    full-table selection: only files touching the frozen k-prefix bound
+    are appended."""
+    out = str(tmp_path / "tdocs")
+    # 10 distinct values over 400 rows, 8 files -> every boundary is a tie
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 10).cast("int").alias("n_chars"))
+    m = SS.write_sorted(df, out, "n_chars", "doc_id", n_parts=8)
+    chosen = SS.prune_files_topk(m, 10, ascending=True)
+    assert len(chosen) < len(m["files"])
+    # correctness unaffected
+    got = [(r["doc_id"], r["n_chars"])
+           for r in SS.topk_sorted(spark, out, 10).collect()]
+    want = [(r["doc_id"], r["n_chars"])
+            for r in df.orderBy("n_chars", "doc_id").limit(10).collect()]
+    assert got == want
