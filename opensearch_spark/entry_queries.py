@@ -3276,6 +3276,62 @@ def sim_sq8_topk(spark, sf_dir):
     return S.sq8_topk(emb, qv, k=10, exclude_id=0)
 
 
+def _ivf_fixed_sql() -> str:
+    """Oracle for sim_ivf_fixed_topk: the same md5-derived centroids as
+    literal arrays, argmin-by-(dist², j) assignment, 2-probe, exact cosine
+    re-rank — every step SQL-expressible because the centroids are fixed
+    (unlike the Lloyd-refined sim_ivf_topk, which stays rows-only)."""
+    from opensearch_spark.ml.similarity import hyperplanes
+
+    cents = hyperplanes(8, 64)
+    lits = ", ".join(
+        f"({j}, [{', '.join(repr(x) for x in c)}])"
+        for j, c in enumerate(cents))
+    return f"""
+WITH cents(j, cv) AS (VALUES {lits}),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+    SELECT j FROM cents CROSS JOIN q
+    ORDER BY list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+             + list_dot_product(cv, cv) ASC, j ASC
+    LIMIT 2
+),
+assign AS (
+    SELECT vec_id, j, row_number() OVER (
+        PARTITION BY vec_id
+        ORDER BY list_dot_product(x, x) - 2 * list_dot_product(x, cv)
+                 + list_dot_product(cv, cv) ASC, j ASC) AS rn
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings) e
+    CROSS JOIN cents
+),
+cand AS (SELECT vec_id FROM assign
+         WHERE rn = 1 AND j IN (SELECT j FROM probe)),
+pairs AS (SELECT e.vec_id, unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+                 unnest(q.qv) AS y
+          FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q),
+s AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+      FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 4) AS cosine
+FROM s WHERE vec_id <> 0
+ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 4) DESC, vec_id LIMIT 10
+"""
+
+
+@q("sim_ivf_fixed_topk", _ivf_fixed_sql())
+def sim_ivf_fixed_topk(spark, sf_dir):
+    """IVF probe with FIXED md5-derived coarse centroids (no Lloyd
+    refinement): assignment, probe selection, and re-rank are all
+    deterministic and reproduced exactly by the SQL oracle — the
+    hash-gated twin of the rows-only kmeans++ sim_ivf_topk."""
+    from opensearch_spark.ml.similarity import hyperplanes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return S.ivf_topk(emb, qv, k=10, nprobe=2, exclude_id=0,
+                      centroids=hyperplanes(8, len(qv)))
+
+
 _ANN_CACHE: dict[str, "S.AnnIndex"] = {}
 
 
