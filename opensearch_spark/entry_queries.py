@@ -776,6 +776,19 @@ def api_filtered_alias(spark, sf_dir):
     return out.select("doc_id", "score")
 
 
+@q("search_term_case_insensitive", """
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE lower(lang) = 'de' ORDER BY doc_id
+""")
+def search_term_case_insensitive(spark, sf_dir):
+    """term query `case_insensitive` flag (TermQueryBuilder.java) / the
+    keyword lowercase normalizer (LowercaseNormalizer.java): 'DE' matches
+    the lowercase-stored keyword, predicate still scan-pushable."""
+    s = get_searcher(spark, sf_dir)
+    return s.score(Term(field="lang", value="DE",
+                        case_insensitive=True)).orderBy("doc_id")
+
+
 @q("search_match_all", """
 SELECT doc_id, 1.0 AS score FROM documents ORDER BY doc_id
 """)

@@ -249,6 +249,12 @@ class Searcher:
         """Catalyst predicate over the docs table for keyword/range/etc —
         pushed to the parquet scan (PushedFilters)."""
         if isinstance(q, Q.Term):
+            if getattr(q, "case_insensitive", False):
+                # keyword lowercase-normalizer path: fold BOTH sides (the
+                # reference normalizes at index time; folding in the
+                # predicate keeps the docs table unmodified)
+                return (F.lower(F.col(q.field))
+                        == F.lit(str(q.value).lower()))
             return F.col(q.field) == F.lit(q.value)
         if isinstance(q, Q.Terms):
             return F.col(q.field).isin(q.values)

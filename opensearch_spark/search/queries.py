@@ -235,11 +235,14 @@ class MultiMatch(Query):
 
 @dataclass
 class Term(Query):
-    """Exact un-analyzed term (TermQueryBuilder.java)."""
+    """Exact un-analyzed term (TermQueryBuilder.java). ``case_insensitive``
+    mirrors the reference's term-query flag / the keyword lowercase
+    normalizer (LowercaseNormalizer.java)."""
 
     field: str
     value: Any
     boost: float = 1.0
+    case_insensitive: bool = False
 
 
 @dataclass
