@@ -448,6 +448,7 @@ def from_dsl(d: dict) -> Query:
             operator=spec.get("operator", "or").lower(),
             minimum_should_match=int(spec.get("minimum_should_match", 0)),
             boost=spec.get("boost", 1.0),
+            analyzer=spec.get("analyzer"),
         )
     if kind == "match_phrase":
         f, spec = next(iter(body.items()))
@@ -537,7 +538,10 @@ def from_dsl(d: dict) -> Query:
     if kind == "term":
         f, spec = next(iter(body.items()))
         if isinstance(spec, dict):
-            return Term(field=f, value=spec["value"], boost=spec.get("boost", 1.0))
+            return Term(field=f, value=spec["value"],
+                        boost=spec.get("boost", 1.0),
+                        case_insensitive=bool(spec.get("case_insensitive",
+                                                       False)))
         return Term(field=f, value=spec)
     if kind == "terms":
         f = next(k for k in body if k != "boost")

@@ -432,3 +432,12 @@ def test_msearch_fused_respects_analyzer_override(spark, searcher):
         {"q": Q.Match(field="text", text="table fast")},
         k=5, round_scores=4).collect()
     assert sorted(map(tuple, syn)) == sorted(map(tuple, direct))
+
+
+def test_dsl_parses_new_query_options():
+    from opensearch_spark.search import from_dsl
+
+    q = from_dsl({"match": {"text": {"query": "tbl", "analyzer": "synonym_demo"}}})
+    assert q == Q.Match(field="text", text="tbl", analyzer="synonym_demo")
+    t = from_dsl({"term": {"lang": {"value": "DE", "case_insensitive": True}}})
+    assert t == Q.Term(field="lang", value="DE", case_insensitive=True)
