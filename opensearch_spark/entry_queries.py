@@ -3049,7 +3049,7 @@ x AS (SELECT doc_id, len(toks) AS n,
       FROM t)
 SELECT doc_id, n AS n_tokens, n_stop AS n_stopwords,
        round((CASE WHEN n BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
-             + round(0.3 * nd / n, 6)
+             + round(CAST(0.3 AS DOUBLE) * nd / n, 6)
              + (CASE WHEN n_stop >= 1 THEN 0.3 ELSE 0.0 END), 6) AS quality
 FROM x ORDER BY doc_id
 """)
@@ -3068,7 +3068,7 @@ x AS (SELECT doc_id, lang, len(toks) AS n,
       FROM t),
 scored AS (SELECT doc_id, lang, n AS n_tokens, fp,
                   round((CASE WHEN n BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
-                        + round(0.3 * nd / n, 6)
+                        + round(CAST(0.3 AS DOUBLE) * nd / n, 6)
                         + (CASE WHEN n_stop >= 1 THEN 0.3 ELSE 0.0 END), 6) AS quality
            FROM x),
 filtered AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= 0.8),
