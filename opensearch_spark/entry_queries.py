@@ -3684,6 +3684,43 @@ def search_intervals(spark, sf_dir):
                              max_gaps=2, ordered=True)).orderBy("doc_id")
 
 
+@q("search_intervals_any_of", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT doc_id, 1.0 AS score FROM pos
+WHERE term IN ('vector', 'stream') ORDER BY doc_id
+""")
+def search_intervals_any_of(spark, sf_dir):
+    """intervals any_of combinator (IntervalsSourceProvider.Disjunction):
+    a single clause with alternatives — matches where ANY source
+    interval matches."""
+    from opensearch_spark.search import Intervals
+
+    s = get_searcher(spark, sf_dir)
+    return s.score(Intervals(field="text",
+                             sources=(("vector", "stream"),))).orderBy("doc_id")
+
+
+@q("search_intervals_all_of", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT a.doc_id, 1.0 AS score
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = 'merge' AND b.term IN ('table', 'window')
+  AND b.p > a.p AND b.p - a.p - 1 <= 2
+ORDER BY a.doc_id
+""")
+def search_intervals_all_of(spark, sf_dir):
+    """intervals all_of with a nested any_of
+    (IntervalsSourceProvider.Combine + Disjunction): 'merge' followed by
+    ('table' | 'window') within max_gaps=2, ordered — the combinator
+    runs on the same sorted-merge span enumerator."""
+    from opensearch_spark.search import Intervals
+
+    s = get_searcher(spark, sf_dir)
+    return s.score(Intervals(field="text",
+                             sources=("merge", ("table", "window")),
+                             ordered=True, max_gaps=2)).orderBy("doc_id")
+
+
 @q("search_intervals_unordered", f"""
 WITH {_POS_CTE}
 SELECT DISTINCT a.doc_id, 1.0 AS score

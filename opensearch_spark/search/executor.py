@@ -859,6 +859,16 @@ class Searcher:
         interval algebra and sloppy spans share the minimal-window core)."""
         from opensearch_spark.search.spans import span_match_counts
 
+        if getattr(q, "sources", ()):
+            # any_of / all_of combinators: each source is a term or a
+            # tuple of alternatives — span_match_counts takes alternative
+            # lists natively (the inlined span_or clause shape)
+            clauses = [list(x) if isinstance(x, (list, tuple)) else x
+                       for x in q.sources]
+            slop = q.max_gaps if q.max_gaps >= 0 else (1 << 30)
+            m = span_match_counts(self, clauses, slop, q.ordered)
+            return m.select("doc_id", F.lit(float(q.boost)).alias("score"))
+
         rule = q.last_rule or ("prefix" if q.last_prefix else None)
         if rule == "wildcard":
             # only the wildcard pattern must dodge the analyzer (it would

@@ -207,6 +207,12 @@ class Intervals(Query):
     # dictionary matches, used as clause alternatives. last_prefix is the
     # back-compat spelling of last_rule="prefix".
     last_rule: str | None = None
+    #: intervals combinators (IntervalsSourceProvider.{AnyOf,AllOf}):
+    #: sources = all_of over items, each item a term or a tuple of
+    #: alternative terms (an inlined any_of); ordered/max_gaps apply to
+    #: the combinator. A single tuple item is a bare any_of. Overrides
+    #: ``text`` when non-empty.
+    sources: tuple = ()
     boost: float = 1.0
 
 
