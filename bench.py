@@ -85,18 +85,26 @@ def main() -> None:
         .mapInPandas(_ident, "id long").count()
 
     # --- index build throughput (fresh build, not the cached one) ---
+    # Best-of-2 like every other op (uniform statistic): this sandbox
+    # exhibits sporadic multi-second hypervisor stalls (see the stall
+    # note below), and a stall landing inside the single build run would
+    # masquerade as build cost. Each rep is a fully fresh build (dir
+    # removed first), so both reps measure the same cold-build work.
     corpus = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     n_docs = corpus.count()
     build_dir = "/tmp/opensearch_spark_bench_index"
-    shutil.rmtree(build_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    build_index(
-        spark, corpus, build_dir,
-        IndexConfig(field="text", analyzer="standard", id_col="doc_id",
-                    keyword_cols=("lang", "source"), n_parts=8,
-                    bucket_span=1 << 12, with_positions=True),
-    )
-    build_sec = time.perf_counter() - t0
+    build_sec = None
+    for _ in range(2):
+        shutil.rmtree(build_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_index(
+            spark, corpus, build_dir,
+            IndexConfig(field="text", analyzer="standard", id_col="doc_id",
+                        keyword_cols=("lang", "source"), n_parts=8,
+                        bucket_span=1 << 12, with_positions=True),
+        )
+        dt = time.perf_counter() - t0
+        build_sec = dt if build_sec is None else min(build_sec, dt)
     timings["index_build"] = round(build_sec, 4)
 
     # warm the shared searcher + ANN-index caches so query timings
@@ -106,25 +114,27 @@ def main() -> None:
     get_searcher(spark, SF_DIR)
     _ann_index(spark, SF_DIR)
 
-    # Stall guard: this sandbox exhibits sporadic multi-second hypervisor
-    # stalls (operators freeze with the VM's CPU ~90% idle and steal <1% —
-    # measured via a /proc/stat sampler running alongside the bench; the
-    # same op swings 0.4 s ↔ 15 s across runs with identical plans). An op
-    # that exceeds the threshold is re-run once and the faster time kept,
-    # so a stall window doesn't masquerade as operator cost. Documented in
-    # BENCH.md; the retry is warm-cache, consistent with the serving
-    # posture the query numbers model.
-    STALL_RETRY_SEC = 5.0
+    # Stall robustness: this sandbox exhibits sporadic multi-second
+    # hypervisor stalls (operators freeze with the VM's CPU ~90% idle and
+    # steal <1% — measured via a /proc/stat sampler running alongside the
+    # bench; the same op swings 0.4 s ↔ 15 s across runs with identical
+    # plans — forensics in BENCH.md). EVERY op runs twice and the min is
+    # kept — the SAME statistic for all ops, so no op mixes cold-first-run
+    # with warm-retry methodology and a stall window can't masquerade as
+    # operator cost. Both reps are warm-cache (searcher/ANN caches are
+    # primed above), consistent with the long-lived-executor serving
+    # posture the query numbers model. Raw per-rep times are recorded in
+    # `raw_reps` so the min's bias is visible, not hidden.
+    raw_reps: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
-        dt = time.perf_counter() - t0
-        if dt > STALL_RETRY_SEC:
+        reps = []
+        for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
-            dt = min(dt, time.perf_counter() - t0)
-        timings[name] = round(dt, 4)
+            reps.append(round(time.perf_counter() - t0, 4))
+        raw_reps[name] = reps
+        timings[name] = min(reps)
 
     total = round(sum(timings.values()), 4)
     query_total = round(sum(v for k, v in timings.items() if k != "index_build"), 4)
@@ -140,6 +150,8 @@ def main() -> None:
             "index_build_docs_per_sec": round(n_docs / build_sec, 2),
             "query_total_sec": query_total,
             "cpus": int(CPUS),
+            "statistic": "min of 2 reps per op (uniform; stall-robust)",
+            "raw_reps": raw_reps,
         },
     }
     print(json.dumps(out))

@@ -626,9 +626,16 @@ def api_snapshot_restore(spark, sf_dir):
         if not os.path.exists(os.path.join(rest, "meta.json")):
             return False
         r = InvertedIndex(rest)
+        # same keys _load_or_build checks — a source rebuilt with a
+        # different positions / index_options config must invalidate the
+        # restored tree too, never serve stale
         return (r.meta.get("layout_version") == s.index.meta.get("layout_version")
                 and r.doc_count == s.index.doc_count
-                and r.meta.get("analyzer") == s.index.meta.get("analyzer"))
+                and r.meta.get("analyzer") == s.index.meta.get("analyzer")
+                and bool(r.meta.get("with_positions"))
+                    == bool(s.index.meta.get("with_positions"))
+                and r.meta.get("index_options", "freqs")
+                    == s.index.meta.get("index_options", "freqs"))
 
     if not _fresh():
         shutil.rmtree(snap, ignore_errors=True)
@@ -2728,6 +2735,25 @@ sh AS (
 sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
 """
 
+# capped twin for the EXACT-Jaccard gates: mirrors jaccard_pairs'
+# hot-shingle guard (df > JACCARD_DF_CAP dropped before join AND sizes) —
+# same sh/sz names so downstream SQL is shared. The MinHash/fuzzy oracles
+# keep the uncapped _SH2 (signatures hash every shingle).
+_SH2C = f"""
+sh0 AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(len(string_split_regex(trim(text), '\\s+')) - 1),
+               i -> string_split_regex(trim(text), '\\s+')[i + 1] || ' '
+                    || string_split_regex(trim(text), '\\s+')[i + 2]))) AS shingle
+    FROM documents
+),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+         HAVING count(*) <= {D.JACCARD_DF_CAP}),
+sh AS (SELECT doc_id, sh0.shingle FROM sh0 JOIN keep ON sh0.shingle = keep.shingle),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+"""
+
 
 @q("dedup_chunks_global", """
 WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
@@ -2764,7 +2790,7 @@ def dedup_exact(spark, sf_dir):
 
 
 @q("dedup_ngram_jaccard", f"""
-WITH {_SH2},
+WITH {_SH2C},
 inter AS (
     SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -3289,6 +3315,13 @@ def sim_sq8_topk(spark, sf_dir):
     return S.sq8_topk(emb, qv, k=10, exclude_id=0)
 
 
+# embeddings-fixture vector dimension (datagen.py writes dim-64 vectors).
+# Shared by _ivf_fixed_sql and sim_ivf_fixed_topk so the oracle's inlined
+# centroids and the engine's can never silently diverge if the fixture
+# dimension changes — sim_ivf_fixed_topk asserts the data matches.
+EMB_DIM = 64
+
+
 def _ivf_fixed_sql() -> str:
     """Oracle for sim_ivf_fixed_topk: the same md5-derived centroids as
     literal arrays, argmin-by-(dist², j) assignment, 2-probe, exact cosine
@@ -3296,7 +3329,7 @@ def _ivf_fixed_sql() -> str:
     (unlike the Lloyd-refined sim_ivf_topk, which stays rows-only)."""
     from opensearch_spark.ml.similarity import hyperplanes
 
-    cents = hyperplanes(8, 64)
+    cents = hyperplanes(8, EMB_DIM)
     lits = ", ".join(
         f"({j}, [{', '.join(repr(x) for x in c)}])"
         for j, c in enumerate(cents))
@@ -3341,8 +3374,11 @@ def sim_ivf_fixed_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in
           emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    if len(qv) != EMB_DIM:  # keep engine + oracle centroid dims in lockstep
+        raise ValueError(
+            f"embeddings dim {len(qv)} != EMB_DIM {EMB_DIM}; update EMB_DIM")
     return S.ivf_topk(emb, qv, k=10, nprobe=2, exclude_id=0,
-                      centroids=hyperplanes(8, len(qv)))
+                      centroids=hyperplanes(8, EMB_DIM))
 
 
 _ANN_CACHE: dict[str, "S.AnnIndex"] = {}
@@ -4352,7 +4388,7 @@ def agg_cardinality_approx(spark, sf_dir):
 
 
 @q("dedup_cluster", f"""
-WITH RECURSIVE {_SH2},
+WITH RECURSIVE {_SH2C},
 inter AS (
     SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -547,7 +547,12 @@ def build_index(
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
 
     pre.unpersist()
-    meta = dict(asdict(cfg), doc_count=doc_count, sum_dl=sum_dl, avgdl=avgdl)
+    # vocabulary size cached at build time (parquet-footer count — cheap
+    # here, but a per-Searcher-construction Spark job if left to query
+    # time; the Searcher's preload-posture decision reads it from meta)
+    vocab_size = spark.read.parquet(os.path.join(out_dir, "dictionary")).count()
+    meta = dict(asdict(cfg), doc_count=doc_count, sum_dl=sum_dl, avgdl=avgdl,
+                vocab_size=int(vocab_size))
     meta["layout_version"] = LAYOUT_VERSION
     meta["order_cols"] = list(cfg.order_cols)
     meta["keyword_cols"] = list(cfg.keyword_cols)

@@ -80,8 +80,18 @@ def prune_files_topk(manifest: dict, k: int, ascending: bool = True) -> list[str
     keep every further file whose range can still contain a value ≤/≥ the
     bound B = worst stat of the chosen prefix — any top-k row has value
     within B, so the selection is sufficient (ties at range boundaries are
-    the only extra files for non-overlapping ranges)."""
-    fs = manifest["files"]
+    the only extra files for non-overlapping ranges).
+
+    Files with missing parquet column statistics (min/max None — e.g. an
+    all-NULL sort column in that file) can't be ordered or pruned, so they
+    are always included; they don't count toward the k-covering prefix or
+    the bound, keeping the selection sufficient."""
+    if k <= 0:
+        return []
+    fs = [e for e in manifest["files"]
+          if e.get("min") is not None and e.get("max") is not None]
+    no_stats = [e for e in manifest["files"]
+                if e.get("min") is None or e.get("max") is None]
     # reverse=True (not value negation) so non-numeric sort keys — strings,
     # dates — order correctly in the descending case
     fs = (sorted(fs, key=lambda e: (e["min"], e["max"])) if ascending
@@ -104,7 +114,7 @@ def prune_files_topk(manifest: dict, k: int, ascending: bool = True) -> list[str
             chosen.append(e)
         else:
             break
-    return [e["file"] for e in chosen]
+    return [e["file"] for e in chosen] + [e["file"] for e in no_stats]
 
 
 def prune_files_range(manifest: dict, lo=None, hi=None) -> list[str]:

@@ -85,13 +85,31 @@ def shingles(df: DataFrame, text_col: str, n: int = 3,
     )
 
 
+#: hot-shingle doc-frequency cap for the exact-Jaccard path (standard
+#: df-filtering in near-dup pipelines); mirrored in the DuckDB oracles
+JACCARD_DF_CAP = 10_000
+
+
 def jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  max_shingle_df: int | None = JACCARD_DF_CAP) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs among docs sharing ≥1 shingle.
 
     candidates via shingle-bucket self-join (never n²); |∪| from per-doc
     shingle counts: |A∪B| = |A| + |B| − |A∩B|.
+
+    Hot-shingle guard: shingles with doc frequency > ``max_shingle_df``
+    are dropped from the shingle sets BEFORE the self-join — a boilerplate
+    shingle shared by 10⁶ docs would otherwise detonate into a 10¹²-pair
+    bucket. Sizes are computed over the filtered sets so Jaccard stays
+    internally consistent (both |∩| and |∪| exclude capped shingles).
+    ``None`` disables the guard. MinHash-LSH (``lsh_candidates``) remains
+    the documented scale route; this makes the exact operator safe too.
     """
+    if max_shingle_df is not None:
+        dfc = (sh.groupBy("shingle").agg(F.count("*").alias("_sdf"))
+               .where(F.col("_sdf") <= max_shingle_df).drop("_sdf"))
+        sh = sh.join(dfc, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")

@@ -81,9 +81,13 @@ class Searcher:
         self._dict_pd: pd.DataFrame | None = None
         self._part_cache: dict[str, int] = {}
         if preload_dictionary == "auto":
-            # metadata-only row count (parquet footers) decides the posture
-            preload_dictionary = (
-                index.dictionary(spark).count() <= self.PRELOAD_VOCAB_MAX)
+            # vocabulary size decides the posture — read from the meta
+            # cached at build time (zero Spark jobs per construction);
+            # pre-vocab_size trees fall back to a one-off footer count
+            vocab = index.meta.get("vocab_size")
+            if vocab is None:
+                vocab = index.dictionary(spark).count()
+            preload_dictionary = int(vocab) <= self.PRELOAD_VOCAB_MAX
         if preload_dictionary:
             self._dict_pd = (
                 index.dictionary(spark).toPandas().set_index("term")
@@ -862,9 +866,25 @@ class Searcher:
         if getattr(q, "sources", ()):
             # any_of / all_of combinators: each source is a term or a
             # tuple of alternatives — span_match_counts takes alternative
-            # lists natively (the inlined span_or clause shape)
-            clauses = [list(x) if isinstance(x, (list, tuple)) else x
-                       for x in q.sources]
+            # lists natively (the inlined span_or clause shape). Every
+            # source term runs through the query-time analyzer, mirroring
+            # the text path (a raw mixed-case source would silently match
+            # nothing against the lowercased index): a scalar source that
+            # analyzes to several tokens contributes consecutive clauses;
+            # alternatives flatten their analyzed tokens; a clause whose
+            # every alternative analyzes to nothing can never match.
+            clauses = []
+            for x in q.sources:
+                if isinstance(x, (list, tuple)):
+                    alts = [t for alt in x for t in self.analyze(alt)]
+                    if not alts:
+                        return self._empty_scores()
+                    clauses.append(list(dict.fromkeys(alts)))
+                else:
+                    toks = self.analyze(x)
+                    if not toks:
+                        return self._empty_scores()
+                    clauses.extend(toks)
             slop = q.max_gaps if q.max_gaps >= 0 else (1 << 30)
             m = span_match_counts(self, clauses, slop, q.ordered)
             return m.select("doc_id", F.lit(float(q.boost)).alias("score"))
