@@ -4085,6 +4085,57 @@ def search_suggest_phrase(spark, sf_dir):
                           num_candidates=5).orderBy("rank")
 
 
+@q("search_suggest_phrase_3gram", f"""
+WITH {O.TOK_CTES},
+{_POS_CTE},
+voc AS (SELECT term, count(*) AS cf FROM tok2 GROUP BY term),
+vt AS (SELECT (SELECT count(*) FROM voc) AS V, (SELECT sum(cf) FROM voc) AS T),
+c1 AS (SELECT term AS t1, cf AS t1_cf FROM voc
+       WHERE levenshtein(term, 'sparc') <= 1
+       QUALIFY row_number() OVER (
+           ORDER BY levenshtein(term, 'sparc') ASC, cf DESC, term ASC) <= 4),
+c2 AS (SELECT term AS t2, cf AS t2_cf FROM voc
+       WHERE levenshtein(term, 'tabl') <= 1
+       QUALIFY row_number() OVER (
+           ORDER BY levenshtein(term, 'tabl') ASC, cf DESC, term ASC) <= 4),
+c3 AS (SELECT term AS t3 FROM voc
+       WHERE levenshtein(term, 'merg') <= 1
+       QUALIFY row_number() OVER (
+           ORDER BY levenshtein(term, 'merg') ASC, cf DESC, term ASC) <= 4),
+big12 AS (SELECT a.term AS t1, b.term AS t2, count(*) AS bc
+          FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+          WHERE a.term IN (SELECT t1 FROM c1) AND b.term IN (SELECT t2 FROM c2)
+          GROUP BY a.term, b.term),
+big23 AS (SELECT a.term AS t2, b.term AS t3, count(*) AS bc
+          FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+          WHERE a.term IN (SELECT t2 FROM c2) AND b.term IN (SELECT t3 FROM c3)
+          GROUP BY a.term, b.term),
+tuples AS (SELECT c1.t1, c1.t1_cf, c2.t2, c2.t2_cf, c3.t3,
+                  coalesce(b12.bc, 0) AS bc1, coalesce(b23.bc, 0) AS bc2
+           FROM c1 CROSS JOIN c2 CROSS JOIN c3
+           LEFT JOIN big12 b12 ON b12.t1 = c1.t1 AND b12.t2 = c2.t2
+           LEFT JOIN big23 b23 ON b23.t2 = c2.t2 AND b23.t3 = c3.t3),
+scored AS (SELECT t1 || ' ' || t2 || ' ' || t3 AS suggestion,
+                  round(ln((t1_cf + 1.0) / (T + V))
+                        + ln((bc1 + 1.0) / (t1_cf + V))
+                        + ln((bc2 + 1.0) / (t2_cf + V)), 6) AS score
+           FROM tuples CROSS JOIN vt)
+SELECT suggestion, score,
+       CAST(row_number() OVER (ORDER BY score DESC, suggestion) AS INT) AS rank
+FROM scored QUALIFY rank <= 3 ORDER BY rank
+""")
+def search_suggest_phrase_3gram(spark, sf_dir):
+    """Phrase suggester on a 3-token input: the bigram LM chains pairwise
+    (PhraseSuggestionBuilder/LaplaceScorer shingle chain) —
+    ln P(c1) + ln P(c2|c1) + ln P(c3|c2), candidates per token, combined
+    by bounded crossJoin."""
+    from opensearch_spark.search import phrase_suggest
+
+    s = get_searcher(spark, sf_dir)
+    return phrase_suggest(s, "sparc tabl merg", size=3, max_edits=1,
+                          num_candidates=4).orderBy("rank")
+
+
 @q("search_suggest_completion", """
 WITH comp AS (
   SELECT lower(array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 8), ' ')) AS suggestion,

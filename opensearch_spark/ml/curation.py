@@ -229,8 +229,15 @@ def source_mix(df: DataFrame, target_shares: dict[str, float],
                    & (u / F.lit(float(2 ** 32)) < F.col("keep_rate"))))
 
 
+#: vocabulary size above which the probability table is joined by shuffle
+#: instead of broadcast (mirrors Searcher.PRELOAD_VOCAB_MAX's auto posture)
+LOGPPL_BROADCAST_VOCAB_MAX = 2_000_000
+
+
 def unigram_logppl(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   broadcast_vocab_max: int = LOGPPL_BROADCAST_VOCAB_MAX
+                   ) -> DataFrame:
     """Perplexity-proxy quality signal: per-doc mean negative
     log-likelihood under the corpus's own unigram LM (the classic
     CCNet-style perplexity filter, reduced to its order-0 public form —
@@ -240,19 +247,29 @@ def unigram_logppl(df: DataFrame, text_col: str = "text",
 
     Scale shape: one explode of the token stream feeding two hash
     aggregates (term counts, then per-doc mean); the term-probability
-    table is vocabulary-sized and broadcast back onto the token stream —
-    the corpus itself is scanned once and never self-joined.
+    table joins back onto the token stream — BROADCAST while the
+    vocabulary fits ``broadcast_vocab_max`` (code corpora: a few million
+    terms), plain shuffle hash/merge join above it (open-web vocabularies
+    run into the billions of distinct tokens and would OOM a broadcast).
+    The posture is decided by the data — one cheap count over the
+    already-needed cf frame — mirroring the Searcher's dictionary-preload
+    auto threshold. The corpus itself is scanned once, never self-joined.
     """
     toks = df.select(
         id_col,
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
     ).where(F.col("term") != "")
-    cf = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    # cached (memory-and-disk, vocabulary-sized) so the posture-deciding
+    # count materializes the same aggregate the join consumes — the
+    # decision costs no extra corpus pass
+    cf = toks.groupBy("term").agg(F.count("*").alias("cf")).cache()
     total = cf.agg(F.sum("cf").alias("total"))
     p = (cf.crossJoin(F.broadcast(total))
            .withColumn("p", F.col("cf") / F.col("total"))
            .select("term", "p"))
-    return (toks.join(F.broadcast(p), "term")
+    if cf.count() <= broadcast_vocab_max:
+        p = F.broadcast(p)
+    return (toks.join(p, "term")
             .groupBy(id_col)
             .agg((-F.avg(F.log("p"))).alias("logppl"),
                  F.count("*").alias("n_tokens")))

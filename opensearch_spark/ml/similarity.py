@@ -160,27 +160,44 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def kmeanspp_centroids(df: DataFrame, n_centroids: int = 16,
                        vec_col: str = "embedding", id_col: str = "vec_id",
-                       n_iters: int = 2) -> list[list[float]]:
-    """Deterministic k-means++-style seeding (farthest-point traversal —
-    the RNG-free variant of the D² sampling rule): seed 1 = the vector
-    with the smallest id; each next seed = the vector maximizing its
-    distance to the nearest chosen seed (ties by id). Then ``n_iters``
-    Lloyd refinements. Every step is a distributed agg over the table +
-    a 1-row collect; centroid state stays tiny and broadcast."""
-    first = df.orderBy(id_col).limit(1).select(vec_col).collect()[0]
-    cents = [[float(x) for x in first[vec_col]]]
-    while len(cents) < n_centroids:
-        min_d2 = None
-        for c in cents:
-            arr = F.array(*[F.lit(float(x)) for x in c])
-            d2 = (_dot(F.col(vec_col), F.col(vec_col))
-                  - 2.0 * _dot(F.col(vec_col), arr)
-                  + F.lit(float(sum(x * x for x in c))))
-            min_d2 = d2 if min_d2 is None else F.least(min_d2, d2)
-        far = (df.select(F.col(id_col), F.col(vec_col),
-                         F.round(min_d2, 9).alias("_d2"))
-               .orderBy(F.desc("_d2"), F.asc(id_col)).limit(1).collect()[0])
-        cents.append([float(x) for x in far[vec_col]])
+                       n_iters: int = 2,
+                       oversample: int | None = None) -> list[list[float]]:
+    """Deterministic k-means||-style seeding (Bahmani et al., "Scalable
+    k-means++", VLDB 2012 — the RNG-free variant): ONE distributed pass
+    draws an oversampled candidate pool (the ``oversample`` ≥ 8·k rows
+    ranked first by md5(id), a deterministic stand-in for the uniform
+    pre-sample), then the classic farthest-point traversal (the
+    deterministic analog of D² re-sampling) runs DRIVER-SIDE on the tiny
+    collected pool — O(pool·k) numpy work on ≤ a few hundred vectors.
+    Then ``n_iters`` distributed Lloyd refinements (assign = one argmin
+    expression, update = groupBy().avg).
+
+    Total table scans: 1 (pool) + n_iters (Lloyd) — independent of k.
+    The previous farthest-point-over-the-table loop ran k sequential
+    whole-table aggregations with an O(k²)-growing least() expression;
+    at 10⁹ vectors that build is k full scans, this is one."""
+    pool_n = int(oversample or max(8 * n_centroids, 64))
+    pool_rows = (df.select(id_col, vec_col)
+                 .withColumn("_r", F.md5(F.col(id_col).cast("string")))
+                 .orderBy("_r", id_col).limit(pool_n)
+                 .select(id_col, vec_col).collect())
+    # deterministic order inside the pool: by id (collect order already
+    # deterministic via the global sort, but be explicit)
+    pool_rows.sort(key=lambda r: r[id_col])
+    import numpy as np
+
+    pool = np.asarray([[float(x) for x in r[vec_col]] for r in pool_rows],
+                      dtype=np.float64)
+    if pool.shape[0] == 0:
+        return []
+    k = min(n_centroids, pool.shape[0])
+    chosen = [0]  # seed 1 = smallest id in the pool
+    d2 = ((pool - pool[0]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        j = int(d2.argmax())  # np.argmax takes the FIRST max → ties by id
+        chosen.append(j)
+        d2 = np.minimum(d2, ((pool - pool[j]) ** 2).sum(axis=1))
+    cents = [[float(x) for x in pool[j]] for j in chosen]
     for _ in range(n_iters):
         assigned = df.withColumn("_c", _nearest_centroid_expr(vec_col, cents))
         dim = len(cents[0])

@@ -129,22 +129,30 @@ def phrase_suggest(
 
         score = ln((cf(c1)+1)/(T+V)) + ln((bigram(c1,c2)+1)/(cf(c1)+V))
 
-    with T = total tokens, V = vocabulary size. Bigram counts come from a
-    positions-table adjacency join restricted to the candidate terms —
-    |cand|² pairs, bounded by num_candidates², never corpus-wide.
+    with T = total tokens, V = vocabulary size. An n-token phrase chains
+    the bigram term pairwise:
+
+        score = ln((cf(c1)+1)/(T+V))
+                + Σ_{i<n} ln((bigram(ci,ci+1)+1)/(cf(ci)+V))
+
+    Bigram counts come from ONE positions-table adjacency self-join
+    restricted to the union of all candidate terms — |cand|² pairs,
+    bounded by (n·num_candidates)², never corpus-wide; candidate
+    combinations are a chain of crossJoins bounded by num_candidates^n
+    (n = query tokens, small by construction).
 
     Returns (suggestion, score, rank) — the top ``size`` corrected
-    phrases. Two-token inputs (the common spell-correction shape); longer
-    inputs chain bigrams pairwise.
+    phrases.
     """
     spark = searcher.spark
     terms = searcher.analyze(text)
     out_schema = "suggestion string, score double, rank int"
-    if len(terms) != 2:
-        raise ValueError("phrase_suggest: exactly two input tokens supported")
+    if len(terms) < 2:
+        raise ValueError("phrase_suggest: at least two input tokens required")
     d = searcher.index.dictionary(spark)
-    V = d.count()
+    V = int(searcher.index.meta.get("vocab_size") or d.count())
     T = searcher.sum_dl
+    n = len(terms)
 
     def cands(tok: str, name: str):
         c = (d.select(F.col("term").alias(name), F.col("cf").alias(f"{name}_cf"))
@@ -154,30 +162,36 @@ def phrase_suggest(
         return (c.withColumn("_rn", F.row_number().over(w2))
                 .where(F.col("_rn") <= num_candidates).drop("_dist", "_rn"))
 
-    c1, c2 = cands(terms[0], "t1"), cands(terms[1], "t2")
-    c1_terms = [r["t1"] for r in c1.select("t1").collect()]
-    c2_terms = [r["t2"] for r in c2.select("t2").collect()]
-    if not c1_terms or not c2_terms:
+    frames = [cands(t, f"t{i + 1}") for i, t in enumerate(terms)]
+    term_lists = [[r[f"t{i + 1}"] for r in cf.select(f"t{i + 1}").collect()]
+                  for i, cf in enumerate(frames)]
+    if any(not tl for tl in term_lists):
         return spark.createDataFrame([], out_schema)
+    all_terms = sorted({t for tl in term_lists for t in tl})
     pos = searcher.index.positions(spark)
-    a = (pos.where(F.col("term").isin(c1_terms))
-         .select(F.col("term").alias("t1"), "doc_id",
+    a = (pos.where(F.col("term").isin(all_terms))
+         .select(F.col("term").alias("lt"), "doc_id",
                  F.explode("positions").alias("p")))
-    b = (pos.where(F.col("term").isin(c2_terms))
-         .select(F.col("term").alias("t2"), "doc_id",
+    b = (pos.where(F.col("term").isin(all_terms))
+         .select(F.col("term").alias("rt"), "doc_id",
                  F.explode("positions").alias("p2"))
-         .select("t2", "doc_id", (F.col("p2") - F.lit(1)).alias("p")))
+         .select("rt", "doc_id", (F.col("p2") - F.lit(1)).alias("p")))
     big = (a.join(b, ["doc_id", "p"])
-           .groupBy("t1", "t2").agg(F.count("*").alias("bc")))
-    pairs = (c1.crossJoin(c2)
-             .join(big, ["t1", "t2"], "left")
-             .withColumn("bc", F.coalesce("bc", F.lit(0))))
-    score = (
-        F.log((F.col("t1_cf") + 1.0) / F.lit(float(T + V)))
-        + F.log((F.col("bc") + 1.0) / (F.col("t1_cf") + F.lit(float(V))))
-    )
+           .groupBy("lt", "rt").agg(F.count("*").alias("bc")))
+    pairs = frames[0]
+    for cf in frames[1:]:
+        pairs = pairs.crossJoin(cf)
+    score = F.log((F.col("t1_cf") + 1.0) / F.lit(float(T + V)))
+    for i in range(1, n):
+        bi = big.select(F.col("lt").alias(f"t{i}"),
+                        F.col("rt").alias(f"t{i + 1}"),
+                        F.col("bc").alias(f"bc{i}"))
+        pairs = (pairs.join(bi, [f"t{i}", f"t{i + 1}"], "left")
+                 .withColumn(f"bc{i}", F.coalesce(f"bc{i}", F.lit(0))))
+        score = score + F.log((F.col(f"bc{i}") + 1.0)
+                              / (F.col(f"t{i}_cf") + F.lit(float(V))))
     scored = pairs.select(
-        F.concat_ws(" ", "t1", "t2").alias("suggestion"),
+        F.concat_ws(" ", *[f"t{i + 1}" for i in range(n)]).alias("suggestion"),
         F.round(score, 6).alias("score"))
     w3 = W.orderBy(F.desc("score"), F.asc("suggestion"))
     return (scored.withColumn("rank", F.row_number().over(w3))

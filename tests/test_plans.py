@@ -113,3 +113,38 @@ def test_msearch_fused_single_postings_scan(spark, idx):
         1 for line in plan.splitlines()
         if "InMemoryFileIndex" in line and "/postings" in line)
     assert n_posting_scans == 1, plan[:2000]
+
+
+def test_unigram_logppl_join_posture_both_sides(spark, sf_dir):
+    """The probability-table join broadcasts while the vocabulary fits
+    the threshold and falls back to a plain shuffle join above it (an
+    open-web vocabulary would OOM a broadcast) — both postures asserted
+    from the physical plan, decided by the data not a caller flag."""
+    from opensearch_spark.ml.curation import unigram_logppl
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # disable Catalyst's size-based auto-broadcast so the plans show the
+    # OPERATOR's posture choice, not the toy-scale statistics (at a real
+    # >2M-term vocab the estimate exceeds the auto threshold anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # small vocab, default threshold -> the p equi-join is a
+        # BroadcastHashJoin (the 1-row `total` crossJoin is a
+        # BroadcastNestedLoopJoin in BOTH postures — not what we assert)
+        plan_small = explain_str(unigram_logppl(docs))
+        assert "BroadcastHashJoin" in plan_small
+        # threshold forced below the vocab size -> plain shuffle join
+        plan_big = explain_str(unigram_logppl(docs, broadcast_vocab_max=1))
+        assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
+        assert "BroadcastHashJoin" not in plan_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # results identical under either posture (rounded — join strategy
+    # changes float summation order by an ulp)
+    def rows(df):
+        return sorted((r["doc_id"], round(r["logppl"], 9), r["n_tokens"])
+                      for r in df.collect())
+
+    assert rows(unigram_logppl(docs)) == \
+        rows(unigram_logppl(docs, broadcast_vocab_max=1))
