@@ -4861,6 +4861,106 @@ def agg_geo_distance_range(spark, sf_dir):
             .orderBy("bucket"))
 
 
+# --------------------------------------------------------------------------
+# ip + range field types over derived deterministic columns —
+# IpFieldMapper / RangeFieldMapper / BinaryRangeAggregator (ip_range)
+# --------------------------------------------------------------------------
+from opensearch_spark.search import ipfield as IPF  # noqa: E402
+
+# numeric derivation shared with the oracles (uint32 Knuth spread)
+_IP_SQL = (f"(doc_id * {IPF.IP_HASH_MULT}) % {IPF.IP_SPACE}")
+_IP_STR_SQL = ("((ip_num >> 24) % 256) || '.' || ((ip_num >> 16) % 256)"
+               " || '.' || ((ip_num >> 8) % 256) || '.' || (ip_num % 256)")
+_CIDR = "160.0.0.0/4"
+_CIDR_LO, _CIDR_HI = IPF.parse_cidr(_CIDR)
+_IPR_SPECS = [
+    {"key": "low", "to": "64.0.0.0"},
+    {"key": "mid", "from": "64.0.0.0", "to": "192.0.0.0"},
+    {"key": "high", "from": "192.0.0.0"},
+    {"key": "block", "mask": "128.0.0.0/2"},
+]
+
+
+@q("search_ip_cidr", f"""
+WITH ips AS (SELECT doc_id, {_IP_SQL} AS ip_num FROM documents)
+SELECT doc_id, {_IP_STR_SQL} AS ip
+FROM ips WHERE ip_num BETWEEN {_CIDR_LO} AND {_CIDR_HI}
+ORDER BY doc_id LIMIT 50
+""")
+def search_ip_cidr(spark, sf_dir):
+    """CIDR term query on a derived ip field (IpFieldMapper.termQuery
+    with a mask → InetAddressPoint.newPrefixQuery): one numeric BETWEEN
+    on a long column — parquet-pushable, codegen, no shuffle."""
+    d = IPF.with_ip(_docs(spark, sf_dir).select("doc_id"))
+    return (IPF.ip_cidr(d, _CIDR).select("doc_id", "ip")
+            .orderBy("doc_id").limit(50))
+
+
+def _ip_range_agg_sql() -> str:
+    cases = []
+    for spec in _IPR_SPECS:
+        if "mask" in spec:
+            lo, hi = IPF.parse_cidr(spec["mask"])
+            cond = f"ip_num BETWEEN {lo} AND {hi}"
+        else:
+            parts = []
+            if spec.get("from") is not None:
+                parts.append(f"ip_num >= {IPF.parse_ip(spec['from'])}")
+            if spec.get("to") is not None:
+                parts.append(f"ip_num < {IPF.parse_ip(spec['to'])}")
+            cond = " AND ".join(parts)
+        cases.append(
+            f"SELECT '{spec['key']}' AS key, "
+            f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS doc_count "
+            f"FROM ips")
+    union = " UNION ALL ".join(cases)
+    return f"""
+WITH ips AS (SELECT {_IP_SQL} AS ip_num FROM documents)
+{union}
+"""
+
+
+@q("agg_ip_range", _ip_range_agg_sql())
+def agg_ip_range(spark, sf_dir):
+    """ip_range aggregation (BinaryRangeAggregator; [from,to) ES bucket
+    semantics, CIDR masks inclusive): ONE conditional-sum aggregate emits
+    every keyed bucket — no per-bucket scans, empty buckets included."""
+    d = IPF.with_ip(_docs(spark, sf_dir).select("doc_id"))
+    return IPF.ip_range_agg(d, _IPR_SPECS)
+
+
+@q("search_range_field", f"""
+WITH r AS (SELECT doc_id,
+                  (doc_id % {IPF.RANGE_LO_MOD}) * 10 AS r_lo,
+                  (doc_id % {IPF.RANGE_LO_MOD}) * 10 + 5
+                      + (doc_id % {IPF.RANGE_SPAN_MOD}) AS r_hi
+           FROM documents)
+SELECT 'contains' AS relation,
+       sum(CASE WHEN r_lo <= 200 AND r_hi >= 260 THEN 1 ELSE 0 END)::BIGINT AS n_docs
+FROM r
+UNION ALL
+SELECT 'intersects',
+       sum(CASE WHEN r_lo <= 260 AND r_hi >= 200 THEN 1 ELSE 0 END)::BIGINT FROM r
+UNION ALL
+SELECT 'within',
+       sum(CASE WHEN r_lo >= 200 AND r_hi <= 260 THEN 1 ELSE 0 END)::BIGINT FROM r
+""")
+def search_range_field(spark, sf_dir):
+    """Range FIELD queried with a range under all three relations
+    (RangeFieldMapper.RangeType × RangeQueryBuilder.relation): the field
+    is a derived per-doc [r_lo, r_hi] interval; each relation is a pair
+    of comparisons — pushable, codegen, one count shuffle per relation."""
+    d = IPF.with_range_field(_docs(spark, sf_dir).select("doc_id"))
+    outs = []
+    for rel in ("contains", "intersects", "within"):
+        outs.append(
+            IPF.range_field_query(d, 200, 260, rel)
+            .agg(F.count("*").alias("n_docs"))
+            .select(F.lit(rel).alias("relation"), "n_docs"))
+    a, b, c = outs
+    return a.unionByName(b).unionByName(c).orderBy("relation")
+
+
 @q("curation_unigram_logppl", """
 WITH tok AS (
     SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term

@@ -441,3 +441,57 @@ def test_dsl_parses_new_query_options():
     assert q == Q.Match(field="text", text="tbl", analyzer="synonym_demo")
     t = from_dsl({"term": {"lang": {"value": "DE", "case_insensitive": True}}})
     assert t == Q.Term(field="lang", value="DE", case_insensitive=True)
+
+
+# ---------------- ip + range field types ----------------
+def test_ipfield_parse_and_term(spark, sf_dir):
+    from opensearch_spark.search import ipfield as IPF
+
+    assert IPF.parse_ip("1.2.3.4") == (1 << 24) | (2 << 16) | (3 << 8) | 4
+    with pytest.raises(ValueError):
+        IPF.parse_ip("1.2.3.999")
+    assert IPF.parse_cidr("10.0.0.0/8") == (10 << 24, (11 << 24) - 1)
+    assert IPF.parse_cidr("1.2.3.4/32") == (IPF.parse_ip("1.2.3.4"),) * 2
+    assert IPF.parse_cidr("5.6.7.8/0") == (0, IPF.IP_SPACE - 1)
+    with pytest.raises(ValueError):
+        IPF.parse_cidr("1.2.3.4/33")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = IPF.with_ip(docs)
+    # term query: doc 42's derived ip round-trips string -> parse -> match
+    ip42 = d.where(F.col("doc_id") == 42).first()["ip"]
+    hits = IPF.ip_term(d, ip42).select("doc_id").collect()
+    assert 42 in {r["doc_id"] for r in hits}
+    # ip_range [gte, lt) slices consistently with cidr
+    n_cidr = IPF.ip_cidr(d, "128.0.0.0/1").count()
+    n_rng = IPF.ip_range(d, gte="128.0.0.0", lt=None).count()
+    assert n_cidr == n_rng > 0
+
+
+def test_range_field_relations(spark, sf_dir):
+    from opensearch_spark.search import ipfield as IPF
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = IPF.with_range_field(docs)
+    n_int = IPF.range_field_query(d, 200, 260, "intersects").count()
+    n_within = IPF.range_field_query(d, 200, 260, "within").count()
+    n_contains = IPF.range_field_query(d, 200, 260, "contains").count()
+    # within ⊆ intersects and contains ⊆ intersects, strictly here
+    assert n_within <= n_int and n_contains <= n_int and n_int > 0
+    with pytest.raises(ValueError):
+        IPF.range_field_query(d, 0, 1, "overlaps")
+
+
+def test_ip_predicates_push_to_scan(spark, sf_dir):
+    """The CIDR between on the derived long column must reach the parquet
+    scan's data filters once the ip column is materialized (here: the
+    filter is a plain range on a codegen expression — assert no Python
+    eval nodes and a single scan)."""
+    from opensearch_spark.search import ipfield as IPF
+    from tests.test_plans import explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    plan = explain_str(IPF.ip_cidr(IPF.with_ip(docs), "160.0.0.0/4"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1  # single scan
+    assert "Filter [codegen" in plan  # predicate stays in codegen
