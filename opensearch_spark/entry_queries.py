@@ -989,6 +989,30 @@ def search_span_near_unordered(spark, sf_dir):
                             slop=2, in_order=False)).orderBy("doc_id")
 
 
+@q("search_span_field_masking", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT a.doc_id, 1.0 AS score
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = 'spark' AND a.p < {TITLE_TOKENS}
+  AND b.term = 'table' AND b.p > a.p AND (b.p - a.p) - 1 <= 5
+ORDER BY a.doc_id
+""")
+def search_span_field_masking(spark, sf_dir):
+    """field_masking_span (SpanFieldMaskingQueryBuilder.java) inside a
+    span_near: the first clause's positions come from the position-aligned
+    sibling `title` field (first 8 tokens of text, same analyzer — the
+    classic masked-field shape), the second from `text`; near = ordered
+    slop 5. The oracle reproduces the mask as a position bound p < 8."""
+    from opensearch_spark.search import SpanFieldMasking
+
+    s = get_searcher(spark, sf_dir)
+    return s.score(SpanNear(
+        field="text",
+        clauses=[SpanFieldMasking(inner_field="title", value="spark"),
+                 "table"],
+        slop=5, in_order=True)).orderBy("doc_id")
+
+
 @q("search_query_string", f"""
 WITH {O.TOK_CTES},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2

@@ -178,13 +178,22 @@ def banded_signatures(sh: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
                       n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS,
                       threshold: float = 0.5, id_col: str = "doc_id") -> DataFrame:
-    """MinHash + LSH banding → candidate pairs → exact-jaccard verify."""
+    """MinHash + LSH banding → candidate pairs → exact-jaccard verify.
+
+    Every frame in this pipeline (band keys, candidate pairs, shingle
+    hashes, per-doc sizes) scales with the CORPUS, so every join carries
+    an explicit merge (sort-merge) hint: Catalyst's size estimates for
+    multi-shuffle intermediates are unreliable, and a mis-estimated
+    auto-broadcast of the candidate or size side OOMs the driver at real
+    size (observed at 600k docs / 8g driver). Shuffle joins are the only
+    posture that survives any scale; AQE still localizes the small cases
+    at runtime."""
     sh = shingles(df, text_col, n, id_col).persist()
     banded = banded_signatures(sh, id_col, n_hashes, band_rows)
     a = banded.select(F.col(id_col).alias("a"), "band", "sig")
     b = banded.select(F.col(id_col).alias("b"), "band", "sig")
     cand = (
-        a.join(b, ["band", "sig"]).where(F.col("a") < F.col("b"))
+        a.hint("merge").join(b, ["band", "sig"]).where(F.col("a") < F.col("b"))
         .select("a", "b").distinct()
     )
     # verify candidates with exact jaccard; the intersection join runs on
@@ -195,11 +204,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
     sa = hashed.select(F.col(id_col).alias("a"), "_h")
     sb = hashed.select(F.col(id_col).alias("b"), "_h")
     inter = (
-        cand.join(sa, "a").join(sb, ["b", "_h"])
+        cand.hint("merge").join(sa, "a").hint("merge").join(sb, ["b", "_h"])
         .groupBy("a", "b").agg(F.count("*").alias("inter"))
     )
     out = (
-        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        inter.hint("merge")
+        .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .hint("merge")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
         .withColumn(
             "jaccard",
@@ -368,8 +379,11 @@ def dedup_chunks_global(
         .select("chunk", F.col(f"f.{id_col}").alias("_fid"),
                 F.col("f.chunk_no").alias("_fno"))
     )
+    # merge hints: chunks, first and nchunks_df all scale with the corpus
+    # — a mis-estimated auto-broadcast OOMs the driver at real size (same
+    # posture as minhash_lsh_pairs; AQE still localizes small cases)
     kept = (
-        chunks.join(first, "chunk")
+        chunks.hint("merge").join(first, "chunk")
         .where((F.col(id_col) == F.col("_fid"))
                & (F.col("chunk_no") == F.col("_fno")))
         .select(id_col, "chunk_no", "chunk")
@@ -383,6 +397,7 @@ def dedup_chunks_global(
                 ).getField("chunk"), " ").alias("text_dedup"),
             F.count("*").alias("n_kept"),
         )
+        .hint("merge")
         .join(nchunks_df, id_col)
         .select(id_col, "text_dedup", "n_chunks", "n_kept")
     )

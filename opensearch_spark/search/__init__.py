@@ -18,6 +18,7 @@ from opensearch_spark.search.queries import (  # noqa: F401
     MultiMatch,
     ScoreFunction,
     SpanContaining,
+    SpanFieldMasking,
     SpanFirst,
     SpanMulti,
     SpanNear,

@@ -130,6 +130,20 @@ class SpanNot(Query):
 
 
 @dataclass
+class SpanFieldMasking(Query):
+    """field_masking_span (SpanFieldMaskingQueryBuilder.java): a span
+    clause whose term positions come from ``inner_field``'s index but
+    which composes inside a span query on the OUTER field — the classic
+    use is position-aligned sibling fields (same source analyzed twice).
+    Used as a CLAUSE inside SpanNear.clauses, like the reference nests it
+    inside compound spans; outer-field stats drive scoring (here: the
+    constant-boost filter-context convention of the span family)."""
+
+    inner_field: str
+    value: str
+
+
+@dataclass
 class SpanMulti(Query):
     """span_multi (SpanMultiTermQueryBuilder.java): wrap a multi-term
     query (prefix/wildcard/regexp/fuzzy) as a span clause — the expansion

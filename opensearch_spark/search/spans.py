@@ -207,24 +207,39 @@ def span_containing_docs(searcher, big: tuple[str, str], slop: int,
 def span_match_counts(searcher, clauses: list, slop: int,
                       in_order: bool) -> DataFrame:
     """(doc_id, n_matches) for a span_near over ``clauses``; each clause is
-    a term string or a list of alternative terms (an inlined span_or).
+    a term string, a list of alternative terms (an inlined span_or), or a
+    SpanFieldMasking node (positions read from the sibling field's index
+    — SpanFieldMaskingQueryBuilder.java; sibling doc ids are shared by
+    construction, so the per-doc merge is field-agnostic).
 
-    Plan: term-pruned positions scan → broadcast (term → clause) tag join →
-    one groupBy(doc_id) applyInPandas. No position cartesian anywhere.
+    Plan: term-pruned positions scan per source field (ONE scan in the
+    common unmasked case) → broadcast (term → clause) tag join →
+    one doc-partitioned sorted mapInPandas. No position cartesian.
     """
     searcher._require_positions("span/interval queries")
     spark = searcher.spark
-    mapping = []
+    by_field: dict[str | None, list] = {}
     for i, c in enumerate(clauses):
-        alts = [c] if isinstance(c, str) else list(c)
-        for t in alts:
-            mapping.append((t, i))
-    terms = sorted({t for t, _ in mapping})
-    map_df = spark.createDataFrame(mapping, "term string, clause int")
-    pos = (searcher.index.positions(spark)
-           .where(F.col("term").isin(terms))
-           .join(F.broadcast(map_df), "term")
-           .select("doc_id", "clause", "positions"))
+        if hasattr(c, "inner_field"):  # SpanFieldMasking clause
+            by_field.setdefault(c.inner_field, []).append((c.value, i))
+        else:
+            alts = [c] if isinstance(c, str) else list(c)
+            for t in alts:
+                by_field.setdefault(None, []).append((t, i))
+    frames = []
+    for fld, mapping in by_field.items():
+        src = searcher if fld is None else searcher._searcher_for(fld)
+        src._require_positions("field_masking_span")
+        terms = sorted({t for t, _ in mapping})
+        map_df = spark.createDataFrame(mapping, "term string, clause int")
+        frames.append(
+            src.index.positions(spark)
+            .where(F.col("term").isin(terms))
+            .join(F.broadcast(map_df), "term")
+            .select("doc_id", "clause", "positions"))
+    pos = frames[0]
+    for f in frames[1:]:
+        pos = pos.unionByName(f)
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (pos.repartition(n_shuffle, "doc_id")
             .sortWithinPartitions("doc_id", "clause")

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Top-5 headline operators at REAL corpus size (default 600k docs).
+
+The sf0.1 documents table (5k docs) is fixed-overhead-dominated — per-op
+seconds there measure Spark job scheduling, not plan quality. This run
+measures the five operators whose plans matter most at 100 TB against
+the same 600k-doc deterministic code corpus the scaling runs use:
+
+- match_wand       hot-term top-10 (block-max pruning regime) + its
+                   exhaustive twin — the WAND ratio is the point
+- phrase_slop      positions-enabled sloppy phrase over the span
+                   enumerator (sorted-merge, no position cartesian)
+- dedup_minhash_lsh  shingle → single-pass wide min-agg signatures →
+                   band-bucket join → exact verify
+- dedup_chunks_global  explode → first-occurrence agg → ordered re-join
+- percolate        broadcast stored-query prefilter + exact verify,
+                   one corpus scan
+
+Usage: python scripts/real_size_bench.py [n_docs] [n_reps]
+Corpus parquet and the positions index are cached under /tmp and reused.
+Prints one JSON line; recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    n_reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    from pyspark.sql import functions as F
+
+    from opensearch_spark.datagen import generate_corpus
+    from opensearch_spark.index.build import IndexConfig, InvertedIndex, build_index
+    from opensearch_spark.ml import dedup as D
+    from opensearch_spark.search import Match, MatchPhrase, Searcher
+    from opensearch_spark.search.percolate import PercQuery, percolate
+    from opensearch_spark.session import get_spark
+
+    spark = get_spark("real_size_bench", master=f"local[{CPUS}]")
+
+    # warm Python-worker pool (see bench.py: ~9 s cold fork+import)
+    def _ident(it):
+        for p in it:
+            yield p
+
+    spark.range(32_000).repartition(int(CPUS)) \
+        .mapInPandas(_ident, "id long").count()
+
+    corpus_path = f"/tmp/opensearch_spark_realsize_corpus_{n_docs}"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        generate_corpus(spark, n_docs, n_partitions=64) \
+            .write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+
+    idx_dir = f"/tmp/opensearch_spark_realsize_idx_{n_docs}"
+    cfg = IndexConfig(field="content", analyzer="standard_code",
+                      order_cols=("repo", "path", "commit"),
+                      keyword_cols=("lang",), n_parts=16,
+                      bucket_span=1 << 13, with_positions=True)
+    build_sec = None
+    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+        t0 = time.perf_counter()
+        build_index(spark, corpus, idx_dir, cfg)
+        build_sec = round(time.perf_counter() - t0, 2)
+    idx = InvertedIndex(idx_dir)
+    idx.cache(spark)
+    s = Searcher(spark, idx)
+
+    docs = corpus.withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")).withColumn(
+        "n_chars", F.length("content"))
+
+    perc_queries = [
+        PercQuery(1, "match", "content", ("import", "merge"), 2),
+        PercQuery(2, "match", "content", ("parse", "reader", "writer"), 2),
+        PercQuery(3, "match", "content", ("vector", "matrix"), 1),
+        PercQuery(4, "term", "lang", value="py"),
+        PercQuery(5, "range", "n_chars", lo=400.0, hi=800.0),
+    ]
+
+    ops = {
+        "match_wand": lambda: s.search(
+            Match(field="content", text="import def merge"),
+            k=10, mode="wand").collect(),
+        "match_exhaustive": lambda: s.search(
+            Match(field="content", text="import def merge"),
+            k=10, mode="exhaustive").collect(),
+        "phrase_slop": lambda: s.search(
+            MatchPhrase(field="content", text="def parse reader", slop=1),
+            k=10).collect(),
+        "dedup_minhash_lsh": lambda: D.minhash_lsh_pairs(
+            docs, "content").count(),
+        "dedup_chunks_global": lambda: D.dedup_chunks_global(
+            docs, "content", "doc_id", chunk_tokens=16).count(),
+        "percolate": lambda: percolate(
+            spark, perc_queries, docs, analyzer="standard_code").count(),
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in ops.items():
+        reps = []
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            fn()
+            reps.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(reps)
+
+    out = {
+        "metric": "top-5 operator wall-clock at real corpus size (sec)",
+        "value": round(sum(v for k, v in timings.items()
+                           if k != "match_exhaustive"), 3),
+        "unit": "sec",
+        "queries": timings,
+        "n_docs": n_docs,
+        "extra": {
+            "cpus": int(CPUS),
+            "index_build_sec": build_sec,
+            "wand_speedup_vs_exhaustive": round(
+                timings["match_exhaustive"] / timings["match_wand"], 2),
+            "statistic": f"min of {n_reps} reps per op",
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -639,3 +639,26 @@ def test_intervals_unknown_rule_raises(searcher):
     with pytest.raises(ValueError):
         searcher.score(Q.Intervals(field="text", text="spark ta",
                                    last_rule="regexp_nope"))
+
+
+# ---------------- field_masking_span ----------------
+def test_field_masking_span_restricts_to_sibling_positions(spark, sf_dir):
+    """The masked clause must read the SIBLING field's positions: a doc
+    whose 'spark' occurs only past the 8-token title prefix matches the
+    plain span_near but NOT the masked one (title has no such position)."""
+    from opensearch_spark.entry_queries import get_searcher
+    from opensearch_spark.search import SpanFieldMasking, SpanNear
+
+    s = get_searcher(spark, sf_dir)
+    plain = {r["doc_id"] for r in s.score(SpanNear(
+        field="text", clauses=["spark", "table"],
+        slop=5, in_order=True)).collect()}
+    masked = {r["doc_id"] for r in s.score(SpanNear(
+        field="text",
+        clauses=[SpanFieldMasking(inner_field="title", value="spark"),
+                 "table"],
+        slop=5, in_order=True)).collect()}
+    assert masked <= plain
+    # the mask is a real constraint on this corpus (title = first 8
+    # tokens): at least one plain match has its 'spark' beyond the title
+    assert masked != plain, "mask did not restrict anything — fixture too weak"
