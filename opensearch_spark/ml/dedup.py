@@ -106,21 +106,26 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
     ``None`` disables the guard. MinHash-LSH (``lsh_candidates``) remains
     the documented scale route; this makes the exact operator safe too.
     """
+    # merge hints throughout: every side (shingle sets, df filter, sizes)
+    # scales with the corpus — a mis-estimated auto-broadcast OOMs the
+    # driver at real size (same posture as minhash_lsh_pairs)
     if max_shingle_df is not None:
         dfc = (sh.groupBy("shingle").agg(F.count("*").alias("_sdf"))
                .where(F.col("_sdf") <= max_shingle_df).drop("_sdf"))
-        sh = sh.join(dfc, "shingle")
+        sh = sh.hint("merge").join(dfc, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
     inter = (
-        a.join(b, "shingle")
+        a.hint("merge").join(b, "shingle")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
     out = (
-        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        inter.hint("merge")
+        .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .hint("merge")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
         .withColumn(
             "jaccard",
@@ -320,7 +325,8 @@ def simhash_pairs(fp: DataFrame, max_hamming: int = 3,
     a = allb.select(F.col(id_col).alias("a"), F.col("simhash").alias("fa"), "band", "key")
     b = allb.select(F.col(id_col).alias("b"), F.col("simhash").alias("fb"), "band", "key")
     cand = (
-        a.join(b, ["band", "key"]).where(F.col("a") < F.col("b"))
+        # merge hint: both sides are corpus-scaled (see minhash_lsh_pairs)
+        a.hint("merge").join(b, ["band", "key"]).where(F.col("a") < F.col("b"))
         .select("a", "b", "fa", "fb").distinct()
     )
     return (
