@@ -148,3 +148,21 @@ def test_unigram_logppl_join_posture_both_sides(spark, sf_dir):
 
     assert rows(unigram_logppl(docs)) == \
         rows(unigram_logppl(docs, broadcast_vocab_max=1))
+
+
+def test_dedup_pipelines_never_broadcast_corpus_scaled_sides(spark, sf_dir):
+    """Every side of the dedup pipelines' joins scales with the corpus; a
+    mis-estimated auto-broadcast OOMed the 8g driver at 600k docs. The
+    merge hints must keep ALL of these joins shuffle joins — no
+    BroadcastHashJoin anywhere in the static plans (AQE may still
+    localize small shuffles at runtime, which is fine)."""
+    from opensearch_spark.ml import dedup as D
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sh = D.shingles(docs, "text", n=2)
+    for df in (D.minhash_lsh_pairs(docs, "text"),
+               D.jaccard_pairs(sh),
+               D.simhash_pairs(D.simhash(docs, "text")),
+               D.dedup_chunks_global(docs, "text", "doc_id")):
+        plan = explain_str(df)
+        assert "BroadcastHashJoin" not in plan, plan[:1500]
