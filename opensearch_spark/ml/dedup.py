@@ -192,8 +192,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
     auto-broadcast of the candidate or size side OOMs the driver at real
     size (observed at 600k docs / 8g driver). Shuffle joins are the only
     posture that survives any scale; AQE still localizes the small cases
-    at runtime."""
-    sh = shingles(df, text_col, n, id_col).persist()
+    at runtime.
+
+    The shared shingle frame is persisted DISK_ONLY, not on-heap: it
+    scales with the corpus (≈100 shingle rows per doc), and deserialized
+    heap caching of it starved the executor heap at 600k docs (GCLocker
+    thrash → OOM). Disk materialization is the posture that holds at any
+    scale — one shingling pass, three sequential re-reads."""
+    from pyspark import StorageLevel
+
+    sh = shingles(df, text_col, n, id_col).persist(StorageLevel.DISK_ONLY)
     banded = banded_signatures(sh, id_col, n_hashes, band_rows)
     a = banded.select(F.col(id_col).alias("a"), "band", "sig")
     b = banded.select(F.col(id_col).alias("b"), "band", "sig")
