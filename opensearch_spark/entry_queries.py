@@ -2844,9 +2844,18 @@ banded AS (
     SELECT doc_id, j // {D.BAND_ROWS} AS band,
            string_agg(j || ':' || mh, ',' ORDER BY j || ':' || mh) AS sig
     FROM sig GROUP BY doc_id, j // {D.BAND_ROWS}),
-cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         FROM banded l JOIN banded r
-           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+bsz AS (SELECT band, sig, count(*) AS m, min(doc_id) AS minid
+        FROM banded GROUP BY band, sig),
+cand AS (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM banded l
+    JOIN banded r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+    JOIN bsz z ON z.band = l.band AND z.sig = l.sig
+    WHERE z.m <= {D.LSH_MAX_BUCKET}
+    UNION
+    SELECT z.minid AS a, l.doc_id AS b
+    FROM banded l JOIN bsz z ON z.band = l.band AND z.sig = l.sig
+    WHERE z.m > {D.LSH_MAX_BUCKET} AND l.doc_id <> z.minid),
 inter AS (SELECT c.a, c.b, count(*) AS i
           FROM cand c JOIN sh sa ON sa.doc_id = c.a
                       JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
