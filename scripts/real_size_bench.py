@@ -74,6 +74,11 @@ def main() -> None:
     idx = InvertedIndex(idx_dir)
     idx.cache(spark)
     s = Searcher(spark, idx)
+    # warm the serving path once (dictionary + postings cache
+    # materialization): the match/phrase numbers model a long-lived
+    # executor, not a first-query-after-boot; the dedup/percolate ops are
+    # batch jobs and stay cold-measured
+    s.search(Match(field="content", text="index"), k=10, mode="wand").collect()
 
     docs = corpus.withColumn(
         "doc_id", F.xxhash64("repo", "path", "commit")).withColumn(
