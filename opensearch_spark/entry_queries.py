@@ -3504,6 +3504,45 @@ def sim_near_dup_pairs(spark, sf_dir):
     return S.embedding_near_dup_pairs(emb, threshold=0.42).orderBy("a", "b")
 
 
+def _semantic_dedup_oracle_sql(threshold: float = 0.42, n_planes: int = 8,
+                               dim: int = 64) -> str:
+    """DuckDB twin of semantic_dedup: the near-dup-pair CTE (inlined
+    hyperplane buckets, exact cosine verify) feeding an anti-join that
+    keeps the min-id representative of every near-dup group."""
+    planes = S.hyperplanes(n_planes, dim)
+
+    def lit(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    bexpr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit(p)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS (SELECT vec_id, v, ({bexpr})::BIGINT AS b FROM e),
+cand AS (SELECT l.vec_id AS a, r.vec_id AS bb, l.v AS va, r.v AS vb
+         FROM bk l JOIN bk r ON l.b = r.b AND l.vec_id < r.vec_id),
+s AS (SELECT a, bb, list_dot_product(va, vb) AS dot,
+             sqrt(list_dot_product(va, va)) AS na,
+             sqrt(list_dot_product(vb, vb)) AS nb FROM cand),
+rm AS (SELECT DISTINCT bb AS vec_id FROM s
+       WHERE round(dot / (na * nb), 4) >= {threshold})
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM rm)
+ORDER BY vec_id
+"""
+
+
+@q("dedup_semantic", _semantic_dedup_oracle_sql())
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540) as a first-class curation operator:
+    cluster (LSH sign-bucket) → within-cluster cosine pairs → keep the
+    min-id representative. Returns the surviving corpus rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (S.semantic_dedup(emb, threshold=0.42)
+            .select("vec_id", "label").orderBy("vec_id"))
+
+
 @q("sim_ivf_topk")  # rows-only: recall vs brute force asserted in tests
 def sim_ivf_topk(spark, sf_dir):
     """IVF ANN over the materialized index: deterministic k-means++-style
@@ -4774,8 +4813,10 @@ def field_caps(spark, sf_dir):
 # GeoCentroid / GeoBounds / GeoDistanceSortBuilder
 # --------------------------------------------------------------------------
 from opensearch_spark.search.geo import (  # noqa: E402
-    GEO_SQL_CTE, geo_bounding_box, geo_distance, geotile_sql, geotile_xy,
-    haversine_sql, with_geo,
+    ENVELOPE_SQL_CTE, GEO_SQL_CTE, POLYGON, envelope_relation,
+    envelope_relation_sql, geo_bounding_box, geo_distance, geo_polygon,
+    geotile_sql, geotile_xy, haversine_sql, polygon_sql, with_envelope,
+    with_geo,
 )
 
 _GEO_X4, _GEO_Y4 = geotile_sql(4)
@@ -4892,6 +4933,74 @@ def agg_geo_distance_range(spark, sf_dir):
             .agg(F.count("*").alias("doc_count"),
                  F.round(F.avg("n_chars"), 2).alias("avg_chars"))
             .orderBy("bucket"))
+
+
+@q("search_geo_polygon", f"""
+WITH {GEO_SQL_CTE}
+SELECT doc_id, round(lat, 2) AS lat, round(lon, 2) AS lon FROM g
+WHERE {polygon_sql(POLYGON)}
+ORDER BY doc_id LIMIT 50
+""")
+def search_geo_polygon(spark, sf_dir):
+    """geo_polygon query (GeoPolygonQueryBuilder.java): PNPOLY ray cast
+    over the derived points — bbox range prefilter (parquet-pushable, the
+    BKD-tree analog) then V unrolled crossing indicators + a parity test,
+    all whole-stage codegen. Oracle inlines the identical edge constants
+    (slopes computed once driver-side) so both engines compare the same
+    doubles."""
+    docs = with_geo(_docs(spark, sf_dir))
+    return (geo_polygon(docs)
+            .select("doc_id", F.round("lat", 2).alias("lat"),
+                    F.round("lon", 2).alias("lon"))
+            .orderBy("doc_id").limit(50))
+
+
+# relation-specific query envelopes, each sized so its relation is
+# non-vacuous at every test sf (doc envelopes are 0.5-6.5 x 0.6-10.6 deg)
+_ENV_INTER = (0.0, 20.0, -40.0, 10.0)    # intersects / disjoint
+_ENV_WITHIN = (0.0, 30.0, -60.0, 0.0)    # large: some doc envs fit inside
+# small env placed strictly inside doc 76's derived envelope
+# (lat [-41.56, -35.06], lon [-145.96, -135.36]) so CONTAINS is
+# non-vacuous at every sf
+_ENV_CONTAINS = (-40.0, -36.0, -144.0, -137.0)
+
+
+@q("search_geo_shape", f"""
+WITH {ENVELOPE_SQL_CTE}
+SELECT 'contains' AS relation,
+       sum(CASE WHEN {envelope_relation_sql(*_ENV_CONTAINS, 'contains')}
+           THEN 1 ELSE 0 END)::BIGINT AS n_docs FROM env
+UNION ALL
+SELECT 'disjoint',
+       sum(CASE WHEN {envelope_relation_sql(*_ENV_INTER, 'disjoint')}
+           THEN 1 ELSE 0 END)::BIGINT FROM env
+UNION ALL
+SELECT 'intersects',
+       sum(CASE WHEN {envelope_relation_sql(*_ENV_INTER, 'intersects')}
+           THEN 1 ELSE 0 END)::BIGINT FROM env
+UNION ALL
+SELECT 'within',
+       sum(CASE WHEN {envelope_relation_sql(*_ENV_WITHIN, 'within')}
+           THEN 1 ELSE 0 END)::BIGINT FROM env
+""")
+def search_geo_shape(spark, sf_dir):
+    """geo_shape ENVELOPE query under all four ShapeRelation.java
+    relations (GeoShapeQueryBuilder.java). The shape field is the derived
+    per-doc envelope; each relation is exact 2-D interval algebra — four
+    pushable range predicates and a count, no shuffle beyond the agg.
+    (Full polygon shapes via the Lucene BKD triangle tree are a documented
+    non-goal; envelopes cover the relation algebra the builder exposes.)"""
+    d = with_envelope(_docs(spark, sf_dir).select("doc_id"))
+    outs = []
+    for rel, env in (("contains", _ENV_CONTAINS), ("disjoint", _ENV_INTER),
+                     ("intersects", _ENV_INTER), ("within", _ENV_WITHIN)):
+        outs.append(envelope_relation(d, *env, rel)
+                    .agg(F.count("*").alias("n_docs"))
+                    .select(F.lit(rel).alias("relation"), "n_docs"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("relation")
 
 
 # --------------------------------------------------------------------------

@@ -523,3 +523,27 @@ def sq8_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     if exclude_id is not None:
         s = s.where(F.col(id_col) != exclude_id)
     return s.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.42, n_planes: int = 8,
+                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    arXiv:2303.09540): partition the embedding space into clusters, find
+    within-cluster pairs whose cosine similarity exceeds the threshold,
+    and keep exactly one representative (the minimum id) from every
+    near-duplicate group. Returns the SURVIVING rows of ``df``.
+
+    Spark-first shape: the cluster assignment is the deterministic LSH
+    sign-bucket (pure codegen arithmetic — the paper's k-means clustering
+    serves the same role: bound the pairwise comparison to within-cluster),
+    the pairwise step is the bucketed self-join of
+    ``embedding_near_dup_pairs`` (never |D|²), and the drop is one
+    anti-join. Every join side scales with the corpus, so the anti-join
+    carries the same explicit merge hint as the dedup pipelines —
+    Catalyst must never auto-broadcast a corpus-scaled side (see
+    tests/test_plans.py::test_dedup_pipelines_never_broadcast...).
+    """
+    pairs = embedding_near_dup_pairs(df, threshold, n_planes, vec_col, id_col)
+    removed = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(removed.hint("merge"), id_col, "left_anti")

@@ -135,3 +135,155 @@ def geotile_sql(zoom: int) -> tuple[str, str]:
          f"ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()"
          f") / 2.0 * {n}) AS BIGINT)))")
     return x, y
+
+
+# --------------------------------------------------------------------------
+# geo_polygon query + geo_shape (envelope) relations
+# Reference: ``server/src/main/java/org/opensearch/index/query/
+# GeoPolygonQueryBuilder.java`` (point-in-polygon over indexed points) and
+# ``GeoShapeQueryBuilder.java`` + ``common/geo/ShapeRelation.java``
+# (INTERSECTS / DISJOINT / WITHIN / CONTAINS). The reference indexes
+# polygons as BKD triangle trees (Lucene LatLonShape); here the corpus has
+# no shape column, so the shape field is a deterministic derived ENVELOPE
+# per document (the one shape type whose relation algebra is exact interval
+# arithmetic — fully expressible as codegen range predicates), and the
+# polygon query runs the classical ray-cast over the derived points.
+# Both are pure JVM column expressions: a polygon with V vertices compiles
+# to V crossing indicators + a parity test, an envelope relation to 4 range
+# predicates — all pushdown-friendly after the cheap bbox prefilter.
+# --------------------------------------------------------------------------
+
+#: fixed query pentagon for the gate: (lat, lon) vertices, no two adjacent
+#: vertices share a latitude (keeps every edge's slope finite; horizontal
+#: edges are skipped by construction in both engines anyway)
+POLYGON = [(45.0, -100.0), (20.0, -20.0), (-15.0, 30.0),
+           (-40.0, -50.0), (5.0, -140.0)]
+
+
+def _polygon_edges(vertices):
+    """(yi, xi, yj, xj, slope) per non-horizontal edge; slope computed
+    ONCE in Python so Spark and the SQL oracle multiply by the identical
+    double (no per-engine division-order drift)."""
+    n = len(vertices)
+    edges = []
+    for i in range(n):
+        yi, xi = vertices[i]
+        yj, xj = vertices[(i - 1) % n]
+        if yj == yi:
+            continue  # horizontal edge can never satisfy the crossing test
+        edges.append((yi, xi, yj, xj, (xj - xi) / (yj - yi)))
+    return edges
+
+
+def point_in_polygon(lat: Column, lon: Column, vertices) -> Column:
+    """PNPOLY ray cast: count edges whose half-open lat span covers the
+    point and whose lon-intercept at the point's lat lies to its east;
+    odd count = inside. V unrolled indicators + one parity test — whole
+    stage codegen, no UDF."""
+    c = F.lit(0)
+    for yi, xi, yj, xj, slope in _polygon_edges(vertices):
+        cross = ((F.lit(yi) > lat) != (F.lit(yj) > lat)) & \
+            (lon < (lat - F.lit(yi)) * F.lit(slope) + F.lit(xi))
+        c = c + F.when(cross, 1).otherwise(0)
+    return (c % 2) == 1
+
+
+def polygon_sql(vertices, lat: str = "lat", lon: str = "lon") -> str:
+    """DuckDB twin of point_in_polygon (identical constants and op order)."""
+    terms = []
+    for yi, xi, yj, xj, slope in _polygon_edges(vertices):
+        terms.append(
+            f"(CASE WHEN (({yi!r} > {lat}) <> ({yj!r} > {lat})) AND "
+            f"({lon} < ({lat} - {yi!r}) * {slope!r} + {xi!r}) "
+            f"THEN 1 ELSE 0 END)")
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def geo_polygon(df: DataFrame, vertices=None) -> DataFrame:
+    """geo_polygon query (GeoPolygonQueryBuilder.java): bbox prefilter
+    (pushable range predicates — the BKD-tree analog) then the exact
+    ray cast."""
+    vertices = vertices or POLYGON
+    lat_lo = min(v[0] for v in vertices)
+    lat_hi = max(v[0] for v in vertices)
+    lon_lo = min(v[1] for v in vertices)
+    lon_hi = max(v[1] for v in vertices)
+    pre = df.where((F.col("lat") >= lat_lo) & (F.col("lat") <= lat_hi)
+                   & (F.col("lon") >= lon_lo) & (F.col("lon") <= lon_hi))
+    return pre.where(point_in_polygon(F.col("lat"), F.col("lon"), vertices))
+
+
+# ---- geo_shape over derived envelopes -----------------------------------
+
+#: derived envelope spans: height 0.5..6.5 deg, width 0.6..10.6 deg —
+#: wide enough that WITHIN and CONTAINS are both non-vacuous vs the gate's
+#: query envelopes at every test sf
+ENV_LAT_SPAN_MOD = 7
+ENV_LON_SPAN_MOD = 11
+
+
+def with_envelope(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the deterministic derived envelope (builds on with_geo's
+    lat/lon as the south-west corner)."""
+    g = with_geo(df, id_col)
+    return (g.withColumn("lat_hi", F.col("lat") + 0.5
+                         + (F.col(id_col) % ENV_LAT_SPAN_MOD))
+            .withColumn("lon_hi", F.col("lon") + 0.6
+                        + (F.col(id_col) % ENV_LON_SPAN_MOD))
+            .withColumnRenamed("lat", "lat_lo")
+            .withColumnRenamed("lon", "lon_lo"))
+
+
+ENVELOPE_SQL_CTE = f"""
+env AS (
+    SELECT doc_id,
+           -60.0 + ((doc_id * 7919) % 12000) / 100.0 AS lat_lo,
+           -180.0 + ((doc_id * 104729) % 36000) / 100.0 AS lon_lo,
+           -60.0 + ((doc_id * 7919) % 12000) / 100.0
+               + 0.5 + (doc_id % {ENV_LAT_SPAN_MOD}) AS lat_hi,
+           -180.0 + ((doc_id * 104729) % 36000) / 100.0
+               + 0.6 + (doc_id % {ENV_LON_SPAN_MOD}) AS lon_hi
+    FROM documents
+)
+"""
+
+
+def envelope_relation(df: DataFrame, q_lat_lo: float, q_lat_hi: float,
+                      q_lon_lo: float, q_lon_hi: float,
+                      relation: str) -> DataFrame:
+    """geo_shape envelope query under a ShapeRelation.java relation —
+    exact 2-D interval algebra as pushable range predicates."""
+    inter = ((F.col("lat_lo") <= q_lat_hi) & (F.col("lat_hi") >= q_lat_lo)
+             & (F.col("lon_lo") <= q_lon_hi) & (F.col("lon_hi") >= q_lon_lo))
+    if relation == "intersects":
+        cond = inter
+    elif relation == "disjoint":
+        cond = ~inter
+    elif relation == "within":  # doc envelope inside the query envelope
+        cond = ((F.col("lat_lo") >= q_lat_lo) & (F.col("lat_hi") <= q_lat_hi)
+                & (F.col("lon_lo") >= q_lon_lo) & (F.col("lon_hi") <= q_lon_hi))
+    elif relation == "contains":  # doc envelope covers the query envelope
+        cond = ((F.col("lat_lo") <= q_lat_lo) & (F.col("lat_hi") >= q_lat_hi)
+                & (F.col("lon_lo") <= q_lon_lo) & (F.col("lon_hi") >= q_lon_hi))
+    else:
+        raise ValueError(f"unknown shape relation: {relation}")
+    return df.where(cond)
+
+
+def envelope_relation_sql(q_lat_lo: float, q_lat_hi: float,
+                          q_lon_lo: float, q_lon_hi: float,
+                          relation: str) -> str:
+    """DuckDB twin of envelope_relation as a boolean expression over env."""
+    inter = (f"(lat_lo <= {q_lat_hi!r} AND lat_hi >= {q_lat_lo!r} "
+             f"AND lon_lo <= {q_lon_hi!r} AND lon_hi >= {q_lon_lo!r})")
+    if relation == "intersects":
+        return inter
+    if relation == "disjoint":
+        return f"(NOT {inter})"
+    if relation == "within":
+        return (f"(lat_lo >= {q_lat_lo!r} AND lat_hi <= {q_lat_hi!r} "
+                f"AND lon_lo >= {q_lon_lo!r} AND lon_hi <= {q_lon_hi!r})")
+    if relation == "contains":
+        return (f"(lat_lo <= {q_lat_lo!r} AND lat_hi >= {q_lat_hi!r} "
+                f"AND lon_lo <= {q_lon_lo!r} AND lon_hi >= {q_lon_hi!r})")
+    raise ValueError(f"unknown shape relation: {relation}")
