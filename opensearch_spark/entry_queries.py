@@ -4935,6 +4935,33 @@ def agg_geo_distance_range(spark, sf_dir):
             .orderBy("bucket"))
 
 
+from opensearch_spark.search.geo import geohash_col, geohash_sql_parts  # noqa: E402
+
+_GH_LONQ, _GH_LATQ, _GH_V, _GH_CHARS = geohash_sql_parts(4)
+
+
+@q("agg_geohash_grid", f"""
+WITH {GEO_SQL_CTE},
+qz AS (SELECT {_GH_LONQ} AS lonq, {_GH_LATQ} AS latq FROM g),
+vv AS (SELECT {_GH_V} AS v FROM qz),
+h AS (SELECT {_GH_CHARS} AS geohash FROM vv)
+SELECT geohash, count(*) AS doc_count
+FROM h GROUP BY geohash
+ORDER BY doc_count DESC, geohash LIMIT 15
+""")
+def agg_geohash_grid(spark, sf_dir):
+    """geohash_grid bucket agg at precision 4 (modules/geo/.../geogrid/
+    GeoHashGridAggregationBuilder.java, GeoHashGridAggregator.java): cell
+    id = MSB-first interleave of the binary lon/lat subdivision, base32 —
+    pure integer shift/mask expressions + one hash agg, no UDF. Encoding
+    property-tested against the textbook interval-halving geohash."""
+    docs = with_geo(_docs(spark, sf_dir))
+    return (docs.select(geohash_col(F.col("lat"), F.col("lon"), 4)
+                        .alias("geohash"))
+            .groupBy("geohash").agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), "geohash").limit(15))
+
+
 @q("search_geo_polygon", f"""
 WITH {GEO_SQL_CTE}
 SELECT doc_id, round(lat, 2) AS lat, round(lon, 2) AS lon FROM g

@@ -287,3 +287,81 @@ def envelope_relation_sql(q_lat_lo: float, q_lat_hi: float,
         return (f"(lat_lo <= {q_lat_lo!r} AND lat_hi >= {q_lat_hi!r} "
                 f"AND lon_lo <= {q_lon_lo!r} AND lon_hi >= {q_lon_hi!r})")
     raise ValueError(f"unknown shape relation: {relation}")
+
+
+# --------------------------------------------------------------------------
+# geohash_grid bucket aggregation
+# Reference: ``modules/geo/src/main/java/org/opensearch/geo/search/
+# aggregations/bucket/geogrid/GeoHashGridAggregationBuilder.java`` (+
+# ``GeoHashGridAggregator.java``; cell encoding = classic geohash:
+# MSB-first bit interleave of the binary lon/lat subdivision, base32).
+# Fixed precision unrolls to pure integer shift/mask expressions — whole
+# stage codegen in Spark and the identical arithmetic in the DuckDB
+# oracle, so the bucket keys match exactly.
+# --------------------------------------------------------------------------
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_bit_plan(precision: int):
+    """(n_lon_bits, n_lat_bits, [(src, src_bit, out_bit), ...]) for the
+    MSB-first interleave: even output bits from lon, odd from lat."""
+    total = 5 * precision
+    n_lon = (total + 1) // 2
+    n_lat = total // 2
+    plan = []
+    for j in range(total):
+        if j % 2 == 0:
+            plan.append(("lon", n_lon - 1 - j // 2, total - 1 - j))
+        else:
+            plan.append(("lat", n_lat - 1 - (j - 1) // 2, total - 1 - j))
+    return n_lon, n_lat, plan
+
+
+def geohash_col(lat: Column, lon: Column, precision: int = 4) -> Column:
+    """Geohash cell id of a point at the given precision (chars)."""
+    n_lon, n_lat, plan = _geohash_bit_plan(precision)
+    lon_q = F.least(F.lit((1 << n_lon) - 1), F.greatest(F.lit(0), F.floor(
+        (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << n_lon))
+    ).cast("long")))
+    lat_q = F.least(F.lit((1 << n_lat) - 1), F.greatest(F.lit(0), F.floor(
+        (lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << n_lat))
+    ).cast("long")))
+    v = F.lit(0).cast("long")
+    for src, src_bit, out_bit in plan:
+        q = lon_q if src == "lon" else lat_q
+        v = v + F.shiftleft(F.shiftright(q, src_bit).bitwiseAND(F.lit(1)),
+                            out_bit)
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH_B32])
+    chars = [
+        F.element_at(alphabet,
+                     (F.shiftright(v, 5 * (precision - 1 - k))
+                      .bitwiseAND(F.lit(31)) + F.lit(1)).cast("int"))
+        for k in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql_parts(precision: int = 4, lat: str = "lat",
+                      lon: str = "lon") -> tuple[str, str, str, str]:
+    """DuckDB twin of geohash_col as CTE-stageable pieces (identical
+    quantization + interleave): returns (lonq_expr over lat/lon,
+    latq_expr over lat/lon, v_expr over lonq/latq, geohash_expr over v).
+    Stage them as chained CTEs so each is computed once per row."""
+    n_lon, n_lat, plan = _geohash_bit_plan(precision)
+    lon_q = (f"least({(1 << n_lon) - 1}, greatest(0, "
+             f"CAST(floor(({lon} + 180.0) / 360.0 * {float(1 << n_lon)!r}) "
+             f"AS BIGINT)))")
+    lat_q = (f"least({(1 << n_lat) - 1}, greatest(0, "
+             f"CAST(floor(({lat} + 90.0) / 180.0 * {float(1 << n_lat)!r}) "
+             f"AS BIGINT)))")
+    terms = []
+    for src, src_bit, out_bit in plan:
+        q = "lonq" if src == "lon" else "latq"
+        terms.append(f"((({q} >> {src_bit}) & 1) << {out_bit})")
+    v = "(" + " + ".join(terms) + ")"
+    chars = " || ".join(
+        f"substr('{GEOHASH_B32}', "
+        f"CAST(((v >> {5 * (precision - 1 - k)}) & 31) AS INT) + 1, 1)"
+        for k in range(precision))
+    return lon_q, lat_q, v, f"({chars})"

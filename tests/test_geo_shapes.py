@@ -123,3 +123,77 @@ class TestSemanticDedup:
         once = S.semantic_dedup(emb, 0.42)
         twice = S.semantic_dedup(once, 0.42)
         assert once.count() == twice.count()
+
+
+def _textbook_geohash(lat, lon, precision):
+    """Interval-halving geohash from the public algorithm description."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits, out, even = 0, [], True
+    bit_count, ch = 0, 0
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch = ch << 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch = ch << 1
+                lat_hi = mid
+        even = not even
+        bit_count += 1
+        if bit_count == 5:
+            out.append(b32[ch])
+            bit_count, ch = 0, 0
+    return "".join(out)
+
+
+class TestGeohashGrid:
+    def test_known_cells(self, spark):
+        # Public well-known examples of the geohash algorithm.
+        assert _textbook_geohash(57.64911, 10.40744, 6) == "u4pruy"
+        df = _pts(spark, [(57.64911, 10.40744), (48.669, -4.329)])
+        from opensearch_spark.search.geo import geohash_col
+        got = [r["h"] for r in df.select(
+            geohash_col(F.col("lat"), F.col("lon"), 6).alias("h")
+        ).collect()]
+        assert got == ["u4pruy", "gbsuv7"]
+
+    @pytest.mark.parametrize("precision", [1, 2, 4, 5])
+    def test_matches_textbook_grid(self, spark, precision):
+        pts = [(lat + 0.137, lon + 0.731)
+               for lat in range(-90, 90, 17) for lon in range(-180, 180, 23)]
+        from opensearch_spark.search.geo import geohash_col
+        df = _pts(spark, pts)
+        got = [r["h"] for r in df.select(
+            geohash_col(F.col("lat"), F.col("lon"), precision).alias("h")
+        ).collect()]
+        want = [_textbook_geohash(lat, lon, precision) for lat, lon in pts]
+        assert got == want
+
+    def test_sql_twin_matches_spark(self, spark):
+        import duckdb
+        from opensearch_spark.search.geo import geohash_col, geohash_sql_parts
+        pts = [(la * 7.31 - 88.0, lo * 13.7 - 170.0)
+               for la in range(24) for lo in range(24)]
+        df = _pts(spark, pts)
+        got = sorted(r["h"] for r in df.select(
+            geohash_col(F.col("lat"), F.col("lon"), 4).alias("h")).collect())
+        lonq, latq, v, chars = geohash_sql_parts(4)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE pts (lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO pts VALUES (?, ?)", pts)
+        want = sorted(r[0] for r in con.sql(
+            f"WITH qz AS (SELECT {lonq} AS lonq, {latq} AS latq FROM pts), "
+            f"vv AS (SELECT {v} AS v FROM qz) "
+            f"SELECT {chars} FROM vv").fetchall())
+        assert got == want
