@@ -4813,10 +4813,11 @@ def field_caps(spark, sf_dir):
 # GeoCentroid / GeoBounds / GeoDistanceSortBuilder
 # --------------------------------------------------------------------------
 from opensearch_spark.search.geo import (  # noqa: E402
-    ENVELOPE_SQL_CTE, GEO_SQL_CTE, POLYGON, envelope_relation,
-    envelope_relation_sql, geo_bounding_box, geo_distance, geo_polygon,
-    geotile_sql, geotile_xy, haversine_sql, polygon_sql, with_envelope,
-    with_geo,
+    BIG_POLYGON, ENVELOPE_SQL_CTE, GEO_SQL_CTE, POLYGON, SMALL_POLYGON,
+    envelope_relation, envelope_relation_sql, geo_bounding_box, geo_distance,
+    geo_polygon, geotile_sql, geotile_xy, haversine_sql,
+    polygon_envelope_relation, polygon_envelope_relation_sql, polygon_sql,
+    with_envelope, with_geo,
 )
 
 _GEO_X4, _GEO_Y4 = geotile_sql(4)
@@ -5022,6 +5023,47 @@ def search_geo_shape(spark, sf_dir):
     for rel, env in (("contains", _ENV_CONTAINS), ("disjoint", _ENV_INTER),
                      ("intersects", _ENV_INTER), ("within", _ENV_WITHIN)):
         outs.append(envelope_relation(d, *env, rel)
+                    .agg(F.count("*").alias("n_docs"))
+                    .select(F.lit(rel).alias("relation"), "n_docs"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("relation")
+
+
+@q("search_geo_shape_polygon", f"""
+WITH {ENVELOPE_SQL_CTE}
+SELECT 'contains' AS relation,
+       sum(CASE WHEN {polygon_envelope_relation_sql(SMALL_POLYGON, 'contains')}
+           THEN 1 ELSE 0 END)::BIGINT AS n_docs FROM env
+UNION ALL
+SELECT 'disjoint',
+       sum(CASE WHEN {polygon_envelope_relation_sql(BIG_POLYGON, 'disjoint')}
+           THEN 1 ELSE 0 END)::BIGINT FROM env
+UNION ALL
+SELECT 'intersects',
+       sum(CASE WHEN {polygon_envelope_relation_sql(BIG_POLYGON, 'intersects')}
+           THEN 1 ELSE 0 END)::BIGINT FROM env
+UNION ALL
+SELECT 'within',
+       sum(CASE WHEN {polygon_envelope_relation_sql(BIG_POLYGON, 'within')}
+           THEN 1 ELSE 0 END)::BIGINT FROM env
+""")
+def search_geo_shape_polygon(spark, sf_dir):
+    """geo_shape POLYGON-geometry query under all four ShapeRelation.java
+    relations (GeoShapeQueryBuilder.java; the reference answers these via
+    the Lucene LatLonShape BKD triangle tree). Doc shapes are the derived
+    envelopes, so polygon-vs-rectangle reduces to exact algebra: per-edge
+    segment-vs-rectangle side crossings (slopes are Python-computed
+    constants shared with the oracle) + the PNPOLY ray cast — all
+    whole-stage codegen, no UDF. Unit-tested against an independent
+    orientation-sign segment-intersection oracle in
+    tests/test_geo_shapes.py."""
+    d = with_envelope(_docs(spark, sf_dir).select("doc_id"))
+    outs = []
+    for rel, poly in (("contains", SMALL_POLYGON), ("disjoint", BIG_POLYGON),
+                      ("intersects", BIG_POLYGON), ("within", BIG_POLYGON)):
+        outs.append(polygon_envelope_relation(d, poly, rel)
                     .agg(F.count("*").alias("n_docs"))
                     .select(F.lit(rel).alias("relation"), "n_docs"))
     out = outs[0]

@@ -365,3 +365,151 @@ def geohash_sql_parts(precision: int = 4, lat: str = "lat",
         f"CAST(((v >> {5 * (precision - 1 - k)}) & 31) AS INT) + 1, 1)"
         for k in range(precision))
     return lon_q, lat_q, v, f"({chars})"
+
+
+# --------------------------------------------------------------------------
+# geo_shape POLYGON geometry vs doc envelopes — closes the last non-goal
+# Reference: ``index/query/GeoShapeQueryBuilder.java`` with a POLYGON
+# geometry + ``common/geo/ShapeRelation.java``. The reference answers these
+# via the Lucene BKD triangle tree (LatLonShape); with doc shapes being
+# axis-aligned envelopes, polygon-vs-rectangle relations reduce to EXACT
+# algebra: per-edge segment-vs-rectangle intersection tests (each a handful
+# of comparisons + one linear interpolation whose slope is a Python-computed
+# constant) plus the existing PNPOLY ray cast for the containment cases.
+# Everything unrolls to whole-stage-codegen boolean columns over the four
+# envelope bounds; the DuckDB twin inlines the identical constants.
+#
+# Relation algebra over rect R (columns) and polygon P (constants):
+#   edge_hit  = any edge of P touches R (endpoint inside R, or edge crosses
+#               one of R's four sides)
+#   intersects = edge_hit OR corner(R) in P       (no-hit + corner-in ⇒ R⊂P)
+#   disjoint   = NOT intersects
+#   within     = corner(R) in P AND NOT edge_hit  (R strictly inside P)
+#   contains   = every vertex of P inside R       (R convex ⇒ edges follow)
+# --------------------------------------------------------------------------
+
+def _poly_segments(vertices):
+    """Closed-ring segments ((y1, x1) -> (y2, x2)) with Python-computed
+    inverse slopes: dxdy (lon per lat) for horizontal-side crossings and
+    dydx (lat per lon) for vertical-side crossings; None where the edge is
+    parallel to that side family (no proper crossing possible)."""
+    segs = []
+    n = len(vertices)
+    for i in range(n):
+        y1, x1 = vertices[i]
+        y2, x2 = vertices[(i + 1) % n]
+        dxdy = (x2 - x1) / (y2 - y1) if y2 != y1 else None
+        dydx = (y2 - y1) / (x2 - x1) if x2 != x1 else None
+        segs.append((y1, x1, y2, x2, dxdy, dydx))
+    return segs
+
+
+def _edge_hit_col(vertices) -> Column:
+    """True when any polygon edge touches the envelope [lat_lo,lat_hi] x
+    [lon_lo,lon_hi] (endpoint inside, or a proper side crossing)."""
+    lat_lo, lat_hi = F.col("lat_lo"), F.col("lat_hi")
+    lon_lo, lon_hi = F.col("lon_lo"), F.col("lon_hi")
+
+    def inside(y, x):
+        return ((lat_lo <= y) & (F.lit(y) <= lat_hi)
+                & (lon_lo <= x) & (F.lit(x) <= lon_hi))
+
+    hit = F.lit(False)
+    for y1, x1, y2, x2, dxdy, dydx in _poly_segments(vertices):
+        h = inside(y1, x1) | inside(y2, x2)
+        ylo, yhi = min(y1, y2), max(y1, y2)
+        xlo, xhi = min(x1, x2), max(x1, x2)
+        if dxdy is not None:
+            # crossing the horizontal sides y = lat_lo / lat_hi
+            for side in (lat_lo, lat_hi):
+                x_at = (side - F.lit(y1)) * F.lit(dxdy) + F.lit(x1)
+                h = h | ((F.lit(ylo) <= side) & (side <= F.lit(yhi))
+                         & (lon_lo <= x_at) & (x_at <= lon_hi))
+        if dydx is not None:
+            # crossing the vertical sides x = lon_lo / lon_hi
+            for side in (lon_lo, lon_hi):
+                y_at = (side - F.lit(x1)) * F.lit(dydx) + F.lit(y1)
+                h = h | ((F.lit(xlo) <= side) & (side <= F.lit(xhi))
+                         & (lat_lo <= y_at) & (y_at <= lat_hi))
+        hit = hit | h
+    return hit
+
+
+def polygon_envelope_relation(df: DataFrame, vertices,
+                              relation: str) -> DataFrame:
+    """geo_shape POLYGON query against the derived doc envelopes under a
+    ShapeRelation.java relation — exact segment/ray-cast algebra, all
+    codegen columns over (lat_lo, lat_hi, lon_lo, lon_hi)."""
+    edge_hit = _edge_hit_col(vertices)
+    corner_in = point_in_polygon(F.col("lat_lo"), F.col("lon_lo"), vertices)
+    if relation == "intersects":
+        cond = edge_hit | corner_in
+    elif relation == "disjoint":
+        cond = ~(edge_hit | corner_in)
+    elif relation == "within":      # doc envelope strictly inside polygon
+        cond = corner_in & ~edge_hit
+    elif relation == "contains":    # doc envelope covers the whole polygon
+        cond = F.lit(True)
+        for y, x in vertices:
+            cond = cond & (F.col("lat_lo") <= y) & (F.lit(y) <= F.col("lat_hi")) \
+                & (F.col("lon_lo") <= x) & (F.lit(x) <= F.col("lon_hi"))
+    else:
+        raise ValueError(f"unknown shape relation: {relation}")
+    return df.where(cond)
+
+
+def _edge_hit_sql(vertices) -> str:
+    """DuckDB twin of _edge_hit_col over the env CTE columns."""
+    parts = []
+    for y1, x1, y2, x2, dxdy, dydx in _poly_segments(vertices):
+        terms = [f"(lat_lo <= {y1!r} AND {y1!r} <= lat_hi AND "
+                 f"lon_lo <= {x1!r} AND {x1!r} <= lon_hi)",
+                 f"(lat_lo <= {y2!r} AND {y2!r} <= lat_hi AND "
+                 f"lon_lo <= {x2!r} AND {x2!r} <= lon_hi)"]
+        ylo, yhi = min(y1, y2), max(y1, y2)
+        xlo, xhi = min(x1, x2), max(x1, x2)
+        if dxdy is not None:
+            for side in ("lat_lo", "lat_hi"):
+                x_at = f"(({side} - {y1!r}) * {dxdy!r} + {x1!r})"
+                terms.append(
+                    f"({ylo!r} <= {side} AND {side} <= {yhi!r} AND "
+                    f"lon_lo <= {x_at} AND {x_at} <= lon_hi)")
+        if dydx is not None:
+            for side in ("lon_lo", "lon_hi"):
+                y_at = f"(({side} - {x1!r}) * {dydx!r} + {y1!r})"
+                terms.append(
+                    f"({xlo!r} <= {side} AND {side} <= {xhi!r} AND "
+                    f"lat_lo <= {y_at} AND {y_at} <= lat_hi)")
+        parts.append("(" + " OR ".join(terms) + ")")
+    return "(" + " OR ".join(parts) + ")"
+
+
+def polygon_envelope_relation_sql(vertices, relation: str) -> str:
+    """DuckDB twin of polygon_envelope_relation as a boolean expression."""
+    edge_hit = _edge_hit_sql(vertices)
+    corner_in = polygon_sql(vertices, lat="lat_lo", lon="lon_lo")
+    if relation == "intersects":
+        return f"({edge_hit} OR {corner_in})"
+    if relation == "disjoint":
+        return f"(NOT ({edge_hit} OR {corner_in}))"
+    if relation == "within":
+        return f"({corner_in} AND NOT {edge_hit})"
+    if relation == "contains":
+        conds = [f"(lat_lo <= {y!r} AND {y!r} <= lat_hi AND "
+                 f"lon_lo <= {x!r} AND {x!r} <= lon_hi)"
+                 for y, x in vertices]
+        return "(" + " AND ".join(conds) + ")"
+    raise ValueError(f"unknown shape relation: {relation}")
+
+
+#: small query triangle inside doc 76's derived envelope
+#: (lat [-41.56, -35.06], lon [-145.96, -135.36]) so CONTAINS is
+#: non-vacuous at every test sf
+SMALL_POLYGON = [(-40.5, -144.5), (-37.0, -143.0), (-39.5, -136.5)]
+
+#: large query hexagon (~60 x 80 deg) — big enough that WITHIN (doc
+#: envelopes are at most 6.5 x 10.6 deg) and both INTERSECTS/DISJOINT are
+#: non-vacuous at every test sf; concave at (5, -35) to exercise the ray
+#: cast on a reflex vertex
+BIG_POLYGON = [(40.0, -40.0), (15.0, 0.0), (-20.0, -15.0), (5.0, -35.0),
+               (-25.0, -60.0), (0.0, -80.0), (30.0, -70.0)]

@@ -197,3 +197,141 @@ class TestGeohashGrid:
             f"vv AS (SELECT {v} AS v FROM qz) "
             f"SELECT {chars} FROM vv").fetchall())
         assert got == want
+
+
+# --------------------------------------------------------------------------
+# geo_shape POLYGON geometry vs doc envelopes
+# Oracle: an INDEPENDENT pure-Python rect-vs-polygon implementation built
+# on orientation-sign segment intersection (different primitive family
+# from the operator's side-crossing interpolation), run over every sf0.001
+# doc envelope.
+# --------------------------------------------------------------------------
+
+def _orient(a, b, c):
+    return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+
+def _on_seg(a, b, c):
+    return (min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= c[1] <= max(a[1], b[1]))
+
+
+def _seg_x_seg(a, b, c, d):
+    o1, o2 = _orient(a, b, c), _orient(a, b, d)
+    o3, o4 = _orient(c, d, a), _orient(c, d, b)
+    if (o1 > 0) != (o2 > 0) and (o3 > 0) != (o4 > 0) and 0 not in (o1, o2, o3, o4):
+        return True
+    for (p, q, r) in ((a, b, c), (a, b, d), (c, d, a), (c, d, b)):
+        if _orient(p, q, r) == 0 and _on_seg(p, q, r):
+            return True
+    return False
+
+
+def _pnpoly_py(y, x, vertices):
+    inside = False
+    n = len(vertices)
+    for i in range(n):
+        yi, xi = vertices[i]
+        yj, xj = vertices[(i - 1) % n]
+        if (yi > y) != (yj > y) and x < (y - yi) * (xj - xi) / (yj - yi) + xi:
+            inside = not inside
+    return inside
+
+
+def _rect_poly_relation_py(ylo, yhi, xlo, xhi, vertices):
+    """Independent oracle: relation of rect R to polygon P."""
+    corners = [(ylo, xlo), (ylo, xhi), (yhi, xlo), (yhi, xhi)]
+    rect_edges = [(corners[0], corners[1]), (corners[1], corners[3]),
+                  (corners[3], corners[2]), (corners[2], corners[0])]
+    n = len(vertices)
+    edge_hit = False
+    for i in range(n):
+        a, b = vertices[i], vertices[(i + 1) % n]
+        if (ylo <= a[0] <= yhi and xlo <= a[1] <= xhi) or \
+           (ylo <= b[0] <= yhi and xlo <= b[1] <= xhi):
+            edge_hit = True
+            break
+        if any(_seg_x_seg(a, b, c, d) for c, d in rect_edges):
+            edge_hit = True
+            break
+    corner_in = _pnpoly_py(ylo, xlo, vertices)
+    intersects = edge_hit or corner_in
+    within = corner_in and not edge_hit
+    contains = all(ylo <= y <= yhi and xlo <= x <= xhi for y, x in vertices)
+    return {"intersects": intersects, "disjoint": not intersects,
+            "within": within, "contains": contains}
+
+
+class TestPolygonEnvelopeRelations:
+    @pytest.fixture(scope="class")
+    def env_rows(self, spark, sf_dir):
+        from opensearch_spark.search.geo import with_envelope
+        return (with_envelope(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id"))
+            .select("doc_id", "lat_lo", "lat_hi", "lon_lo", "lon_hi")
+            .collect())
+
+    @pytest.mark.parametrize("which", ["big", "small"])
+    @pytest.mark.parametrize(
+        "relation", ["intersects", "disjoint", "within", "contains"])
+    def test_matches_independent_oracle(self, spark, sf_dir, env_rows,
+                                        which, relation):
+        from opensearch_spark.search.geo import (
+            BIG_POLYGON, SMALL_POLYGON, polygon_envelope_relation,
+            with_envelope)
+        poly = BIG_POLYGON if which == "big" else SMALL_POLYGON
+        env = with_envelope(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id"))
+        got = {r["doc_id"] for r in
+               polygon_envelope_relation(env, poly, relation).collect()}
+        want = {r["doc_id"] for r in env_rows
+                if _rect_poly_relation_py(r["lat_lo"], r["lat_hi"],
+                                          r["lon_lo"], r["lon_hi"],
+                                          poly)[relation]}
+        assert got == want
+
+    def test_relations_non_vacuous(self, spark, sf_dir):
+        from opensearch_spark.search.geo import (
+            BIG_POLYGON, SMALL_POLYGON, polygon_envelope_relation,
+            with_envelope)
+        env = with_envelope(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id")).cache()
+        n = env.count()
+        ni = polygon_envelope_relation(env, BIG_POLYGON, "intersects").count()
+        nd = polygon_envelope_relation(env, BIG_POLYGON, "disjoint").count()
+        nw = polygon_envelope_relation(env, BIG_POLYGON, "within").count()
+        nc = polygon_envelope_relation(env, SMALL_POLYGON, "contains").count()
+        assert ni + nd == n and ni > 0 and nd > 0 and nw > 0 and nc > 0
+
+    def test_sql_twin_agrees(self, spark, sf_dir):
+        import duckdb
+        from opensearch_spark.search.geo import (
+            BIG_POLYGON, SMALL_POLYGON, ENVELOPE_SQL_CTE,
+            polygon_envelope_relation, polygon_envelope_relation_sql,
+            with_envelope)
+        env = with_envelope(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id")).cache()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+        for poly, rel in ((BIG_POLYGON, "intersects"), (BIG_POLYGON, "within"),
+                          (BIG_POLYGON, "disjoint"), (SMALL_POLYGON, "contains")):
+            got = {r["doc_id"] for r in
+                   polygon_envelope_relation(env, poly, rel).collect()}
+            want = {r[0] for r in con.sql(
+                f"WITH {ENVELOPE_SQL_CTE} SELECT doc_id FROM env "
+                f"WHERE {polygon_envelope_relation_sql(poly, rel)}").fetchall()}
+            assert got == want, rel
+
+    def test_unknown_relation_raises(self, spark):
+        from opensearch_spark.search.geo import (
+            BIG_POLYGON, polygon_envelope_relation, polygon_envelope_relation_sql)
+        with pytest.raises(ValueError):
+            polygon_envelope_relation_sql(BIG_POLYGON, "overlaps")
+        df = _pts(spark, [(0.0, 0.0)])
+        with pytest.raises(ValueError):
+            polygon_envelope_relation(df, BIG_POLYGON, "overlaps")
