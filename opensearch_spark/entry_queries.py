@@ -1750,6 +1750,55 @@ def agg_terms(spark, sf_dir):
             .orderBy(F.desc("doc_count"), F.asc("event_type")).limit(5))
 
 
+@q("agg_terms_sharded", """
+WITH per_shard AS (
+  SELECT o_orderkey % 8 AS shard, o_custkey AS term, count(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY shard
+                               ORDER BY cnt DESC, term ASC) AS rn
+  FROM per_shard
+),
+top AS (SELECT * FROM ranked WHERE rn <= 10),
+shard_min AS (
+  SELECT shard,
+         CASE WHEN count(*) >= 10 THEN min(cnt) ELSE 0 END AS mincnt
+  FROM top GROUP BY shard
+),
+total_min AS (SELECT sum(mincnt) AS s FROM shard_min),
+merged AS (
+  SELECT t.term,
+         CAST(sum(t.cnt) AS BIGINT) AS doc_count,
+         CAST((SELECT s FROM total_min) - sum(sm.mincnt) AS BIGINT)
+             AS doc_count_error
+  FROM top t JOIN shard_min sm ON t.shard = sm.shard
+  GROUP BY t.term
+),
+topk AS (SELECT * FROM merged ORDER BY doc_count DESC, term ASC LIMIT 5)
+SELECT term, doc_count, doc_count_error,
+       CAST((SELECT count(*) FROM orders)
+            - (SELECT sum(doc_count) FROM topk) AS BIGINT)
+           AS sum_other_doc_count,
+       CAST((SELECT s FROM total_min) AS BIGINT) AS error_upper_bound
+FROM topk ORDER BY doc_count DESC, term ASC
+""")
+def agg_terms_sharded(spark, sf_dir):
+    """terms agg under the DISTRIBUTED approximation contract
+    (TermsAggregator.java shard_size over-fetch + InternalTerms.java
+    coordinator merge): documents route to 8 shards by o_orderkey, each
+    shard returns its local top-10 custkeys, the merge under-counts and
+    reports per-term doc_count_error, sum_other_doc_count, and the global
+    doc_count_error_upper_bound — closing the semantic diff noted on
+    agg_terms (which is exact single-pass). Unit-tested against an
+    independent Counter-based oracle + the exact-count bound invariant
+    in tests/test_sharded_terms.py."""
+    from opensearch_spark.search.sharded_terms import sharded_terms
+    df = _t(spark, sf_dir, "orders")
+    return sharded_terms(df, "o_custkey",
+                         F.pmod(F.col("o_orderkey"), F.lit(8)), 8, 10, 5)
+
+
 @q("agg_multi_terms", """
 SELECT l_returnflag, l_linestatus, count(*) AS doc_count,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
