@@ -1037,6 +1037,43 @@ def search_query_string(spark, sf_dir):
     return s.search(ast, k=10, mode="exhaustive", round_scores=4)
 
 
+@q("search_query_string_ext", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark','table') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark','table') GROUP BY term),
+bm AS (SELECT tf.doc_id,
+              sum(CASE WHEN term = 'spark' THEN 2.0 ELSE 1.0 END
+                  * {O.bm25_term()}) AS s
+       FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY tf.doc_id),
+fz AS (SELECT DISTINCT doc_id, 1.0 AS s FROM tok2
+       WHERE length(term) BETWEEN 3 AND 5
+         AND levenshtein(term, 'rain') <= 1),
+rg AS (SELECT doc_id, 1.0 AS s FROM documents
+       WHERE n_chars >= 400 AND n_chars < 2000),
+merged AS (SELECT doc_id, sum(s) AS score FROM
+           (SELECT * FROM bm UNION ALL SELECT * FROM fz
+            UNION ALL SELECT * FROM rg) GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score FROM merged
+ORDER BY round(score, 4) DESC, doc_id LIMIT 10
+""")
+def search_query_string_ext(spark, sf_dir):
+    """Extended classic-Lucene query_string surface
+    (QueryStringQueryBuilder.java): term boost ``^n``, fuzzy ``~edits``,
+    and bracket ranges ``[a TO b}`` in one string — parsed to the same
+    AST the JSON DSL produces, scored by the same executor (boost folds
+    into the BM25 weight; fuzzy and range score as constant 1.0 like the
+    reference's rewritten multi-term/range queries under their default
+    boost). Oracle mirrors each clause: boosted BM25 sum + levenshtein
+    dictionary expansion + the half-open numeric range."""
+    s = get_searcher(spark, sf_dir)
+    ast = parse_query_string("spark^2 table rain~1 n_chars:[400 TO 2000}",
+                             default_field="text")
+    return s.search(ast, k=10, mode="exhaustive", round_scores=4)
+
+
 @q("search_lmdirichlet", f"""
 WITH {O.TOK_CTES},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2

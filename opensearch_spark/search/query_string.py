@@ -7,10 +7,19 @@ small recursive-descent parser over the practical subset:
     expr      := or_expr
     or_expr   := and_expr (OR and_expr)*
     and_expr  := unary ((AND)? unary)*        # bare adjacency = default op
-    unary     := (NOT | '-') unary | primary
-    primary   := '(' expr ')' | [field':'] ( '"' phrase '"' | term['*'] )
+    unary     := (NOT | '-' | '+') unary | primary
+    primary   := '(' expr ')'
+               | [field':'] ( '"' phrase '"' ['~'slop] | range | term )
+                 ['^'boost]
+    range     := ('['|'{') (term|'*') TO (term|'*') (']'|'}')
+    term      := word | word'*' | word('*'|'?')word | word'~'[edits]
 
-``term*`` → Prefix, quoted → MatchPhrase, else Match on the default field.
+``term*`` → Prefix, interior ``*``/``?`` → Wildcard, ``term~``/``term~n``
+→ Fuzzy (AUTO / n edits), quoted → MatchPhrase (``~n`` sets slop),
+``[a TO b]``/``{a TO b}`` → Range (inclusive/exclusive per bracket, ``*``
+= open end, numeric-looking bounds coerced), ``^n`` multiplies the
+clause boost, ``+`` marks a must clause — the classic Lucene syntax
+surface of ``QueryStringQueryBuilder.java``. Else Match on the field.
 Produces the same AST the JSON DSL produces — one IR, one executor.
 """
 
@@ -24,8 +33,12 @@ _TOKEN = re.compile(
     r"""\s*(?:
         (?P<lparen>\() | (?P<rparen>\)) |
         (?P<quoted>"[^"]*") |
+        (?P<caret>\^[0-9]+(?:\.[0-9]+)?) |
+        (?P<tilde>~[0-9]*) |
+        (?P<lbracket>[\[{]) | (?P<rbracket>[\]}]) |
         (?P<minus>-) |
-        (?P<word>[^\s()":]+) |
+        (?P<plus>\+) |
+        (?P<word>[^\s()":^~\[\]{}]+) |
         (?P<colon>:)
     )""",
     re.VERBOSE,
@@ -94,12 +107,12 @@ class _Parser:
             links.append(is_and)
             items.append(self.unary())
         must, should, must_not = [], [], []
-        for i, (node, neg) in enumerate(items):
-            if neg:
+        for i, (node, mark) in enumerate(items):
+            if mark == "-":
                 must_not.append(node)
                 continue
             linked = (i > 0 and links[i - 1]) or (i < len(links) and links[i])
-            if linked or self.default_operator == "and":
+            if mark == "+" or linked or self.default_operator == "and":
                 must.append(node)
             else:
                 should.append(node)
@@ -108,13 +121,55 @@ class _Parser:
         return Q.Bool(must=must, should=should, must_not=must_not,
                       minimum_should_match=1 if (should and not must) else None)
 
-    def unary(self) -> tuple[Q.Query, bool]:
+    def unary(self) -> tuple[Q.Query, str]:
         kind, val = self.peek()
         if (kind, val) == ("word", "NOT") or kind == "minus":
             self.next()
-            node, neg = self.unary()
-            return node, not neg
-        return self.primary(), False
+            node, mark = self.unary()
+            # NOT flips; a '+' under NOT is just NOT (Lucene drops the +)
+            return node, ("" if mark == "-" else "-")
+        if kind == "plus":
+            self.next()
+            node, mark = self.unary()
+            return node, (mark or "+")
+        return self.primary(), ""
+
+    def _boost_suffix(self, node: Q.Query) -> Q.Query:
+        """Consume an optional '^n' and fold it into the clause boost
+        (QueryParserBase#handleBoost — boosts multiply)."""
+        if self.peek()[0] == "caret":
+            _, val = self.next()
+            node.boost = node.boost * float(val[1:])
+        return node
+
+    def _range(self, field: str, inclusive_lo: bool) -> Q.Query:
+        """'[a TO b]' / '{a TO b}' — mixed brackets allowed, '*' = open
+        end, numeric-looking bounds coerced (RangeQueryBuilder.java via
+        the classic parser's range production)."""
+        def bound():
+            kind, val = self.next()
+            if kind != "word":
+                raise ValueError(f"query_string: bad range bound {val!r}")
+            if val == "*":
+                return None
+            try:
+                return float(val) if "." in val else int(val)
+            except ValueError:
+                return val
+        lo = bound()
+        if self.next() != ("word", "TO"):
+            raise ValueError("query_string: expected TO in range")
+        hi = bound()
+        kind, val = self.next()
+        if kind != "rbracket":
+            raise ValueError("query_string: expected ] or } to close range")
+        inclusive_hi = val == "]"
+        kw = {}
+        if lo is not None:
+            kw["gte" if inclusive_lo else "gt"] = lo
+        if hi is not None:
+            kw["lte" if inclusive_hi else "lt"] = hi
+        return Q.Range(field=field, **kw)
 
     def primary(self) -> Q.Query:
         kind, val = self.next()
@@ -122,20 +177,35 @@ class _Parser:
             node = self.or_expr()
             if self.next()[0] != "rparen":
                 raise ValueError("query_string: expected ')'")
-            return node
+            return self._boost_suffix(node)
         field = self.default_field
         if kind == "word" and self.peek()[0] == "colon":
             self.next()
             field = val
             kind, val = self.next()
+        if kind == "lbracket":
+            return self._boost_suffix(self._range(field, val == "["))
         if kind == "quoted":
-            return Q.MatchPhrase(field=field, text=val.strip('"'))
+            node = Q.MatchPhrase(field=field, text=val.strip('"'))
+            if self.peek()[0] == "tilde":
+                _, tval = self.next()
+                # digits required for phrase proximity; a bare '~' after a
+                # phrase is the fuzzy marker, meaningless here — ignored
+                # (Lucene classic parser leniency)
+                if tval[1:]:
+                    node.slop = int(tval[1:])
+            return self._boost_suffix(node)
         if kind == "word":
+            if self.peek()[0] == "tilde":
+                _, tval = self.next()
+                fuzz = int(tval[1:]) if tval[1:] else None  # None → AUTO
+                return self._boost_suffix(
+                    Q.Fuzzy(field=field, value=val, fuzziness=fuzz))
             if val.endswith("*") and len(val) > 1 and "*" not in val[:-1]:
-                return Q.Prefix(field=field, value=val[:-1])
+                return self._boost_suffix(Q.Prefix(field=field, value=val[:-1]))
             if "*" in val or "?" in val:
-                return Q.Wildcard(field=field, value=val)
-            return Q.Match(field=field, text=val)
+                return self._boost_suffix(Q.Wildcard(field=field, value=val))
+            return self._boost_suffix(Q.Match(field=field, text=val))
         raise ValueError(f"query_string: unexpected token {kind}:{val}")
 
 

@@ -55,6 +55,55 @@ def test_qs_errors():
         parse_query_string("(a", default_field="f")
 
 
+def test_qs_boost_suffix():
+    ast = parse_query_string("spark^2 table", default_field="f")
+    boosted = [c for c in ast.should if c.boost == 2.0]
+    assert len(boosted) == 1 and boosted[0].text == "spark"
+    # boosts multiply through parens (QueryParserBase#handleBoost)
+    ast = parse_query_string("(a OR b)^3", default_field="f")
+    assert isinstance(ast, Q.Bool) and ast.boost == 3.0
+    ast = parse_query_string('"merge sort"^1.5', default_field="f")
+    assert isinstance(ast, Q.MatchPhrase) and ast.boost == 1.5
+
+
+def test_qs_fuzzy_suffix():
+    ast = parse_query_string("roam~", default_field="f")
+    assert ast == Q.Fuzzy(field="f", value="roam", fuzziness=None)  # AUTO
+    ast = parse_query_string("roam~1^2", default_field="f")
+    assert isinstance(ast, Q.Fuzzy) and ast.fuzziness == 1 and ast.boost == 2.0
+
+
+def test_qs_phrase_slop():
+    ast = parse_query_string('"jakarta apache"~3', default_field="f")
+    assert isinstance(ast, Q.MatchPhrase) and ast.slop == 3
+    # bare '~' is the fuzzy marker — meaningless on a phrase, ignored
+    ast = parse_query_string('"jakarta apache"~', default_field="f")
+    assert isinstance(ast, Q.MatchPhrase) and ast.slop == 0
+
+
+def test_qs_range_brackets():
+    ast = parse_query_string("n_chars:[200 TO 400]", default_field="f")
+    assert ast == Q.Range(field="n_chars", gte=200, lte=400)
+    ast = parse_query_string("n_chars:{200 TO 400]", default_field="f")
+    assert ast == Q.Range(field="n_chars", gt=200, lte=400)
+    ast = parse_query_string("lang:[de TO *}", default_field="f")
+    assert ast == Q.Range(field="lang", gte="de")
+    with pytest.raises(ValueError):
+        parse_query_string("n_chars:[200 400]", default_field="f")
+    with pytest.raises(ValueError):
+        parse_query_string("n_chars:[200 TO 400", default_field="f")
+
+
+def test_qs_plus_must_marker():
+    ast = parse_query_string("+a b -c", default_field="f")
+    assert [m.text for m in ast.must] == ["a"]
+    assert [m.text for m in ast.should] == ["b"]
+    assert [m.text for m in ast.must_not] == ["c"]
+    # interior +/- stay inside the term (c++, half-open)
+    ast = parse_query_string("c++", default_field="f")
+    assert ast == Q.Match(field="f", text="c++")
+
+
 # ---------------- engine paths over the real corpus ----------------
 @pytest.fixture(scope="module")
 def searcher(spark, sf_dir):
