@@ -202,8 +202,33 @@ WHERE length(term) BETWEEN 4 AND 6 AND levenshtein(term, 'spark') <= 1
 ORDER BY doc_id
 """)
 def search_fuzzy(spark, sf_dir):
+    """Classic-Levenshtein fuzzy (transpositions=false pins the variant
+    this gate's oracle uses; the reference-default transpositions=true
+    path is gated separately by search_fuzzy_transpositions)."""
     s = get_searcher(spark, sf_dir)
-    return s.score(Fuzzy(field="text", value="spark", fuzziness=1)).orderBy("doc_id")
+    return s.score(Fuzzy(field="text", value="spark", fuzziness=1,
+                         transpositions=False)).orderBy("doc_id")
+
+
+@q("search_fuzzy_transpositions", f"""
+WITH {O.TOK_CTES}
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok2
+WHERE length(term) BETWEEN 4 AND 6
+  AND damerau_levenshtein(term, 'psark') <= 1
+ORDER BY doc_id
+""")
+def search_fuzzy_transpositions(spark, sf_dir):
+    """Fuzzy under the reference DEFAULT transpositions=true
+    (FuzzyQueryBuilder.java DEFAULT_TRANSPOSITIONS): 'psark'~1 reaches
+    'spark' via one adjacent swap (classic Levenshtein needs 2, so the
+    transpositions=false gate would miss it). Engine: JVM
+    levenshtein<=2 prefilter over the dictionary, then the exact true
+    Damerau-Levenshtein accept (Arrow-batched, dictionary-scale);
+    oracle: DuckDB damerau_levenshtein — the identical function
+    (fuzz-tested against it in tests)."""
+    s = get_searcher(spark, sf_dir)
+    return s.score(Fuzzy(field="text", value="psark",
+                         fuzziness=1)).orderBy("doc_id")
 
 
 @q("search_phrase", f"""
@@ -1050,7 +1075,7 @@ bm AS (SELECT tf.doc_id,
        GROUP BY tf.doc_id),
 fz AS (SELECT DISTINCT doc_id, 1.0 AS s FROM tok2
        WHERE length(term) BETWEEN 3 AND 5
-         AND levenshtein(term, 'rain') <= 1),
+         AND damerau_levenshtein(term, 'rain') <= 1),
 rg AS (SELECT doc_id, 1.0 AS s FROM documents
        WHERE n_chars >= 400 AND n_chars < 2000),
 merged AS (SELECT doc_id, sum(s) AS score FROM

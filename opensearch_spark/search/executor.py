@@ -57,6 +57,68 @@ def _levenshtein_leq(a: str, b: str, limit: int) -> bool:
     return prev[-1] <= limit
 
 
+def _damerau_leq(a: str, b: str, limit: int) -> bool:
+    """True Damerau-Levenshtein (Lowrance-Wagner: adjacent transposition
+    counts 1, and edits inside a transposed pair are allowed) <= limit.
+    The reference's fuzzy default is transpositions=true
+    (FuzzyQueryBuilder.java DEFAULT_TRANSPOSITIONS); Lucene's automaton
+    computes the optimal-string-alignment variant, which differs from
+    true DL only on pairs needing an edit within a transposed pair
+    (e.g. 'CA'->'ABC': DL 2, OSA 3) — we use true DL so the engine and
+    the DuckDB oracle (`damerau_levenshtein`) compute the identical
+    function; the variant gap is documented, not silent."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > limit:
+        return False
+    inf = la + lb
+    # Lowrance-Wagner with a last-occurrence table, rows 0..la over b
+    da: dict[str, int] = {}
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = inf
+    for i in range(la + 1):
+        d[i + 1][0] = inf
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = inf
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        best = inf
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,              # substitute / match
+                d[i + 1][j] + 1,             # insert
+                d[i][j + 1] + 1,             # delete
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transpose
+            )
+            best = min(best, d[i + 1][j + 1])
+        da[a[i - 1]] = i
+        # conservative early exit: unlike plain Levenshtein the row min is
+        # NOT monotone here (deleting a's last char shows row_min can drop
+        # by 1 per remaining row), so exit only when even that credit
+        # cannot reach the limit
+        if best - (la - i) > limit:
+            return False
+    return d[la + 1][lb + 1] <= limit
+
+
+def _damerau_udf(value: str, limit: int):
+    """Arrow-batched exact Damerau accept test for the Spark-side
+    dictionary expansion (applied AFTER the JVM levenshtein<=2*limit
+    prefilter, so it only ever sees a handful of candidate terms)."""
+    @F.pandas_udf("boolean")
+    def ok(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: _damerau_leq(t, value, limit))
+    return ok
+
+
 class Searcher:
     #: max vocabulary size for the driver-side dictionary fast path; above
     #: it the Spark-filter path is used automatically — the 100 TB default
@@ -326,8 +388,16 @@ class Searcher:
                 fz = 0 if len(v) <= 2 else (1 if len(v) <= 5 else 2)
             else:
                 fz = q.fuzziness
-            d = (d.where(F.length("term").between(len(v) - fz, len(v) + fz))
-                 .where(F.levenshtein(F.col("term"), F.lit(v)) <= fz))
+            d = d.where(F.length("term").between(len(v) - fz, len(v) + fz))
+            if q.transpositions:
+                # one transposition = two classic edits, so DL<=fz implies
+                # levenshtein<=2*fz: cheap JVM prefilter, then the exact
+                # Damerau check Arrow-batched over the few survivors —
+                # dictionary-scale, never corpus-scale
+                d = d.where(F.levenshtein(F.col("term"), F.lit(v)) <= 2 * fz)
+                d = d.where(_damerau_udf(v, fz)(F.col("term")))
+            else:
+                d = d.where(F.levenshtein(F.col("term"), F.lit(v)) <= fz)
         else:
             raise TypeError(type(q))
         rows = (d.orderBy(F.desc("df"), F.asc("term")).limit(cap)
@@ -354,7 +424,8 @@ class Searcher:
                 fz = q.fuzziness
             cand = vocab[(vocab.str.len() >= len(v) - fz)
                          & (vocab.str.len() <= len(v) + fz)]
-            hits = [t for t in cand if _levenshtein_leq(t, v, fz)]
+            accept = _damerau_leq if q.transpositions else _levenshtein_leq
+            hits = [t for t in cand if accept(t, v, fz)]
         else:
             raise TypeError(type(q))
         if len(hits) > cap:  # top-N by df desc, term asc (same rule as Spark path)

@@ -340,17 +340,22 @@ class Regexp(Query):
 
 @dataclass
 class Fuzzy(Query):
-    """Levenshtein <= fuzziness over terms (FuzzyQueryBuilder.java);
-    fuzziness=None → AUTO by length (libs/core Fuzziness). Documented
-    divergence: the reference defaults transpositions=true (Damerau —
-    'ab'→'ba' counts 1 edit); this engine uses classic Levenshtein
-    (transposition = 2 edits), matching Spark's and DuckDB's built-in."""
+    """Edit-distance <= fuzziness over terms (FuzzyQueryBuilder.java);
+    fuzziness=None → AUTO by length (libs/core Fuzziness).
+    ``transpositions=True`` (the reference's DEFAULT_TRANSPOSITIONS)
+    counts an adjacent swap as ONE edit via true Damerau-Levenshtein
+    (vs Lucene's optimal-string-alignment automaton — the variants
+    differ only on pairs needing an edit inside a transposed pair,
+    impossible below distance 2; see executor._damerau_leq);
+    ``transpositions=False`` is classic Levenshtein (Spark/DuckDB
+    built-in, fully JVM-side)."""
 
     field: str
     value: str
     fuzziness: int | None = None
     max_expansions: int | None = None
     boost: float = 1.0
+    transpositions: bool = True
 
 
 @dataclass

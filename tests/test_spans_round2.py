@@ -662,3 +662,44 @@ def test_field_masking_span_restricts_to_sibling_positions(spark, sf_dir):
     # the mask is a real constraint on this corpus (title = first 8
     # tokens): at least one plain match has its 'spark' beyond the title
     assert masked != plain, "mask did not restrict anything — fixture too weak"
+
+
+# ---------------- fuzzy transpositions (Damerau-Levenshtein) ----------------
+def test_damerau_leq_matches_duckdb():
+    """The engine's true-DL accept test computes the identical function
+    DuckDB's damerau_levenshtein does (the oracle contract depends on
+    this), including the Lowrance-Wagner edge cases OSA gets wrong."""
+    import random
+
+    import duckdb
+
+    from opensearch_spark.search.executor import _damerau_leq
+
+    con = duckdb.connect()
+    random.seed(7)
+    pairs = [("".join(random.choices("abcd", k=random.randint(0, 6))),
+              "".join(random.choices("abcd", k=random.randint(0, 6))))
+             for _ in range(1000)]
+    pairs += [("ca", "abc"), ("psark", "spark"), ("", "abc"), ("", "")]
+    for a, b in pairs:
+        dl = con.sql(
+            "SELECT damerau_levenshtein(?, ?)", params=[a, b]).fetchone()[0]
+        for lim in range(0, 4):
+            assert _damerau_leq(a, b, lim) == (dl <= lim), (a, b, lim)
+
+
+def test_fuzzy_transpositions_both_expansion_paths(spark, searcher):
+    """transpositions=True reaches 'spark' from 'psark' at 1 edit on BOTH
+    the preloaded and the Spark-side dictionary paths; classic
+    Levenshtein (transpositions=False) cannot."""
+    from opensearch_spark.search import Searcher
+
+    q_t = Q.Fuzzy(field="text", value="psark", fuzziness=1)
+    q_c = Q.Fuzzy(field="text", value="psark", fuzziness=1,
+                  transpositions=False)
+    local_t = searcher.expand_terms(q_t)
+    assert "spark" in local_t
+    assert "spark" not in searcher.expand_terms(q_c)
+    s2 = Searcher(spark, searcher.index, preload_dictionary=False)
+    assert s2.expand_terms(q_t) == local_t
+    assert s2.expand_terms(q_c) == searcher.expand_terms(q_c)
