@@ -720,6 +720,40 @@ def index_routing_shards(spark, sf_dir):
             .select("doc_id", "shard").orderBy("doc_id"))
 
 
+@q("index_resize_routing", """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 1024 AS INT) AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CAST(bucket // 256 AS INT) AS parent_shard,
+       CAST(bucket // 128 AS INT) AS split_shard,
+       CAST(bucket // 512 AS INT) AS shrink_shard
+FROM b ORDER BY doc_id
+""")
+def index_resize_routing(spark, sf_dir):
+    """_split / _shrink resize routing (ResizeRequest.java;
+    MetadataCreateIndexService.getIndexNumberOfRoutingShards +
+    OperationRouting.java `hash % routingNumShards / routingFactor`,
+    IndexMetadata.selectSplitShard/selectShrinkShards): every doc keeps a
+    permanent hash bucket mod a FIXED routingNumShards (1024); resizing
+    only changes the divisor, so split 4→8 sends parent shard i exactly
+    to children {2i, 2i+1} and shrink 4→2 merges parents {2j, 2j+1} into
+    child j — no cross-shard doc movement, resize = local segment copy.
+    The invariants split//2 == parent == 2*shrink±1 hold row-by-row
+    (test-asserted); the oracle recomputes the identical md5 bucket."""
+    from opensearch_spark.index.versioning import routing_bucket, shard_for
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    b = routing_bucket("doc_id")
+    return (d.withColumn("parent_shard", shard_for(b, 4))
+            .withColumn("split_shard", shard_for(b, 8))
+            .withColumn("shrink_shard", shard_for(b, 2))
+            .orderBy("doc_id"))
+
+
 @q("search_wildcard_accel", f"""
 WITH {O.TOK_CTES}
 SELECT DISTINCT doc_id, 1.0 AS score FROM tok2

@@ -52,3 +52,56 @@ def routing_partition(df: DataFrame, routing_col: str,
     h = F.conv(F.substring(F.md5(F.col(routing_col).cast("string")), 1, 8),
                16, 10).cast("long")
     return df.withColumn("shard", (h % n_shards).cast("int"))
+
+
+# --------------------------------------------------------------------------
+# resize-safe routing (_split / _shrink)
+# Reference: ``cluster/metadata/MetadataCreateIndexService.java``
+# (getIndexNumberOfRoutingShards — every index carries a FIXED
+# routingNumShards, a power of two >= the primary count),
+# ``cluster/routing/OperationRouting.java`` (shardId = hash(routing) %
+# routingNumShards / routingFactor), ``cluster/metadata/IndexMetadata.java``
+# (selectSplitShard / selectShrinkShards),
+# ``action/admin/indices/shrink/ResizeRequest.java``. Because a document's
+# hash BUCKET never changes, resizing an index only changes the divisor:
+# split N -> k*N sends parent shard i's docs to exactly child shards
+# [i*k, (i+1)*k); shrink N -> N/k merges parent shards [j*k, (j+1)*k) into
+# child j. No doc ever moves between unrelated shards — recovery is a
+# local segment copy, which is what makes resize cheap in the reference
+# and a pure metadata + repartition operation here.
+# --------------------------------------------------------------------------
+
+ROUTING_NUM_SHARDS = 1024
+
+
+def routing_bucket(routing_col: str,
+                   routing_num_shards: int = ROUTING_NUM_SHARDS) -> F.Column:
+    """The doc's permanent hash bucket (md5-derived like
+    routing_partition, so the DuckDB oracle reproduces it bit-for-bit)."""
+    h = F.conv(F.substring(F.md5(F.col(routing_col).cast("string")), 1, 8),
+               16, 10).cast("long")
+    return (h % routing_num_shards).cast("int")
+
+
+def shard_for(bucket: F.Column, n_shards: int,
+              routing_num_shards: int = ROUTING_NUM_SHARDS) -> F.Column:
+    """shard = bucket / routingFactor (OperationRouting.java). n_shards
+    must divide routingNumShards (the reference enforces the same)."""
+    if routing_num_shards % n_shards:
+        raise ValueError(
+            f"n_shards={n_shards} must divide routingNumShards="
+            f"{routing_num_shards}")
+    return (bucket / (routing_num_shards // n_shards)).cast("int")
+
+
+def resize_routing(df: DataFrame, routing_col: str,
+                   n_parent: int, n_child: int) -> DataFrame:
+    """Doc→shard maps before and after a resize (split when
+    n_child > n_parent, shrink when smaller; both must divide
+    routingNumShards). Adds ``parent_shard`` and ``child_shard``; the
+    IndexMetadata invariant (split: child/factor == parent; shrink:
+    child == parent/factor) holds row-by-row by construction and is
+    test-asserted."""
+    b = routing_bucket(routing_col)
+    return (df.withColumn("parent_shard", shard_for(b, n_parent))
+            .withColumn("child_shard", shard_for(b, n_child)))

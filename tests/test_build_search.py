@@ -323,3 +323,53 @@ def test_snapshot_restore_roundtrip(spark, tmp_path):
     assert verify_snapshot(snap) >= 1
     with _pytest.raises(ValueError):
         restore_index(snap, str(tmp_path / "rest2"))
+
+
+# ---------------- resize-safe routing (_split / _shrink) ----------------
+class TestResizeRouting:
+    def test_invariants_hold_for_every_doc(self, spark, sf_dir):
+        """IndexMetadata.selectSplitShard/selectShrinkShards: split 4->8
+        keeps docs inside the parent's child pair; shrink 4->2 merges
+        parent pairs — no cross-shard movement, ever."""
+        from opensearch_spark.index.versioning import resize_routing
+
+        d = resize_routing(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id"), "doc_id", 4, 8)
+        from pyspark.sql import functions as F
+        bad = d.where(
+            (F.col("child_shard") != F.col("parent_shard") * 2)
+            & (F.col("child_shard") != F.col("parent_shard") * 2 + 1)).count()
+        assert bad == 0
+        s = resize_routing(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id"), "doc_id", 4, 2)
+        bad = s.where(
+            F.col("child_shard") != F.floor(F.col("parent_shard") / 2)
+            .cast("int")).count()
+        assert bad == 0
+        # all shards populated at every size (the hash spreads)
+        assert d.select("child_shard").distinct().count() == 8
+
+    def test_divisibility_enforced(self, spark):
+        from pyspark.sql import functions as F
+
+        from opensearch_spark.index.versioning import routing_bucket, shard_for
+
+        with pytest.raises(ValueError):
+            shard_for(routing_bucket("doc_id"), 3)
+
+    def test_equal_routing_keys_colocate(self, spark):
+        """Custom routing: same routing value -> same shard at every
+        resize level (the colocation contract routed queries rely on)."""
+        from pyspark.sql import functions as F
+
+        from opensearch_spark.index.versioning import resize_routing
+
+        df = spark.createDataFrame(
+            [(i, f"user{i % 7}") for i in range(200)], "doc_id long, u string")
+        r = resize_routing(df, "u", 4, 8)
+        assert (r.groupBy("u")
+                .agg(F.countDistinct("parent_shard").alias("p"),
+                     F.countDistinct("child_shard").alias("c"))
+                .where((F.col("p") > 1) | (F.col("c") > 1)).count()) == 0
