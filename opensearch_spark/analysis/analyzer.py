@@ -88,10 +88,25 @@ def tokenize_standard_code_ngram(text: str, n: int = 2) -> list[str]:
     return toks + _ngrams(toks, n)
 
 
+def tokenize_shingle_2(text: str) -> list[str]:
+    """ONLY the 2-word shingles of the standard token stream — the
+    ``._2gram`` subfield a search_as_you_type mapping indexes
+    (``SearchAsYouTypeFieldMapper.java`` ShingleFieldMapper,
+    output_unigrams=false)."""
+    return _ngrams(tokenize_standard(text), 2)
+
+
+def tokenize_shingle_3(text: str) -> list[str]:
+    """``._3gram`` subfield twin of tokenize_shingle_2."""
+    return _ngrams(tokenize_standard(text), 3)
+
+
 ANALYZERS = {
     "standard": tokenize_standard,
     "standard_code": tokenize_standard_code,
     "standard_code_ngram": tokenize_standard_code_ngram,
+    "shingle_2": tokenize_shingle_2,
+    "shingle_3": tokenize_shingle_3,
 }
 
 

@@ -1009,6 +1009,77 @@ def search_multi_match_bool_prefix(spark, sf_dir):
         k=10, mode="exhaustive", round_scores=4)
 
 
+@q("search_sayt_bool_prefix", f"""
+WITH {O.TOK_CTES},
+posw AS (
+    SELECT doc_id,
+           unnest(string_split_regex(text, '\\s+')) AS term,
+           unnest(range(len(string_split_regex(text, '\\s+')))) AS p
+    FROM documents
+),
+g2 AS (SELECT a.doc_id, a.term || ' ' || b.term AS term
+       FROM posw a JOIN posw b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+g2dl AS (SELECT doc_id, count(*) AS dl FROM g2 GROUP BY doc_id),
+g2stats AS (SELECT (SELECT count(*) FROM documents) AS N,
+                   (SELECT count(*) FROM g2) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl),
+btf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+        WHERE term IN ('merge', 'sort') GROUP BY doc_id, term),
+bdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+        WHERE term IN ('merge', 'sort') GROUP BY term),
+bbm AS (SELECT btf.doc_id, sum({O.bm25_term()}) AS s
+        FROM btf JOIN bdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY btf.doc_id),
+bpref AS (SELECT DISTINCT doc_id, 1.0 AS s FROM tok2 WHERE term LIKE 'al%'),
+sbase AS (SELECT coalesce(b.doc_id, p.doc_id) AS doc_id,
+                 coalesce(b.s, 0.0) + coalesce(p.s, 0.0) AS s
+          FROM bbm b FULL OUTER JOIN bpref p ON b.doc_id = p.doc_id),
+g2tf AS (SELECT doc_id, count(*) AS tf FROM g2
+         WHERE term = 'merge sort' GROUP BY doc_id),
+g2df AS (SELECT count(DISTINCT doc_id) AS df FROM g2
+         WHERE term = 'merge sort'),
+g2bm AS (SELECT g2tf.doc_id,
+                {O.bm25_term(N="g2stats.N", avgdl="g2stats.avgdl",
+                             dl="g2dl.dl")} AS s
+         FROM g2tf CROSS JOIN g2df JOIN g2dl USING (doc_id)
+         CROSS JOIN g2stats),
+g2pref AS (SELECT DISTINCT doc_id, 1.0 AS s FROM g2
+           WHERE term LIKE 'sort al%'),
+sg2 AS (SELECT coalesce(b.doc_id, p.doc_id) AS doc_id,
+               coalesce(b.s, 0.0) + coalesce(p.s, 0.0) AS s
+        FROM g2bm b FULL OUTER JOIN g2pref p ON b.doc_id = p.doc_id),
+g3 AS (SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS term
+       FROM posw a JOIN posw b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       JOIN posw c ON a.doc_id = c.doc_id AND c.p = a.p + 2),
+sg3 AS (SELECT DISTINCT doc_id, 1.0 AS s FROM g3
+        WHERE term LIKE 'merge sort al%'),
+allb AS (SELECT * FROM sbase UNION ALL SELECT * FROM sg2
+         UNION ALL SELECT * FROM sg3)
+SELECT doc_id, round(max(s), 4) AS score FROM allb GROUP BY doc_id
+ORDER BY round(max(s), 4) DESC, doc_id LIMIT 10
+""")
+def search_sayt_bool_prefix(spark, sf_dir):
+    """search_as_you_type field type (SearchAsYouTypeFieldMapper.java:
+    base field + ._2gram/._3gram shingle subfields, output_unigrams
+    false) queried the canonical way — multi_match type=bool_prefix
+    across the three fields (dis_max): the base field scores the fixed
+    terms by BM25 plus an 'al%' prefix; the 2-gram subfield scores the
+    'merge sort' shingle by BM25 under ITS OWN collection stats plus a
+    'sort al%' shingle prefix; the 3-gram subfield contributes the
+    'merge sort al%' prefix. Each subfield is a real secondary index
+    with the shingle analyzer — same build path, own statistics, exactly
+    like the reference's subfields."""
+    s = get_searcher(spark, sf_dir)
+    g2 = _alt_searcher(spark, sf_dir, "g2s", "shingle_2")
+    g3 = _alt_searcher(spark, sf_dir, "g3s", "shingle_3")
+    qtext = "merge sort al"
+    u = (s.score(MatchBoolPrefix(field="text", text=qtext))
+         .unionByName(g2.score(MatchBoolPrefix(field="text", text=qtext)))
+         .unionByName(g3.score(MatchBoolPrefix(field="text", text=qtext))))
+    return (u.groupBy("doc_id").agg(F.round(F.max("score"), 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
 _POS_CTE = """
 pos AS (
     SELECT doc_id,

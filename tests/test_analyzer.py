@@ -149,3 +149,14 @@ def test_char_trigram_chain():
     from opensearch_spark.analysis import tokenize
 
     assert tokenize("merge go", "char_trigram") == ["mer", "erg", "rge", "go"]
+
+
+def test_shingle_subfield_analyzers():
+    """search_as_you_type subfields: shingles only (output_unigrams
+    false), SearchAsYouTypeFieldMapper.java."""
+    from opensearch_spark.analysis.analyzer import ANALYZERS
+
+    assert ANALYZERS["shingle_2"]("a b c") == ["a b", "b c"]
+    assert ANALYZERS["shingle_3"]("a b c d") == ["a b c", "b c d"]
+    assert ANALYZERS["shingle_3"]("a b") == []  # too short -> no tokens
+    assert ANALYZERS["shingle_2"]("one") == []
