@@ -1910,8 +1910,10 @@ SELECT event_type, count(*) AS doc_count FROM events
 GROUP BY event_type ORDER BY doc_count DESC, event_type LIMIT 5
 """)
 def agg_terms(spark, sf_dir):
-    """terms agg (TermsAggregationBuilder): top-N buckets by count. Exact —
-    no shard_size over-fetch/error bounds needed (noted semantic diff)."""
+    """terms agg (TermsAggregationBuilder): top-N buckets by count. Exact
+    single-pass; the reference's sharded approximation contract
+    (shard_size over-fetch + error bounds) is gated separately by
+    agg_terms_sharded."""
     return (_t(spark, sf_dir, "events").groupBy("event_type")
             .agg(F.count("*").alias("doc_count"))
             .orderBy(F.desc("doc_count"), F.asc("event_type")).limit(5))
