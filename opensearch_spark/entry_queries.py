@@ -1204,6 +1204,59 @@ def search_query_string_ext(spark, sf_dir):
     return s.search(ast, k=10, mode="exhaustive", round_scores=4)
 
 
+@q("search_simple_query_string", f"""
+WITH {O.TOK_CTES},
+pos AS (
+    SELECT doc_id,
+           unnest(string_split_regex(text, '\\s+')) AS term,
+           unnest(range(len(string_split_regex(text, '\\s+')))) AS p
+    FROM documents
+),
+atf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+        WHERE term IN ('spark', 'table') GROUP BY doc_id, term),
+adf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+        WHERE term IN ('spark', 'table') GROUP BY term),
+branch_a AS (SELECT atf.doc_id, sum({O.bm25_term()}) AS s
+             FROM atf JOIN adf USING (term) JOIN dl USING (doc_id)
+             CROSS JOIN stats
+             GROUP BY atf.doc_id HAVING count(*) = 2),
+pm AS (SELECT a.doc_id, count(*) AS ptf
+       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       WHERE a.term = 'merge' AND b.term = 'sort'
+       GROUP BY a.doc_id),
+pdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+        WHERE term IN ('merge', 'sort') GROUP BY term),
+pidf AS (SELECT sum(ln(1.0 + (stats.N - df + 0.5) / (df + 0.5))) AS idf_sum
+         FROM pdf CROSS JOIN stats),
+branch_b AS (SELECT pm.doc_id,
+                    idf_sum * (1.2 + 1.0) * ptf
+                    / (ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+             FROM pm JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN pidf
+             WHERE pm.doc_id NOT IN
+                   (SELECT doc_id FROM tok2 WHERE term = 'rain')),
+merged AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                  coalesce(a.s, 0.0) + coalesce(b.s, 0.0) AS s
+           FROM branch_a a FULL OUTER JOIN branch_b b
+                ON a.doc_id = b.doc_id)
+SELECT doc_id, round(s, 4) AS score FROM merged
+ORDER BY round(s, 4) DESC, doc_id LIMIT 10
+""")
+def search_simple_query_string(spark, sf_dir):
+    """simple_query_string (SimpleQueryStringBuilder.java / Lucene
+    SimpleQueryParser) — its OWN syntax family, not classic query_string:
+    infix + = AND, | = OR (AND binds tighter), prefix - negates, quoted
+    phrase; the parser is LENIENT by contract (malformed input degrades
+    to matching its plain words — tested, never throws). Here
+    'spark + table | "merge sort" -rain' → should-of((spark AND table),
+    (phrase MINUS rain docs)), scores summed across matching branches."""
+    from opensearch_spark.search.query_string import parse_simple_query_string
+
+    s = get_searcher(spark, sf_dir)
+    ast = parse_simple_query_string('spark + table | "merge sort" -rain',
+                                    default_field="text")
+    return s.search(ast, k=10, mode="exhaustive", round_scores=4)
+
+
 @q("search_lmdirichlet", f"""
 WITH {O.TOK_CTES},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2

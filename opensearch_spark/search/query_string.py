@@ -217,3 +217,149 @@ def parse_query_string(s: str, default_field: str = "content",
         # nothing) for an empty/whitespace-only query string.
         return Q.MatchNone()
     return _Parser(tokens, default_field, default_operator).parse()
+
+
+# ---------------------------------------------------------------------------
+# simple_query_string — a DIFFERENT syntax family from query_string
+# (``SimpleQueryStringBuilder.java`` / Lucene SimpleQueryParser): ``+`` is
+# the infix AND operator, ``|`` infix OR, prefix ``-`` negates, ``"..."``
+# phrase (``~n`` = slop), trailing ``*`` = prefix, ``~n`` after a term =
+# fuzzy, ``(...)`` groups; AND binds tighter than OR. The parser NEVER
+# throws: like the reference it is lenient — a malformed string degrades
+# to matching its plain words (specials stripped), not an error.
+# ---------------------------------------------------------------------------
+
+_SIMPLE_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() | (?P<rparen>\)) |
+        (?P<quoted>"[^"]*") |
+        (?P<orop>\|) |
+        (?P<andop>\+) |
+        (?P<minus>-) |
+        (?P<tilde>~[0-9]+) |
+        (?P<word>[^\s()"|+~-]+)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _lex_simple(s: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    s = s.strip()
+    while i < len(s):
+        m = _SIMPLE_TOKEN.match(s, i)
+        if not m:
+            raise ValueError(f"simple_query_string: cannot lex at {s[i:]!r}")
+        i = m.end()
+        for kind, val in m.groupdict().items():
+            if val is not None:
+                out.append((kind, val))
+                break
+    return out
+
+
+class _SimpleParser:
+    def __init__(self, tokens, default_field: str, default_operator: str):
+        self.toks = tokens
+        self.i = 0
+        self.default_field = default_field
+        self.default_operator = default_operator.lower()
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse(self) -> Q.Query:
+        node = self.or_expr()
+        if self.peek()[0] is not None:
+            raise ValueError(
+                f"simple_query_string: trailing tokens {self.toks[self.i:]}")
+        return node
+
+    def or_expr(self) -> Q.Query:
+        parts = [self.and_expr()]
+        while self.peek()[0] == "orop":
+            self.next()
+            parts.append(self.and_expr())
+        if len(parts) == 1:
+            return parts[0]
+        return Q.Bool(should=parts, minimum_should_match=1)
+
+    def and_expr(self) -> Q.Query:
+        items = [self.unary()]
+        links = []  # True where an explicit '+' joined the pair
+        while True:
+            kind, val = self.peek()
+            if kind in (None, "rparen", "orop"):
+                break
+            is_and = False
+            if kind == "andop":
+                is_and = True
+                self.next()
+            links.append(is_and)
+            items.append(self.unary())
+        must, should, must_not = [], [], []
+        for i, (node, neg) in enumerate(items):
+            if neg:
+                must_not.append(node)
+                continue
+            linked = (i > 0 and links[i - 1]) or (i < len(links) and links[i])
+            if linked or self.default_operator == "and":
+                must.append(node)
+            else:
+                should.append(node)
+        if not must and not must_not and len(should) == 1:
+            return should[0]
+        return Q.Bool(must=must, should=should, must_not=must_not,
+                      minimum_should_match=1 if (should and not must) else None)
+
+    def unary(self):
+        kind, _ = self.peek()
+        if kind == "minus":
+            self.next()
+            node, neg = self.unary()
+            return node, not neg
+        return self.primary(), False
+
+    def primary(self) -> Q.Query:
+        kind, val = self.next()
+        if kind == "lparen":
+            node = self.or_expr()
+            if self.next()[0] != "rparen":
+                raise ValueError("simple_query_string: expected ')'")
+            return node
+        if kind == "quoted":
+            node = Q.MatchPhrase(field=self.default_field,
+                                 text=val.strip('"'))
+            if self.peek()[0] == "tilde":
+                node.slop = int(self.next()[1][1:])
+            return node
+        if kind == "word":
+            if self.peek()[0] == "tilde":
+                fz = int(self.next()[1][1:])
+                return Q.Fuzzy(field=self.default_field, value=val,
+                               fuzziness=fz)
+            if val.endswith("*") and len(val) > 1 and "*" not in val[:-1]:
+                return Q.Prefix(field=self.default_field, value=val[:-1])
+            return Q.Match(field=self.default_field, text=val)
+        raise ValueError(f"simple_query_string: unexpected {kind}:{val}")
+
+
+def parse_simple_query_string(s: str, default_field: str = "content",
+                              default_operator: str = "or") -> Q.Query:
+    """Lenient by contract (SimpleQueryStringBuilder.java): any string
+    parses — malformed syntax degrades to a plain match of its words."""
+    try:
+        tokens = _lex_simple(s)
+        if not tokens:
+            return Q.MatchNone()
+        return _SimpleParser(tokens, default_field, default_operator).parse()
+    except ValueError:
+        words = re.sub(r'[()"|+~*-]', " ", s).split()
+        if not words:
+            return Q.MatchNone()
+        return Q.Match(field=default_field, text=" ".join(words))

@@ -544,3 +544,45 @@ def test_ip_predicates_push_to_scan(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Location: InMemoryFileIndex") == 1  # single scan
     assert "Filter [codegen" in plan  # predicate stays in codegen
+
+
+# ---------------- simple_query_string parser ----------------
+def test_sqs_operators_and_precedence():
+    from opensearch_spark.search.query_string import parse_simple_query_string as p
+
+    ast = p('spark + table | "merge sort" -rain', default_field="text")
+    assert isinstance(ast, Q.Bool) and len(ast.should) == 2
+    a, b = ast.should
+    assert [m.text for m in a.must] == ["spark", "table"]
+    assert isinstance(b.should[0], Q.MatchPhrase)
+    assert [m.text for m in b.must_not] == ["rain"]
+
+
+def test_sqs_suffixes():
+    from opensearch_spark.search.query_string import parse_simple_query_string as p
+
+    ast = p('"a b"~2', default_field="f")
+    assert isinstance(ast, Q.MatchPhrase) and ast.slop == 2
+    ast = p("roam~1", default_field="f")
+    assert isinstance(ast, Q.Fuzzy) and ast.fuzziness == 1
+    ast = p("pre*", default_field="f")
+    assert ast == Q.Prefix(field="f", value="pre")
+
+
+def test_sqs_lenient_never_throws():
+    from opensearch_spark.search.query_string import parse_simple_query_string as p
+
+    # malformed specials degrade to plain word matching, never an error
+    assert p("((broken", default_field="f") == Q.Match(field="f", text="broken")
+    assert p('a "unclosed', default_field="f") == \
+        Q.Match(field="f", text="a unclosed")
+    assert p("|||", default_field="f") == Q.MatchNone() or \
+        isinstance(p("|||", default_field="f"), Q.Query)
+    assert p("   ", default_field="f") == Q.MatchNone()
+
+
+def test_sqs_default_operator_and():
+    from opensearch_spark.search.query_string import parse_simple_query_string as p
+
+    ast = p("a b", default_field="f", default_operator="and")
+    assert isinstance(ast, Q.Bool) and len(ast.must) == 2 and not ast.should
