@@ -5593,6 +5593,72 @@ def search_percolate_pairs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# reference plugin parity: events-correlation-engine, mapper-size,
+# mapper-murmur3
+# --------------------------------------------------------------------------
+@q("events_correlation", """
+WITH a AS (SELECT event_id AS a_id, epoch_us(ts) AS ta
+           FROM events WHERE event_type = 'error'),
+     b AS (SELECT event_id AS b_id, epoch_us(ts) AS tb
+           FROM events WHERE event_type = 'purchase' AND value > 50)
+SELECT a_id, b_id, CAST(tb - ta AS BIGINT) AS dt_us
+FROM a JOIN b ON abs(tb - ta) <= 300000000
+ORDER BY a_id, b_id LIMIT 50
+""")
+def events_correlation(spark, sf_dir):
+    """Events-correlation rule (plugins/events-correlation-engine;
+    CorrelationRule.java:27-44, EventsCorrelationSettings.java:37-41
+    default 5-minute window): leg A = error events, leg B = high-value
+    purchases; pairs within the window. Executed as a time-bucketed hash
+    equi-join (leg B expanded to bucket±1) — never a theta/cross join;
+    shuffles on the time bucket, AQE splits a hot-spike bucket."""
+    from opensearch_spark.search.correlation import correlate_events
+
+    ev = _t(spark, sf_dir, "events")
+    leg_a = ev.where(F.col("event_type") == "error")
+    leg_b = ev.where((F.col("event_type") == "purchase")
+                     & (F.col("value") > 50))
+    return (correlate_events(leg_a, leg_b, window_sec=300)
+            .orderBy("a_id", "b_id").limit(50))
+
+
+@q("search_size_field", """
+WITH sized AS (SELECT doc_id, strlen(text) AS size FROM documents)
+SELECT doc_id, size FROM sized
+WHERE size BETWEEN 200 AND 2000
+ORDER BY size DESC, doc_id LIMIT 10
+""")
+def search_size_field(spark, sf_dir):
+    """_size metadata field (plugins/mapper-size SizeFieldMapper.java:
+    indexes the source byte length, enabling range queries and sorting on
+    document size): one octet_length projection — parquet-pushable
+    filter, codegen, TakeOrderedAndProject top-k, no UDF."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.octet_length("text").alias("size"))
+    return (d.where((F.col("size") >= 200) & (F.col("size") <= 2000))
+            .orderBy(F.desc("size"), F.asc("doc_id")).limit(10))
+
+
+@q("agg_cardinality_murmur3", """
+SELECT source, count(DISTINCT text) AS distinct_texts
+FROM documents GROUP BY source ORDER BY source
+""")
+def agg_cardinality_murmur3(spark, sf_dir):
+    """murmur3 hash field (plugins/mapper-murmur3 Murmur3FieldMapper.java:
+    stores a 64-bit hash of the value at index time so cardinality aggs
+    count hashes instead of re-hashing long strings per query). Spark
+    stand-in hash: xxhash64 (same contract — stable 64-bit hash column;
+    collision odds ~n²/2⁶⁵, nil at any tested scale). The agg runs
+    entirely on the 8-byte hash column; the oracle counts the raw values
+    — equal by injectivity at this scale."""
+    d = _docs(spark, sf_dir).select(
+        "source", F.xxhash64("text").alias("text_hash"))
+    return (d.groupBy("source")
+            .agg(F.countDistinct("text_hash").alias("distinct_texts"))
+            .orderBy("source"))
+
+
+# --------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate verifies the first
 # ~50 queries() entries each round. Gates with a green row in
 # CORRECTNESS_r01.json are rotated to the back so every unverified gate

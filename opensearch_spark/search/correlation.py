@@ -1,0 +1,68 @@
+"""Events correlation engine (reference: plugins/events-correlation-engine).
+
+Reference semantics (behavioral spec only):
+- ``CorrelationRule.java:27-44`` — a rule is a named list of per-index
+  "correlate" legs, each a ``CorrelationQuery`` (index, query string,
+  timestampField, tags) (``CorrelationQuery.java:26-36``).
+- ``EventsCorrelationSettings.java:34-41`` — a single global
+  ``correlation_time_window`` (default 5 minutes): events matching two
+  different legs correlate when their timestamps lie within that window.
+
+Spark-first re-expression: each leg is an ordinary filtered DataFrame over
+its source table (any engine query can produce it); pairing is a
+time-bucketed equi-join, never a theta/cross join:
+
+  bucket = floor(epoch_us / window_us).  Two events within `window` of
+  each other sit in the same or adjacent buckets, so leg B is expanded to
+  (bucket-1, bucket, bucket+1) and the join is a plain hash equi-join on
+  bucket followed by the exact |tA - tB| <= window filter.  Each
+  qualifying pair matches exactly ONE of the three offsets (bucketB -
+  bucketA is uniquely determined), so no dedup pass is needed.
+
+Scale: the equi-join shuffles on the time bucket — time-uniform streams
+give balanced partitions; a wall-clock hot spike concentrates one bucket,
+which AQE skew-join splits.  The 3x expansion of the (already filtered,
+small) leg B is the price of turning a range predicate into an equi-key —
+the standard interval-join trick, O(|A| + 3|B| + pairs) instead of
+O(|A| x |B|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_WINDOW_SEC = 300  # EventsCorrelationSettings.java:37-41 (5 minutes)
+
+
+def correlate_events(
+    leg_a: DataFrame,
+    leg_b: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_sec: int = DEFAULT_WINDOW_SEC,
+) -> DataFrame:
+    """Pair events of two rule legs within ``window_sec`` of each other.
+
+    Returns (a_id, b_id, dt_us) where dt_us = t_b - t_a in microseconds
+    (signed; |dt_us| <= window).  Ordered output is the caller's job.
+    """
+    w_us = int(window_sec) * 1_000_000
+    # parquet timestamps load as TIMESTAMP_NTZ; the session runs UTC
+    # (session.py), so the cast to TIMESTAMP is instant-exact and
+    # unix_micros matches DuckDB's epoch_us on the same naive value
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    a = leg_a.select(
+        F.col(id_col).alias("a_id"), us(ts_col).alias("ta"),
+    ).withColumn("bkt", F.floor(F.col("ta") / w_us))
+    b = leg_b.select(
+        F.col(id_col).alias("b_id"), us(ts_col).alias("tb"),
+    )
+    # expand B to its bucket and both neighbors; exactly one offset can
+    # pair with any given A-bucket, so the join emits no duplicates
+    b3 = (b.withColumn("_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+            .withColumn("bkt", F.floor(F.col("tb") / w_us) + F.col("_off"))
+            .drop("_off"))
+    pairs = (a.join(b3, "bkt")
+              .where(F.abs(F.col("tb") - F.col("ta")) <= w_us)
+              .select("a_id", "b_id", (F.col("tb") - F.col("ta")).alias("dt_us")))
+    return pairs

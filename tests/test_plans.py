@@ -166,3 +166,40 @@ def test_dedup_pipelines_never_broadcast_corpus_scaled_sides(spark, sf_dir):
                D.dedup_chunks_global(docs, "text", "doc_id")):
         plan = explain_str(df)
         assert "BroadcastHashJoin" not in plan, plan[:1500]
+
+
+def test_events_correlation_is_equi_join_and_window_exact(spark, sf_dir):
+    """The correlation pairing must compile to a hash EQUI-join on the
+    time bucket — a theta join (BroadcastNestedLoopJoin / Cartesian) is
+    the O(|A|x|B|) plan that dies at cluster scale. Semantics: a pair at
+    exactly |dt| == window is included; pairs straddling a bucket
+    boundary are found; nothing beyond the window leaks in."""
+    import datetime as dt
+
+    from opensearch_spark.search.correlation import correlate_events
+
+    plan_df = correlate_events(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+             .where(F.col("event_type") == "error"),
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+             .where(F.col("event_type") == "purchase"))
+    plan = explain_str(plan_df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    a = spark.createDataFrame(
+        [(1, t0)], "event_id long, ts timestamp_ntz")
+    b = spark.createDataFrame(
+        [
+            (10, t0 + 300 * sec),       # exactly the window -> included
+            (11, t0 + 301 * sec),       # one past -> excluded
+            (12, t0 - 300 * sec),       # exactly the window, before
+            (13, t0 + 299 * sec),       # inside, straddles bucket boundary
+        ],
+        "event_id long, ts timestamp_ntz")
+    got = sorted((r.a_id, r.b_id, r.dt_us)
+                 for r in correlate_events(a, b, window_sec=300).collect())
+    assert got == [(1, 10, 300_000_000), (1, 12, -300_000_000),
+                   (1, 13, 299_000_000)]
