@@ -5658,6 +5658,36 @@ def agg_cardinality_murmur3(spark, sf_dir):
             .orderBy("source"))
 
 
+def _phonetic_oracle_sql() -> str:
+    from opensearch_spark.analysis.phonetic import soundex_py, soundex_sql
+
+    codes = ", ".join(f"'{soundex_py(t)}'" for t in ("merj", "tabel"))
+    return f"""
+WITH {O.TOK_CTES},
+codes AS (SELECT doc_id, {soundex_sql('term', 'duckdb')} AS code FROM tok2)
+SELECT DISTINCT doc_id, 1.0 AS score FROM codes
+WHERE code IN ({codes}) ORDER BY doc_id
+"""
+
+
+@q("search_phonetic_match", _phonetic_oracle_sql())
+def search_phonetic_match(spark, sf_dir):
+    """Phonetic (sound-alike) match — plugins/analysis-phonetic,
+    PhoneticTokenFilterFactory.java: misspelled query tokens ('merj',
+    'tabel') match terms with the same simplified-soundex code ('merge',
+    'table', ...). The code is a vocabulary-level map, so expansion is a
+    dictionary scan with a codegen expression — the SAME generated SQL
+    spelling the DuckDB oracle runs (parity by construction); scoring is
+    the standard constant-score multi-term rewrite."""
+    from opensearch_spark.search import Phonetic
+
+    s = get_searcher(spark, sf_dir)
+    return s.score(ConstantScore(filter=Bool(should=[
+        Phonetic(field="text", value="merj"),
+        Phonetic(field="text", value="tabel"),
+    ]))).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate verifies the first
 # ~50 queries() entries each round. Gates with a green row in

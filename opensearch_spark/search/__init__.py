@@ -16,6 +16,7 @@ from opensearch_spark.search.queries import (  # noqa: F401
     Intervals,
     MoreLikeThis,
     MultiMatch,
+    Phonetic,
     ScoreFunction,
     SpanContaining,
     SpanFieldMasking,

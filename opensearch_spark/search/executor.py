@@ -398,6 +398,11 @@ class Searcher:
                 d = d.where(_damerau_udf(v, fz)(F.col("term")))
             else:
                 d = d.where(F.levenshtein(F.col("term"), F.lit(v)) <= fz)
+        elif isinstance(q, Q.Phonetic):
+            from opensearch_spark.analysis.phonetic import soundex_py, soundex_sql
+
+            d = d.where(F.expr(soundex_sql("term", "spark"))
+                        == soundex_py(q.value))
         else:
             raise TypeError(type(q))
         rows = (d.orderBy(F.desc("df"), F.asc("term")).limit(cap)
@@ -426,6 +431,11 @@ class Searcher:
                          & (vocab.str.len() <= len(v) + fz)]
             accept = _damerau_leq if q.transpositions else _levenshtein_leq
             hits = [t for t in cand if accept(t, v, fz)]
+        elif isinstance(q, Q.Phonetic):
+            from opensearch_spark.analysis.phonetic import soundex_py
+
+            code = soundex_py(q.value)
+            hits = [t for t in vocab if soundex_py(t) == code]
         else:
             raise TypeError(type(q))
         if len(hits) > cap:  # top-N by df desc, term asc (same rule as Spark path)
@@ -495,7 +505,8 @@ class Searcher:
         if isinstance(q, Q.Term) and q.field == self.field:
             return self._match_exhaustive(
                 Q.Match(field=q.field, text=q.value, boost=q.boost))
-        if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regexp, Q.Fuzzy)) and q.field == self.field:
+        if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regexp, Q.Fuzzy,
+                          Q.Phonetic)) and q.field == self.field:
             terms = self.expand_terms(q)
             if not terms:
                 return self._empty_scores()

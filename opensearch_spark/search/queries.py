@@ -309,6 +309,22 @@ class Ids(Query):
 
 
 @dataclass
+class Phonetic(Query):
+    """Sound-alike term query (plugins/analysis-phonetic,
+    PhoneticTokenFilterFactory.java: the filter indexes each token's
+    phonetic code; a query token matches every term with the same code).
+    Expansion-based here — the simplified-soundex code of ``value``
+    expands to the dictionary terms sharing it (a vocabulary-level map,
+    since the code depends only on the term), then the standard
+    constant-score multi-term rewrite applies."""
+
+    field: str
+    value: str
+    max_expansions: int | None = None
+    boost: float = 1.0
+
+
+@dataclass
 class Prefix(Query):
     """Term starts-with (PrefixQueryBuilder.java) — dictionary expansion,
     bounded by max_expansions (None → engine cap; Lucene MultiTermQuery
