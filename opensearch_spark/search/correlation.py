@@ -47,15 +47,22 @@ def correlate_events(
     (signed; |dt_us| <= window).  Ordered output is the caller's job.
     """
     w_us = int(window_sec) * 1_000_000
-    # parquet timestamps load as TIMESTAMP_NTZ; the session runs UTC
-    # (session.py), so the cast to TIMESTAMP is instant-exact and
-    # unix_micros matches DuckDB's epoch_us on the same naive value
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    # parquet timestamps load as TIMESTAMP_NTZ; microseconds are taken as
+    # a wall-clock difference from the epoch IN THE COLUMN'S OWN TYPE
+    # (timestampdiff on two NTZ/TS operands is pure arithmetic), so the
+    # result is session-timezone-invariant — unix_micros(cast) would
+    # shift by the session offset on a non-UTC driver
+    def us(df, c):
+        lit = ("TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+               if dict(df.dtypes)[c] == "timestamp_ntz"
+               else "CAST(0 AS TIMESTAMP)")
+        return F.expr(f"timestampdiff(MICROSECOND, {lit}, {c})")
+
     a = leg_a.select(
-        F.col(id_col).alias("a_id"), us(ts_col).alias("ta"),
+        F.col(id_col).alias("a_id"), us(leg_a, ts_col).alias("ta"),
     ).withColumn("bkt", F.floor(F.col("ta") / w_us))
     b = leg_b.select(
-        F.col(id_col).alias("b_id"), us(ts_col).alias("tb"),
+        F.col(id_col).alias("b_id"), us(leg_b, ts_col).alias("tb"),
     )
     # expand B to its bucket and both neighbors; exactly one offset can
     # pair with any given A-bucket, so the join emits no duplicates

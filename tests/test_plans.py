@@ -203,3 +203,31 @@ def test_events_correlation_is_equi_join_and_window_exact(spark, sf_dir):
                  for r in correlate_events(a, b, window_sec=300).collect())
     assert got == [(1, 10, 300_000_000), (1, 12, -300_000_000),
                    (1, 13, 299_000_000)]
+
+
+def test_events_correlation_session_tz_invariant(sf_dir):
+    """The driver runs gates in ITS OWN SparkSession, whose timezone is
+    not ours to set: microsecond extraction from the NTZ events column
+    must not shift with spark.sql.session.timeZone (a cast-based
+    unix_micros would move by the UTC offset and break the bucket/window
+    math against the UTC-naive DuckDB oracle)."""
+    from opensearch_spark.search.correlation import correlate_events
+    from opensearch_spark.session import get_spark
+
+    spark = get_spark("tz_invariance", master="local[2]")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    legs = (ev.where(F.col("event_type") == "error"),
+            ev.where(F.col("event_type") == "purchase"))
+
+    def run():
+        return sorted((r.a_id, r.b_id, r.dt_us)
+                      for r in correlate_events(*legs).collect())
+
+    try:
+        base = run()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert base == shifted and len(base) > 0
