@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "search_sparse_vector",
     "search_sort_indexed",
     "sim_sq8_topk",
+    # round-3 plugin-parity additions
+    "events_correlation",
+    "search_phonetic_match",
 ]
 
 
