@@ -5688,6 +5688,49 @@ def search_phonetic_match(spark, sf_dir):
     ]))).orderBy("doc_id")
 
 
+@q("curation_quality_classifier", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+idx AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks),
+feats AS (
+  SELECT doc_id, ts[i] AS f FROM idx
+  UNION ALL
+  SELECT doc_id, ts[i] || '_' || ts[i+1] AS f FROM idx WHERE i < len(ts)
+),
+weights AS (
+  SELECT b, ((b * 2654435761) % 2000001) / 1000000.0 - 1.0 AS w
+  FROM (SELECT unnest(generate_series(0, 1023)) AS b)
+),
+bucketed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS BIGINT) AS b
+  FROM feats
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_features, avg(w) AS mw
+  FROM bucketed JOIN weights USING (b) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+       round(1.0 / (1.0 + exp(-(mw - 0.1))), 6) AS quality,
+       (1.0 / (1.0 + exp(-(mw - 0.1)))) >= 0.5 AS keep
+FROM scored ORDER BY doc_id LIMIT 200
+""")
+def curation_quality_classifier(spark, sf_dir):
+    """Model-based quality filter (the fastText-classifier step of
+    CCNet / LLaMA / FineWeb-Edu pipelines): hashed unigram+bigram bag,
+    broadcast weight-table lookup, mean-pooled sigmoid score. One corpus
+    scan, all-codegen feature arrays, dim-row broadcast join, one
+    hash-agg — the exact plan a loaded model would run; weights here are
+    the documented deterministic stand-in."""
+    out = CU.quality_classifier(_docs(spark, sf_dir), "text")
+    return (out.select("doc_id", "n_features",
+                       F.round("quality", 6).alias("quality"), "keep")
+            .orderBy("doc_id").limit(200))
+
+
 # --------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate verifies the first
 # ~50 queries() entries each round. Gates with a green row in

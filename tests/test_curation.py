@@ -250,3 +250,24 @@ def test_unigram_logppl_ranks_rare_docs_higher(spark):
     # doc 1 is all 'common' (p = 6/8): logppl = -ln(0.75)
     import math
     assert abs(rows[1]["logppl"] - (-math.log(6 / 8))) < 1e-9
+
+
+def test_quality_classifier_features_and_plan(spark):
+    from opensearch_spark.ml.curation import quality_classifier
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha"), (3, "x y")],
+        "doc_id long, text string")
+    out = quality_classifier(df, "text")
+    rows = {r.doc_id: r for r in out.collect()}
+    # n tokens -> n unigrams + (n-1) bigrams
+    assert rows[1].n_features == 5
+    assert rows[2].n_features == 1
+    assert rows[3].n_features == 3
+    for r in rows.values():
+        assert 0.0 < r.quality < 1.0
+        assert r.keep == (r.quality >= 0.5)
+    # scale shape: the dim-row weight table is broadcast; the corpus side
+    # is never broadcast
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
