@@ -58,16 +58,27 @@ def correlate_events(
                else "CAST(0 AS TIMESTAMP)")
         return F.expr(f"timestampdiff(MICROSECOND, {lit}, {c})")
 
+    # bucket by EXACT integer division (`div`), not floor(double /):
+    # float division is only ~1e-6-bucket accurate at epoch-microsecond
+    # magnitudes, and a boundary event rounding the wrong way would put a
+    # true pair at bucket distance 2 — outside the ±1 expansion. Floored
+    # toward -inf for pre-epoch values so the adjacency invariant holds
+    # for any timestamp sign.
+    def bkt(c):
+        return F.expr(
+            f"CASE WHEN {c} >= 0 THEN {c} div {w_us} "
+            f"ELSE -((-{c} + {w_us} - 1) div {w_us}) END")
+
     a = leg_a.select(
         F.col(id_col).alias("a_id"), us(leg_a, ts_col).alias("ta"),
-    ).withColumn("bkt", F.floor(F.col("ta") / w_us))
+    ).withColumn("bkt", bkt("ta"))
     b = leg_b.select(
         F.col(id_col).alias("b_id"), us(leg_b, ts_col).alias("tb"),
     )
     # expand B to its bucket and both neighbors; exactly one offset can
     # pair with any given A-bucket, so the join emits no duplicates
     b3 = (b.withColumn("_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-            .withColumn("bkt", F.floor(F.col("tb") / w_us) + F.col("_off"))
+            .withColumn("bkt", bkt("tb") + F.col("_off"))
             .drop("_off"))
     pairs = (a.join(b3, "bkt")
               .where(F.abs(F.col("tb") - F.col("ta")) <= w_us)

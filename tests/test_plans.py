@@ -204,6 +204,18 @@ def test_events_correlation_is_equi_join_and_window_exact(spark, sf_dir):
     assert got == [(1, 10, 300_000_000), (1, 12, -300_000_000),
                    (1, 13, 299_000_000)]
 
+    # pre-epoch timestamps: integer bucketing must floor toward -inf so
+    # the bucket-adjacency invariant (and therefore the ±1 expansion)
+    # still holds for negative epoch values
+    t_neg = dt.datetime(1969, 12, 31, 23, 59, 0)
+    a2 = spark.createDataFrame([(2, t_neg)], "event_id long, ts timestamp_ntz")
+    b2 = spark.createDataFrame(
+        [(20, t_neg + 90 * sec), (21, t_neg + 301 * sec)],
+        "event_id long, ts timestamp_ntz")
+    got2 = sorted((r.a_id, r.b_id, r.dt_us)
+                  for r in correlate_events(a2, b2, window_sec=300).collect())
+    assert got2 == [(2, 20, 90_000_000)]
+
 
 def test_events_correlation_session_tz_invariant(sf_dir):
     """The driver runs gates in ITS OWN SparkSession, whose timezone is
