@@ -28,9 +28,10 @@ ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 CODES = "01230120022455012623010202"
 
 # tokens are analyzer output (bounded length); a run of equal codes of
-# length L collapses after ceil(log2(L)) global-replace passes — 6 passes
-# cover runs up to 64
-_COLLAPSE_PASSES = 6
+# length L collapses after ceil(log2(L)) global-replace passes — 8 passes
+# cover runs up to 256, past the analyzer's MAX_TOKEN_LENGTH of 255, so
+# the SQL spelling can never diverge from soundex_py on any legal token
+_COLLAPSE_PASSES = 8
 
 
 def soundex_sql(col: str, dialect: str = "spark") -> str:

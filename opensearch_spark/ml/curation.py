@@ -326,7 +326,12 @@ def quality_classifier(
         )).alias("f"))
     bucketed = feats.select(
         id_col, (_md5_u32(F.col("f")) % dim).alias("b"))
-    scored = (bucketed.join(F.broadcast(weights), "b")
+    # LEFT join + weight-0 default: a real exported linear model commonly
+    # prunes zero-weight buckets from its table; features hashing to a
+    # missing bucket must still count toward the mean-pool denominator
+    # (fastText pools over ALL tokens), not silently vanish
+    scored = (bucketed.join(F.broadcast(weights), "b", "left")
+              .withColumn("w", F.coalesce("w", F.lit(0.0)))
               .groupBy(id_col)
               .agg(F.count("*").alias("n_features"),
                    F.avg("w").alias("_mean_w")))

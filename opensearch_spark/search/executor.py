@@ -434,8 +434,14 @@ class Searcher:
         elif isinstance(q, Q.Phonetic):
             from opensearch_spark.analysis.phonetic import soundex_py
 
-            code = soundex_py(q.value)
-            hits = [t for t in vocab if soundex_py(t) == code]
+            # a term's code is query-independent: code the vocabulary ONCE
+            # per searcher, not once per query (2M-term vocab = seconds of
+            # driver CPU otherwise)
+            codes = getattr(self, "_phonetic_codes", None)
+            if codes is None:
+                codes = pd.Series([soundex_py(t) for t in vocab], index=vocab)
+                self._phonetic_codes = codes
+            hits = list(codes.index[codes == soundex_py(q.value)])
         else:
             raise TypeError(type(q))
         if len(hits) > cap:  # top-N by df desc, term asc (same rule as Spark path)

@@ -271,3 +271,19 @@ def test_quality_classifier_features_and_plan(spark):
     # is never broadcast
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_quality_classifier_sparse_weight_table(spark):
+    """A pruned (sparse) weight table must not drop features: missing
+    buckets pool as weight 0 and still count in n_features."""
+    from opensearch_spark.ml.curation import quality_classifier
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "alpha beta gamma")],
+                               "doc_id long, text string")
+    empty_w = spark.createDataFrame([], "b long, w double")
+    out = quality_classifier(df, "text", weights=empty_w).collect()[0]
+    assert out.n_features == 5
+    # mean weight 0 -> quality = sigmoid(bias) = sigmoid(-0.1)
+    import math
+    assert abs(out.quality - 1.0 / (1.0 + math.exp(0.1))) < 1e-12

@@ -20,7 +20,17 @@ FIXTURES = [
     ("pfister", "P236"),                           # same-code first pair
     ("tymczak", "T522"),
     ("x9_y", "X000"),                              # non-letters stripped
+    ("x" * 65, "X000"),                            # run > 64: collapse depth
+    ("b" * 255, "B000"),                           # analyzer MAX_TOKEN_LENGTH
 ]
+
+
+@pytest.mark.parametrize("token", ["x" * 65, "b" * 255, "ab" * 120])
+def test_long_run_sql_spelling_matches_python(token):
+    # a same-code run longer than 2^passes would leave uncollapsed digits
+    # in the SQL spelling only — guard the collapse depth against the
+    # analyzer's 255-char token bound
+    assert _duck_soundex([token]) == [soundex_py(token)]
 
 
 @pytest.mark.parametrize("token,code", FIXTURES)
