@@ -5732,6 +5732,108 @@ def curation_quality_classifier(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# reference module/plugin parity: ingest-user-agent, ingest-geoip,
+# mapper-annotated-text
+# --------------------------------------------------------------------------
+from opensearch_spark import enrich as EN  # noqa: E402
+from opensearch_spark.search import annotated as AN  # noqa: E402
+
+
+def _user_agent_sql() -> str:
+    return f"""
+WITH ua_src AS (SELECT event_id, {EN.ua_sql('event_id')} AS ua
+                FROM events WHERE event_id < 200)
+SELECT event_id, ua, {EN.parse_user_agent_sql('ua')}
+FROM ua_src ORDER BY event_id
+"""
+
+
+@q("ingest_user_agent", _user_agent_sql())
+def ingest_user_agent(spark, sf_dir):
+    """user_agent ingest processor (modules/ingest-user-agent,
+    UserAgentProcessor.java:95-243): parse a UA string into
+    name/major/os/device with an ordered first-match-wins rule list
+    (UserAgentParser.java applies uap-core's regexes.yml the same way;
+    Edge before Chrome before Safari). The UA column is derived (corpus
+    has none); the parse is a fixed LIKE+regexp_extract CASE chain —
+    whole-stage codegen, zero UDFs, zero shuffles, so at 100 TB it is a
+    constant-cost projection and needs no UserAgentCache."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    df = EN.parse_user_agent(ev.withColumn("ua", EN.ua_expr("event_id")))
+    return df.select(
+        "event_id", "ua", "user_agent_name", "user_agent_major",
+        "user_agent_os", "user_agent_device").orderBy("event_id")
+
+
+def _geoip_sql() -> str:
+    return f"""
+WITH ips AS (SELECT event_id,
+                    (event_id * {IPF.IP_HASH_MULT}) % {IPF.IP_SPACE} AS ip_num
+             FROM events WHERE event_id < 500),
+r AS {EN.geoip_ranges_sql()}
+SELECT event_id, {_IP_STR_SQL} AS ip,
+       coalesce(country_iso_code, 'ZZ') AS country_iso_code,
+       coalesce(city_name, '') AS city_name,
+       coalesce(lat, 0.0) AS lat, coalesce(lon, 0.0) AS lon
+FROM ips LEFT JOIN r ON ip_num BETWEEN lo AND hi
+ORDER BY event_id
+"""
+
+
+@q("ingest_geoip", _geoip_sql())
+def ingest_geoip(spark, sf_dir):
+    """geoip ingest processor (modules/ingest-geoip, GeoIpProcessor.java:
+    MaxMind range lookup adding country_iso_code/city_name/location).
+    Executed as a bucketed broadcast hash EQUI-join — ranges exploded
+    across the /8 prefixes they span, joined on the prefix, containment
+    verified as a post-filter — never a BroadcastNestedLoopJoin, so a
+    3M-block GeoLite2 table against 10^12 events stays a hash join
+    (plan-asserted in tests/test_enrich.py). LEFT join keeps unmatched
+    ips with NULL geo fields (ignore_missing semantics)."""
+    ev = IPF.with_ip(
+        _t(spark, sf_dir, "events").where(F.col("event_id") < 500)
+        .select("event_id"), id_col="event_id")
+    out = EN.geoip_enrich(ev, EN.geoip_table(spark))
+    # unmatched ips carry NULL geo fields (ignore_missing); the gate pins
+    # them to sentinels so the hash-compare is total-order safe
+    return out.select(
+        "event_id", "ip",
+        F.coalesce("country_iso_code", F.lit("ZZ")).alias("country_iso_code"),
+        F.coalesce("city_name", F.lit("")).alias("city_name"),
+        F.coalesce("lat", F.lit(0.0)).alias("lat"),
+        F.coalesce("lon", F.lit(0.0)).alias("lon"),
+    ).orderBy("event_id")
+
+
+def _annotated_sql() -> str:
+    return f"""
+WITH ann AS ({AN.annotated_sql_cte('documents')}),
+parsed AS (SELECT doc_id, {AN.parse_annotated_sql('annotated')} FROM ann)
+SELECT doc_id, anno, n_annos, substr(plain, 1, 40) AS plain_prefix
+FROM parsed WHERE anno = 'src2_en'
+ORDER BY doc_id LIMIT 50
+"""
+
+
+@q("search_annotated_text", _annotated_sql())
+def search_annotated_text(spark, sf_dir):
+    """annotated_text field (plugins/mapper-annotated-text,
+    AnnotatedTextFieldMapper.java:190-240): markdown-like markup is
+    parsed with the reference's exact pattern (:200) into markup-stripped
+    plain text + annotation values queryable as terms. The annotated
+    source is derived (prepended `[src](entity=src_lang)` mention);
+    markup-shaped substrings already in the code text are parsed as
+    annotations too — the reference's behavior on that input. Query =
+    equality on the extracted annotation value; all regexp projections
+    are whole-stage codegen, no UDFs, no shuffle."""
+    d = AN.parse_annotated(AN.with_annotated(_docs(spark, sf_dir)))
+    return (d.where(F.col("anno") == "src2_en")
+            .select("doc_id", "anno", "n_annos",
+                    F.substring("plain", 1, 40).alias("plain_prefix"))
+            .orderBy("doc_id").limit(50))
+
+
+# --------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate verifies the first
 # ~50 queries() entries each round. Gates with a green row in
 # CORRECTNESS_r01.json are rotated to the back so every unverified gate
