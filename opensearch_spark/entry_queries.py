@@ -5833,6 +5833,55 @@ def search_annotated_text(spark, sf_dir):
             .orderBy("doc_id").limit(50))
 
 
+def _common_terms_sql(terms: list[str], cutoff: float, k: int = 10) -> str:
+    """Oracle twin of Searcher._common_terms: df-classify the (inlined)
+    analyzed query terms against the corpus, require >=1 low-frequency
+    match (OR default), score BM25 over every matched term. Absent query
+    terms coalesce to df 0 (low) exactly like the engine's dict miss."""
+    tl = "(" + ", ".join(f"'{t}'" for t in sorted(set(terms))) + ")"
+    qvals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {O.TOK_CTES},
+qterms AS (SELECT * FROM (VALUES {qvals}) AS t(term)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN {tl} GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN {tl} GROUP BY term),
+cls AS (SELECT q.term, coalesce(d.df, 0) AS df,
+               coalesce(d.df, 0) <= {cutoff} * (SELECT N FROM stats) AS is_low
+        FROM qterms q LEFT JOIN dfreq d USING (term)),
+nlow AS (SELECT sum(CASE WHEN is_low THEN 1 ELSE 0 END) AS total_low FROM cls),
+scored AS (SELECT tf.doc_id,
+                  sum({O.bm25_term()}) AS raw_score,
+                  sum(CASE WHEN is_low THEN 1 ELSE 0 END) AS n_low,
+                  count(*) AS nt
+           FROM tf JOIN cls USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY tf.doc_id)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scored CROSS JOIN nlow
+WHERE CASE WHEN total_low > 0 THEN n_low >= 1 ELSE nt >= 1 END
+ORDER BY round(raw_score, 4) DESC, doc_id LIMIT {k}
+"""
+
+
+@q("search_common_terms",
+   _common_terms_sql(["dup", "zzzmissingterm", "merge", "batch"], 0.5))
+def search_common_terms(spark, sf_dir):
+    """common terms query (CommonTermsQueryBuilder.java:77-108; was the
+    one deliberately-skipped §2 row — now implemented for 100% coverage):
+    'dup' (rare) and 'zzzmissingterm' (absent → df 0) classify LOW at
+    cutoff 0.5 and are required; 'merge'/'batch' (df ≈ 80%) are HIGH and
+    only score. The engine rewrites to the same bool-over-df-split the
+    reference builds; classification costs one dictionary lookup."""
+    from opensearch_spark.search import CommonTerms
+
+    s = get_searcher(spark, sf_dir)
+    return s.search(
+        CommonTerms(field="text", text="dup zzzmissingterm merge batch",
+                    cutoff_frequency=0.5),
+        k=10, mode="exhaustive", round_scores=4)
+
+
 # --------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate verifies the first
 # ~50 queries() entries each round. Gates with a green row in

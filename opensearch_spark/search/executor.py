@@ -241,6 +241,40 @@ class Searcher:
         return blocks.mapInPandas(decode, "term string, doc_id long, tf long, dl long")
 
     # ---------- scoring: match ----------
+    def _common_terms(self, q: "Q.CommonTerms") -> DataFrame:
+        """common terms query (CommonTermsQueryBuilder.java; Lucene
+        CommonTermsQuery.buildQuery): terms with df <= cutoff (absolute
+        when >= 1, else a fraction of doc_count) are LOW-frequency and
+        required; the rest only score. The reference itself rewrites to
+        a boolean query over the df split — this does the same: one tiny
+        dictionary lookup (term_dfs, driver-side when the vocab is
+        preloaded) classifies, then the standard Match/Bool plans run —
+        no new physical operator, WAND-eligible subplans."""
+        terms = list(dict.fromkeys(self.analyze(q.text)))
+        if not terms:
+            return self._empty_scores()
+        dfs = self.term_dfs(terms)
+        cut = float(q.cutoff_frequency)
+        max_df = cut if cut >= 1.0 else cut * self.index.doc_count
+        low = [t for t in terms if dfs.get(t, 0) <= max_df]
+        low_set = set(low)
+        high = [t for t in terms if t not in low_set]
+
+        def _m(ts, op, msm):
+            return Q.Match(field=q.field, text=" ".join(ts), operator=op,
+                           minimum_should_match=msm or 0, boost=q.boost)
+
+        if low and high:
+            return self.score(Q.Bool(
+                must=[_m(low, q.low_freq_operator,
+                         q.low_freq_minimum_should_match)],
+                should=[_m(high, "or", None)]))
+        side, op, msm = ((low, q.low_freq_operator,
+                          q.low_freq_minimum_should_match) if low else
+                         (high, q.high_freq_operator,
+                          q.high_freq_minimum_should_match))
+        return self.score(_m(side, op, msm))
+
     def _match_exhaustive(self, q: Q.Match) -> DataFrame:
         terms = self.analyze(q.text, getattr(q, "analyzer", None))
         dfs = self.term_dfs(terms)
@@ -466,6 +500,8 @@ class Searcher:
                 # this degenerates to a term query (reference behavior)
                 return self.score(Q.Term(field=q.field, value=q.text, boost=q.boost))
             return self._match_exhaustive(q)
+        if isinstance(q, Q.CommonTerms):
+            return self._common_terms(q)
         if isinstance(q, Q.MultiMatch):
             return self._multi_match(q)
         if isinstance(q, Q.MatchPhrasePrefix):

@@ -43,6 +43,27 @@ class Match(Query):
 
 
 @dataclass
+class CommonTerms(Query):
+    """common terms query (CommonTermsQueryBuilder.java:77-108 —
+    cutoff_frequency default 0.01, low/high_freq_operator default OR;
+    deprecated in the reference in favor of match, implemented for 100%
+    §2 coverage): query terms are split by document frequency at the
+    cutoff — LOW-frequency terms are required, HIGH-frequency terms only
+    contribute score ('stopwords without a stopword list'). Cutoff >= 1
+    is an absolute df; < 1 is a fraction of doc_count (Lucene
+    CommonTermsQuery.buildQuery: low iff df <= maxDocFreq)."""
+
+    field: str
+    text: str
+    cutoff_frequency: float = 0.01
+    low_freq_operator: str = "or"  # or|and
+    high_freq_operator: str = "or"
+    low_freq_minimum_should_match: int | None = None
+    high_freq_minimum_should_match: int | None = None
+    boost: float = 1.0
+
+
+@dataclass
 class MatchPhrase(Query):
     """Positional phrase (MatchPhraseQueryBuilder.java); slop=0 v1."""
 
