@@ -5833,6 +5833,24 @@ def search_annotated_text(spark, sf_dir):
             .orderBy("doc_id").limit(50))
 
 
+from opensearch_spark.index import mapping as MAP  # noqa: E402
+
+
+@q("api_infer_mapping",
+   MAP.infer_mapping_sql(f"SELECT {MAP.DERIVED_DOC_SQL} AS doc FROM events"))
+def api_infer_mapping(spark, sf_dir):
+    """Dynamic mapping / `_mapping` API (DocumentParser.java:65,229 —
+    was a declared non-goal, now closed): infer each JSON field's mapping
+    type over the corpus with the reference's detection order (boolean,
+    long, double, date, object/array, text) and numeric widening
+    (long+double → double); incompatible mixes degrade to text
+    (surfacing the reference's mapper-conflict). Derived JSON docs
+    (events.props is a single fixed int key). One generic map parse +
+    explode + regexp CASE (codegen) + one tiny-cardinality groupBy."""
+    ev = _t(spark, sf_dir, "events").withColumn("doc", MAP.derived_doc_expr())
+    return MAP.infer_mapping(ev, "doc").orderBy("key")
+
+
 def _common_terms_sql(terms: list[str], cutoff: float, k: int = 10) -> str:
     """Oracle twin of Searcher._common_terms: df-classify the (inlined)
     analyzed query terms against the corpus, require >=1 low-frequency

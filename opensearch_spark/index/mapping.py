@@ -1,0 +1,143 @@
+"""Dynamic mapping inference (DocumentParser.java / the `_mapping` API).
+
+The reference infers a field type the first time a document introduces
+the field (DocumentParser.java:65,229 — dynamic type detection: boolean,
+long, double, date-detection on strings, object recursion, else text)
+and rejects later conflicting values. Re-expressed as a distributed
+corpus operation: parse every document's JSON generically into (key,
+value-string) pairs, detect each value's type with the reference's
+detection order, then aggregate per key — per-type counts plus a
+resolved mapping type (numeric widening long→double, exactly the
+reference's coercion; any incompatible mix degrades to text, surfacing
+what the reference would have thrown as a mapper conflict).
+
+Scale design: from_json(map<string,string>) + explode + regexp CASE is
+all whole-stage codegen (no UDF); the per-key aggregation is ONE
+hash-shuffle groupBy with map-side partial aggregation — key cardinality
+(the mapping size) is tiny, so the shuffle is negligible at 100 TB. The
+same generic-map parse is what Spark's own schema inference does in a
+first pass over JSON sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# detection order (DocumentParser dynamic detection): boolean, long,
+# double, date (date_detection default format yyyy-MM-dd), object,
+# array, else text
+TYPE_RULES = [
+    ("boolean", r"^(true|false)$"),
+    ("long", r"^-?\d+$"),
+    ("double", r"^-?\d+\.\d+([eE][+-]?\d+)?$"),
+    ("date", r"^\d{4}-\d{2}-\d{2}$"),
+    ("object", r"^\{"),
+    ("array", r"^\["),
+]
+TYPES = [t for t, _ in TYPE_RULES] + ["text"]
+
+
+def detect_type_col(value: F.Column) -> F.Column:
+    expr = None
+    for tname, pat in TYPE_RULES:
+        cond = value.rlike(pat)
+        expr = F.when(cond, tname) if expr is None else expr.when(cond, tname)
+    return expr.otherwise("text")
+
+
+def detect_type_sql(value: str = "value") -> str:
+    cases = " ".join(
+        f"WHEN regexp_matches({value}, '{pat}') THEN '{t}'"
+        for t, pat in TYPE_RULES)
+    return f"CASE {cases} ELSE 'text' END"
+
+
+_RESOLVE_SQL = """CASE
+  WHEN n_text > 0 THEN 'text'
+  WHEN n_object > 0 AND n_object = n_vals THEN 'object'
+  WHEN n_array > 0 AND n_array = n_vals THEN 'array'
+  WHEN n_date > 0 AND n_date = n_vals THEN 'date'
+  WHEN n_boolean > 0 AND n_boolean = n_vals THEN 'boolean'
+  WHEN n_long + n_double = n_vals AND n_double > 0 THEN 'double'
+  WHEN n_long = n_vals THEN 'long'
+  ELSE 'text' END"""
+
+
+def infer_mapping(df: DataFrame, json_col: str = "doc") -> DataFrame:
+    """(key, resolved_type, per-type counts, n_vals) — the dynamic
+    mapping the reference would build, plus the evidence for it."""
+    kv = df.select(
+        F.explode(F.from_json(json_col, "map<string,string>"))
+        .alias("key", "value"))
+    typed = kv.where(F.col("value").isNotNull()).withColumn(
+        "t", detect_type_col(F.col("value")))
+    aggs = [F.sum(F.when(F.col("t") == t, 1).otherwise(0))
+            .cast("long").alias(f"n_{t}") for t in TYPES]
+    out = (typed.groupBy("key")
+           .agg(*aggs, F.count("*").cast("long").alias("n_vals")))
+    return out.withColumn("resolved_type", F.expr(_RESOLVE_SQL)).select(
+        "key", "resolved_type", *[f"n_{t}" for t in TYPES], "n_vals")
+
+
+def infer_mapping_sql(docs_cte: str) -> str:
+    """The identical inference as DuckDB SQL; ``docs_cte`` must yield a
+    column ``doc`` of JSON text."""
+    count_cols = ", ".join(
+        f"CAST(sum(CASE WHEN t = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in TYPES)
+    sel_cols = ", ".join(f"n_{t}" for t in TYPES)
+    return f"""
+WITH docs AS ({docs_cte}),
+keys AS (SELECT doc, unnest(json_keys(doc)) AS key FROM docs),
+kv AS (SELECT key, json_extract_string(doc, '$.' || key) AS value FROM keys),
+typed AS (SELECT key, {detect_type_sql('value')} AS t
+          FROM kv WHERE value IS NOT NULL),
+agg AS (SELECT key, {count_cols}, CAST(count(*) AS BIGINT) AS n_vals
+        FROM typed GROUP BY key)
+SELECT key, {_RESOLVE_SQL} AS resolved_type, {sel_cols}, n_vals
+FROM agg ORDER BY key
+"""
+
+
+# --------------------------------------------------------------------------
+# derived JSON documents (corpus events.props has one fixed int key, too
+# uniform to exercise inference — the geo/ip/ua derivation precedent)
+# --------------------------------------------------------------------------
+
+def derived_doc_expr():
+    """A deterministic JSON doc per event: four shapes sharing the
+    'count' key with long/double values (widening), plus name/active/
+    when/nested/tags — exercising every detection rule."""
+    eid = F.col("event_id")
+    i = (eid % 1000).cast("string")
+    d = F.concat(((eid % 90) + 10).cast("string"), F.lit("."),
+                 ((eid % 9) + 1).cast("string"))
+    day = F.lpad(((eid % 28) + 1).cast("string"), 2, "0")
+    uid = F.col("user_id").cast("string")
+    shapes = [
+        F.concat(F.lit('{"count": '), i, F.lit(', "name": "u'), uid,
+                 F.lit('", "active": true}')),
+        F.concat(F.lit('{"count": '), d, F.lit(', "when": "2024-01-'), day,
+                 F.lit('", "name": "x"}')),
+        F.concat(F.lit('{"nested": {"depth": '), i,
+                 F.lit('}, "active": false}')),
+        F.concat(F.lit('{"tags": ["a", "b'), i, F.lit('"], "count": '), i,
+                 F.lit("}")),
+    ]
+    expr = F.when(eid % 4 == 0, shapes[0])
+    for j in range(1, 4):
+        expr = expr.when(eid % 4 == j, shapes[j])
+    return expr
+
+
+DERIVED_DOC_SQL = """CASE
+  WHEN event_id % 4 = 0 THEN concat('{"count": ', CAST(event_id % 1000 AS STRING),
+       ', "name": "u', CAST(user_id AS STRING), '", "active": true}')
+  WHEN event_id % 4 = 1 THEN concat('{"count": ', CAST((event_id % 90) + 10 AS STRING),
+       '.', CAST((event_id % 9) + 1 AS STRING), ', "when": "2024-01-',
+       lpad(CAST((event_id % 28) + 1 AS STRING), 2, '0'), '", "name": "x"}')
+  WHEN event_id % 4 = 2 THEN concat('{"nested": {"depth": ', CAST(event_id % 1000 AS STRING),
+       '}, "active": false}')
+  ELSE concat('{"tags": ["a", "b', CAST(event_id % 1000 AS STRING),
+       '"], "count": ', CAST(event_id % 1000 AS STRING), '}')
+  END"""

@@ -1,0 +1,75 @@
+"""Dynamic mapping inference (DocumentParser.java parity): detection
+order, numeric widening, conflict degradation, malformed-input safety."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.index import mapping as M
+
+
+def _infer(spark, docs):
+    df = spark.createDataFrame([(d,) for d in docs], "doc STRING")
+    return {r["key"]: r.asDict() for r in M.infer_mapping(df).collect()}
+
+
+def test_detection_order_and_resolution(spark):
+    out = _infer(spark, [
+        '{"a": 1, "b": 1.5, "c": true, "d": "2024-03-04", '
+        '"e": {"x": 1}, "f": [1], "g": "hello"}',
+    ])
+    assert out["a"]["resolved_type"] == "long"
+    assert out["b"]["resolved_type"] == "double"
+    assert out["c"]["resolved_type"] == "boolean"
+    assert out["d"]["resolved_type"] == "date"
+    assert out["e"]["resolved_type"] == "object"
+    assert out["f"]["resolved_type"] == "array"
+    assert out["g"]["resolved_type"] == "text"
+
+
+def test_numeric_widening_long_double(spark):
+    """long + double values for the same key widen to double — the
+    reference's numeric coercion, not a conflict."""
+    out = _infer(spark, ['{"n": 1}', '{"n": 2.5}', '{"n": 3}'])
+    assert out["n"]["resolved_type"] == "double"
+    assert out["n"]["n_long"] == 2 and out["n"]["n_double"] == 1
+
+
+def test_incompatible_mix_degrades_to_text(spark):
+    out = _infer(spark, ['{"n": 1}', '{"n": true}'])
+    assert out["n"]["resolved_type"] == "text"
+    out2 = _infer(spark, ['{"d": "2024-01-01"}', '{"d": 5}'])
+    assert out2["d"]["resolved_type"] == "text"
+
+
+def test_malformed_and_null_json_skipped(spark):
+    df = spark.createDataFrame(
+        [('{"a": 1}',), ("not json",), (None,)], "doc STRING")
+    rows = {r["key"]: r for r in M.infer_mapping(df).collect()}
+    assert set(rows) == {"a"}
+    assert rows["a"]["n_vals"] == 1
+
+
+def test_negative_and_scientific_numbers(spark):
+    out = _infer(spark, ['{"a": -7, "b": -1.5e10}'])
+    assert out["a"]["resolved_type"] == "long"
+    assert out["b"]["resolved_type"] == "double"
+
+
+def test_inference_is_pure_codegen_plus_one_groupby(spark):
+    df = spark.createDataFrame([('{"a": 1}',)], "doc STRING")
+    plan = M.infer_mapping(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_derived_docs_cover_all_shapes(spark):
+    ev = (spark.range(0, 40)
+          .withColumnRenamed("id", "event_id")
+          .withColumn("user_id", F.col("event_id") % 7)
+          .withColumn("doc", M.derived_doc_expr()))
+    out = {r["key"]: r for r in M.infer_mapping(ev, "doc").collect()}
+    assert out["count"]["resolved_type"] == "double"  # long widened
+    assert out["active"]["resolved_type"] == "boolean"
+    assert out["when"]["resolved_type"] == "date"
+    assert out["nested"]["resolved_type"] == "object"
+    assert out["tags"]["resolved_type"] == "array"
+    assert out["name"]["resolved_type"] == "text"
