@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     # round-3 plugin-parity additions
     "events_correlation",
     "search_phonetic_match",
+    # round-3 resumed-session additions
+    "ingest_geoip",
+    "api_infer_mapping",
+    "search_common_terms",
 ]
 
 

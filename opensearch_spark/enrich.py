@@ -220,6 +220,70 @@ def geoip_enrich(events: DataFrame, ranges: DataFrame,
             .drop("bucket", "lo", "hi"))
 
 
+# ---------------------------------------------------------------------------
+# ingest-attachment (plugins/ingest-attachment, AttachmentProcessor.java:
+# Tika-parsed `content` + `content_type` + `content_length` fields).
+# The media-type detection (Tika's magic-byte sniff) and the plain-text
+# passthrough are real; rich-format text extraction (PDF/PNG internals)
+# requires Tika-class parsers absent from this environment and is the
+# documented stub — those attachments get content '' and status 'stub',
+# mirroring the honest mm_feature_extract posture.
+# ---------------------------------------------------------------------------
+
+_MAGIC_PDF = "255044462D"      # '%PDF-'
+_MAGIC_PNG = "89504E470D0A"    # PNG signature prefix
+
+
+def attachment_expr(text_col: str = "text", id_col: str = "doc_id"):
+    """Derived binary attachment: doc_id%3 selects PDF-magic, PNG-magic,
+    or plain utf-8 bytes of the first 80 chars of ``text``."""
+    body = F.encode(F.substring(F.col(text_col), 1, 80), "utf-8")
+    return (F.when(F.col(id_col) % 3 == 0, F.concat(F.unhex(F.lit(_MAGIC_PDF)), body))
+             .when(F.col(id_col) % 3 == 1, F.concat(F.unhex(F.lit(_MAGIC_PNG)), body))
+             .otherwise(body))
+
+
+def attachment_expr_sql(text_col: str = "text", id_col: str = "doc_id") -> str:
+    return (f"CASE WHEN {id_col} % 3 = 0 THEN unhex('{_MAGIC_PDF}')"
+            f" || encode(substr({text_col}, 1, 80)) "
+            f"WHEN {id_col} % 3 = 1 THEN unhex('{_MAGIC_PNG}')"
+            f" || encode(substr({text_col}, 1, 80)) "
+            f"ELSE encode(substr({text_col}, 1, 80)) END")
+
+
+def process_attachment(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """AttachmentProcessor.execute: content_type (magic-byte sniff),
+    content_length, content (plain text passthrough; rich formats
+    stubbed with status='stub')."""
+    h = F.hex(F.col(data_col))
+    ctype = (F.when(h.startswith(_MAGIC_PDF), "application/pdf")
+              .when(h.startswith(_MAGIC_PNG), "image/png")
+              .otherwise("text/plain"))
+    is_plain = ctype == "text/plain"
+    return (df.withColumn("content_type", ctype)
+              .withColumn("content_length",
+                          F.octet_length(F.col(data_col)).cast("long"))
+              .withColumn("content",
+                          F.when(is_plain,
+                                 F.decode(F.col(data_col), "utf-8"))
+                           .otherwise(F.lit("")))
+              .withColumn("status",
+                          F.when(is_plain, "extracted").otherwise("stub")))
+
+
+def process_attachment_sql(data_col: str = "data") -> str:
+    ct = (f"CASE WHEN starts_with(hex({data_col}), '{_MAGIC_PDF}')"
+          f" THEN 'application/pdf' "
+          f"WHEN starts_with(hex({data_col}), '{_MAGIC_PNG}')"
+          f" THEN 'image/png' ELSE 'text/plain' END")
+    return (f"{ct} AS content_type, "
+            f"CAST(octet_length({data_col}) AS BIGINT) AS content_length, "
+            f"CASE WHEN ({ct}) = 'text/plain' THEN decode({data_col})"
+            f" ELSE '' END AS content, "
+            f"CASE WHEN ({ct}) = 'text/plain' THEN 'extracted'"
+            f" ELSE 'stub' END AS status")
+
+
 def geoip_ranges_sql() -> str:
     """The same range table as a DuckDB VALUES CTE (oracle side)."""
     from opensearch_spark.search.ipfield import parse_ip

@@ -5851,6 +5851,56 @@ def api_infer_mapping(spark, sf_dir):
     return MAP.infer_mapping(ev, "doc").orderBy("key")
 
 
+@q("ingest_attachment", f"""
+WITH att AS (SELECT doc_id,
+                    {EN.attachment_expr_sql('text', 'doc_id')} AS data
+             FROM documents WHERE doc_id < 60)
+SELECT doc_id, {EN.process_attachment_sql('data')}
+FROM att ORDER BY doc_id
+""")
+def ingest_attachment(spark, sf_dir):
+    """attachment ingest processor (plugins/ingest-attachment,
+    AttachmentProcessor.java: Tika parse → content / content_type /
+    content_length). The media-type sniff (magic bytes, Tika's
+    detection front door) and plain-text passthrough are real codegen;
+    rich-format extraction (PDF/PNG internals) needs Tika-class parsers
+    absent from this environment — those rows carry status='stub'
+    honestly (the mm_feature_extract posture). Derived binary column."""
+    d = (_docs(spark, sf_dir).where(F.col("doc_id") < 60)
+         .select("doc_id", EN.attachment_expr("text", "doc_id").alias("data")))
+    return (EN.process_attachment(d)
+            .select("doc_id", "content_type", "content_length", "content",
+                    "status")
+            .orderBy("doc_id"))
+
+
+@q("api_top_queries", """
+SELECT event_type AS query_shape,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       round(avg(value), 4) AS mean_latency,
+       round(quantile_cont(value, 0.99), 4) AS p99_latency,
+       round(sum(value), 4) AS total_latency
+FROM events GROUP BY event_type
+ORDER BY total_latency DESC, query_shape LIMIT 5
+""")
+def api_top_queries(spark, sf_dir):
+    """top_queries API (plugins/query-insights TopQueriesService: ranks
+    queries by latency/cpu/memory over a window). The query-log stand-in
+    is the events table (shape=event_type, latency=value); the operator
+    is the real one — one partial-aggregated groupBy over the log, exact
+    interpolated p99 (QuantileSummaries), top-N by total cost. At 100 TB
+    of query logs this is one shuffle on a tiny shape cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.col("event_type").alias("query_shape"))
+            .agg(F.count("*").cast("long").alias("n_calls"),
+                 F.round(F.avg("value"), 4).alias("mean_latency"),
+                 F.round(F.expr("percentile(value, 0.99)"), 4)
+                  .alias("p99_latency"),
+                 F.round(F.sum("value"), 4).alias("total_latency"))
+            .orderBy(F.desc("total_latency"), F.asc("query_shape"))
+            .limit(5))
+
+
 def _common_terms_sql(terms: list[str], cutoff: float, k: int = 10) -> str:
     """Oracle twin of Searcher._common_terms: df-classify the (inlined)
     analyzed query terms against the corpus, require >=1 low-frequency

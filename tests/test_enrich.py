@@ -150,6 +150,34 @@ def test_geoip_plan_is_hash_join_not_bnlj(spark):
 
 
 # --------------------------------------------------------------------------
+# attachment
+# --------------------------------------------------------------------------
+
+def test_attachment_sniff_and_extract(spark):
+    rows = [(0, "hello pdf world"), (1, "png bytes here"), (2, "plain text")]
+    df = (spark.createDataFrame(rows, "doc_id LONG, text STRING")
+          .select("doc_id",
+                  EN.attachment_expr("text", "doc_id").alias("data")))
+    out = {r["doc_id"]: r for r in EN.process_attachment(df).collect()}
+    assert out[0]["content_type"] == "application/pdf"
+    assert out[0]["status"] == "stub" and out[0]["content"] == ""
+    assert out[0]["content_length"] == 5 + len("hello pdf world")
+    assert out[1]["content_type"] == "image/png"
+    assert out[1]["status"] == "stub"
+    assert out[2]["content_type"] == "text/plain"
+    assert out[2]["status"] == "extracted"
+    assert out[2]["content"] == "plain text"
+
+
+def test_attachment_is_pure_codegen(spark):
+    df = (spark.createDataFrame([(0, "x")], "doc_id LONG, text STRING")
+          .select("doc_id",
+                  EN.attachment_expr("text", "doc_id").alias("data")))
+    plan = explain_str(EN.process_attachment(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
 # annotated_text
 # --------------------------------------------------------------------------
 
