@@ -5874,6 +5874,54 @@ def ingest_attachment(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@q("search_token_count_field", r"""
+WITH tc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens FROM tc
+WHERE n_tokens BETWEEN 40 AND 60
+ORDER BY n_tokens DESC, doc_id LIMIT 20
+""")
+def search_token_count_field(spark, sf_dir):
+    """token_count field type (modules/mapper-extras
+    TokenCountFieldMapper.java:173-188 — indexes the analyzed token
+    count of a text field, queryable numerically). Whitespace-analyzer
+    count as one codegen size(split) projection — pushable range filter,
+    TakeOrderedAndProject top-k, no UDF."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.filter(F.split(F.trim("text"), r"\s+"),
+                        lambda x: x != "")).cast("long").alias("n_tokens"))
+    return (d.where((F.col("n_tokens") >= 40) & (F.col("n_tokens") <= 60))
+            .orderBy(F.desc("n_tokens"), F.asc("doc_id")).limit(20))
+
+
+@q("search_scaled_float", """
+WITH sf AS (SELECT event_id,
+                   CAST(round(value * 100) AS BIGINT) AS scaled
+            FROM events)
+SELECT event_id, scaled, scaled / 100.0 AS value_decoded
+FROM sf WHERE scaled >= 5000 AND scaled < 5500
+ORDER BY scaled, event_id LIMIT 50
+""")
+def search_scaled_float(spark, sf_dir):
+    """scaled_float field type (modules/mapper-extras
+    ScaledFloatFieldMapper.java:97-180 — stores round(value ×
+    scaling_factor) as a long; queries translate bounds into the scaled
+    long domain, trading precision for integer-point performance).
+    Range semantics run on the scaled longs; decode = scaled/factor.
+    All codegen, pushable long comparisons."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("scaled"))
+    return (ev.where((F.col("scaled") >= 5000) & (F.col("scaled") < 5500))
+            .select("event_id", "scaled",
+                    (F.col("scaled") / 100.0).alias("value_decoded"))
+            .orderBy("scaled", "event_id").limit(50))
+
+
 @q("api_top_queries", """
 SELECT event_type AS query_shape,
        CAST(count(*) AS BIGINT) AS n_calls,
