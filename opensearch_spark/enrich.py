@@ -216,8 +216,10 @@ def geoip_enrich(events: DataFrame, ranges: DataFrame,
     cond = ((F.shiftright(F.col(ip_col), _BUCKET_SHIFT) == ranges["bucket"])
             & (F.col(ip_col) >= ranges["lo"])
             & (F.col(ip_col) <= ranges["hi"]))
+    # drop via the ranges-side references so a same-named events column
+    # (e.g. a pre-bucketed stream's own 'bucket') survives untouched
     return (events.join(F.broadcast(ranges), cond, "left")
-            .drop("bucket", "lo", "hi"))
+            .drop(ranges["bucket"], ranges["lo"], ranges["hi"]))
 
 
 # ---------------------------------------------------------------------------
@@ -255,7 +257,9 @@ def process_attachment(df: DataFrame, data_col: str = "data") -> DataFrame:
     """AttachmentProcessor.execute: content_type (magic-byte sniff),
     content_length, content (plain text passthrough; rich formats
     stubbed with status='stub')."""
-    h = F.hex(F.col(data_col))
+    # hex only a fixed-size prefix: a multi-MB attachment must not pay an
+    # O(len) 2x-size hex materialization per row just to sniff 6 bytes
+    h = F.hex(F.substring(F.col(data_col), 1, 6))
     ctype = (F.when(h.startswith(_MAGIC_PDF), "application/pdf")
               .when(h.startswith(_MAGIC_PNG), "image/png")
               .otherwise("text/plain"))

@@ -5950,10 +5950,16 @@ def api_top_queries(spark, sf_dir):
 
 
 def _common_terms_sql(terms: list[str], cutoff: float, k: int = 10) -> str:
-    """Oracle twin of Searcher._common_terms: df-classify the (inlined)
-    analyzed query terms against the corpus, require >=1 low-frequency
-    match (OR default), score BM25 over every matched term. Absent query
-    terms coalesce to df 0 (low) exactly like the engine's dict miss."""
+    """Oracle twin of Searcher._common_terms AT THE DEFAULT OPERATORS
+    (low/high_freq_operator OR, msm 1 — what the gate exercises;
+    non-default operators are pinned engine-side in
+    tests/test_common_terms.py): df-classify the (inlined) analyzed
+    query terms against the corpus — cutoff >= 1 is an absolute df bound
+    exactly like the engine — require >=1 low-frequency match, score
+    BM25 over every matched term. Absent query terms coalesce to df 0
+    (low) exactly like the engine's dict miss."""
+    max_df = (str(float(cutoff)) if cutoff >= 1.0
+              else f"{cutoff} * (SELECT N FROM stats)")
     tl = "(" + ", ".join(f"'{t}'" for t in sorted(set(terms))) + ")"
     qvals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
     return f"""
@@ -5964,7 +5970,7 @@ tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
 dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
           WHERE term IN {tl} GROUP BY term),
 cls AS (SELECT q.term, coalesce(d.df, 0) AS df,
-               coalesce(d.df, 0) <= {cutoff} * (SELECT N FROM stats) AS is_low
+               coalesce(d.df, 0) <= {max_df} AS is_low
         FROM qterms q LEFT JOIN dfreq d USING (term)),
 nlow AS (SELECT sum(CASE WHEN is_low THEN 1 ELSE 0 END) AS total_low FROM cls),
 scored AS (SELECT tf.doc_id,

@@ -11,6 +11,14 @@ resolved mapping type (numeric widening long→double, exactly the
 reference's coercion; any incompatible mix degrades to text, surfacing
 what the reference would have thrown as a mapper conflict).
 
+One deliberate divergence: the generic map parse erases the JSON
+string-vs-scalar distinction, so a QUOTED "123" / "true" classifies as
+long/boolean — i.e. this implements the reference with
+``numeric_detection: true`` (DocumentParser's opt-in string coercion);
+with the default ``numeric_detection: false`` the reference would map
+those as text. The DuckDB oracle shares the same posture by
+construction (json_extract_string also strips quotes).
+
 Scale design: from_json(map<string,string>) + explode + regexp CASE is
 all whole-stage codegen (no UDF); the per-key aggregation is ONE
 hash-shuffle groupBy with map-side partial aggregation — key cardinality
@@ -29,7 +37,10 @@ from pyspark.sql import DataFrame, functions as F
 TYPE_RULES = [
     ("boolean", r"^(true|false)$"),
     ("long", r"^-?\d+$"),
-    ("double", r"^-?\d+\.\d+([eE][+-]?\d+)?$"),
+    # decimal point OR bare exponent ('1e5' — Spark's generic map parse
+    # preserves the raw token while DuckDB normalizes it to '100000.0';
+    # both forms must classify double for engine/oracle parity)
+    ("double", r"^-?\d+(\.\d+([eE][+-]?\d+)?|[eE][+-]?\d+)$"),
     ("date", r"^\d{4}-\d{2}-\d{2}$"),
     ("object", r"^\{"),
     ("array", r"^\["),

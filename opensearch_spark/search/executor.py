@@ -268,7 +268,8 @@ class Searcher:
             return self.score(Q.Bool(
                 must=[_m(low, q.low_freq_operator,
                          q.low_freq_minimum_should_match)],
-                should=[_m(high, "or", None)]))
+                should=[_m(high, q.high_freq_operator,
+                           q.high_freq_minimum_should_match)]))
         side, op, msm = ((low, q.low_freq_operator,
                           q.low_freq_minimum_should_match) if low else
                          (high, q.high_freq_operator,

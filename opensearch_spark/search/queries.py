@@ -512,6 +512,25 @@ def from_dsl(d: dict) -> Query:
             boost=spec.get("boost", 1.0),
             analyzer=spec.get("analyzer"),
         )
+    if kind == "common_terms":
+        f, spec = next(iter(body.items()))
+        if isinstance(spec, str):
+            return CommonTerms(field=f, text=spec)
+        lf_msm = spec.get("minimum_should_match", {}).get("low_freq") \
+            if isinstance(spec.get("minimum_should_match"), dict) \
+            else spec.get("minimum_should_match")
+        hf_msm = spec.get("minimum_should_match", {}).get("high_freq") \
+            if isinstance(spec.get("minimum_should_match"), dict) else None
+        return CommonTerms(
+            field=f,
+            text=spec["query"],
+            cutoff_frequency=float(spec.get("cutoff_frequency", 0.01)),
+            low_freq_operator=spec.get("low_freq_operator", "or").lower(),
+            high_freq_operator=spec.get("high_freq_operator", "or").lower(),
+            low_freq_minimum_should_match=(int(lf_msm) if lf_msm else None),
+            high_freq_minimum_should_match=(int(hf_msm) if hf_msm else None),
+            boost=spec.get("boost", 1.0),
+        )
     if kind == "match_phrase":
         f, spec = next(iter(body.items()))
         if isinstance(spec, str):

@@ -136,6 +136,19 @@ def test_geoip_range_spanning_multiple_buckets(spark):
     assert got["246.0.65.0"] is None
 
 
+def test_geoip_preserves_same_named_event_columns(spark):
+    """An events side that already carries a 'bucket'/'lo'/'hi' column
+    must keep it — only the ranges-side join columns are dropped."""
+    from opensearch_spark.search.ipfield import parse_ip
+
+    df = spark.createDataFrame(
+        [("8.0.0.1", parse_ip("8.0.0.1"), 42)],
+        "ip STRING, ip_num LONG, bucket INT")
+    out = EN.geoip_enrich(df, EN.geoip_table(spark)).collect()[0]
+    assert out["bucket"] == 42
+    assert out["country_iso_code"] == "US"
+
+
 def test_geoip_plan_is_hash_join_not_bnlj(spark):
     """The scale contract: bucketed equi-join compiles to a
     BroadcastHashJoin — a 3M-block table at 10^12 events must never be

@@ -55,6 +55,19 @@ def test_negative_and_scientific_numbers(spark):
     assert out["b"]["resolved_type"] == "double"
 
 
+def test_bare_exponent_is_double_and_oracle_agrees(spark):
+    """'1e5' (exponent, no decimal point): Spark's map parse keeps the
+    raw token, DuckDB normalizes to '100000.0' — both must infer double."""
+    import duckdb
+
+    out = _infer(spark, ['{"n": 1e5}'])
+    assert out["n"]["resolved_type"] == "double"
+    con = duckdb.connect()
+    rows = con.sql(M.infer_mapping_sql(
+        "SELECT '{\"n\": 1e5}' AS doc")).fetchall()
+    assert rows[0][1] == "double"
+
+
 def test_inference_is_pure_codegen_plus_one_groupby(spark):
     df = spark.createDataFrame([('{"a": 1}',)], "doc STRING")
     plan = M.infer_mapping(df)._jdf.queryExecution().executedPlan().toString()
