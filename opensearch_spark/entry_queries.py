@@ -5949,6 +5949,111 @@ def api_top_queries(spark, sf_dir):
             .limit(5))
 
 
+# --------------------------------------------------------------------------
+# real media decode gates: the engine generates PNG/WAV bytes, DECODES
+# them with ml/codecs.py (real zlib inflate + unfilter / RIFF walk), and
+# the oracle recomputes the expected features CLOSED-FORM from the
+# generative formulas — any decoder defect breaks the hash match.
+# --------------------------------------------------------------------------
+
+def _png_media(docs):
+    """doc_id → 16×16 RGB PNG payload; pixel (x,y) = ((id+x)%256,
+    (id*3+y)%256, (id+x·y)%256); row filters cycle 0-4 so every decoder
+    unfilter path runs inside the gate."""
+    import numpy as np
+    import pandas as pd
+
+    from opensearch_spark.ml.codecs import encode_png
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                xs, ys = np.meshgrid(np.arange(16), np.arange(16))
+                img = np.stack([(d + xs) % 256, (d * 3 + ys) % 256,
+                                (d + xs * ys) % 256], axis=2).astype(np.uint8)
+                payloads.append(encode_png(img, filter_type=None))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(gen, "doc_id long, payload binary")
+
+
+@q("mm_png_features", """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+grid AS (SELECT doc_id, x, y
+         FROM ids,
+              (SELECT unnest(generate_series(0, 15)) AS x),
+              (SELECT unnest(generate_series(0, 15)) AS y)),
+px AS (SELECT doc_id, (doc_id + x) % 256 AS r, (doc_id * 3 + y) % 256 AS g,
+              (doc_id + x * y) % 256 AS b FROM grid)
+SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id ORDER BY doc_id
+""")
+def mm_png_features(spark, sf_dir):
+    """REAL image decode (upgrades the round-2 stub): the engine encodes
+    each derived 16×16 RGB image as a true PNG (zlib deflate, per-row
+    filters cycling 0-4) and DECODES it back in ml/codecs.py — chunk
+    walk, CRC verify, inflate, all five unfilters incl. Paeth — then
+    emits exact integer features. The oracle never sees the bytes: it
+    recomputes the features closed-form from the pixel formula, so the
+    hash match certifies the decoder. Arrow-batched mapInPandas,
+    partition-parallel, shuffle-free (the 100 TB shape)."""
+    from opensearch_spark.ml import multimodal as MM
+
+    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") < 48)
+    return MM.png_features(_png_media(d)).orderBy("doc_id")
+
+
+def _wav_media(docs, n: int = 4000, rate: int = 8000):
+    """doc_id → PCM16 WAV payload; sample i = ((id·31 + i·7) % 2001) −
+    1000 (integer-exact, so the oracle can replay it in SQL)."""
+    import numpy as np
+    import pandas as pd
+
+    from opensearch_spark.ml.codecs import encode_wav
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            i = np.arange(n, dtype=np.int64)
+            for did in pdf["doc_id"]:
+                s = ((int(did) * 31 + i * 7) % 2001 - 1000).astype(np.int16)
+                payloads.append(encode_wav(s, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(gen, "doc_id long, payload binary")
+
+
+@q("mm_wav_features", """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+s AS (SELECT doc_id, i, ((doc_id * 31 + i * 7) % 2001) - 1000 AS v
+      FROM ids, (SELECT unnest(generate_series(0, 3999)) AS i)),
+lagd AS (SELECT doc_id, v,
+                lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(v)) AS BIGINT) AS max_abs,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sign_changes
+FROM lagd GROUP BY doc_id ORDER BY doc_id
+""")
+def mm_wav_features(spark, sf_dir):
+    """REAL audio decode: the engine encodes a deterministic PCM16
+    stream as a true RIFF/WAVE file and DECODES it back (chunk walk,
+    fmt parse) in ml/codecs.py, emitting exact integer features
+    (Σ|s|, max|s|, sign changes). Oracle replays the sample formula in
+    SQL — closed-form, byte-blind. Same Arrow-batched, shuffle-free
+    shape as the image path."""
+    from opensearch_spark.ml import multimodal as MM
+
+    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") < 24)
+    return MM.wav_features(_wav_media(d)).orderBy("doc_id")
+
+
 def _common_terms_sql(terms: list[str], cutoff: float, k: int = 10) -> str:
     """Oracle twin of Searcher._common_terms AT THE DEFAULT OPERATORS
     (low/high_freq_operator OR, msm 1 — what the gate exercises;

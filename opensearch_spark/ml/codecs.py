@@ -1,0 +1,203 @@
+"""Real media codecs with zero external dependencies.
+
+The container has no PIL/cv2/librosa, but PNG is zlib-deflated filtered
+scanlines and WAV is a RIFF header over PCM — both fully decodable with
+the Python stdlib (`zlib`, `struct`). These are complete, spec-correct
+implementations for the subset they claim (PNG: 8-bit non-interlaced
+RGB/RGBA/greyscale, all five filter types; WAV: PCM16 mono/stereo), so
+the multimodal feature-extraction path runs a REAL decode — bit-exact
+round-trip property-tested — rather than the former stub. JPEG/video
+codecs remain honestly stubbed (entropy-coding libs absent).
+
+Used by ml/multimodal.py's `real_decode` and the `mm_png_features` /
+`mm_wav_features` gates, whose DuckDB oracles recompute the expected
+features CLOSED-FORM from the generative pixel/sample formulas — any
+decoder defect breaks the hash match.
+
+PNG spec: RFC 2083 (signature, IHDR/IDAT/IEND chunks, filter types
+0-4 incl. Paeth). WAV: RIFF/WAVE fmt+data chunks, PCM LE.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type → samples per pixel (8-bit depth)
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(img: np.ndarray, filter_type: int | None = None) -> bytes:
+    """8-bit PNG encoder. ``img``: (H, W) greyscale, (H, W, 3) RGB or
+    (H, W, 4) RGBA uint8. ``filter_type``: fixed 0-4 per row, or None →
+    row i uses filter i % 5 (exercises every decoder unfilter path)."""
+    if img.dtype != np.uint8:
+        raise ValueError("8-bit images only")
+    if img.ndim == 2:
+        color_type, ch = 0, 1
+        img = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, ch = 2, 3
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color_type, ch = 6, 4
+    else:
+        raise ValueError(f"unsupported shape {img.shape}")
+    h, w = img.shape[:2]
+    raw = img.reshape(h, w * ch).astype(np.int16)
+    prev = np.zeros(w * ch, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        ft = (y % 5) if filter_type is None else filter_type
+        row = raw[y]
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - prev
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
+            filt = row - (left + prev) // 2
+        elif ft == 4:  # Paeth
+            left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+            filt = row.copy()
+            for x in range(w * ch):
+                filt[x] = row[x] - _paeth(int(left[x]), int(prev[x]),
+                                          int(upleft[x]))
+        else:
+            raise ValueError(f"bad filter {ft}")
+        out.append(ft)
+        out.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG decoder (greyscale/RGB/RGBA): chunk walk,
+    zlib inflate, per-row unfilter incl. Paeth. Returns uint8 (H, W[, C])."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color_type not in _CHANNELS:
+                raise NotImplementedError(
+                    f"depth {depth} / color type {color_type}")
+            if interlace:
+                raise NotImplementedError("interlaced PNG")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("missing IHDR")
+    ch = _CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("IDAT size mismatch")
+    img = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1).astype(np.int32)
+        if ft == 0:
+            row = line
+        elif ft == 2:  # Up
+            row = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth carry a left dependency
+            row = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = row[x - ch] if x >= ch else 0
+                up = prev[x]
+                upleft = prev[x - ch] if x >= ch else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                elif ft == 4:
+                    pred = _paeth(int(left), int(up), int(upleft))
+                else:
+                    raise ValueError(f"bad filter {ft}")
+                row[x] = (line[x] + pred) & 0xFF
+        img[y] = row.astype(np.uint8)
+        prev = row
+    img = img.reshape(height, width, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM16)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """PCM16 WAV encoder. ``samples``: int16 (N,) mono or (N, 2) stereo."""
+    if samples.dtype != np.int16:
+        raise ValueError("int16 samples only")
+    n_ch = 1 if samples.ndim == 1 else samples.shape[1]
+    pcm = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, sample_rate,
+                      sample_rate * n_ch * 2, n_ch * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """PCM16 WAV decoder: RIFF chunk walk. Returns (sample_rate,
+    int16 array — (N,) mono or (N, n_ch))."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, n_ch, bits, pcm = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        ctype = data[pos:pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + length]
+        if ctype == b"fmt ":
+            audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH",
+                                                              body[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("PCM16 only")
+        elif ctype == b"data":
+            pcm = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(pcm, dtype="<i2")
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch)
+    return rate, samples

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns + typed metadata, processed in Arrow-batched ``mapInPandas``.
 
-The Spark-side machinery (schema, partitioning, UDF signature, batch shape)
-is real and tested; the actual media decode is STUBBED behind
-``decoder=`` hooks because the image/audio libraries are not in this
-container — a deterministic fake decoder ships for tests, and passing a real
-one (PIL/librosa/etc.) is a one-liner swap.
+Decode status (round 3): PNG images and PCM16 WAV audio are decoded FOR
+REAL — ml/codecs.py implements both formats spec-correct with only the
+stdlib (zlib inflate + all five PNG unfilters; RIFF chunk walk), bit-
+exact round-trip property-tested, and the `mm_png_features` /
+`mm_wav_features` gates hash-match closed-form DuckDB oracles. JPEG and
+video codecs remain honestly stubbed behind ``decoder=`` hooks (entropy
+coders absent from this container); the deterministic fake decoder
+ships for their tests and a real one (PIL/av) is a one-liner swap.
 """
 
 from __future__ import annotations
@@ -30,10 +33,73 @@ def fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def real_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Real image decode for the formats ml/codecs.py implements (PNG);
+    other formats raise honestly (JPEG entropy coding needs libs absent
+    from this container)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from opensearch_spark.ml.codecs import decode_png
+
+        img = decode_png(payload)
+        return img[:, :, None].repeat(3, axis=2) if img.ndim == 2 else img
     raise NotImplementedError(
-        "media decoding libraries (PIL/av/librosa) are not available in this "
-        "environment; pass decoder=fake_decode or your own callable"
+        "only PNG decode is implemented without external libs (ml/codecs.py);"
+        " JPEG/video need PIL/av — pass decoder=fake_decode or your own"
     )
+
+
+def png_features(df: DataFrame) -> DataFrame:
+    """REAL image pipeline: decode the PNG payload (zlib inflate + the
+    five unfilters) and emit exact integer features — width, height and
+    per-channel pixel sums. Arrow-batched mapInPandas, one image in
+    flight per row, partition-parallel; at 100 TB the decode is
+    embarrassingly parallel and shuffle-free."""
+    from opensearch_spark.ml.codecs import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "sum_r": [], "sum_g": [], "sum_b": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_png(bytes(payload))
+                rows["doc_id"].append(int(did))
+                rows["height"].append(img.shape[0])
+                rows["width"].append(img.shape[1])
+                s = img.reshape(-1, img.shape[2]).sum(axis=0, dtype=np.int64)
+                rows["sum_r"].append(int(s[0]))
+                rows["sum_g"].append(int(s[1]))
+                rows["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run, "doc_id long, width int, height int,"
+             " sum_r long, sum_g long, sum_b long")
+
+
+def wav_features(df: DataFrame) -> DataFrame:
+    """REAL audio pipeline: decode the PCM16 WAV payload (RIFF walk) and
+    emit exact integer features — sample rate, sample count, Σ|s|,
+    max |s|, sign-change count. Same Arrow-batched shape as images."""
+    from opensearch_spark.ml.codecs import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "sample_rate": [], "n_samples": [],
+                    "sum_abs": [], "max_abs": [], "n_sign_changes": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                rows["doc_id"].append(int(did))
+                rows["sample_rate"].append(int(rate))
+                rows["n_samples"].append(int(s.shape[0]))
+                rows["sum_abs"].append(int(np.abs(s64).sum()))
+                rows["max_abs"].append(int(np.abs(s64).max()))
+                rows["n_sign_changes"].append(
+                    int(((s64[:-1] * s64[1:]) < 0).sum()))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run, "doc_id long, sample_rate int, n_samples long,"
+             " sum_abs long, max_abs long, n_sign_changes long")
 
 
 def extract_features(
