@@ -221,6 +221,36 @@ def tokenize_char_trigram(text: str) -> list[str]:
 register_analyzer("char_trigram", tokenize_char_trigram)
 
 
+_CJK_RANGE = "\\u4e00-\\u9fff\\u3040-\\u30ff"  # ideographs + kana
+_CJK_RUN_RE = re.compile(f"[{_CJK_RANGE}]+|[^{_CJK_RANGE}]+")
+_CJK_CHAR_RE = re.compile(f"[{_CJK_RANGE}]")
+
+
+def tokenize_cjk_bigram(text: str) -> list[str]:
+    """cjk_bigram token filter (analysis-common
+    CommonAnalysisModulePlugin.java registration; Lucene CJKBigramFilter
+    — the dictionary-less CJK strategy the reference's CJK analyzer
+    uses): the standard tokenizer emits ideographic chars as single
+    tokens, adjacent ones combine into overlapping bigrams, a lone
+    ideogram stays a unigram, non-CJK tokens pass through the standard
+    chain unchanged."""
+    out: list[str] = []
+    for m in _WORD_RE.finditer(text or ""):
+        w = m.group(0).lower()
+        for run in _CJK_RUN_RE.findall(w):
+            if _CJK_CHAR_RE.match(run):
+                if len(run) == 1:
+                    out.append(run)
+                else:
+                    out.extend(run[i:i + 2] for i in range(len(run) - 1))
+            else:
+                out.extend(_chunk255(run))
+    return out
+
+
+register_analyzer("cjk_bigram", tokenize_cjk_bigram)
+
+
 def tokenize(text: str, analyzer: str = "standard") -> list[str]:
     return ANALYZERS[analyzer](text)
 

@@ -5949,6 +5949,57 @@ def api_top_queries(spark, sf_dir):
             .limit(5))
 
 
+_CJK_BASE = 0x4E00
+_CJK_VOCAB_N = 32
+
+
+def _with_cjk(corpus):
+    """Append a deterministic 4-ideograph tail (vocab of 32 CJK chars,
+    c_j = base + (doc_id + 7j) % 32) — the derived-column precedent for
+    a corpus with no CJK text."""
+    arr = F.array(*[F.lit(chr(_CJK_BASE + i)) for i in range(_CJK_VOCAB_N)])
+    parts = [
+        F.element_at(
+            arr, ((F.col("doc_id") + 7 * j) % _CJK_VOCAB_N + 1).cast("int"))
+        for j in range(4)]
+    return corpus.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" "), *parts))
+
+
+def _cjk_bigram_sql() -> str:
+    mk = (lambda j: f"chr(CAST({_CJK_BASE} + (doc_id + {7 * j})"
+                    f" % {_CJK_VOCAB_N} AS INTEGER))")
+    q = f"chr({_CJK_BASE + 5}::INTEGER) || chr({_CJK_BASE + 12}::INTEGER)"
+    return f"""
+WITH c AS (SELECT doc_id,
+                  {mk(0)} || {mk(1)} || {mk(2)} || {mk(3)} AS cjk
+           FROM documents)
+SELECT doc_id, 1.0 AS score FROM c
+WHERE substr(cjk, 1, 2) = {q} OR substr(cjk, 2, 2) = {q}
+   OR substr(cjk, 3, 2) = {q}
+ORDER BY doc_id
+"""
+
+
+@q("search_cjk_bigram", _cjk_bigram_sql())
+def search_cjk_bigram(spark, sf_dir):
+    """cjk_bigram token filter (analysis-common
+    CommonAnalysisModulePlugin.java; Lucene CJKBigramFilter — the
+    dictionary-less CJK strategy behind the reference's CJK analyzer,
+    and the fallback posture of the analysis-kuromoji/nori/smartcn
+    plugin family whose dictionaries are absent here): ideographs index
+    as overlapping bigrams, so a two-ideograph query is one postings
+    lookup. Derived CJK tails; constant-score term match; oracle
+    enumerates the bigram windows in SQL."""
+    from opensearch_spark.search import ConstantScore, Match
+
+    s = _alt_searcher(spark, sf_dir, "cjk", "cjk_bigram",
+                      transform=_with_cjk)
+    q = chr(_CJK_BASE + 5) + chr(_CJK_BASE + 12)
+    return (s.score(ConstantScore(filter=Match(field="text", text=q)))
+            .orderBy("doc_id"))
+
+
 # --------------------------------------------------------------------------
 # real media decode gates: the engine generates PNG/WAV bytes, DECODES
 # them with ml/codecs.py (real zlib inflate + unfilter / RIFF walk), and

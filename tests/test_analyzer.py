@@ -160,3 +160,20 @@ def test_shingle_subfield_analyzers():
     assert ANALYZERS["shingle_3"]("a b c d") == ["a b c", "b c d"]
     assert ANALYZERS["shingle_3"]("a b") == []  # too short -> no tokens
     assert ANALYZERS["shingle_2"]("one") == []
+
+
+def test_cjk_bigram_filter():
+    """Lucene CJKBigramFilter semantics: ideograph runs emit overlapping
+    bigrams, a lone ideogram stays a unigram, non-CJK passes through."""
+    from opensearch_spark.analysis import tokenize
+
+    assert tokenize("今天天气", "cjk_bigram") == [
+        "今天", "天天", "天气"]
+    assert tokenize("merge 今 table", "cjk_bigram") == [
+        "merge", "今", "table"]
+    # mixed script inside one word token: runs split, each handled
+    assert tokenize("abc今天", "cjk_bigram") == [
+        "abc", "今天"]
+    # katakana counts as CJK for bigramming (Lucene han+kana flags)
+    assert tokenize("カタ", "cjk_bigram") == ["カタ"]
+    assert tokenize("", "cjk_bigram") == []
