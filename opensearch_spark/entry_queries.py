@@ -5949,6 +5949,47 @@ def api_top_queries(spark, sf_dir):
             .limit(5))
 
 
+@q("curation_dsir", r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+bk AS (SELECT doc_id, source,
+              ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS b FROM toks),
+raw_b AS (SELECT b, count(*) AS n_raw FROM bk GROUP BY b),
+tgt_b AS (SELECT b, count(*) AS n_tgt FROM bk WHERE source = 'src1'
+          GROUP BY b),
+grid AS (SELECT unnest(generate_series(0, 1023)) AS b),
+dist AS (SELECT g.b, coalesce(n_raw, 0) AS n_raw, coalesce(n_tgt, 0) AS n_tgt
+         FROM grid g LEFT JOIN raw_b USING (b) LEFT JOIN tgt_b USING (b)),
+tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM dist),
+w AS (SELECT b, ln((n_tgt + 0.5) / (t_tgt + 512.0))
+             - ln((n_raw + 0.5) / (t_raw + 512.0)) AS w
+      FROM dist CROSS JOIN tot),
+scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  sum(w) AS li
+           FROM bk JOIN w USING (b) GROUP BY doc_id)
+SELECT doc_id, n_tokens, round(li, 6) AS log_importance, li > 0 AS keep
+FROM scored ORDER BY doc_id LIMIT 200
+""")
+def curation_dsir(spark, sf_dir):
+    """DSIR domain selection (Xie et al. 2023, arXiv:2302.03169 — the
+    importance-resampling selector of modern pretraining pipelines):
+    hashed-unigram distributions over raw corpus vs a target-domain
+    sample (source='src1'), add-alpha smoothed; per-doc score =
+    Σ ln p_tgt(b) − ln p_raw(b). Gumbel draw replaced by a deterministic
+    importance threshold (documented divergence). Two codegen corpus
+    scans + dim-row broadcast weights, totals in-plan — the 100 TB
+    shape."""
+    d = _docs(spark, sf_dir)
+    out = CU.dsir_log_importance(d, d.where(F.col("source") == "src1"))
+    return (out.select("doc_id", "n_tokens",
+                       F.round("log_importance", 6).alias("log_importance"),
+                       "keep")
+            .orderBy("doc_id").limit(200))
+
+
 _CJK_BASE = 0x4E00
 _CJK_VOCAB_N = 32
 

@@ -340,3 +340,72 @@ def quality_classifier(
         id_col, "n_features",
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("quality"),
         ((F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) >= 0.5).alias("keep"))
+
+
+def dsir_log_importance(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169, the domain-targeting selector of modern pretraining
+    pipelines): fit hashed-unigram distributions over the raw corpus and
+    a target-domain sample, add-alpha smooth both, and score every raw
+    document with its log importance weight
+    ``Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)]``.
+
+    The paper's final Gumbel-top-k resampling draw is replaced by a
+    deterministic importance threshold (``keep = score > 0``) — the
+    documented sandbox divergence; everything up to the draw is the real
+    estimator.
+
+    Scale shape: two corpus scans (fit, score — exactly the paper's two
+    passes) + one target scan; the bucket distributions are ``dim``-row
+    aggregates joined broadcast at score time; totals stay in-plan as
+    crossJoined 1-row aggregates (no driver collect). All tokenization is
+    codegen split/explode; the md5-prefix bucket hash shares its spelling
+    with the DuckDB oracle.
+
+    Returns (id_col, n_tokens, log_importance, keep).
+    """
+    spark = df.sparkSession
+
+    def _buckets(d: DataFrame) -> DataFrame:
+        toks = d.select(
+            F.expr(f"filter(split(trim({text_col}), '\\\\s+'), x -> x != '')")
+            .alias("_ts"))
+        return (toks.select(F.explode("_ts").alias("t"))
+                .select((_md5_u32(F.col("t")) % dim).alias("b")))
+
+    raw_b = _buckets(df).groupBy("b").agg(F.count("*").alias("n_raw"))
+    tgt_b = _buckets(target).groupBy("b").agg(F.count("*").alias("n_tgt"))
+    grid = spark.range(dim).select(F.col("id").alias("b"))
+    dist = (grid.join(raw_b, "b", "left").join(tgt_b, "b", "left")
+            .select("b",
+                    F.coalesce("n_raw", F.lit(0)).alias("n_raw"),
+                    F.coalesce("n_tgt", F.lit(0)).alias("n_tgt")))
+    totals = dist.agg(F.sum("n_raw").alias("t_raw"),
+                      F.sum("n_tgt").alias("t_tgt"))
+    a, ad = F.lit(float(alpha)), F.lit(float(alpha * dim))
+    weights = dist.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (F.log((F.col("n_tgt") + a) / (F.col("t_tgt") + ad))
+         - F.log((F.col("n_raw") + a) / (F.col("t_raw") + ad))).alias("w"))
+
+    doc_toks = df.select(
+        id_col,
+        F.expr(f"filter(split(trim({text_col}), '\\\\s+'), x -> x != '')")
+        .alias("_ts"))
+    doc_b = doc_toks.select(
+        id_col, F.explode("_ts").alias("t")).select(
+        id_col, (_md5_u32(F.col("t")) % dim).alias("b"))
+    scored = (doc_b.join(F.broadcast(weights), "b")
+              .groupBy(id_col)
+              .agg(F.count("*").cast("long").alias("n_tokens"),
+                   F.sum("w").alias("log_importance")))
+    return scored.select(
+        id_col, "n_tokens", "log_importance",
+        (F.col("log_importance") > 0).alias("keep"))

@@ -287,3 +287,34 @@ def test_quality_classifier_sparse_weight_table(spark):
     # mean weight 0 -> quality = sigmoid(bias) = sigmoid(-0.1)
     import math
     assert abs(out.quality - 1.0 / (1.0 + math.exp(0.1))) < 1e-12
+
+
+def test_dsir_prefers_target_domain(spark):
+    """DSIR sanity: documents made of target-domain vocabulary score
+    higher log-importance than off-domain documents; the target docs
+    themselves are kept, disjoint-vocab docs are not."""
+    from opensearch_spark.ml.curation import dsir_log_importance
+
+    rows = (
+        [(i, "alpha beta gamma delta", "tgt") for i in range(10)]
+        + [(100 + i, "omega sigma theta kappa", "other") for i in range(10)]
+        + [(200, "alpha beta omega sigma", "mixed")]
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out = {r["doc_id"]: r for r in dsir_log_importance(
+        df, df.where("source = 'tgt'")).collect()}
+    tgt, off, mixed = out[0], out[100], out[200]
+    assert tgt["log_importance"] > mixed["log_importance"] > off["log_importance"]
+    assert tgt["keep"] and not off["keep"]
+    assert tgt["n_tokens"] == 4
+
+
+def test_dsir_is_codegen_with_broadcast_weights(spark):
+    from opensearch_spark.ml.curation import dsir_log_importance
+
+    df = spark.createDataFrame(
+        [(0, "a b", "s")], "doc_id LONG, text STRING, source STRING")
+    plan = dsir_log_importance(df, df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # weights join the docs broadcast
