@@ -234,3 +234,33 @@ def test_annotated_markdown_regex_is_reference_pattern():
 def test_annotated_parse_is_pure_codegen(docs):
     plan = explain_str(AN.parse_annotated(AN.with_annotated(docs)))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_annotated_parse_property_vs_python_re(spark):
+    """Property: Spark's regexp_replace/extract on the reference markdown
+    pattern agrees with Python re on bracket/paren-laden code-ish text."""
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = "ab[]() =&_0"
+    texts = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=0, max_size=30))
+    def collect(s):
+        texts.append(s)
+
+    collect()
+    rows = [(i, t, "en", "srcX") for i, t in enumerate(dict.fromkeys(texts))]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING, source STRING")
+    out = {r["doc_id"]: r
+           for r in AN.parse_annotated(AN.with_annotated(df)).collect()}
+    pat = _re.compile(AN.MARKDOWN_RE)
+    for i, t, _, _ in rows:
+        annotated = f"[srcX](entity=srcX_en) {t}"
+        assert out[i]["plain"] == pat.sub(r"\1", annotated), repr(t)
+        assert out[i]["n_annos"] == len(pat.findall(annotated)), repr(t)
+        m = pat.search(annotated)
+        exp_anno = _re.search(r"entity=(.*)", m.group(2))
+        assert out[i]["anno"] == (exp_anno.group(1) if exp_anno else ""), repr(t)
