@@ -383,6 +383,31 @@ def search_function_score(spark, sf_dir):
     return s.search(query, k=10, round_scores=4)
 
 
+@q("search_script_score", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'spark' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'spark'),
+scored AS (SELECT tf.doc_id, {O.bm25_term()} AS raw
+           FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+sc AS (SELECT s.doc_id, ln(1.0 + d.n_chars) * s.raw AS v
+       FROM scored s JOIN documents d USING (doc_id))
+SELECT doc_id, round(v, 4) AS score FROM sc WHERE v >= 2.0
+ORDER BY round(v, 4) DESC, doc_id LIMIT 10
+""")
+def search_script_score(spark, sf_dir):
+    """script_score (ScriptScoreQueryBuilder.java): the script REPLACES
+    the BM25 score (vs function_score, which combines); min_score drops
+    hits before top-k. The doc column the script reads joins onto the
+    bounded hit frame only."""
+    from opensearch_spark.search import ScriptScore
+
+    s = get_searcher(spark, sf_dir)
+    query = ScriptScore(query=Match(field="text", text="spark"),
+                        script="ln(1.0 + n_chars) * score",
+                        fields=("n_chars",), min_score=2.0)
+    return s.search(query, k=10, round_scores=4)
+
+
 @q("search_terms_set",
   O.match_sql(["merge", "sort", "window"], k=10, n_required=2))
 def search_terms_set(spark, sf_dir):
@@ -2116,6 +2141,102 @@ def agg_date_histogram(spark, sf_dir):
             .orderBy("day"))
 
 
+@q("agg_date_histogram_offset", """
+SELECT strftime(to_timestamp(
+           CAST(floor((epoch(ts) - 21600) / 86400.0) AS BIGINT) * 86400 + 21600),
+           '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*) AS doc_count
+FROM events GROUP BY bucket ORDER BY bucket
+""")
+def agg_date_histogram_offset(spark, sf_dir):
+    """date_histogram with offset (DateHistogramAggregationBuilder offset
+    param / DateIntervalWrapper): fixed_interval=1d shifted by +6h — the
+    bucket boundary falls at 06:00, not midnight. Bucketing is pure epoch
+    arithmetic (timezone-invariant), one map-side expression + one
+    shuffle, identical at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    off, day = 21600, 86400
+    bucket = F.from_unixtime(
+        (F.floor((F.unix_timestamp("ts") - off) / day) * day + off)
+        .cast("bigint"), "yyyy-MM-dd HH:mm:ss").alias("bucket")
+    return (ev.groupBy(bucket).agg(F.count("*").alias("doc_count"))
+            .orderBy("bucket"))
+
+
+@q("agg_histogram_bounds", """
+WITH spine AS (
+    SELECT 50 * g AS bucket FROM generate_series(0, 11) AS t(g)
+),
+counts AS (
+    SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket,
+           count(*) AS doc_count
+    FROM events WHERE value >= 0 AND value < 600
+    GROUP BY 1
+)
+SELECT s.bucket, coalesce(c.doc_count, 0) AS doc_count
+FROM spine s LEFT JOIN counts c USING (bucket) ORDER BY s.bucket
+""")
+def agg_histogram_bounds(spark, sf_dir):
+    """histogram with extended_bounds + hard_bounds + min_doc_count=0
+    (HistogramAggregationBuilder extendedBounds/hardBounds): empty
+    buckets inside [0, 600) materialize with doc_count=0; values outside
+    the hard bounds are clipped. The bucket spine is generated
+    plan-side (sequence + explode over literals — a handful of rows),
+    left-joined against the aggregated counts: no collect, and the
+    (bucket-count-sized) aggregated side broadcasts."""
+    ev = _t(spark, sf_dir, "events")
+    counts = (ev.where((F.col("value") >= 0) & (F.col("value") < 600))
+              .groupBy((F.floor(F.col("value") / 50) * 50)
+                       .cast("bigint").alias("bucket"))
+              .agg(F.count("*").alias("doc_count")))
+    spine = (spark.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(550), F.lit(50))).alias("bucket"))
+        .select(F.col("bucket").cast("bigint").alias("bucket")))
+    return (spine.join(F.broadcast(counts), "bucket", "left")
+            .select("bucket",
+                    F.coalesce("doc_count", F.lit(0)).alias("doc_count"))
+            .orderBy("bucket"))
+
+
+@q("agg_terms_include_exclude", """
+SELECT event_type, count(*) AS doc_count FROM events
+WHERE regexp_matches(event_type, '^(s|p|c).*')
+  AND event_type NOT IN ('purchase')
+GROUP BY event_type ORDER BY doc_count DESC, event_type LIMIT 5
+""")
+def agg_terms_include_exclude(spark, sf_dir):
+    """terms agg include/exclude (IncludeExclude.java): include regex
+    filters candidate buckets, exclude drops exact values — both applied
+    BEFORE bucket ranking (reference semantics), as a map-side predicate
+    so excluded terms never enter the shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.where(F.col("event_type").rlike("^(s|p|c)")
+                     & ~F.col("event_type").isin("purchase"))
+            .groupBy("event_type").agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("event_type")).limit(5))
+
+
+@q("agg_terms_order_subagg", """
+SELECT event_type, count(*) AS doc_count,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_value
+FROM events GROUP BY event_type
+ORDER BY avg_value DESC, event_type LIMIT 3
+""")
+def agg_terms_order_subagg(spark, sf_dir):
+    """terms agg ordered by a sub-aggregation (BucketOrder.aggregation,
+    InternalOrder.java): buckets ranked by avg(value) desc instead of
+    doc_count — one partial-aggregated groupBy, the ordering is applied
+    to the (small) bucket frame. Decimal-exact sum so partial-agg order
+    can't perturb the tie-break."""
+    ev = _t(spark, sf_dir, "events")
+    dec = F.sum(F.col("value").cast("decimal(18,6)"))
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("doc_count"),
+                 F.round(dec.cast("double") / F.count("*"), 6).alias("avg_value"))
+            .orderBy(F.desc("avg_value"), F.asc("event_type")).limit(3))
+
+
 @q("agg_range", """
 SELECT CASE WHEN l_quantity < 10 THEN '*-10'
             WHEN l_quantity < 25 THEN '10-25'
@@ -2880,6 +3001,21 @@ def join_has_parent(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
             .select("o_orderkey").orderBy("o_orderkey").limit(100))
+
+
+@q("join_parent_id", """
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_custkey = 7
+ORDER BY o_orderkey
+""")
+def join_parent_id(spark, sf_dir):
+    """parent_id query (index/query/ParentIdQueryBuilder.java): all
+    children of one parent doc. Under the join-field model this is an
+    equality predicate on the routing/join key — pushed to the scan
+    (PushedFilters), and when the child table is bucketed by the join
+    key it prunes to one bucket; no join materializes at all."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.where(F.col("o_custkey") == 7)
+            .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey"))
 
 
 @q("join_terms_lookup", """

@@ -588,6 +588,8 @@ class Searcher:
             )
         if isinstance(q, Q.FunctionScore):
             return self._function_score(q)
+        if isinstance(q, Q.ScriptScore):
+            return self._script_score(q)
         if isinstance(q, Q.MoreLikeThis):
             return self._more_like_this(q)
         if isinstance(q, (Q.Term, Q.Terms, Q.Range, Q.Exists, Q.Ids)):
@@ -697,6 +699,27 @@ class Searcher:
             raise ValueError(f"unsupported boost_mode {bm!r}")
         return frame.select(
             "doc_id", (new.cast("double") * F.lit(float(q.boost))).alias("score"))
+
+    def _script_score(self, q: "Q.ScriptScore") -> DataFrame:
+        """script_score (ScriptScoreQueryBuilder.java): sub-query selects,
+        script replaces the score entirely; min_score filters BEFORE
+        top-k, matching ScriptScoreQuery.java. Doc columns the script
+        reads join onto the bounded scored frame (small side broadcasts),
+        never the corpus — the plan stays one scan + one broadcast join
+        at any corpus size."""
+        sub = self.score(q.query)
+        frame = sub
+        if q.fields:
+            docs = self.index.docs(self.spark).select("doc_id", *q.fields)
+            frame = sub.join(docs, "doc_id")
+        out = frame.select(
+            "doc_id", F.expr(q.script).cast("double").alias("score"))
+        if q.min_score is not None:
+            out = out.where(F.col("score") >= F.lit(float(q.min_score)))
+        if q.boost != 1.0:
+            out = out.select(
+                "doc_id", (F.col("score") * F.lit(float(q.boost))).alias("score"))
+        return out
 
     # ---------- multi_match ----------
     def _multi_match(self, q: Q.MultiMatch) -> DataFrame:

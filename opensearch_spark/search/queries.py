@@ -479,6 +479,23 @@ class FunctionScore(Query):
 
 
 @dataclass
+class ScriptScore(Query):
+    """script_score (index/query/ScriptScoreQueryBuilder.java): the
+    sub-query decides WHICH docs match, the script ALONE decides the
+    score (unlike function_score, which combines script and query
+    score). ``min_score`` drops hits below the bound before top-k
+    (ScriptScoreQuery.java's minScore filter). ``fields`` names the doc
+    columns the script reads — they are joined onto the already-bounded
+    scored frame, never the full corpus."""
+
+    query: Query = None
+    script: str = "score"  # SQL expr over (score, *fields)
+    fields: tuple = ()
+    min_score: float | None = None
+    boost: float = 1.0
+
+
+@dataclass
 class MoreLikeThis(Query):
     """Salient-term extraction from example docs → OR query
     (MoreLikeThisQueryBuilder.java): tf-idf ranks the example docs' terms."""
@@ -711,6 +728,13 @@ def from_dsl(d: dict) -> Query:
                              functions=fns,
                              score_mode=body.get("score_mode", "multiply"),
                              boost_mode=body.get("boost_mode", "replace"))
+    if kind == "script_score":
+        sc = body.get("script", {})
+        src = sc["source"] if isinstance(sc, dict) else str(sc)
+        return ScriptScore(query=from_dsl(body["query"]), script=src,
+                           fields=tuple(body.get("fields", ())),
+                           min_score=body.get("min_score"),
+                           boost=body.get("boost", 1.0))
     if kind == "more_like_this":
         return MoreLikeThis(field=body.get("fields", ["content"])[0],
                             like_ids=body.get("like", []),

@@ -586,3 +586,54 @@ def test_sqs_default_operator_and():
 
     ast = p("a b", default_field="f", default_operator="and")
     assert isinstance(ast, Q.Bool) and len(ast.must) == 2 and not ast.should
+
+
+# ---------------- script_score query ----------------
+def test_dsl_parses_script_score():
+    from opensearch_spark.search import from_dsl
+
+    q = from_dsl({"script_score": {
+        "query": {"match": {"text": "spark"}},
+        "script": {"source": "ln(1.0 + n_chars)"},
+        "fields": ["n_chars"], "min_score": 1.5}})
+    assert isinstance(q, Q.ScriptScore)
+    assert q.script == "ln(1.0 + n_chars)"
+    assert q.fields == ("n_chars",) and q.min_score == 1.5
+    assert q.query == Q.Match(field="text", text="spark")
+
+
+def test_script_score_replaces_and_filters(searcher):
+    """The script REPLACES the query score (vs function_score combining),
+    and min_score drops hits before top-k (ScriptScoreQuery.java)."""
+    base = Q.Match(field="text", text="spark")
+    q = Q.ScriptScore(query=base, script="ln(1.0 + n_chars)",
+                      fields=("n_chars",))
+    rows = searcher.score(q).collect()
+    assert rows, "script_score returned no hits"
+    # every score must be ln(1+n_chars) of that doc — independent of BM25
+    docs = dict(searcher.index.docs(searcher.spark)
+                .select("doc_id", "n_chars").collect())
+    import math
+    for r in rows:
+        assert abs(r.score - math.log(1.0 + docs[r.doc_id])) < 1e-9
+    # same match set as the wrapped query
+    base_ids = {r.doc_id for r in searcher.score(base).collect()}
+    assert {r.doc_id for r in rows} == base_ids
+    # min_score strictly filters
+    cut = sorted(r.score for r in rows)[len(rows) // 2]
+    filtered = searcher.score(
+        Q.ScriptScore(query=base, script="ln(1.0 + n_chars)",
+                      fields=("n_chars",), min_score=cut)).collect()
+    assert filtered and all(r.score >= cut for r in filtered)
+    assert len(filtered) < len(rows)
+
+
+def test_script_score_boost_scales(searcher):
+    q1 = Q.ScriptScore(query=Q.Match(field="text", text="spark"),
+                       script="score")  # identity: keep BM25
+    q2 = Q.ScriptScore(query=Q.Match(field="text", text="spark"),
+                       script="score", boost=2.0)
+    s1 = {r.doc_id: r.score for r in searcher.score(q1).collect()}
+    s2 = {r.doc_id: r.score for r in searcher.score(q2).collect()}
+    assert s1.keys() == s2.keys()
+    assert all(abs(s2[d] - 2.0 * s1[d]) < 1e-9 for d in s1)
