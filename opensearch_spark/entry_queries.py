@@ -1130,6 +1130,28 @@ def search_span_near(spark, sf_dir):
                             slop=3, in_order=True)).orderBy("doc_id")
 
 
+@q("search_span_gap", f"""
+WITH {_POS_CTE}
+SELECT DISTINCT a.doc_id, 1.0 AS score
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = 'spark' AND b.term = 'table' AND b.p = a.p + 2
+ORDER BY a.doc_id
+""")
+def search_span_gap(spark, sf_dir):
+    """span_near with a span_gap clause (SpanNearQueryBuilder.
+    SpanGapQueryBuilder): [spark, gap(1), table] slop=0 — 'table' must sit
+    at exactly position(spark) + 2; the gap consumes one position of the
+    matched span without matching a term, and contributes nothing to the
+    slop budget. Pure position arithmetic inside the sorted-merge span
+    enumerator — the postings scan is identical to the gapless query."""
+    from opensearch_spark.search import SpanGap
+
+    s = get_searcher(spark, sf_dir)
+    return s.score(SpanNear(field="text",
+                            clauses=["spark", SpanGap(width=1), "table"],
+                            slop=0, in_order=True)).orderBy("doc_id")
+
+
 @q("search_span_near_unordered", f"""
 WITH {_POS_CTE}
 SELECT DISTINCT a.doc_id, 1.0 AS score

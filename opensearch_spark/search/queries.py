@@ -114,6 +114,19 @@ class SpanNear(Query):
 
 
 @dataclass
+class SpanGap:
+    """span_gap (SpanNearQueryBuilder.SpanGapQueryBuilder): a fixed-width
+    placeholder clause inside an in_order span_near — it consumes
+    ``width`` token positions between its neighbouring real clauses
+    without matching a term. The width counts toward the matched span
+    (NOT toward the slop budget): [a, gap(1), b] slop=0 requires b at
+    exactly a.position + 2. Only legal strictly between two real
+    clauses and only with in_order=true (the reference restriction)."""
+
+    width: int = 1
+
+
+@dataclass
 class SpanFirst(Query):
     """span_first (SpanFirstQueryBuilder.java): the wrapped single-term
     span must END within the first ``end`` positions (Lucene span end is
@@ -580,6 +593,9 @@ def from_dsl(d: dict) -> Query:
                     fld = fld or f
                     alts.append(v)
                 clauses.append(alts)
+            elif "span_gap" in c:  # {"span_gap": {"<field>": width}}
+                _, w = next(iter(c["span_gap"].items()))
+                clauses.append(SpanGap(width=int(w)))
             else:
                 raise ValueError(f"unsupported span_near clause: {list(c)}")
         return SpanNear(field=fld, clauses=clauses, slop=body.get("slop", 0),

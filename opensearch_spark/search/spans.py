@@ -37,21 +37,31 @@ from pyspark.sql import DataFrame, functions as F
 SPAN_SCHEMA = "doc_id long, n_matches long"
 
 
-def _greedy_ordered(arrs: list[np.ndarray], slop: int) -> int:
+def _greedy_ordered(arrs: list[np.ndarray], slop: int,
+                    gaps: list[int] | None = None) -> int:
     """Number of clause-0 start positions whose greedy minimal ordered
-    chain exists and fits the slop window. Vectorized across starts."""
+    chain exists and fits the slop window. Vectorized across starts.
+
+    ``gaps[j]`` is the span_gap width required immediately before real
+    clause j (SpanGapQueryBuilder): clause j must sit at least
+    ``gaps[j] + 1`` positions after clause j-1, and the gap widths count
+    toward the matched span length, not the slop budget — greedy-minimal
+    stays optimal because the extra offset is a constant shift."""
     n = len(arrs)
     p0 = arrs[0]
+    total_gap = int(sum(gaps)) if gaps else 0
     if n == 1:
         return int(len(p0))
     prev = p0.copy()
     valid = np.ones(len(p0), dtype=bool)
-    for a in arrs[1:]:
-        idx = np.searchsorted(a, prev + 1)
+    for j, a in enumerate(arrs[1:], start=1):
+        g = int(gaps[j]) if gaps else 0
+        idx = np.searchsorted(a, prev + 1 + g)
         ok = idx < len(a)
         valid &= ok
         prev = a[np.clip(idx, 0, len(a) - 1)]
-    return int(np.count_nonzero(valid & (prev - p0 - (n - 1) <= slop)))
+    return int(np.count_nonzero(
+        valid & (prev - p0 - (n - 1) - total_gap <= slop)))
 
 
 def _unordered_exists(arrs: list[list[np.ndarray]], slop: int) -> bool:
@@ -90,14 +100,15 @@ def _unordered_exists(arrs: list[list[np.ndarray]], slop: int) -> bool:
     return False
 
 
-def _doc_match_count(arrs: list, slop: int, in_order: bool) -> int:
+def _doc_match_count(arrs: list, slop: int, in_order: bool,
+                     gaps: list[int] | None = None) -> int:
     """Matches for one doc given its per-clause position arrays (None or
     empty → no match)."""
     if any(a is None or len(a) == 0 for a in arrs):
         return 0
     arrs2 = [np.unique(a) for a in arrs]
     if in_order:
-        return _greedy_ordered(arrs2, slop)
+        return _greedy_ordered(arrs2, slop, gaps)
     # fold duplicate clause position-sets into (positions, need)
     folded: dict[bytes, list] = {}
     for a in arrs2:
@@ -218,6 +229,30 @@ def span_match_counts(searcher, clauses: list, slop: int,
     """
     searcher._require_positions("span/interval queries")
     spark = searcher.spark
+    # span_gap clauses (SpanGapQueryBuilder) fold into a required-offset
+    # array over the REAL clauses: gaps[j] = total gap width immediately
+    # before real clause j. Gaps are position arithmetic only — they never
+    # touch the postings scan.
+    real: list = []
+    gaps: list[int] = []
+    pending = 0
+    for c in clauses:
+        if hasattr(c, "width") and not hasattr(c, "inner_field") \
+                and not isinstance(c, (str, list, tuple)):
+            pending += int(c.width)
+            continue
+        gaps.append(pending)
+        pending = 0
+        real.append(c)
+    if pending or (gaps and gaps[0]):
+        raise ValueError(
+            "span_gap must sit strictly between two real clauses")
+    has_gaps = any(gaps)
+    if has_gaps and not in_order:
+        raise ValueError(
+            "span_gap requires in_order=true (reference restriction)")
+    clauses = real
+    gap_arg = gaps if has_gaps else None
     by_field: dict[str | None, list] = {}
     for i, c in enumerate(clauses):
         if hasattr(c, "inner_field"):  # SpanFieldMasking clause
@@ -245,5 +280,5 @@ def span_match_counts(searcher, clauses: list, slop: int,
             .sortWithinPartitions("doc_id", "clause")
             .mapInPandas(_span_stream_fn(
                 len(clauses),
-                lambda arrs: _doc_match_count(arrs, slop, in_order)),
+                lambda arrs: _doc_match_count(arrs, slop, in_order, gap_arg)),
                 SPAN_SCHEMA))

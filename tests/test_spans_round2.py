@@ -703,3 +703,80 @@ def test_fuzzy_transpositions_both_expansion_paths(spark, searcher):
     s2 = Searcher(spark, searcher.index, preload_dictionary=False)
     assert s2.expand_terms(q_t) == local_t
     assert s2.expand_terms(q_c) == searcher.expand_terms(q_c)
+
+
+# ---------------- span_gap ----------------
+def brute_ordered_starts_gaps(arrs, slop, gaps):
+    """Brute-force count of clause-0 starts with ANY ordered chain where
+    clause j sits >= gaps[j] + 1 after clause j-1 and the extra distance
+    beyond (n-1) + sum(gaps) fits the slop."""
+    n = len(arrs)
+    total_gap = sum(gaps)
+    count = 0
+    for p0 in arrs[0]:
+        found = False
+        for combo in itertools.product(*[list(a) for a in arrs[1:]]):
+            chain = [p0, *combo]
+            if all(chain[j] >= chain[j - 1] + 1 + gaps[j] for j in range(1, n)) \
+                    and chain[-1] - chain[0] - (n - 1) - total_gap <= slop:
+                found = True
+                break
+        if found:
+            count += 1
+    return count
+
+
+def test_greedy_ordered_gaps_vs_brute_force():
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        n = int(rng.integers(2, 4))
+        arrs = [np.unique(rng.integers(0, 30, size=rng.integers(1, 8)))
+                for _ in range(n)]
+        gaps = [0] + [int(rng.integers(0, 4)) for _ in range(n - 1)]
+        slop = int(rng.integers(0, 6))
+        assert _greedy_ordered(arrs, slop, gaps) == \
+            brute_ordered_starts_gaps(arrs, slop, gaps)
+
+
+def test_greedy_ordered_gaps_none_equals_zero_gaps():
+    arrs = [np.array([1, 5, 9]), np.array([3, 7, 11])]
+    assert _greedy_ordered(arrs, 2, None) == _greedy_ordered(arrs, 2, [0, 0])
+
+
+def test_span_gap_exact_offset(searcher):
+    """[a, gap(w), b] slop=0 requires pos(b) == pos(a) + 1 + w exactly."""
+    from opensearch_spark.search.spans import span_match_counts
+
+    got = span_match_counts(searcher, ["spark", Q.SpanGap(width=1), "table"],
+                            0, True).collect()
+    # oracle via the positions table
+    pos = searcher.index.positions(searcher.spark)
+    a = pos.where(F.col("term") == "spark") \
+           .select("doc_id", F.explode("positions").alias("pa"))
+    b = pos.where(F.col("term") == "table") \
+           .select("doc_id", F.explode("positions").alias("pb"))
+    want = {r.doc_id for r in
+            a.join(b, "doc_id").where(F.col("pb") == F.col("pa") + 2)
+            .select("doc_id").distinct().collect()}
+    assert {r.doc_id for r in got} == want
+
+
+def test_span_gap_validation(searcher):
+    from opensearch_spark.search.spans import span_match_counts
+
+    with pytest.raises(ValueError, match="between two real clauses"):
+        span_match_counts(searcher, [Q.SpanGap(1), "spark", "table"], 0, True)
+    with pytest.raises(ValueError, match="between two real clauses"):
+        span_match_counts(searcher, ["spark", "table", Q.SpanGap(1)], 0, True)
+    with pytest.raises(ValueError, match="in_order"):
+        span_match_counts(searcher, ["spark", Q.SpanGap(1), "table"], 0, False)
+
+
+def test_span_gap_dsl_parse():
+    q = Q.from_dsl({"span_near": {"clauses": [
+        {"span_term": {"text": "spark"}},
+        {"span_gap": {"text": 2}},
+        {"span_term": {"text": "table"}}], "slop": 1}})
+    assert isinstance(q, Q.SpanNear)
+    assert q.clauses[0] == "spark" and q.clauses[2] == "table"
+    assert isinstance(q.clauses[1], Q.SpanGap) and q.clauses[1].width == 2
