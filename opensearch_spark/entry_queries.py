@@ -3234,6 +3234,41 @@ def dedup_chunks_global(spark, sf_dir):
             .orderBy("doc_id").limit(50))
 
 
+@q("dedup_substring_spans", """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+wins AS (SELECT doc_id, CAST(g AS INT) AS pos,
+                array_to_string(list_slice(t, CAST(g AS INT) + 1, CAST(g AS INT) + 8), ' ') AS win
+         FROM toks, LATERAL unnest(range(CASE WHEN len(t) >= 8
+                                              THEN len(t) - 7 ELSE 0 END)) AS u(g)),
+dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
+dw AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (win)),
+covp AS (SELECT doc_id, pos,
+                least(8, coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8)) AS c
+         FROM dw),
+cov AS (SELECT doc_id, count(*) AS n_dup_windows,
+               CAST(sum(c) AS BIGINT) AS dup_token_cov
+        FROM covp GROUP BY doc_id),
+stats AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+                 CAST(CASE WHEN len(t) >= 8 THEN len(t) - 7 ELSE 0 END AS INT)
+                     AS n_windows
+          FROM toks)
+SELECT s.doc_id, s.n_tokens, s.n_windows,
+       CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(c.dup_token_cov, 0) AS BIGINT) AS dup_token_cov
+FROM stats s LEFT JOIN cov c USING (doc_id)
+ORDER BY s.doc_id LIMIT 200
+""")
+def dedup_substring_spans(spark, sf_dir):
+    """ExactSubstr duplicated-span detection (Lee et al. 2021 shape):
+    sliding 8-token windows seen at >=2 corpus sites mark their spans;
+    per doc: duplicated-window count + interval-union token coverage.
+    One hash-shuffle count + semi-join + per-doc lead() — no suffix
+    array, no corpus-wide state."""
+    d = _docs(spark, sf_dir)
+    return (D.substring_dup_spans(d, "text", "doc_id", window_tokens=8)
+            .orderBy("doc_id").limit(200))
+
+
 @q("dedup_exact", """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id

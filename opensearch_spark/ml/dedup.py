@@ -456,3 +456,71 @@ def dedup_chunks_global(
         .join(nchunks_df, id_col)
         .select(id_col, "text_dedup", "n_chunks", "n_kept")
     )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): every sliding ``window_tokens``-token window that
+    occurs at >= 2 (doc, position) sites in the corpus — including twice
+    within one doc — marks its token span as duplicated. Per doc we
+    report the duplicated-window count and the number of token positions
+    covered by the union of duplicated windows (the mass ExactSubstr
+    would cut).
+
+    The reference method builds a corpus-wide suffix array — inherently
+    single-machine. The Spark-first re-expression: sliding windows
+    (stride 1) → one hash-shuffle occurrence count → semi-join the
+    duplicated set back → per-doc interval-union coverage with one
+    lead() window function over ONLY the duplicated windows (bounded per
+    doc by doc length, never corpus-wide). Same explode/agg/join shape
+    as ``dedup_chunks_global``; no driver state. Window strings ride the
+    shuffle at test scale — at 10^12 docs pre-hash them to 8-byte
+    xxhash64 keys exactly like ``minhash_lsh_pairs``' verify path (same
+    plan, collision-checked on the survivors).
+
+    Returns (doc_id, n_tokens, n_windows, n_dup_windows, dup_token_cov).
+    """
+    from pyspark.sql.window import Window as Win
+
+    w = int(window_tokens)
+    toked = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
+    # token array materialized once (transform() does not hoist
+    # lambda-invariant subexpressions — same note as dedup_chunks_global)
+    base = toked.select(
+        id_col,
+        F.size("_toks").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN size(_toks) >= {w} THEN "
+            f"transform(sequence(1, size(_toks) - {w} + 1), "
+            f"i -> concat_ws(' ', slice(_toks, i, {w}))) "
+            f"ELSE array() END").alias("_wins"))
+    wins = base.select(id_col, F.posexplode("_wins").alias("pos", "win"))
+    dup = (wins.groupBy("win").agg(F.count("*").alias("occ"))
+           .where(F.col("occ") >= 2).select("win"))
+    # both sides scale with the corpus: force the shuffle-join posture
+    # (mis-estimated auto-broadcast OOMs at real size — the dedup-family
+    # rule, plan-asserted in tests/test_plans.py)
+    dwin = (wins.hint("merge").join(dup.hint("merge"), "win", "left_semi")
+            .select(id_col, "pos"))
+    nxt = F.lead("pos").over(Win.partitionBy(id_col).orderBy("pos"))
+    cov = (dwin
+           .withColumn("_c", F.least(F.lit(w),
+                                     F.coalesce(nxt - F.col("pos"), F.lit(w))))
+           .groupBy(id_col)
+           .agg(F.count("*").alias("n_dup_windows"),
+                F.sum("_c").cast("long").alias("dup_token_cov")))
+    stats = base.select(id_col, "n_tokens", F.size("_wins").alias("n_windows"))
+    return (stats.join(cov, id_col, "left")
+            .select(id_col, "n_tokens", "n_windows",
+                    F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+                    .alias("n_dup_windows"),
+                    F.coalesce("dup_token_cov", F.lit(0)).cast("long")
+                    .alias("dup_token_cov")))

@@ -210,3 +210,35 @@ def test_sq8_constant_corpus_raises(spark):
         [(i, [1.0, 1.0]) for i in range(3)], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError):
         S.sq8_topk(df, [1.0, 1.0], k=2)
+
+
+# ---------------- ExactSubstr duplicated spans ----------------
+def test_substring_dup_spans_hand_checked(spark):
+    from opensearch_spark.ml.dedup import substring_dup_spans
+
+    # W=3. doc1 and doc2 share the run "a b c d" → windows "a b c" and
+    # "b c d" are each seen twice; doc3 is unique; doc4 repeats "x y z"
+    # TWICE WITHIN ITSELF (within-doc duplication must count).
+    df = spark.createDataFrame(
+        [(1, "a b c d e"),
+         (2, "z a b c d"),
+         (3, "p q r s t"),
+         (4, "x y z w x y z")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           substring_dup_spans(df, "text", "doc_id", window_tokens=3).collect()}
+    # doc1: windows at pos 0 ("a b c"), 1 ("b c d"), 2 ("c d e");
+    # dup at 0,1 → union covers tokens [0,4) = 4 positions
+    assert out[1].n_windows == 3
+    assert out[1].n_dup_windows == 2 and out[1].dup_token_cov == 4
+    # doc2: dup windows at pos 1,2 → coverage 4
+    assert out[2].n_dup_windows == 2 and out[2].dup_token_cov == 4
+    # doc3: nothing duplicated
+    assert out[3].n_dup_windows == 0 and out[3].dup_token_cov == 0
+    # doc4: "x y z" at pos 0 and 4 → two windows, NON-overlapping → 6
+    assert out[4].n_dup_windows == 2 and out[4].dup_token_cov == 6
+    # short doc: fewer tokens than the window → zero windows, no crash
+    tiny = substring_dup_spans(
+        spark.createDataFrame([(9, "a b")], "doc_id long, text string"),
+        window_tokens=3).collect()
+    assert tiny[0].n_windows == 0 and tiny[0].dup_token_cov == 0
