@@ -2897,6 +2897,57 @@ def agg_moving_fn(spark, sf_dir):
         "mov_avg", F.round(F.avg(F.col("doc_count") * 1.0).over(w), 4)).orderBy("day")
 
 
+@q("agg_moving_avg_ewma", """
+WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                      count(*) AS doc_count
+               FROM events GROUP BY day),
+seq AS (SELECT day, doc_count,
+               row_number() OVER (ORDER BY day) AS r,
+               first_value(doc_count) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS x1
+        FROM daily),
+pre AS (SELECT *,
+               coalesce(sum(CASE WHEN r >= 2
+                                 THEN doc_count * power(1.0/0.7, r) END)
+                        OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0)
+                   AS s
+        FROM seq)
+SELECT day, doc_count,
+       round(0.3 * power(0.7, r) * s + power(0.7, r - 1) * x1, 4) AS ewma
+FROM pre ORDER BY day
+""")
+def agg_moving_avg_ewma(spark, sf_dir):
+    """moving_avg, EWMA model (MovAvgPipelineAggregationBuilder +
+    EwmaModel.java: s_i = alpha*x_i + (1-alpha)*s_{i-1}, seeded with the
+    first bucket; deprecated in the reference in favor of moving_fn but
+    still registered — closed for literal 100% builder coverage). The
+    recursion is re-expressed as a closed-form prefix sum so it runs as
+    ONE window pass instead of a sequential loop:
+    s_i = a*(1-a)^i * SUM_{j>=2} x_j*(1-a)^{-j} + (1-a)^{i-1}*x_1 —
+    identical arithmetic in Spark and DuckDB, deterministic order, exact
+    at the 4-decimal gate rounding for the ~30-bucket frame (the
+    unpartitioned window runs on the BUCKET frame — dozens of rows —
+    never the corpus)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                        .alias("day")).agg(F.count("*").alias("doc_count")))
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    seq = daily.select(
+        "day", "doc_count",
+        F.row_number().over(W.orderBy("day")).alias("r"),
+        F.first("doc_count").over(wcum).alias("x1"))
+    pre = seq.withColumn(
+        "s", F.coalesce(
+            F.sum(F.when(F.col("r") >= 2,
+                         F.col("doc_count") * F.pow(F.lit(1.0 / 0.7), "r")))
+            .over(wcum), F.lit(0.0)))
+    return (pre.select(
+        "day", "doc_count",
+        F.round(F.lit(0.3) * F.pow(F.lit(0.7), "r") * F.col("s")
+                + F.pow(F.lit(0.7), F.col("r") - 1) * F.col("x1"), 4)
+        .alias("ewma")).orderBy("day"))
+
+
 @q("agg_bucket_selector", """
 SELECT user_id, count(*) AS doc_count FROM events
 GROUP BY user_id HAVING count(*) >= 30 ORDER BY user_id
@@ -2915,6 +2966,25 @@ def agg_bucket_sort(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy("user_id").agg(F.count("*").alias("doc_count"))
             .orderBy(F.desc("doc_count"), F.asc("user_id")).limit(5))
+
+
+@q("agg_filter", """
+SELECT count(*) AS doc_count,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_value
+FROM events WHERE event_type = 'click'
+""")
+def agg_filter(spark, sf_dir):
+    """filter agg, singular (FilterAggregationBuilder — distinct builder
+    from `filters`): one bucket narrowing the context for its sub-aggs.
+    The predicate is pushed to the scan; the sub-agg is one partial-
+    aggregated reduce to a single row."""
+    ev = _t(spark, sf_dir, "events")
+    dec = F.sum(F.col("value").cast("decimal(18,6)"))
+    return (ev.where(F.col("event_type") == "click")
+            .agg(F.count("*").alias("doc_count"),
+                 F.round(dec.cast("double") / F.count("*"), 6)
+                 .alias("avg_value")))
 
 
 @q("agg_stats_bucket", """
