@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "ingest_geoip",
     "api_infer_mapping",
     "search_common_terms",
+    # round-3 continuation additions
+    "search_script_score",
+    "dedup_substring_spans",
 ]
 
 

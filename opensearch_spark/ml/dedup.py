@@ -489,19 +489,29 @@ def substring_dup_spans(
     from pyspark.sql.window import Window as Win
 
     w = int(window_tokens)
-    toked = df.select(
-        F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
-    # token array materialized once (transform() does not hoist
-    # lambda-invariant subexpressions — same note as dedup_chunks_global)
-    base = toked.select(
+    # single-file parquet arrives as ONE partition — re-spread so the
+    # window explode runs wide (no-op at cluster scale, same rule as
+    # shingles())
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    # the token array is LET-BOUND as a lambda variable (single-element
+    # transform) instead of a projected alias: with a plain alias the
+    # generator's child expression is re-evaluated per emitted window
+    # (measured 3x warm on the sf0.1 gate); a lambda variable is bound once
+    # per row, so the split runs once per doc whatever Catalyst collapses
+    split_sql = f"split(trim({text_col}), '\\\\s+')"
+    wins_sql = (
+        f"flatten(transform(array({split_sql}), t -> "
+        f"CASE WHEN size(t) >= {w} THEN "
+        f"transform(sequence(1, size(t) - {w} + 1), "
+        f"i -> concat_ws(' ', slice(t, i, {w}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END))")
+    base = df.select(
         id_col,
-        F.size("_toks").alias("n_tokens"),
-        F.expr(
-            f"CASE WHEN size(_toks) >= {w} THEN "
-            f"transform(sequence(1, size(_toks) - {w} + 1), "
-            f"i -> concat_ws(' ', slice(_toks, i, {w}))) "
-            f"ELSE array() END").alias("_wins"))
+        F.expr(f"size({split_sql})").alias("n_tokens"),
+        F.expr(wins_sql).alias("_wins"))
     wins = base.select(id_col, F.posexplode("_wins").alias("pos", "win"))
     dup = (wins.groupBy("win").agg(F.count("*").alias("occ"))
            .where(F.col("occ") >= 2).select("win"))
