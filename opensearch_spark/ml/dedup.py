@@ -528,7 +528,8 @@ def substring_dup_spans(
            .agg(F.count("*").alias("n_dup_windows"),
                 F.sum("_c").cast("long").alias("dup_token_cov")))
     stats = base.select(id_col, "n_tokens", F.size("_wins").alias("n_windows"))
-    return (stats.join(cov, id_col, "left")
+    # the re-attach join is corpus × contaminated-docs — both corpus-scaled
+    return (stats.hint("merge").join(cov.hint("merge"), id_col, "left")
             .select(id_col, "n_tokens", "n_windows",
                     F.coalesce("n_dup_windows", F.lit(0)).cast("long")
                     .alias("n_dup_windows"),

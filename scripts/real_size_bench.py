@@ -106,6 +106,8 @@ def main() -> None:
             docs, "content").count(),
         "dedup_chunks_global": lambda: D.dedup_chunks_global(
             docs, "content", "doc_id", chunk_tokens=16).count(),
+        "dedup_substring_spans": lambda: D.substring_dup_spans(
+            docs, "content", "doc_id", window_tokens=16).count(),
         "percolate": lambda: percolate(
             spark, perc_queries, docs, analyzer="standard_code").count(),
     }

@@ -163,7 +163,8 @@ def test_dedup_pipelines_never_broadcast_corpus_scaled_sides(spark, sf_dir):
     for df in (D.minhash_lsh_pairs(docs, "text"),
                D.jaccard_pairs(sh),
                D.simhash_pairs(D.simhash(docs, "text")),
-               D.dedup_chunks_global(docs, "text", "doc_id")):
+               D.dedup_chunks_global(docs, "text", "doc_id"),
+               D.substring_dup_spans(docs, "text", "doc_id")):
         plan = explain_str(df)
         assert "BroadcastHashJoin" not in plan, plan[:1500]
 
