@@ -4224,7 +4224,8 @@ m0 AS (
     WHERE a.term = 'spark'
     GROUP BY a.doc_id, a.p
 ),
-m AS (SELECT doc_id, count(*) AS ptf FROM m0 WHERE p1 - p0 - 1 <= 2 GROUP BY doc_id),
+m AS (SELECT doc_id, sum(1.0 / (1.0 + (p1 - p0 - 1))) AS ptf
+      FROM m0 WHERE p1 - p0 - 1 <= 2 GROUP BY doc_id),
 dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
           WHERE term IN ('spark','table') GROUP BY term),
 idfsum AS (SELECT sum(ln(1.0 + (stats.N - df + 0.5) / (df + 0.5))) AS idf_sum
@@ -4237,9 +4238,11 @@ ORDER BY score DESC, doc_id LIMIT 10
 """)
 def search_phrase_slop(spark, sf_dir):
     """Sloppy phrase (MatchPhraseQueryBuilder.java slop param; behavior
-    pinned by rest-api-spec 200_index_phrase_search.yml): ptf counts start
-    positions whose greedy minimal ordered chain fits the slop window —
-    the oracle mirrors the greedy chain as min(b.p > a.p)."""
+    pinned by rest-api-spec 200_index_phrase_search.yml): matches = start
+    positions whose greedy minimal ordered chain fits the slop window,
+    ptf = Σ 1/(1+gap) over them (Lucene PhraseScorer sloppy-freq) — the
+    oracle mirrors the greedy chain as min(b.p > a.p) and the weighting
+    as sum(1.0/(1.0+(p1-p0-1)))."""
     s = get_searcher(spark, sf_dir)
     return s.search(MatchPhrase(field="text", text="spark table", slop=2),
                     k=10, mode="exhaustive", round_scores=4)

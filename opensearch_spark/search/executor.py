@@ -1070,19 +1070,22 @@ class Searcher:
         return m.select("doc_id", F.lit(float(q.boost)).alias("score"))
 
     def _phrase_sloppy(self, q: Q.MatchPhrase, terms: list[str]) -> DataFrame:
-        """Sloppy phrase (MatchPhraseQueryBuilder slop>0): ptf = number of
+        """Sloppy phrase (MatchPhraseQueryBuilder slop>0): matches are the
         start positions whose greedy minimal ordered chain fits the slop
-        window (deterministic, SQL-expressible twin; the reference's
-        sloppy-freq 1/(1+distance) weighting is a documented tolerance —
-        our ptf weights every in-window match 1). BM25 over ptf with
-        idf summed over terms, like the exact-phrase path."""
+        window (deterministic, SQL-expressible twin of Lucene's matcher);
+        ptf = Σ 1/(1+matchLength) over those matches — Lucene
+        PhraseScorer's sloppy-freq weighting (an exact-adjacent match
+        weighs 1, each position of give discounts hyperbolically). BM25
+        over ptf with idf summed over terms, like the exact-phrase path
+        (slop=0 chains all have matchLength 0, so the exact path is the
+        ptf-integer special case)."""
         from opensearch_spark.search.spans import span_match_counts
 
         self._require_positions("match_phrase(slop)")
         dfs = self.term_dfs(terms)
         if len(dfs) < len(set(terms)):
             return self._empty_scores()
-        m = span_match_counts(self, terms, q.slop, True) \
+        m = span_match_counts(self, terms, q.slop, True, sloppy_freq=True) \
             .withColumnRenamed("n_matches", "ptf")
         idf_sum = float(
             sum(np.log(1.0 + (self.N - d + 0.5) / (d + 0.5)) for d in

@@ -35,12 +35,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 SPAN_SCHEMA = "doc_id long, n_matches long"
+SPAN_SCHEMA_W = "doc_id long, n_matches double"
 
 
-def _greedy_ordered(arrs: list[np.ndarray], slop: int,
-                    gaps: list[int] | None = None) -> int:
-    """Number of clause-0 start positions whose greedy minimal ordered
-    chain exists and fits the slop window. Vectorized across starts.
+def _greedy_chain_lengths(arrs: list[np.ndarray], slop: int,
+                          gaps: list[int] | None = None) -> np.ndarray:
+    """Match lengths (extra gap beyond adjacency) of the greedy minimal
+    ordered chain for every clause-0 start position that fits the slop
+    window. Vectorized across starts.
 
     ``gaps[j]`` is the span_gap width required immediately before real
     clause j (SpanGapQueryBuilder): clause j must sit at least
@@ -51,7 +53,7 @@ def _greedy_ordered(arrs: list[np.ndarray], slop: int,
     p0 = arrs[0]
     total_gap = int(sum(gaps)) if gaps else 0
     if n == 1:
-        return int(len(p0))
+        return np.zeros(len(p0), dtype=np.int64)
     prev = p0.copy()
     valid = np.ones(len(p0), dtype=bool)
     for j, a in enumerate(arrs[1:], start=1):
@@ -60,8 +62,26 @@ def _greedy_ordered(arrs: list[np.ndarray], slop: int,
         ok = idx < len(a)
         valid &= ok
         prev = a[np.clip(idx, 0, len(a) - 1)]
-    return int(np.count_nonzero(
-        valid & (prev - p0 - (n - 1) - total_gap <= slop)))
+    mlen = prev - p0 - (n - 1) - total_gap
+    return mlen[valid & (mlen <= slop)]
+
+
+def _greedy_ordered(arrs: list[np.ndarray], slop: int,
+                    gaps: list[int] | None = None) -> int:
+    """Number of clause-0 start positions whose greedy minimal ordered
+    chain exists and fits the slop window."""
+    return int(len(_greedy_chain_lengths(arrs, slop, gaps)))
+
+
+def _greedy_ordered_sloppy_freq(arrs: list[np.ndarray], slop: int) -> float:
+    """Lucene sloppy-freq over the ordered greedy-chain match set:
+    Σ 1/(1+matchLength) across in-window starts, matchLength = the extra
+    gap the chain consumed (ExactPhraseMatcher/SloppyPhraseMatcher weight
+    1/(1+slop-used); exact-adjacent matches weigh 1, each extra position
+    of give discounts hyperbolically). Deterministic and SQL-expressible
+    (the oracle mirrors it as sum(1.0/(1.0+gap)))."""
+    mlens = _greedy_chain_lengths([np.unique(a) for a in arrs], slop)
+    return float(np.sum(1.0 / (1.0 + mlens)))
 
 
 def _unordered_exists(arrs: list[list[np.ndarray]], slop: int) -> bool:
@@ -100,6 +120,14 @@ def _unordered_exists(arrs: list[list[np.ndarray]], slop: int) -> bool:
     return False
 
 
+def _doc_sloppy_freq(arrs: list, slop: int) -> float:
+    """Sloppy freq for one doc given its per-clause position arrays (None
+    or empty → no match)."""
+    if any(a is None or len(a) == 0 for a in arrs):
+        return 0.0
+    return _greedy_ordered_sloppy_freq(arrs, slop)
+
+
 def _doc_match_count(arrs: list, slop: int, in_order: bool,
                      gaps: list[int] | None = None) -> int:
     """Matches for one doc given its per-clause position arrays (None or
@@ -120,7 +148,7 @@ def _doc_match_count(arrs: list, slop: int, in_order: bool,
     return 1 if _unordered_exists(list(folded.values()), slop) else 0
 
 
-def _span_stream_fn(n_clauses: int, doc_fn):
+def _span_stream_fn(n_clauses: int, doc_fn, out_dtype=np.int64):
     """mapInPandas over doc-partitioned, doc-sorted (doc_id, clause,
     positions) rows: doc groups are numpy slices inside each Arrow batch
     (batch-spanning docs stitched via carry) — no per-group pandas
@@ -143,11 +171,11 @@ def _span_stream_fn(n_clauses: int, doc_fn):
             m = doc_fn(arrs)
             if m:
                 out_d.append(int(docs[s]))
-                out_m.append(int(m))
+                out_m.append(m)
         if not out_d:
             return None
         return pd.DataFrame({"doc_id": np.asarray(out_d, dtype=np.int64),
-                             "n_matches": np.asarray(out_m, dtype=np.int64)})
+                             "n_matches": np.asarray(out_m, dtype=out_dtype)})
 
     def run(batches):
         pend: pd.DataFrame | None = None
@@ -216,7 +244,7 @@ def span_containing_docs(searcher, big: tuple[str, str], slop: int,
 
 
 def span_match_counts(searcher, clauses: list, slop: int,
-                      in_order: bool) -> DataFrame:
+                      in_order: bool, sloppy_freq: bool = False) -> DataFrame:
     """(doc_id, n_matches) for a span_near over ``clauses``; each clause is
     a term string, a list of alternative terms (an inlined span_or), or a
     SpanFieldMasking node (positions read from the sibling field's index
@@ -226,6 +254,11 @@ def span_match_counts(searcher, clauses: list, slop: int,
     Plan: term-pruned positions scan per source field (ONE scan in the
     common unmasked case) → broadcast (term → clause) tag join →
     one doc-partitioned sorted mapInPandas. No position cartesian.
+
+    ``sloppy_freq=True`` (ordered, no gaps/masking — the sloppy-phrase
+    path) returns DOUBLE n_matches = Σ 1/(1+matchLength) over the same
+    match set (Lucene PhraseScorer sloppy-freq weighting) instead of the
+    plain match count.
     """
     searcher._require_positions("span/interval queries")
     spark = searcher.spark
@@ -276,9 +309,16 @@ def span_match_counts(searcher, clauses: list, slop: int,
     for f in frames[1:]:
         pos = pos.unionByName(f)
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if sloppy_freq:
+        if not in_order or has_gaps:
+            raise ValueError("sloppy_freq requires in_order and no gaps")
+        doc_fn, schema, dt = (
+            lambda arrs: _doc_sloppy_freq(arrs, slop), SPAN_SCHEMA_W,
+            np.float64)
+    else:
+        doc_fn, schema, dt = (
+            lambda arrs: _doc_match_count(arrs, slop, in_order, gap_arg),
+            SPAN_SCHEMA, np.int64)
     return (pos.repartition(n_shuffle, "doc_id")
             .sortWithinPartitions("doc_id", "clause")
-            .mapInPandas(_span_stream_fn(
-                len(clauses),
-                lambda arrs: _doc_match_count(arrs, slop, in_order, gap_arg)),
-                SPAN_SCHEMA))
+            .mapInPandas(_span_stream_fn(len(clauses), doc_fn, dt), schema))

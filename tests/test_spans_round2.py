@@ -128,6 +128,25 @@ def test_phrase_slop_zero_equals_exact_path(searcher):
     assert e == s
 
 
+def test_sloppy_freq_weighting_pinned():
+    """Lucene sloppy-freq: each in-window greedy-chain match contributes
+    1/(1+matchLength) — adjacency weighs 1.0, gap g weighs 1/(1+g)."""
+    from opensearch_spark.search.spans import _doc_sloppy_freq
+
+    # one adjacent match (gap 0) + one gap-2 match, slop=2
+    a = np.array([0, 10])
+    b = np.array([1, 13])
+    assert _doc_sloppy_freq([a, b], 2) == pytest.approx(1.0 + 1.0 / 3.0)
+    # out-of-window chain contributes nothing
+    assert _doc_sloppy_freq([np.array([0]), np.array([5])], 2) == 0.0
+    # missing clause → 0
+    assert _doc_sloppy_freq([a, None], 2) == 0.0
+    # 3-term chain 0,2,3: matchLength = 3-0-2 = 1 → 1/2
+    assert _doc_sloppy_freq(
+        [np.array([0]), np.array([2]), np.array([3])], 2) \
+        == pytest.approx(0.5)
+
+
 def test_phrase_slop_widens_match_set(searcher):
     s0 = {r["doc_id"] for r in searcher.score(
         Q.MatchPhrase(field="text", text="spark table")).collect()}
