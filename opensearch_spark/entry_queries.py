@@ -408,6 +408,58 @@ def search_script_score(spark, sf_dir):
     return s.search(query, k=10, round_scores=4)
 
 
+@q("search_painless_score", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'spark' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'spark'),
+scored AS (SELECT tf.doc_id, {O.bm25_term()} AS raw
+           FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+sc AS (SELECT s.doc_id, ln(1.0 + d.n_chars) * s.raw * 2.0 AS v
+       FROM scored s JOIN documents d USING (doc_id))
+SELECT doc_id, round(v, 4) AS score FROM sc WHERE v >= 4.0
+ORDER BY round(v, 4) DESC, doc_id LIMIT 10
+""")
+def search_painless_score(spark, sf_dir):
+    """script_score with a PAINLESS source (modules/lang-painless is the
+    reference's default script lang — ScriptScoreQueryBuilder.java +
+    Script.DEFAULT_SCRIPT_LANG in script/Script.java): the DSL script
+    object {source, lang, params} compiles to a Catalyst SQL expression
+    (search/painless.py), params inlined as literals — the scripted
+    score stays inside whole-stage codegen, never a Python UDF."""
+    from opensearch_spark.search.queries import from_dsl
+
+    s = get_searcher(spark, sf_dir)
+    query = from_dsl({"script_score": {
+        "query": {"match": {"text": "spark"}},
+        "script": {
+            "source": "Math.log(1 + doc['n_chars'].value) * _score * params.f",
+            "lang": "painless", "params": {"f": 2.0}},
+        "min_score": 4.0,
+        "fields": ["n_chars"]}})
+    return s.search(query, k=10, round_scores=4)
+
+
+@q("search_painless_filter", """
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE n_chars % 7 = 0 AND NOT lang = 'md'
+ORDER BY doc_id LIMIT 50
+""")
+def search_painless_filter(spark, sf_dir):
+    """script query (index/query/ScriptQueryBuilder.java) with a Painless
+    predicate: auto-detected Painless syntax (no explicit lang) compiles
+    to a pushable Catalyst predicate; filter-context promotion to
+    constant score 1.0 in scoring context."""
+    from opensearch_spark.search.queries import from_dsl
+
+    s = get_searcher(spark, sf_dir)
+    query = from_dsl({"script": {"script": {
+        "source": "doc['n_chars'].value % 7 == 0 "
+                  "&& !doc['lang'].value.equals('md')"}}})
+    return (s.matching_docs(query)
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id").limit(50))
+
+
 @q("search_terms_set",
   O.match_sql(["merge", "sort", "window"], k=10, n_required=2))
 def search_terms_set(spark, sf_dir):

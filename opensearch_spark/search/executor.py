@@ -379,6 +379,10 @@ class Searcher:
             return F.lit(True)
         if isinstance(q, Q.MatchNone):
             return F.lit(False)
+        if isinstance(q, Q.Script):
+            # ScriptQueryBuilder: the compiled SQL predicate is a plain
+            # Catalyst expression — simple comparisons push to the scan
+            return F.expr(q.script)
         if isinstance(q, Q.Prefix) and q.field != self.field:
             return F.col(q.field).startswith(q.value)
         if isinstance(q, Q.Wildcard) and q.field != self.field:
@@ -592,8 +596,10 @@ class Searcher:
             return self._script_score(q)
         if isinstance(q, Q.MoreLikeThis):
             return self._more_like_this(q)
-        if isinstance(q, (Q.Term, Q.Terms, Q.Range, Q.Exists, Q.Ids)):
-            # keyword-field query in scoring context → constant score
+        if isinstance(q, (Q.Term, Q.Terms, Q.Range, Q.Exists, Q.Ids,
+                          Q.Script)):
+            # keyword-field / script query in scoring context → constant
+            # score (the reference's filter-to-scoring promotion)
             return self.matching_docs(q).select(
                 "doc_id", F.lit(float(q.boost)).alias("score"))
         raise TypeError(f"unsupported query: {type(q)}")

@@ -509,6 +509,19 @@ class ScriptScore(Query):
 
 
 @dataclass
+class Script(Query):
+    """script query (index/query/ScriptQueryBuilder.java): filter-context
+    per-doc predicate over docs-table columns. ``script`` holds a Spark-
+    SQL boolean expression; the JSON DSL also accepts Painless sources
+    (``{"lang": "painless"}`` or auto-detected), compiled JVM-side by
+    ``search.painless.painless_to_sql`` — the predicate stays a Catalyst
+    expression, pushable to the parquet scan, never a Python UDF."""
+
+    script: str = "TRUE"
+    boost: float = 1.0
+
+
+@dataclass
 class MoreLikeThis(Query):
     """Salient-term extraction from example docs → OR query
     (MoreLikeThisQueryBuilder.java): tf-idf ranks the example docs' terms."""
@@ -519,6 +532,26 @@ class MoreLikeThis(Query):
     min_term_freq: int = 1
     min_doc_freq: int = 2
     boost: float = 1.0
+
+
+def _script_src(sc, score_col: str = "score") -> str:
+    """Normalize a DSL script object ({"source", "lang", "params"} or a
+    bare string) to a Spark-SQL expression. Painless sources (explicit
+    ``lang: painless`` or auto-detected Painless-only syntax) compile via
+    painless_to_sql; SQL sources pass through untouched."""
+    from opensearch_spark.search.painless import (looks_like_painless,
+                                                  painless_to_sql)
+
+    if isinstance(sc, dict):
+        src = sc.get("source", score_col)
+        lang = sc.get("lang")
+        if lang == "painless" or (lang is None and looks_like_painless(src)):
+            return painless_to_sql(src, sc.get("params"), score_col)
+        return src
+    src = str(sc)
+    if looks_like_painless(src):
+        return painless_to_sql(src, None, score_col)
+    return src
 
 
 def from_dsl(d: dict) -> Query:
@@ -726,6 +759,14 @@ def from_dsl(d: dict) -> Query:
                 fns.append(ScoreFunction(kind="random_score",
                                          seed=s.get("seed", 0),
                                          weight=fd.get("weight", 1.0)))
+            elif "script_score" in fd:
+                # ScriptScoreFunctionBuilder: a script FUNCTION inside
+                # function_score (combined per score_mode/boost_mode,
+                # unlike the score-replacing script_score QUERY)
+                fns.append(ScoreFunction(
+                    kind="script",
+                    script=_script_src(fd["script_score"].get("script", {})),
+                    weight=fd.get("weight", 1.0)))
             else:
                 for dk in ("gauss", "linear", "exp"):
                     if dk in fd:
@@ -744,9 +785,11 @@ def from_dsl(d: dict) -> Query:
                              functions=fns,
                              score_mode=body.get("score_mode", "multiply"),
                              boost_mode=body.get("boost_mode", "replace"))
+    if kind == "script":
+        return Script(script=_script_src(body.get("script", "TRUE")),
+                      boost=body.get("boost", 1.0))
     if kind == "script_score":
-        sc = body.get("script", {})
-        src = sc["source"] if isinstance(sc, dict) else str(sc)
+        src = _script_src(body.get("script", {}))
         return ScriptScore(query=from_dsl(body["query"]), script=src,
                            fields=tuple(body.get("fields", ())),
                            min_score=body.get("min_score"),

@@ -1,0 +1,121 @@
+"""Painless-subset compiler tests (search/painless.py).
+
+Semantics cross-check: each Painless expression is compiled to SQL and
+evaluated by DuckDB over a small table, against an independent Python
+evaluation of the same expression — two implementations, one contract.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+from opensearch_spark.search.painless import (looks_like_painless,
+                                              painless_to_sql)
+
+ROWS = [
+    {"n": 0, "v": 1.5, "lang": "py", "path": "src/a/b.py", "score": 2.0},
+    {"n": 7, "v": 0.25, "lang": "md", "path": "docs/x.md", "score": 0.5},
+    {"n": 14, "v": 9.0, "lang": "java", "path": "src/Main.java", "score": 1.0},
+    {"n": 3, "v": 4.0, "lang": "py", "path": "src/c.py", "score": 3.5},
+]
+
+
+def _duck(sql_expr: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(n BIGINT, v DOUBLE, lang VARCHAR, path VARCHAR,"
+        " score DOUBLE)")
+    for r in ROWS:
+        con.execute("INSERT INTO t VALUES (?,?,?,?,?)",
+                    [r["n"], r["v"], r["lang"], r["path"], r["score"]])
+    return [x[0] for x in con.sql(f"SELECT {sql_expr} FROM t").fetchall()]
+
+
+CASES = [
+    # (painless source, params, python evaluator over a row dict)
+    ("Math.log(1 + doc['v'].value) * params.f + _score", {"f": 2.5},
+     lambda r: math.log(1 + r["v"]) * 2.5 + r["score"]),
+    ("doc['lang'].value == 'py' ? 2.0 : 1.0", {},
+     lambda r: 2.0 if r["lang"] == "py" else 1.0),
+    ("doc['n'].value % 7 == 0 && !doc['lang'].value.equals('md')", {},
+     lambda r: r["n"] % 7 == 0 and not r["lang"] == "md"),
+    ("params['b'] * Math.pow(doc['v'].value, 0.5)", {"b": 3},
+     lambda r: 3 * r["v"] ** 0.5),
+    ("Math.max(doc['v'].value, params.floor) - Math.min(doc['n'].value, 2)",
+     {"floor": 1.0},
+     lambda r: max(r["v"], 1.0) - min(r["n"], 2)),
+    ("-doc['v'].value + Math.E", {},
+     lambda r: -r["v"] + math.e),
+    ("doc['path'].value.startsWith('src/') && doc['path'].value.endsWith('.py')",
+     {}, lambda r: r["path"].startswith("src/") and r["path"].endswith(".py")),
+    ("doc['path'].value.toUpperCase().contains('MAIN')", {},
+     lambda r: "MAIN" in r["path"].upper()),
+    ("doc['lang'].value.length() >= 3 ? doc['n'].value : -1", {},
+     lambda r: r["n"] if len(r["lang"]) >= 3 else -1),
+    # nested ternary, right-associative like Java
+    ("doc['n'].value > 10 ? 'hi' : doc['n'].value > 2 ? 'mid' : 'lo'", {},
+     lambda r: "hi" if r["n"] > 10 else ("mid" if r["n"] > 2 else "lo")),
+    ("(doc['n'].value + 1) * 2 - 6 / 3", {},
+     lambda r: (r["n"] + 1) * 2 - 6 / 3),
+    ("doc['v'].size() > 0", {}, lambda r: True),
+]
+
+
+@pytest.mark.parametrize("src,params,py", CASES,
+                         ids=[c[0][:40] for c in CASES])
+def test_compiled_sql_matches_python(src, params, py):
+    got = _duck(painless_to_sql(src, params, score_col="score"))
+    want = [py(r) for r in ROWS]
+    for g, w in zip(got, want):
+        if isinstance(w, float):
+            assert g == pytest.approx(w, rel=1e-12)
+        else:
+            assert g == w
+
+
+def test_java_precedence_pinned():
+    # && binds tighter than ||; == tighter than &&
+    sql = painless_to_sql("true || false && false", {})
+    assert _duck(sql)[0] is True
+    sql2 = painless_to_sql("1 + 2 * 3 == 7", {})
+    assert _duck(sql2)[0] is True
+
+
+def test_params_inlined_as_typed_literals():
+    assert painless_to_sql("params.s", {"s": "it's"}) == "'it''s'"
+    assert painless_to_sql("params.i", {"i": 42}) == "42"
+    assert painless_to_sql("params.b", {"b": True}) == "TRUE"
+    assert painless_to_sql("params.n", {"n": None}) == "NULL"
+
+
+def test_errors_are_loud():
+    with pytest.raises(ValueError, match="missing param"):
+        painless_to_sql("params.absent", {})
+    with pytest.raises(ValueError, match="unsupported Math"):
+        painless_to_sql("Math.tanh(1)", {})
+    with pytest.raises(ValueError, match="trailing|unexpected"):
+        painless_to_sql("1 2", {})
+    with pytest.raises(ValueError):
+        painless_to_sql("doc['x'].value ? 1", {})
+
+
+def test_detection_heuristic():
+    assert looks_like_painless("doc['x'].value + 1")
+    assert looks_like_painless("params.f * 2")
+    assert looks_like_painless("a == b ? 1 : 0")
+    # plain SQL must NOT be rewritten
+    assert not looks_like_painless("ln(1.0 + n_chars) * score")
+    assert not looks_like_painless("score >= 2.0 AND lang = 'py'")
+
+
+def test_spark_side_execution(spark):
+    """The compiled expression is a valid Catalyst expression too."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(r["n"], r["v"], r["lang"]) for r in ROWS], "n long, v double, lang string")
+    sql = painless_to_sql(
+        "doc['n'].value % 7 == 0 && !doc['lang'].value.equals('md')", {})
+    got = sorted(r["n"] for r in df.where(F.expr(sql)).collect())
+    assert got == [0, 14]
