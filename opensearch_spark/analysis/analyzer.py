@@ -158,16 +158,32 @@ def ascii_fold(t: str) -> str:
 def make_filter_chain(base: str = "standard", *,
                       stopwords: frozenset | None = None,
                       synonyms: dict[str, str] | None = None,
+                      synonyms_multi: dict[tuple, str] | None = None,
+                      keyword_marker: frozenset | None = None,
+                      stemmer_override: dict[str, str] | None = None,
                       stem: bool = False,
                       fold: bool = False,
                       edge_ngram: tuple[int, int] | None = None):
     """Compose a tokenizer + token-filter chain into a tokenize() callable.
 
     Filter order mirrors a typical reference mapping (fold → stop →
-    synonym → stem → edge_ngram). Synonyms are single-token equivalence
-    classes mapped to a canonical term (index- and query-time symmetric,
-    the reference's `synonym` filter with `a, b => canon` rules)."""
+    synonym_graph → synonym → stemmer_override/keyword_marker → stem →
+    edge_ngram). Synonyms are single-token equivalence classes mapped to
+    a canonical term (index- and query-time symmetric, the reference's
+    `synonym` filter with `a, b => canon` rules). ``synonyms_multi`` is
+    the multi-token side of SynonymGraphFilterFactory (`"machine
+    learning" => ml` rules): a greedy longest-match scan over the token
+    stream replaces each rule phrase with its canonical term — contracted
+    single-token output keeps the downstream positions dense, so the
+    graph filter is safe at query AND index time (Lucene restricts the
+    expanding form to query time; the contracting form used here has no
+    stacked tokens). ``keyword_marker`` protects terms from stemming
+    (KeywordMarkerFilterFactory); ``stemmer_override`` maps terms to
+    explicit stems before the algorithmic stemmer and implicitly protects
+    them (StemmerOverrideTokenFilterFactory)."""
     tok = ANALYZERS[base]
+    max_phrase = max((len(k) for k in synonyms_multi), default=0) \
+        if synonyms_multi else 0
 
     def chain(text: str) -> list[str]:
         out = tok(text)
@@ -175,10 +191,31 @@ def make_filter_chain(base: str = "standard", *,
             out = [ascii_fold(t) for t in out]
         if stopwords:
             out = [t for t in out if t not in stopwords]
+        if synonyms_multi:
+            merged: list[str] = []
+            i = 0
+            n = len(out)
+            while i < n:
+                for L in range(min(max_phrase, n - i), 1, -1):
+                    canon = synonyms_multi.get(tuple(out[i:i + L]))
+                    if canon is not None:
+                        merged.append(canon)
+                        i += L
+                        break
+                else:
+                    merged.append(out[i])
+                    i += 1
+            out = merged
         if synonyms:
             out = [synonyms.get(t, t) for t in out]
+        if stemmer_override:
+            out = [stemmer_override.get(t, t) for t in out]
         if stem:
-            out = [stem_minimal_english(t) for t in out]
+            protected = keyword_marker or frozenset()
+            if stemmer_override:
+                protected = protected | frozenset(stemmer_override.values())
+            out = [t if t in protected else stem_minimal_english(t)
+                   for t in out]
         if edge_ngram:
             lo, hi = edge_ngram
             out = [t[:k] for t in out for k in range(lo, min(len(t), hi) + 1)]
@@ -202,6 +239,17 @@ register_analyzer(
     "synonym_demo",
     make_filter_chain("standard",
                       synonyms={"tbl": "table", "rapid": "fast"}))
+register_analyzer(
+    "synonym_graph_demo",
+    make_filter_chain("standard",
+                      synonyms_multi={("key", "order"): "sort",
+                                      ("hash", "join", "probe"): "join"},
+                      synonyms={"tbl": "table"}))
+register_analyzer(
+    "english_protected",
+    make_filter_chain("standard", stem=True,
+                      keyword_marker=frozenset({"pandas"}),
+                      stemmer_override={"indices": "index"}))
 
 
 def tokenize_char_trigram(text: str) -> list[str]:

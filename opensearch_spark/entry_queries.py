@@ -1967,6 +1967,50 @@ def search_synonym_match(spark, sf_dir):
         k=10, mode="wand", round_scores=4)
 
 
+@q("search_synonym_graph", O.match_sql(["sort", "scan"], k=10))
+def search_synonym_graph(spark, sf_dir):
+    """multi-word synonym_graph (SynonymGraphFilterFactory in
+    modules/common-analysis, rule `key order => sort`): the query-time
+    greedy longest-match scan contracts the phrase to its canonical term
+    onto the standard index — same hits and scores as matching the
+    canonical terms directly."""
+    s = get_searcher(spark, sf_dir)
+    return s.search(
+        Match(field="text", text="key order scan",
+              analyzer="synonym_graph_demo"),
+        k=10, mode="wand", round_scores=4)
+
+
+@q("api_analyze_graph", """
+SELECT * FROM (VALUES
+  (0, 0, 'the'), (0, 1, 'sort'), (0, 2, 'scan'),
+  (1, 0, 'join'), (1, 1, 'fast'),
+  (2, 0, 'table'), (2, 1, 'sort'),
+  (3, 0, 'table'), (3, 1, 'key'), (3, 2, 'pandas'), (3, 3, 'index')
+) AS v(case_id, position, token)
+ORDER BY case_id, position
+""")
+def api_analyze_graph(spark, sf_dir):
+    """_analyze over the graph-synonym and protected-stemming chains:
+    synonym_graph (multi-token contraction, greedy longest match first),
+    keyword_marker (protects 'pandas' from the s-stemmer), and
+    stemmer_override ('indices => index', implicitly protected from
+    further stemming) — CommonAnalysisModulePlugin.java factories; token
+    streams pinned against hand-computed literals."""
+    from opensearch_spark.search.apis import analyze_api
+
+    rows = [(0, "synonym_graph_demo", "the key order scan"),
+            (1, "synonym_graph_demo", "hash join probe fast"),
+            (2, "synonym_graph_demo", "tbl key order"),
+            (3, "english_protected", "tables keys pandas indices")]
+    d = spark.createDataFrame(rows, "case_id int, analyzer string, text string")
+    parts = [
+        analyze_api(d.where(F.col("analyzer") == a).drop("analyzer"),
+                    "text", a)
+        for a in ("synonym_graph_demo", "english_protected")]
+    return parts[0].unionByName(parts[1]).orderBy("case_id", "position")
+
+
 @q("curation_gopher_quality", f"""
 WITH words AS (
     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

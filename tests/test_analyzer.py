@@ -177,3 +177,38 @@ def test_cjk_bigram_filter():
     # katakana counts as CJK for bigramming (Lucene han+kana flags)
     assert tokenize("カタ", "cjk_bigram") == ["カタ"]
     assert tokenize("", "cjk_bigram") == []
+
+
+def test_synonym_graph_greedy_longest_match():
+    """SynonymGraphFilterFactory contracting rules: greedy longest match
+    first, non-overlapping, left-to-right."""
+    from opensearch_spark.analysis.analyzer import make_filter_chain
+
+    chain = make_filter_chain(
+        "standard",
+        synonyms_multi={("key", "order"): "sort",
+                        ("key", "order", "by"): "orderby"})
+    # longest rule wins at the same start
+    assert chain("key order by x") == ["orderby", "x"]
+    assert chain("key order x") == ["sort", "x"]
+    # consumed tokens can't seed a second match
+    assert chain("key key order") == ["key", "sort"]
+    # no match -> passthrough
+    assert chain("order key") == ["order", "key"]
+
+
+def test_keyword_marker_and_stemmer_override():
+    """KeywordMarkerFilterFactory protects terms from the stemmer;
+    StemmerOverrideTokenFilterFactory maps then protects its outputs."""
+    from opensearch_spark.analysis.analyzer import make_filter_chain
+
+    chain = make_filter_chain(
+        "standard", stem=True,
+        keyword_marker=frozenset({"pandas"}),
+        stemmer_override={"indices": "index"})
+    assert chain("tables keys pandas indices") == [
+        "table", "key", "pandas", "index"]
+    # override output 'index' is protected even though it ends the chain
+    chain2 = make_filter_chain(
+        "standard", stem=True, stemmer_override={"gas": "gas"})
+    assert chain2("gas") == ["gas"]
