@@ -2011,6 +2011,36 @@ def api_analyze_graph(spark, sf_dir):
     return parts[0].unionByName(parts[1]).orderBy("case_id", "position")
 
 
+@q("text_bpe_train")  # rows-only: merge loop is inherently sequential —
+# no SQL twin; semantics pinned against an independent in-test reference
+# implementation (tests/test_bpe.py), local ≡ distributed property-tested
+def text_bpe_train(spark, sf_dir):
+    """BPE tokenizer training over the corpus (ml/bpe.py): ONE
+    corpus-scale word-count shuffle, then the merge loop runs at
+    vocabulary scale — collected locally under the auto threshold,
+    distributed rounds with checkpoint discipline above it. Returns the
+    merge table (rank, left, right, freq) in training order."""
+    from opensearch_spark.ml.bpe import bpe_train
+
+    d = _docs(spark, sf_dir)
+    return bpe_train(d, "text", n_merges=16).orderBy("rank")
+
+
+@q("text_bpe_encode")  # rows-only: greedy rank-order encode is
+# sequential per word; round-trip + compression pinned in tests
+def text_bpe_encode(spark, sf_dir):
+    """Encode the corpus with the trained merges: Arrow-batched
+    mapInPandas with a per-partition word cache; corpus scanned once,
+    merge table a closure broadcast."""
+    from opensearch_spark.ml.bpe import bpe_encode, bpe_train
+
+    d = _docs(spark, sf_dir)
+    merges = [(r["left"], r["right"])
+              for r in bpe_train(d, "text", n_merges=16).collect()]
+    return (bpe_encode(d.where(F.col("doc_id") < 200), "text", merges)
+            .select("doc_id", "n_tokens").orderBy("doc_id"))
+
+
 @q("curation_gopher_quality", f"""
 WITH words AS (
     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

@@ -1,0 +1,210 @@
+"""Distributed BPE vocabulary training + encoding (training-data op).
+
+Byte-pair-encoding tokenizer training (Sennrich et al. 2016, the public
+algorithm behind GPT-2/SentencePiece-BPE vocabularies) over a Spark
+corpus — the op a 100 TB pipeline runs once per tokenizer refresh.
+
+Scale shape (the part that matters): the CORPUS-scale work is exactly one
+pass — a whitespace-word count (`word_counts`, one hash-shuffle groupBy).
+Training then operates on the DISTINCT-WORD table, which is
+vocabulary-scale (10^5–10^8 rows), not corpus-scale (10^12 rows):
+
+- small vocabularies (≤ ``collect_threshold`` distinct words — every code
+  corpus, most curated text corpora) collect the (word, count) table to
+  the driver and run the classic pair-merge loop locally; this is what
+  SentencePiece/HF tokenizers do after their own corpus pass, and it
+  avoids n_merges Spark job rounds.
+- above the threshold the merge loop stays distributed: each round is one
+  adjacent-pair aggregation over the symbol-sequence table + one
+  Arrow-batched merge application, with ``localCheckpoint`` every few
+  rounds to stop plan growth (same discipline as ml/dedup.py's
+  connected-components loop).
+
+The two paths are byte-identical on the same input (property-tested), so
+the auto posture — one cheap count over the already-needed word-count
+frame — mirrors the Searcher's dictionary-preload threshold.
+
+Conventions (pinned by tests against an independent in-test reference):
+pair frequencies count every adjacent occurrence (overlaps included);
+merges apply left-to-right greedily; ties in pair frequency break by
+lexicographic (left, right) ascending so training is deterministic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: distinct-word count above which the merge loop stays distributed
+BPE_COLLECT_THRESHOLD = 1_000_000
+
+#: end-of-word sentinel (Sennrich's `</w>`): keeps word-final symbols
+#: distinct from word-internal ones, so merges can't cross word bounds
+EOW = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, count) over whitespace words — the one corpus-scale pass."""
+    return (df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                      .alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word").agg(F.count("*").alias("count")))
+
+
+def _syms(word: str) -> tuple:
+    return tuple(word[:-1]) + (word[-1] + EOW,) if word else ()
+
+
+def _pair_stats(vocab: dict) -> dict:
+    stats: dict = {}
+    for syms, cnt in vocab.items():
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            stats[p] = stats.get(p, 0) + cnt
+    return stats
+
+
+def _merge_word(syms: tuple, pair: tuple, joined: str) -> tuple:
+    out = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == pair[0] and syms[i + 1] == pair[1]:
+            out.append(joined)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _train_local(wc: list[tuple[str, int]], n_merges: int,
+                 min_freq: int) -> list[tuple[int, str, str, int]]:
+    """Classic driver-side merge loop over collected (word, count)."""
+    vocab = {_syms(w): c for w, c in wc}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        stats = _pair_stats(vocab)
+        if not stats:
+            break
+        # deterministic: max freq, ties by (left, right) ASC
+        top_f = max(stats.values())
+        if top_f < min_freq:
+            break
+        best_pair = min(p for p, f in stats.items() if f == top_f)
+        joined = best_pair[0] + best_pair[1]
+        merges.append((rank, best_pair[0], best_pair[1], top_f))
+        vocab = {_merge_word(s, best_pair, joined): c
+                 for s, c in vocab.items()}
+        agg: dict = {}
+        for s, c in vocab.items():
+            agg[s] = agg.get(s, 0) + c
+        vocab = agg
+    return merges
+
+
+def _train_distributed(spark: SparkSession, wc: DataFrame, n_merges: int,
+                       min_freq: int) -> list[tuple[int, str, str, int]]:
+    """Merge loop over the symbol-sequence table in Spark: per round one
+    adjacent-pair aggregation (explode zip of the array with its shift) +
+    one Arrow-batched merge application; checkpoint every 4 rounds."""
+    words = wc.select(
+        "count",
+        F.concat(
+            F.slice(F.split(F.col("word"), ""), 1,
+                    F.greatest(F.length("word") - 1, F.lit(0))),
+            F.array(F.concat(F.substring(F.col("word"), -1, 1), F.lit(EOW))),
+        ).alias("syms")).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = (words.where(F.size("syms") >= 2)
+                 .select("count", F.explode(F.arrays_zip(
+                     F.slice("syms", 1, F.size("syms") - 1),
+                     F.slice("syms", 2, F.size("syms") - 1))).alias("p"))
+                 .groupBy(F.col("p.0").alias("l"), F.col("p.1").alias("r"))
+                 .agg(F.sum("count").alias("freq")))
+        top = pairs.orderBy(F.desc("freq"), "l", "r").limit(1).collect()
+        if not top or top[0]["freq"] < min_freq:
+            break
+        left, right, freq = top[0]["l"], top[0]["r"], int(top[0]["freq"])
+        merges.append((rank, left, right, freq))
+        joined = left + right
+
+        def apply_merge(batches, _l=left, _r=right, _j=joined):
+            for pdf in batches:
+                pdf["syms"] = [
+                    list(_merge_word(tuple(s), (_l, _r), _j))
+                    for s in pdf["syms"]]
+                yield pdf
+
+        words = words.mapInPandas(apply_merge, words.schema)
+        if (rank + 1) % 4 == 0:
+            words = words.localCheckpoint()
+    return merges
+
+
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 32,
+              min_freq: int = 2,
+              collect_threshold: int = BPE_COLLECT_THRESHOLD) -> DataFrame:
+    """Train BPE merges over ``df[text_col]``; returns a DataFrame
+    (rank int, left string, right string, freq long) in merge order.
+
+    Posture decided by the data: distinct-word count ≤
+    ``collect_threshold`` → driver-local loop over the collected word
+    counts; above → fully distributed rounds. Identical output either
+    way (tested)."""
+    spark = df.sparkSession
+    wc = word_counts(df, text_col)
+    wc.cache()
+    n_distinct = wc.count()
+    if n_distinct <= collect_threshold:
+        rows = [(r["word"], int(r["count"])) for r in wc.collect()]
+        merges = _train_local(rows, n_merges, min_freq)
+    else:
+        merges = _train_distributed(spark, wc, n_merges, min_freq)
+    wc.unpersist()
+    return spark.createDataFrame(
+        merges or [], "rank int, left string, right string, freq long")
+
+
+def bpe_encode(df: DataFrame, text_col: str,
+               merges: list[tuple[str, str]],
+               id_col: str = "doc_id") -> DataFrame:
+    """Encode each doc with a trained merge list: (id, tokens
+    array<string>, n_tokens). The merge table broadcasts inside the
+    Arrow-batched UDF closure (merge tables are ≤ vocab-size — tiny);
+    the corpus is scanned once, never shuffled."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(_syms(word))
+        while len(syms) >= 2:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            pair = (syms[best_i], syms[best_i + 1])
+            syms = list(_merge_word(tuple(syms), pair, pair[0] + pair[1]))
+        cache[word] = syms
+        return syms
+
+    out_schema = f"{id_col} long, tokens array<string>, n_tokens int"
+
+    def run(batches):
+        cache: dict = {}
+        for pdf in batches:
+            toks = [
+                [t for w in str(x).split() for t in encode_word(w, cache)]
+                for x in pdf[text_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "tokens": toks,
+                "n_tokens": [len(t) for t in toks]})
+
+    return (df.select(id_col, text_col)
+            .mapInPandas(run, out_schema))

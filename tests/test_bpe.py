@@ -1,0 +1,113 @@
+"""BPE training/encoding tests (ml/bpe.py).
+
+Semantics pinned by an INDEPENDENT in-test reference implementation
+(textbook Sennrich pair-merge loop written from scratch below), and the
+distributed path is property-checked byte-identical to the local path.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.ml.bpe import (EOW, bpe_encode, bpe_train,
+                                     word_counts)
+
+
+# --- independent reference (deliberately separate code path) -------------
+def ref_train(texts: list[str], n_merges: int, min_freq: int = 2):
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split() if w)
+    vocab = {}
+    for w, c in wc.items():
+        syms = tuple(w[:-1]) + (w[-1] + EOW,)
+        vocab[syms] = vocab.get(syms, 0) + c
+    merges = []
+    for rank in range(n_merges):
+        stats = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += c
+        if not stats:
+            break
+        top_f = max(stats.values())
+        if top_f < min_freq:
+            break
+        pair = min(p for p, f in stats.items() if f == top_f)
+        merges.append((rank, pair[0], pair[1], top_f))
+        joined = pair[0] + pair[1]
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            nv[k] = nv.get(k, 0) + c
+        vocab = nv
+    return merges
+
+
+TEXTS = [
+    "low low low low low",
+    "lower lower newest newest newest newest newest newest",
+    "widest widest widest",
+    "low lower newest widest new",
+]
+
+
+def test_train_matches_independent_reference(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    got = [(r["rank"], r["left"], r["right"], r["freq"])
+           for r in bpe_train(df, "text", n_merges=10).collect()]
+    assert got == ref_train(TEXTS, 10)
+    assert len(got) == 10
+
+
+def test_distributed_path_identical_to_local(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    local = bpe_train(df, "text", n_merges=8).collect()
+    dist = bpe_train(df, "text", n_merges=8, collect_threshold=0).collect()
+    assert [tuple(r) for r in local] == [tuple(r) for r in dist]
+
+
+def test_min_freq_stops_training(spark):
+    df = spark.createDataFrame([("a b c",)], "text string")
+    # every pair occurs once -> nothing reaches min_freq=2
+    assert bpe_train(df, "text", n_merges=5).count() == 0
+
+
+def test_encode_applies_merges_in_rank_order(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges = [(r["left"], r["right"])
+              for r in bpe_train(df, "text", n_merges=10).collect()]
+    enc = spark.createDataFrame(
+        [(0, "low lowest"), (1, "newest")], "doc_id long, text string")
+    rows = {r["doc_id"]: (r["tokens"], r["n_tokens"])
+            for r in bpe_encode(enc, "text", merges).collect()}
+    # every word reassembles to itself + EOW terminator
+    for did, (toks, n) in rows.items():
+        assert n == len(toks)
+    joined0 = "".join(rows[0][0])
+    assert joined0 == "low" + EOW + "lowest" + EOW
+    # 'newest' seen 7x in training -> should compress to few tokens
+    assert rows[1][1] <= 3
+
+
+def test_word_counts_is_single_shuffle(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    plan = word_counts(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_eow_prevents_cross_word_merges(spark):
+    # 'ab ba' repeated: without EOW, (b, a) would be countable across the
+    # word boundary; with EOW the only 2-freq pairs are within words
+    df = spark.createDataFrame([("ab ab ba ba",)], "text string")
+    merges = [(r["left"], r["right"]) for r in
+              bpe_train(df, "text", n_merges=2).collect()]
+    for left, right in merges:
+        assert not (left.endswith(EOW))  # never merge past a word end
