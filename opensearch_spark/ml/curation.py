@@ -269,6 +269,12 @@ def unigram_logppl(df: DataFrame, text_col: str = "text",
            .select("term", "p"))
     if cf.count() <= broadcast_vocab_max:
         p = F.broadcast(p)
+    else:
+        # above the threshold the vocabulary is too big to broadcast BY
+        # DECLARATION — pin a shuffle join so a mis-estimated
+        # auto-broadcast can't OOM the driver (same posture discipline
+        # as ml/dedup.py's corpus-scaled joins)
+        p = p.hint("merge")
     return (toks.join(p, "term")
             .groupBy(id_col)
             .agg((-F.avg(F.log("p"))).alias("logppl"),

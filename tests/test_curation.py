@@ -252,6 +252,30 @@ def test_unigram_logppl_ranks_rare_docs_higher(spark):
     assert abs(rows[1]["logppl"] - (-math.log(6 / 8))) < 1e-9
 
 
+def test_unigram_logppl_posture_both_sides_of_threshold(spark):
+    """Verdict r2 ask: the probability-table join must broadcast under
+    the vocab threshold and fall back to a plain shuffle join above it
+    (an open-web vocabulary would OOM a broadcast)."""
+    from opensearch_spark.ml.curation import unigram_logppl
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(8)],
+        "doc_id long, text string")
+
+    def plan(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    below = plan(unigram_logppl(df))  # 4-term vocab, default threshold
+    assert "BroadcastHashJoin" in below
+    above = plan(unigram_logppl(df, broadcast_vocab_max=0))
+    assert "BroadcastHashJoin" not in above
+    # same answers either way
+    a = sorted(map(tuple, unigram_logppl(df).collect()))
+    b = sorted(map(tuple,
+                   unigram_logppl(df, broadcast_vocab_max=0).collect()))
+    assert a == b
+
+
 def test_quality_classifier_features_and_plan(spark):
     from opensearch_spark.ml.curation import quality_classifier
 
