@@ -69,18 +69,30 @@ def _queries_df(spark: SparkSession, queries: list[PercQuery]) -> DataFrame:
     )
 
 
+#: stored-query count above which the prefilter joins stop broadcasting
+#: (a broadcast of ~millions of standing queries fits an executor; past
+#: that the equality joins flip to shuffle-on-term, same plan shape)
+PERC_BROADCAST_MAX_QUERIES = 2_000_000
+
+
 def percolate(
     spark: SparkSession,
     queries: list[PercQuery],
     docs: DataFrame,
     id_col: str = "doc_id",
     analyzer: str = "standard",
+    broadcast_max_queries: int = PERC_BROADCAST_MAX_QUERIES,
 ) -> DataFrame:
     """Return the (doc_id, query_id) match pairs.
 
     One docs scan per used field class (analyzed text fields share a single
-    analyze pass); stored queries always broadcast.
-    """
+    analyze pass). Stored queries broadcast while the set is under
+    ``broadcast_max_queries``; above it the match/term equality joins flip
+    to shuffle-hash on the join key (pinned by hint so a mis-estimate
+    can't OOM an executor). Range queries keep the broadcast theta-join —
+    standing RANGE query sets beyond broadcast size would need a
+    grid-bucketed interval join (documented bound, not reached by any
+    real alerting workload we know of)."""
     # a small single-file corpus arrives as ONE partition — the analyze
     # UDF pass (the dominant cost) would run on one core and one Python
     # worker; re-spread to the session's parallelism (no-op at cluster
@@ -90,12 +102,14 @@ def percolate(
         docs = docs.repartition(target)
 
     qdf = _queries_df(spark, queries)
+    use_bcast = len(queries) <= broadcast_max_queries
+    qside = F.broadcast if use_bcast else (lambda f: f.hint("shuffle_hash"))
     parts: list[DataFrame] = []
 
     # --- match queries: term-prefilter join + msm verification -----------
     match_qs = [q for q in queries if q.kind == "match"]
     for text_field in sorted({q.field for q in match_qs}):
-        q_terms = F.broadcast(
+        q_terms = qside(
             qdf.where((F.col("kind") == "match") & (F.col("field") == text_field))
                .select("query_id", "msm", F.explode(F.array_distinct("terms")).alias("term"))
         )
@@ -115,7 +129,7 @@ def percolate(
     # --- term (keyword) queries: broadcast equality join ------------------
     term_qs = [q for q in queries if q.kind == "term"]
     for kw_field in sorted({q.field for q in term_qs}):
-        qk = F.broadcast(
+        qk = qside(
             qdf.where((F.col("kind") == "term") & (F.col("field") == kw_field))
                .select("query_id", F.col("value").alias("_v"))
         )

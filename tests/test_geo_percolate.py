@@ -133,6 +133,22 @@ def test_percolate_plan_broadcasts_queries(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_percolate_over_threshold_flips_to_shuffle(spark):
+    """Beyond broadcast_max_queries the match/term prefilter joins pin a
+    shuffle-hash join (the documented scale route past a broadcastable
+    standing-query set) — identical pairs either way."""
+    qs = [q for q in _qs() if q.kind != "range"]  # range keeps broadcast
+    docs = _tiny_docs(spark)
+    want = {(r["doc_id"], r["query_id"])
+            for r in percolate(spark, qs, docs).collect()}
+    flipped = percolate(spark, qs, docs, broadcast_max_queries=0)
+    got = {(r["doc_id"], r["query_id"]) for r in flipped.collect()}
+    assert got == want
+    plan = flipped._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_percolate_empty_query_set(spark):
     out = percolate(spark, [], _tiny_docs(spark))
     assert out.count() == 0 and out.columns == ["doc_id", "query_id"]
