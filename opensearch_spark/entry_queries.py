@@ -2870,6 +2870,40 @@ def agg_stream_window(spark, sf_dir):
             .orderBy("window_start", "event_type"))
 
 
+@q("agg_session_window", """
+WITH x AS (
+  SELECT event_type, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+),
+g AS (SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+SELECT event_type, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS value_sum
+FROM g GROUP BY event_type, sid
+ORDER BY event_type, session_start
+""")
+def agg_session_window(spark, sf_dir):
+    """Session windows (F.session_window, streaming/windows.py) in batch
+    mode: per-key activity sessions closing after 30 min of inactivity —
+    dynamic-length windows fixed windows can't express. The oracle is the
+    classic gaps-and-islands SQL (break when the gap >= the session gap,
+    cumulative-sum session ids); Spark's session_window end = last ts +
+    gap, mirrored as max(ts) + INTERVAL. Streaming merge/append semantics
+    tested in tests/test_streaming_windows.py."""
+    from opensearch_spark.streaming.windows import session_event_counts
+
+    e = _docs(spark, sf_dir, "events")
+    return (session_event_counts(e, gap="30 minutes")
+            .select("event_type", "session_start", "session_end",
+                    "n_events", "value_sum")
+            .orderBy("event_type", "session_start"))
+
+
 @q("agg_auto_date_histogram", """
 WITH span AS (SELECT date_diff('day', min(ts), max(ts)) AS d FROM events),
 b AS (SELECT CASE WHEN span.d < 10 THEN strftime(date_trunc('day', ts), '%Y-%m-%d')

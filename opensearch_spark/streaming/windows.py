@@ -47,3 +47,37 @@ def windowed_event_counts(
         F.col("w.end").alias("window_end"),
         *keys, "n_events",
         F.round("value_sum", 4).alias("value_sum"))
+
+
+def session_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    gap: str = "5 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Session windows (``F.session_window``): per-key activity sessions
+    that close after ``gap`` of inactivity — dynamic-length windows the
+    fixed/sliding form can't express (the Spark analog of a per-user
+    activity rollup; no reference counterpart, SURVEY §2.12 extension).
+
+    State scale: merging session state is per (key, open session); the
+    watermark closes sessions whose end is older, so state stays bounded
+    by active keys — the property that matters at 100 TB/day. Works on
+    streaming AND batch frames like ``windowed_event_counts``.
+
+    Returns (session_start, session_end, *keys, n_events, value_sum).
+    """
+    keys = keys if keys is not None else ["event_type"]
+    df = stream_df
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    agg = (df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                      *keys)
+           .agg(F.count("*").alias("n_events"),
+                F.sum("value").alias("value_sum")))
+    return agg.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *keys, "n_events",
+        F.round("value_sum", 4).alias("value_sum"))

@@ -19,10 +19,13 @@ def _write_batch(spark, d, rows):
     df.coalesce(1).write.mode("append").parquet(d)
 
 
-def _run_available(spark, src, ckpt, sink: list):
+def _run_available(spark, src, ckpt, sink: list, agg_fn=None):
     stream = spark.readStream.schema(SCHEMA).parquet(src)
-    agg = windowed_event_counts(stream, window="10 minutes",
-                                watermark="10 minutes")
+    if agg_fn is None:
+        agg = windowed_event_counts(stream, window="10 minutes",
+                                    watermark="10 minutes")
+    else:
+        agg = agg_fn(stream)
 
     def emit(batch_df, _bid):
         sink.extend(batch_df.collect())
@@ -77,3 +80,62 @@ def test_batch_mode_matches_plain_groupby(spark, sf_dir):
            for r in out}
     want = {(r["window_start"], r["event_type"]): (r["n"], r["s"]) for r in ref}
     assert got == want
+
+
+def test_session_windows_batch_semantics(spark):
+    from datetime import datetime as dt
+
+    from opensearch_spark.streaming.windows import session_event_counts
+
+    T = lambda m: dt(2024, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        # key 'a': events at 10:00, 10:03, 10:06 -> ONE session (gaps < 5m)
+        (T(0), "a", 1.0), (T(3), "a", 2.0), (T(6), "a", 3.0),
+        # then 10:20 -> a second session
+        (T(20), "a", 4.0),
+        # key 'b': single event -> session of exactly one gap length
+        (T(1), "b", 10.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {(r["event_type"], str(r["session_start"])): (r["n_events"], r["value_sum"],
+                                                        str(r["session_end"]))
+           for r in session_event_counts(df, gap="5 minutes").collect()}
+    assert out[("a", "2024-01-01 10:00:00")] == (3, 6.0, "2024-01-01 10:11:00")
+    assert out[("a", "2024-01-01 10:20:00")] == (1, 4.0, "2024-01-01 10:25:00")
+    assert out[("b", "2024-01-01 10:01:00")] == (1, 10.0, "2024-01-01 10:06:00")
+
+
+def test_session_windows_streaming_merge(spark, tmp_path):
+    """Sessions merge across micro-batches while open; append mode emits
+    a session once the watermark passes its end (Spark restricts session
+    streams to append/complete — merging state can't re-emit updates)."""
+    from opensearch_spark.streaming.windows import session_event_counts
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+
+    def run(rows_out):
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        agg = session_event_counts(stream, gap="5 minutes",
+                                   watermark="20 minutes")
+        q = (agg.writeStream
+             .foreachBatch(lambda b, _i: rows_out.extend(b.collect()))
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    t = "2024-01-01 {:02d}:{:02d}:00"
+    rows = []
+    _write_batch(spark, src, [(1, t.format(10, 0), "a", 1.0)])
+    run(rows)
+    _write_batch(spark, src, [(2, t.format(10, 3), "a", 2.0)])
+    run(rows)
+    assert rows == []  # session still open: nothing emitted yet
+    # an 11:10 event advances the watermark to 10:50 > session end 10:08
+    _write_batch(spark, src, [(3, t.format(11, 10), "a", 3.0)])
+    run(rows)
+    got = {(r["event_type"], str(r["session_start"])): (
+        r["n_events"], str(r["session_end"])) for r in rows}
+    # the 10:03 event extended the 10:00 session, not a new one
+    assert got[("a", "2024-01-01 10:00:00")] == (2, "2024-01-01 10:08:00")
