@@ -3341,6 +3341,48 @@ def stream_datastream_view(spark, sf_dir):
             .select("event_id", "event_type").orderBy("event_id"))
 
 
+@q("ingest_processors_final", """
+WITH e AS (SELECT event_id, event_type, user_id, value FROM events
+           WHERE event_type <> 'error' ORDER BY event_id LIMIT 100)
+SELECT event_id,
+       CAST(round(value) AS BIGINT) * 1024 AS size_bytes,
+       string_split(event_type || ',' || CAST(user_id AS VARCHAR) || ',x',
+                    ',')[2] AS csv_f2,
+       event_type AS type_renamed,
+       list_sort(['c', event_type, 'a']) AS tags_sorted,
+       len(['c', event_type, 'a'] || ['z']) AS tags_appended_n
+FROM e ORDER BY event_id
+""")
+def ingest_processors_final(spark, sf_dir):
+    """Final ingest-processor batch (ingest/common/*Processor.java):
+    bytes ('1kb' → 1024, BytesProcessor), csv (CsvProcessor field
+    extraction), rename (projection alias), sort (array_sort over a tag
+    list), append (array concat), drop (DropProcessor = a WHERE filter
+    on the conditional) — each a 1:1 Spark built-in, zero UDFs. The
+    bytes/csv inputs are derived strings so the parse direction is real
+    while the oracle states the closed-form result."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type") != "error")  # drop processor
+          .orderBy("event_id").limit(100))
+    size_str = F.concat(F.round("value").cast("long"), F.lit("kb"))
+    csv_str = F.concat_ws(",", "event_type",
+                          F.col("user_id").cast("string"), F.lit("x"))
+    tags = F.array(F.lit("c"), F.col("event_type"), F.lit("a"))
+    return (ev.select(
+        "event_id",
+        # bytes processor: strip the unit suffix, scale by its factor
+        (F.regexp_extract(size_str, r"^(\d+)kb$", 1).cast("long")
+         * F.lit(1024)).alias("size_bytes"),
+        F.split(csv_str, ",").getItem(1).alias("csv_f2"),
+        F.col("event_type").alias("type_renamed"),
+        F.array_sort(tags).alias("tags_sorted"),
+        F.size(F.concat(tags, F.array(F.lit("z"))))
+        .alias("tags_appended_n"),
+    ).orderBy("event_id"))
+
+
+
+
 @q("ingest_processors_extra", """
 SELECT event_id,
        lower(trim(event_type)) AS et_norm,
