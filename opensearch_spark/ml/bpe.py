@@ -93,16 +93,14 @@ def _train_local(wc: list[tuple[str, int]], n_merges: int,
         best_pair = min(p for p, f in stats.items() if f == top_f)
         joined = best_pair[0] + best_pair[1]
         merges.append((rank, best_pair[0], best_pair[1], top_f))
+        # merged keys can't collide: symbol tuples always reassemble to
+        # the distinct original word (+EOW), so a plain rebuild suffices
         vocab = {_merge_word(s, best_pair, joined): c
                  for s, c in vocab.items()}
-        agg: dict = {}
-        for s, c in vocab.items():
-            agg[s] = agg.get(s, 0) + c
-        vocab = agg
     return merges
 
 
-def _train_distributed(spark: SparkSession, wc: DataFrame, n_merges: int,
+def _train_distributed(wc: DataFrame, n_merges: int,
                        min_freq: int) -> list[tuple[int, str, str, int]]:
     """Merge loop over the symbol-sequence table in Spark: per round one
     adjacent-pair aggregation (explode zip of the array with its shift) +
@@ -160,7 +158,7 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 32,
         rows = [(r["word"], int(r["count"])) for r in wc.collect()]
         merges = _train_local(rows, n_merges, min_freq)
     else:
-        merges = _train_distributed(spark, wc, n_merges, min_freq)
+        merges = _train_distributed(wc, n_merges, min_freq)
     wc.unpersist()
     return spark.createDataFrame(
         merges or [], "rank int, left string, right string, freq long")

@@ -32,6 +32,12 @@ scoring script in the reference docs and rest-api-spec tests):
 - literals: ints, doubles, single- or double-quoted strings, ``true``,
   ``false``, ``null``
 
+Documented divergence: ``/`` compiles to SQL division, which returns a
+DOUBLE for integer operands (Painless/Java long/long truncates). Scripts
+relying on integer-truncating division must write
+``Math.floor(a / b)`` explicitly — the compiler cannot see column types,
+so it cannot decide Java vs SQL semantics per expression.
+
 The emitted SQL deliberately sticks to functions DuckDB also implements
 with identical semantics (ln, log10, sqrt, abs, exp, floor, ceil, power,
 greatest, least, length, contains, instr, lower, upper) so a gate's
@@ -44,7 +50,7 @@ import re
 from dataclasses import dataclass
 
 _TOKEN_RE = re.compile(r"""
-    (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?[fFdDlL]?)
+    (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?[fFdD]?|\d+(?:[eE][+-]?\d+)?[fFdDlL]?)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<name>[A-Za-z_][A-Za-z_0-9]*)
   | (?P<op>\?|:|\|\||&&|==|!=|<=|>=|<|>|\+|-|\*|/|%|!|\(|\)|\[|\]|\.|,)
@@ -322,7 +328,12 @@ def painless_to_sql(source: str, params: dict | None = None,
 
 def looks_like_painless(source: str) -> bool:
     """Heuristic used by the DSL parser when no explicit lang is given:
-    Painless-only surface syntax that can never be valid Spark SQL."""
+    Painless-only surface syntax that can never be valid Spark SQL.
+    Deliberately excludes ``||``/``==``/``&&`` — Spark SQL accepts ``||``
+    (string concat) and ``==``, so those would misroute valid SQL
+    sources; an operator-only Painless script must pass ``lang:
+    "painless"`` explicitly (real scripts reference doc/params/_score
+    anyway, all unambiguous markers)."""
     return bool(re.search(
         r"doc\[|doc\.[A-Za-z_]\w*\.value|params\.|params\[|Math\."
-        r"|\?[^?]*:|&&|\|\||(?<![<>=!])==(?!=)", source))
+        r"|(?<!\w)_score(?!\w)|\?[^?]*:", source))

@@ -543,7 +543,10 @@ def _script_src(sc, score_col: str = "score") -> str:
                                                   painless_to_sql)
 
     if isinstance(sc, dict):
-        src = sc.get("source", score_col)
+        if "source" not in sc:
+            raise ValueError(
+                f"script object must carry 'source', got {sorted(sc)}")
+        src = sc["source"]
         lang = sc.get("lang")
         if lang == "painless" or (lang is None and looks_like_painless(src)):
             return painless_to_sql(src, sc.get("params"), score_col)
@@ -786,7 +789,9 @@ def from_dsl(d: dict) -> Query:
                              score_mode=body.get("score_mode", "multiply"),
                              boost_mode=body.get("boost_mode", "replace"))
     if kind == "script":
-        return Script(script=_script_src(body.get("script", "TRUE")),
+        if "script" not in body:
+            raise ValueError("script query requires a nested 'script' key")
+        return Script(script=_script_src(body["script"]),
                       boost=body.get("boost", 1.0))
     if kind == "script_score":
         src = _script_src(body.get("script", {}))

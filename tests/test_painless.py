@@ -104,9 +104,29 @@ def test_detection_heuristic():
     assert looks_like_painless("doc['x'].value + 1")
     assert looks_like_painless("params.f * 2")
     assert looks_like_painless("a == b ? 1 : 0")
+    assert looks_like_painless("Math.log(1 + x) * _score")
     # plain SQL must NOT be rewritten
     assert not looks_like_painless("ln(1.0 + n_chars) * score")
     assert not looks_like_painless("score >= 2.0 AND lang = 'py'")
+    # Spark SQL accepts || (concat) and == — operator syntax alone must
+    # never reroute a SQL source through the painless compiler
+    assert not looks_like_painless("lang || '-' || source")
+    assert not looks_like_painless("lang == 'py' AND n_chars > 5")
+
+
+def test_typed_float_literals():
+    assert painless_to_sql("doc['v'].value * 2.5f", {}) == "(v * 2.5)"
+    assert painless_to_sql("0.1d + 3L", {}) == "(0.1 + 3)"
+
+
+def test_dsl_script_object_strictness():
+    from opensearch_spark.search.queries import from_dsl
+
+    with pytest.raises(ValueError, match="source"):
+        from_dsl({"script_score": {"query": {"match_all": {}},
+                                   "script": {"params": {"f": 1}}}})
+    with pytest.raises(ValueError, match="nested 'script'"):
+        from_dsl({"script": {"source": "n_chars % 7 == 0"}})
 
 
 def test_spark_side_execution(spark):

@@ -19,13 +19,10 @@ def _write_batch(spark, d, rows):
     df.coalesce(1).write.mode("append").parquet(d)
 
 
-def _run_available(spark, src, ckpt, sink: list, agg_fn=None):
+def _run_available(spark, src, ckpt, sink: list):
     stream = spark.readStream.schema(SCHEMA).parquet(src)
-    if agg_fn is None:
-        agg = windowed_event_counts(stream, window="10 minutes",
-                                    watermark="10 minutes")
-    else:
-        agg = agg_fn(stream)
+    agg = windowed_event_counts(stream, window="10 minutes",
+                                watermark="10 minutes")
 
     def emit(batch_df, _bid):
         sink.extend(batch_df.collect())
