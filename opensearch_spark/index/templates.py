@@ -1,0 +1,112 @@
+"""Composable index templates (V2) + component templates.
+
+Reference: ``cluster/metadata/MetadataIndexTemplateService.java`` —
+``findV2Template`` (candidate templates = any index_pattern simple-match;
+winner = highest ``priorityOrZero``), ``resolveSettings`` (component
+templates merge in ``composed_of`` order, later wins; the index
+template's own settings override all components) and the equivalent
+mappings resolution; ``put`` rejects a new template whose patterns
+overlap an existing template AT THE SAME priority (ambiguous match,
+``addIndexTemplateV2`` overlap check). Pattern syntax is
+``Regex.simpleMatch``: ``*`` is the only metacharacter.
+
+Driver-side cluster-state logic, no Spark jobs — the resolved config is
+what an index build consumes (analyzer, shards, field types), exactly the
+role templates play at index-creation time in the reference.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+
+def simple_match(pattern: str, name: str) -> bool:
+    """Regex.simpleMatch: '*' matches any run, everything else literal."""
+    rx = "^" + ".*".join(re.escape(p) for p in pattern.split("*")) + "$"
+    return re.match(rx, name) is not None
+
+
+@dataclass
+class ComponentTemplate:
+    settings: dict = dc_field(default_factory=dict)
+    mappings: dict = dc_field(default_factory=dict)
+
+
+@dataclass
+class IndexTemplate:
+    index_patterns: tuple
+    priority: int = 0  # priorityOrZero
+    composed_of: tuple = ()
+    settings: dict = dc_field(default_factory=dict)
+    mappings: dict = dc_field(default_factory=dict)
+
+
+class TemplateRegistry:
+    """The templatesV2 + componentTemplates slice of cluster state."""
+
+    def __init__(self) -> None:
+        self.components: dict[str, ComponentTemplate] = {}
+        self.templates: dict[str, IndexTemplate] = {}
+
+    def put_component(self, name: str, tpl: ComponentTemplate) -> None:
+        self.components[name] = tpl
+
+    def put_template(self, name: str, tpl: IndexTemplate) -> None:
+        """addIndexTemplateV2's overlap check: same-priority templates
+        with overlapping patterns make index creation ambiguous →
+        rejected at put time (the reference raises on validation)."""
+        for other_name, other in self.templates.items():
+            if other_name == name or other.priority != tpl.priority:
+                continue
+            for p1 in tpl.index_patterns:
+                for p2 in other.index_patterns:
+                    # conservative overlap test, as the reference does it:
+                    # either pattern matching the other (treating '*' in
+                    # one as a literal-free name) flags the pair
+                    if simple_match(p1, p2.replace("*", "x")) \
+                            or simple_match(p2, p1.replace("*", "x")):
+                        raise ValueError(
+                            f"template [{name}] has index patterns "
+                            f"{list(tpl.index_patterns)} matching patterns "
+                            f"of template [{other_name}] with the same "
+                            f"priority [{tpl.priority}], multiple index "
+                            f"templates may not match during index "
+                            f"creation")
+        missing = [c for c in tpl.composed_of if c not in self.components]
+        if missing:
+            raise ValueError(
+                f"index template [{name}] specifies component templates "
+                f"{missing} that do not exist")
+        self.templates[name] = tpl
+
+    def find_template(self, index_name: str) -> str | None:
+        """findV2Template: all pattern-matching templates, highest
+        priority wins (put-time validation guarantees no tie among
+        overlapping patterns)."""
+        matched = [(name, t) for name, t in self.templates.items()
+                   if any(simple_match(p, index_name)
+                          for p in t.index_patterns)]
+        if not matched:
+            return None
+        return max(matched, key=lambda nt: nt[1].priority)[0]
+
+    def resolve(self, index_name: str) -> dict | None:
+        """Effective settings/mappings for a to-be-created index:
+        component templates in composed_of order (later wins), then the
+        index template's own section overrides everything
+        (resolveSettings / collectMappings order)."""
+        name = self.find_template(index_name)
+        if name is None:
+            return None
+        t = self.templates[name]
+        settings: dict = {}
+        mappings: dict = {}
+        for comp in t.composed_of:
+            c = self.components[comp]
+            settings.update(c.settings)
+            mappings.update(c.mappings)
+        settings.update(t.settings)
+        mappings.update(t.mappings)
+        return {"template": name, "settings": settings,
+                "mappings": mappings}
