@@ -1981,6 +1981,52 @@ def search_synonym_graph(spark, sf_dir):
         k=10, mode="wand", round_scores=4)
 
 
+@q("api_index_template_resolve", """
+SELECT * FROM (VALUES
+  ('logs-2024',      'logs',         1, 'standard',      4),
+  ('logs-special-7', 'logs-special', 1, 'standard_code', 1),
+  ('metrics-x',      'catchall',     0, 'standard',      1)
+) AS v(index_name, template, matched_priority_nonzero, analyzer, shards)
+ORDER BY index_name
+""")
+def api_index_template_resolve(spark, sf_dir):
+    """Composable index-template resolution (indices.put_index_template /
+    simulate_index_template — MetadataIndexTemplateService.java
+    findV2Template + resolveSettings): highest-priority pattern match,
+    component templates merged in composed_of order, template's own
+    settings override. Cluster-state logic is driver-side; the oracle
+    pins the resolved config literally."""
+    from opensearch_spark.index.templates import (ComponentTemplate,
+                                                  IndexTemplate,
+                                                  TemplateRegistry)
+
+    r = TemplateRegistry()
+    r.put_component("base", ComponentTemplate(
+        settings={"number_of_shards": 1, "analyzer": "standard"}))
+    r.put_component("code", ComponentTemplate(
+        settings={"analyzer": "standard_code"}))
+    r.put_template("logs", IndexTemplate(
+        index_patterns=("logs-*",), priority=10, composed_of=("base",),
+        settings={"number_of_shards": 4}))
+    r.put_template("logs-special", IndexTemplate(
+        index_patterns=("logs-special-*",), priority=20,
+        composed_of=("base", "code")))
+    r.put_template("catchall", IndexTemplate(
+        index_patterns=("*",), priority=0,
+        settings={"number_of_shards": 1, "analyzer": "standard"}))
+    rows = []
+    for idx in ("logs-2024", "logs-special-7", "metrics-x"):
+        res = r.resolve(idx)
+        rows.append((idx, res["template"],
+                     1 if r.templates[res["template"]].priority > 0 else 0,
+                     res["settings"]["analyzer"],
+                     res["settings"]["number_of_shards"]))
+    return spark.createDataFrame(
+        rows, "index_name string, template string, "
+              "matched_priority_nonzero int, analyzer string, shards int"
+    ).orderBy("index_name")
+
+
 @q("api_analyze_graph", """
 SELECT * FROM (VALUES
   (0, 0, 'the'), (0, 1, 'sort'), (0, 2, 'scan'),
