@@ -958,6 +958,54 @@ def search_ids(spark, sf_dir):
     return s.score(Ids(values=[1, 2, 3, 5, 8])).orderBy("doc_id")
 
 
+@q("api_mget", """
+WITH req AS (SELECT * FROM (VALUES (1, 13), (2, 2), (3, 99999999),
+                                   (4, 5)) AS v(ord, doc_id))
+SELECT req.ord, req.doc_id,
+       d.doc_id IS NOT NULL AS found,
+       coalesce(d.lang, '') AS lang,
+       coalesce(d.n_chars, -1) AS n_chars
+FROM req LEFT JOIN documents d USING (doc_id)
+ORDER BY req.ord
+""")
+def api_mget(spark, sf_dir):
+    """_mget (action/get/TransportMultiGetAction.java): multi-id stored-
+    field fetch preserving REQUEST order, misses reported found=false
+    rather than dropped. The id list broadcasts against the docs table —
+    one scan, the reference's per-shard fan-out collapsed into the
+    equality join."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "n_chars", F.lit(True).alias("_hit"))
+    req = spark.createDataFrame(
+        [(1, 13), (2, 2), (3, 99999999), (4, 5)], "ord int, doc_id long")
+    return (F.broadcast(req).join(d, "doc_id", "left")
+            .select("ord", "doc_id",
+                    F.coalesce("_hit", F.lit(False)).alias("found"),
+                    F.coalesce("lang", F.lit("")).alias("lang"),
+                    F.coalesce("n_chars", F.lit(-1)).alias("n_chars"))
+            .orderBy("ord"))
+
+
+@q("api_cat_count", """
+SELECT 'documents' AS idx, count(*) AS docs_count FROM documents
+UNION ALL
+SELECT 'events', count(*) FROM events
+ORDER BY idx
+""")
+def api_cat_count(spark, sf_dir):
+    """_cat/count + _cat/indices doc accounting
+    (rest/action/cat/RestCountAction.java): per-index document counts —
+    metadata-only aggregates, one count() per table."""
+    d = _docs(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    return (d.groupBy(F.lit("documents").alias("idx"))
+            .agg(F.count("*").alias("docs_count"))
+            .unionByName(
+                e.groupBy(F.lit("events").alias("idx"))
+                .agg(F.count("*").alias("docs_count")))
+            .orderBy("idx"))
+
+
 @q("search_exists", """
 SELECT doc_id, 1.0 AS score FROM documents
 WHERE lang IS NOT NULL ORDER BY doc_id
