@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     # round-3 continuation additions
     "search_script_score",
     "dedup_substring_spans",
+    "search_painless_score",
+    "agg_session_window",
+    "text_bpe_train",
 ]
 
 
