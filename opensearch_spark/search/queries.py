@@ -784,7 +784,8 @@ def from_dsl(d: dict) -> Query:
                 else:
                     raise ValueError(f"unsupported function: {list(fd)}")
         return FunctionScore(query=from_dsl(body["query"]),
-                             script=body.get("script", "score"),
+                             script=(_script_src(body["script"])
+                                     if "script" in body else "score"),
                              functions=fns,
                              score_mode=body.get("score_mode", "multiply"),
                              boost_mode=body.get("boost_mode", "replace"))
