@@ -3336,6 +3336,40 @@ def join_has_child(spark, sf_dir):
             .select("c_custkey", "c_name").orderBy("c_custkey"))
 
 
+@q("join_has_child_inner_hits", """
+WITH ch AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders WHERE o_totalprice > 400000
+)
+SELECT c.c_custkey, c.c_name, ch.o_orderkey AS hit_orderkey,
+       round(ch.o_totalprice, 2) AS hit_totalprice, CAST(ch.rn AS INT) AS hit_rank
+FROM customer c JOIN ch ON c.c_custkey = ch.o_custkey
+WHERE ch.rn <= 2
+ORDER BY c.c_custkey, hit_rank
+""")
+def join_has_child_inner_hits(spark, sf_dir):
+    """has_child with inner_hits (HasChildQueryBuilder.innerHit(),
+    InnerHitBuilder.java size param): each matching parent carries its
+    top-N matching children ranked by the child sort. One shuffle: the
+    per-parent top-N is a window rank over the FILTERED child side only
+    (never the full child table), then parents join the bounded hits."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                           F.asc("o_orderkey"))
+    top = (o.withColumn("hit_rank", F.row_number().over(w))
+           .where(F.col("hit_rank") <= 2)
+           .select("o_custkey", F.col("o_orderkey").alias("hit_orderkey"),
+                   F.round("o_totalprice", 2).alias("hit_totalprice"),
+                   "hit_rank"))
+    return (c.join(top, c.c_custkey == top.o_custkey)
+            .select("c_custkey", "c_name", "hit_orderkey",
+                    "hit_totalprice", "hit_rank")
+            .orderBy("c_custkey", "hit_rank"))
+
+
 @q("join_has_parent", """
 SELECT o.o_orderkey FROM orders o
 WHERE EXISTS (SELECT 1 FROM customer c
