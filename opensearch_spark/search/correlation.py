@@ -84,3 +84,57 @@ def correlate_events(
               .where(F.abs(F.col("tb") - F.col("ta")) <= w_us)
               .select("a_id", "b_id", (F.col("tb") - F.col("ta")).alias("dt_us")))
     return pairs
+
+
+def correlate_events_stream(
+    leg_a: DataFrame,
+    leg_b: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_sec: int = DEFAULT_WINDOW_SEC,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of :func:`correlate_events`: a watermarked
+    stream-stream inner join (SURVEY §2.12 extension — the continuous
+    form of the events-correlation rule engine).
+
+    Same bucket trick as batch — leg B explodes to (bucket-1, 0, +1) so
+    the shuffle is a hash equi-join on the time bucket — but the join
+    CONDITION also carries the raw event-time range predicate, which is
+    what lets Spark derive state eviction: each side keeps only rows
+    within ``watermark`` + ``window_sec`` of the global watermark, so
+    state is bounded regardless of stream length (the property that
+    matters at 100 TB/day; an unbounded-state join would OOM on day 2).
+
+    Works on batch frames too (identical output to correlate_events,
+    tested) — the watermark call is skipped when not streaming.
+    """
+    w_us = int(window_sec) * 1_000_000
+
+    a = leg_a.select(F.col(id_col).alias("a_id"),
+                     F.col(ts_col).alias("ta"))
+    b = leg_b.select(F.col(id_col).alias("b_id"),
+                     F.col(ts_col).alias("tb"))
+    if a.isStreaming:
+        a = a.withWatermark("ta", watermark)
+    if b.isStreaming:
+        b = b.withWatermark("tb", watermark)
+
+    def bkt(c):
+        us = f"timestampdiff(MICROSECOND, CAST(0 AS TIMESTAMP), {c})"
+        return F.expr(
+            f"CASE WHEN {us} >= 0 THEN {us} div {w_us} "
+            f"ELSE -((-{us} + {w_us} - 1) div {w_us}) END")
+
+    a = a.withColumn("bkt", bkt("ta"))
+    b3 = (b.withColumn("_off",
+                       F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+          .withColumn("bkt", bkt("tb") + F.col("_off"))
+          .drop("_off"))
+    cond = ((a["bkt"] == b3["bkt"])
+            & (b3["tb"] >= a["ta"] - F.expr(f"INTERVAL {window_sec} SECOND"))
+            & (b3["tb"] <= a["ta"] + F.expr(f"INTERVAL {window_sec} SECOND")))
+    return (a.join(b3, cond)
+            .select("a_id", "b_id",
+                    F.expr("timestampdiff(MICROSECOND, ta, tb)")
+                    .alias("dt_us")))

@@ -136,3 +136,52 @@ def test_session_windows_streaming_merge(spark, tmp_path):
         r["n_events"], str(r["session_end"])) for r in rows}
     # the 10:03 event extended the 10:00 session, not a new one
     assert got[("a", "2024-01-01 10:00:00")] == (2, "2024-01-01 10:08:00")
+
+
+def test_stream_stream_correlation_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (correlate_events_stream):
+    pairs across micro-batches must equal the batch correlate_events
+    output on the same data; the join must not be a nested-loop."""
+    from opensearch_spark.search.correlation import (correlate_events,
+                                                     correlate_events_stream)
+
+    src_a = str(tmp_path / "a")
+    src_b = str(tmp_path / "b")
+    ckpt = str(tmp_path / "ck2")
+    os.makedirs(src_a, exist_ok=True)
+    os.makedirs(src_b, exist_ok=True)
+    t = "2024-01-01 10:{:02d}:00"
+    # batch 1: A events; batch 2 adds B events pairing back across batches
+    _write_batch(spark, src_a, [(1, t.format(0), "err", 1.0),
+                                (2, t.format(20), "err", 1.0)])
+    _write_batch(spark, src_b, [(10, t.format(3), "buy", 1.0)])
+
+    rows = []
+
+    def run():
+        sa = spark.readStream.schema(SCHEMA).parquet(src_a)
+        sb = spark.readStream.schema(SCHEMA).parquet(src_b)
+        out = correlate_events_stream(sa, sb, window_sec=300,
+                                      watermark="30 minutes")
+        q = (out.writeStream
+             .foreachBatch(lambda b, _i: rows.extend(b.collect()))
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    _write_batch(spark, src_b, [(11, t.format(22), "buy", 1.0),
+                                (12, t.format(40), "buy", 1.0)])
+    run()
+    got = sorted((r["a_id"], r["b_id"], r["dt_us"]) for r in rows)
+
+    ba = spark.read.parquet(src_a)
+    bb = spark.read.parquet(src_b)
+    want = sorted((r["a_id"], r["b_id"], r["dt_us"]) for r in
+                  correlate_events(ba, bb, window_sec=300).collect())
+    assert got == want and len(got) == 2  # (1,10) and (2,11); 12 too far
+
+    # batch-mode parity of the streaming builder itself
+    same = sorted((r["a_id"], r["b_id"], r["dt_us"]) for r in
+                  correlate_events_stream(ba, bb, window_sec=300).collect())
+    assert same == want
