@@ -2029,6 +2029,32 @@ def search_synonym_graph(spark, sf_dir):
         k=10, mode="wand", round_scores=4)
 
 
+@q("search_percolate_phrase", """
+WITH t AS (SELECT doc_id,
+                  ' ' || regexp_replace(trim(text), '\\s+', ' ', 'g') || ' '
+                      AS s
+           FROM documents)
+SELECT doc_id, 1 AS query_id FROM t WHERE contains(s, ' spark table ')
+UNION ALL
+SELECT doc_id, 2 FROM t WHERE contains(s, ' merge sort window ')
+ORDER BY query_id, doc_id
+""")
+def search_percolate_phrase(spark, sf_dir):
+    """Percolation with PHRASE stored queries (QueryAnalyzer.java extracts
+    phrases with positions): all-terms prefilter join, then exact
+    in-order adjacency verified on the analyzed token stream — pure
+    codegen contains() on the boundary-padded joined stream, no position
+    explode."""
+    from opensearch_spark.search.percolate import PercQuery, percolate
+
+    d = _docs(spark, sf_dir)
+    qs = [PercQuery(1, "phrase", "text", terms=("spark", "table")),
+          PercQuery(2, "phrase", "text", terms=("merge", "sort", "window"))]
+    return (percolate(spark, qs, d)
+            .withColumn("query_id", F.col("query_id").cast("int"))
+            .orderBy("query_id", "doc_id"))
+
+
 @q("api_index_template_resolve", """
 SELECT * FROM (VALUES
   ('logs-2024',      'logs',         1, 'standard',      4),

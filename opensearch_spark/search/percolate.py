@@ -37,13 +37,18 @@ from opensearch_spark.analysis.analyzer import analyze_udf
 
 @dataclass(frozen=True)
 class PercQuery:
-    """One stored query. kind ∈ {'match', 'term', 'range'}.
+    """One stored query. kind ∈ {'match', 'term', 'range', 'phrase'}.
 
     match  — analyzed terms over ``field``; matches when at least
              ``min_should_match`` distinct query terms appear
              (operator=and ≡ msm=len(terms), or ≡ msm=1).
     term   — keyword equality on ``field`` (un-analyzed).
     range  — lo <= field <= hi on a numeric column (either bound optional).
+    phrase — analyzed terms must appear CONSECUTIVELY in order
+             (QueryAnalyzer.java extracts phrase queries with positions;
+             here the candidate prefilter is the same all-terms term
+             join, exact adjacency verified on the analyzed token
+             stream).
     """
 
     query_id: int
@@ -124,6 +129,43 @@ def percolate(
                 .where(F.col("_matched") >= F.col("msm"))
                 .select(id_col, "query_id")
         )
+        parts.append(verified)
+
+    # --- phrase queries: all-terms prefilter + adjacency verify -----------
+    phrase_qs = [q for q in queries if q.kind == "phrase"]
+    for text_field in sorted({q.field for q in phrase_qs}):
+        fq = [q for q in phrase_qs if q.field == text_field]
+        q_terms = qside(
+            qdf.where((F.col("kind") == "phrase")
+                      & (F.col("field") == text_field))
+            .select("query_id",
+                    F.size(F.array_distinct("terms")).alias("_need"),
+                    F.explode(F.array_distinct("terms")).alias("term")))
+        tok = analyze_udf(analyzer)
+        toks = docs.select(
+            id_col, tok(F.col(text_field)).alias("_toks"))
+        doc_terms = toks.select(
+            id_col, "_toks",
+            F.explode(F.array_distinct("_toks")).alias("term"))
+        # candidates: docs containing EVERY distinct phrase term
+        cand = (doc_terms.join(q_terms, "term")
+                .groupBy(id_col, "query_id", "_need")
+                .agg(F.count("*").alias("_have"),
+                     F.first("_toks").alias("_toks"))
+                .where(F.col("_have") >= F.col("_need")))
+        # exact adjacency: the space-joined token stream must contain the
+        # space-joined phrase with token boundaries — pure codegen, no
+        # position explode; phrase text re-joins from the stored terms
+        phr = F.broadcast(spark.createDataFrame(
+            [(q.query_id, " ".join(q.terms)) for q in fq],
+            "query_id long, _phrase string"))
+        verified = (cand.join(phr, "query_id")
+                    .where(F.contains(
+                        F.concat(F.lit(" "),
+                                 F.concat_ws(" ", "_toks"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("_phrase"),
+                                 F.lit(" "))))
+                    .select(id_col, "query_id"))
         parts.append(verified)
 
     # --- term (keyword) queries: broadcast equality join ------------------

@@ -178,3 +178,18 @@ def test_streaming_percolate_matches_batch(spark, tmp_path):
              for r in percolate(spark, _qs(), docs).collect()}
     assert set(got) == batch and len(got) == len(batch)
     assert epochs, "at least one micro-batch must fire"
+
+
+def test_percolate_phrase_adjacency(spark):
+    """phrase stored queries: terms must be CONSECUTIVE and in order —
+    a doc containing both words non-adjacent must not match."""
+    docs = spark.createDataFrame(
+        [(1, "alpha delta gamma", "en", "s", 17),
+         (2, "alpha gamma delta", "en", "s", 17),   # both words, not adjacent
+         (3, "delta alpha", "en", "s", 11),          # wrong order
+         (4, "x alpha delta", "en", "s", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    qs = [PercQuery(1, "phrase", "text", terms=("alpha", "delta"))]
+    got = {(r["doc_id"], r["query_id"])
+           for r in percolate(spark, qs, docs).collect()}
+    assert got == {(1, 1), (4, 1)}
