@@ -5101,6 +5101,35 @@ def search_suggest_phrase_3gram(spark, sf_dir):
                           num_candidates=4).orderBy("rank")
 
 
+@q("search_suggest_completion_fuzzy", """
+WITH comp AS (
+  SELECT lower(array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 8), ' ')) AS suggestion,
+         n_chars AS weight
+  FROM documents
+),
+dedup AS (SELECT suggestion, max(weight) AS weight FROM comp
+          WHERE length(suggestion) >= 5
+            AND levenshtein(substr(suggestion, 1, 6), 'tible ') <= 1
+          GROUP BY suggestion),
+ranked AS (SELECT suggestion, weight,
+           CAST(row_number() OVER (ORDER BY weight DESC, suggestion) AS INT) AS rank
+           FROM dedup)
+SELECT suggestion, weight, rank FROM ranked WHERE rank <= 5 ORDER BY rank
+""")
+def search_suggest_completion_fuzzy(spark, sf_dir):
+    """Fuzzy completion (FuzzyCompletionQuery via
+    CompletionSuggestionBuilder.fuzziness): the misspelled prefix
+    'tible ' still autocompletes 'table …' entries — edit distance on
+    the same-length input slice, length lower bound pruned first."""
+    from opensearch_spark.search import completion_suggest
+
+    d = with_title(_docs(spark, sf_dir))
+    return completion_suggest(
+        d, prefix="tible ", size=5, input_col="title",
+        weight_col="n_chars", fuzziness=1,
+        skip_duplicates=True).orderBy("rank")
+
+
 @q("search_suggest_completion", """
 WITH comp AS (
   SELECT lower(array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 8), ' ')) AS suggestion,
