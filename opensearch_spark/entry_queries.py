@@ -971,14 +971,20 @@ ORDER BY req.ord
 def api_mget(spark, sf_dir):
     """_mget (action/get/TransportMultiGetAction.java): multi-id stored-
     field fetch preserving REQUEST order, misses reported found=false
-    rather than dropped. The id list broadcasts against the docs table —
-    one scan, the reference's per-shard fan-out collapsed into the
-    equality join."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", "lang", "n_chars", F.lit(True).alias("_hit"))
-    req = spark.createDataFrame(
-        [(1, 13), (2, 2), (3, 99999999), (4, 5)], "ord int, doc_id long")
-    return (F.broadcast(req).join(d, "doc_id", "left")
+    rather than dropped. The literal id list pushes into the parquet
+    scan (one pruned scan — the reference's per-shard routed gets), and
+    the request-preserving outer join builds the resulting tiny frame."""
+    ids = [(1, 13), (2, 2), (3, 99999999), (4, 5)]
+    # the id list is request literals → push it INTO the scan (PushedFilters
+    # In(doc_id, ...)), producing a ≤|req|-row frame; the outer join that
+    # preserves the request then BUILDS that tiny frame. (An outer join
+    # can never build its preserved side, so "broadcast the request and
+    # left-join the corpus" silently falls back to a full corpus shuffle.)
+    d = (_docs(spark, sf_dir)
+         .where(F.col("doc_id").isin([i for _, i in ids]))
+         .select("doc_id", "lang", "n_chars", F.lit(True).alias("_hit")))
+    req = spark.createDataFrame(ids, "ord int, doc_id long")
+    return (req.join(F.broadcast(d), "doc_id", "left")
             .select("ord", "doc_id",
                     F.coalesce("_hit", F.lit(False)).alias("found"),
                     F.coalesce("lang", F.lit("")).alias("lang"),
@@ -998,11 +1004,13 @@ def api_cat_count(spark, sf_dir):
     metadata-only aggregates, one count() per table."""
     d = _docs(spark, sf_dir)
     e = _t(spark, sf_dir, "events")
-    return (d.groupBy(F.lit("documents").alias("idx"))
-            .agg(F.count("*").alias("docs_count"))
+    # global agg (no groupBy): an empty index must still report a 0 row,
+    # exactly like the scalar count(*) oracle and the reference's _cat
+    return (d.agg(F.count("*").alias("docs_count"))
+            .select(F.lit("documents").alias("idx"), "docs_count")
             .unionByName(
-                e.groupBy(F.lit("events").alias("idx"))
-                .agg(F.count("*").alias("docs_count")))
+                e.agg(F.count("*").alias("docs_count"))
+                .select(F.lit("events").alias("idx"), "docs_count"))
             .orderBy("idx"))
 
 

@@ -27,6 +27,30 @@ def simple_match(pattern: str, name: str) -> bool:
     return re.match(rx, name) is not None
 
 
+def globs_intersect(p1: str, p2: str) -> bool:
+    """EXACT non-emptiness of the intersection of two '*'-glob languages
+    (memoized DP over suffix pairs): some concrete index name matches
+    both patterns. A star consumes the other side's literals one at a
+    time or drops out; literals must agree. This is the overlap test
+    put_template needs — heuristics (e.g. matching one pattern against
+    the other with stars substituted) miss pairs like '*-logs' vs
+    'logs-*', which both match 'logs-logs'."""
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def f(i: int, j: int) -> bool:
+        if i == len(p1) and j == len(p2):
+            return True
+        if i < len(p1) and p1[i] == "*":
+            return f(i + 1, j) or (j < len(p2) and f(i, j + 1))
+        if j < len(p2) and p2[j] == "*":
+            return f(i, j + 1) or (i < len(p1) and f(i + 1, j))
+        return (i < len(p1) and j < len(p2) and p1[i] == p2[j]
+                and f(i + 1, j + 1))
+
+    return f(0, 0)
+
+
 @dataclass
 class ComponentTemplate:
     settings: dict = dc_field(default_factory=dict)
@@ -61,11 +85,10 @@ class TemplateRegistry:
                 continue
             for p1 in tpl.index_patterns:
                 for p2 in other.index_patterns:
-                    # conservative overlap test, as the reference does it:
-                    # either pattern matching the other (treating '*' in
-                    # one as a literal-free name) flags the pair
-                    if simple_match(p1, p2.replace("*", "x")) \
-                            or simple_match(p2, p1.replace("*", "x")):
+                    # exact glob-language intersection: any concrete name
+                    # matching both patterns makes same-priority
+                    # resolution ambiguous
+                    if globs_intersect(p1, p2):
                         raise ValueError(
                             f"template [{name}] has index patterns "
                             f"{list(tpl.index_patterns)} matching patterns "
@@ -89,7 +112,10 @@ class TemplateRegistry:
                           for p in t.index_patterns)]
         if not matched:
             return None
-        return max(matched, key=lambda nt: nt[1].priority)[0]
+        # priority desc; name asc as a deterministic secondary key (the
+        # put-time exact-intersection check makes same-priority matches
+        # impossible, but resolution must never depend on put order)
+        return sorted(matched, key=lambda nt: (-nt[1].priority, nt[0]))[0][0]
 
     def resolve(self, index_name: str) -> dict | None:
         """Effective settings/mappings for a to-be-created index:

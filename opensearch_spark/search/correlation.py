@@ -120,16 +120,23 @@ def correlate_events_stream(
     if b.isStreaming:
         b = b.withWatermark("tb", watermark)
 
-    def bkt(c):
-        us = f"timestampdiff(MICROSECOND, CAST(0 AS TIMESTAMP), {c})"
+    def bkt(df, c):
+        # same type-aware epoch pick as the batch path: timestampdiff on
+        # mixed NTZ/TS operands coerces through the session timezone and
+        # shifts bucket boundaries across DST transitions — a true pair
+        # would land at bucket distance 2, outside the ±1 expansion
+        lit = ("TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+               if dict(df.dtypes)[c] == "timestamp_ntz"
+               else "CAST(0 AS TIMESTAMP)")
+        us = f"timestampdiff(MICROSECOND, {lit}, {c})"
         return F.expr(
             f"CASE WHEN {us} >= 0 THEN {us} div {w_us} "
             f"ELSE -((-{us} + {w_us} - 1) div {w_us}) END")
 
-    a = a.withColumn("bkt", bkt("ta"))
+    a = a.withColumn("bkt", bkt(a, "ta"))
     b3 = (b.withColumn("_off",
                        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-          .withColumn("bkt", bkt("tb") + F.col("_off"))
+          .withColumn("bkt", bkt(b, "tb") + F.col("_off"))
           .drop("_off"))
     cond = ((a["bkt"] == b3["bkt"])
             & (b3["tb"] >= a["ta"] - F.expr(f"INTERVAL {window_sec} SECOND"))

@@ -131,42 +131,29 @@ def percolate(
         )
         parts.append(verified)
 
-    # --- phrase queries: all-terms prefilter + adjacency verify -----------
+    # --- phrase queries: one analyze pass + broadcast adjacency check -----
+    # Exact in-order adjacency is a contains() on the boundary-padded
+    # space-joined token stream — pure codegen, no position explode, no
+    # term-prefilter shuffle: the phrase set broadcasts against ONE scan
+    # of the analyzed docs (map-side only). Like the range theta-join,
+    # this path shares the broadcast-only bound: a standing set of
+    # MILLIONS of phrase queries would need the term-prefilter route.
     phrase_qs = [q for q in queries if q.kind == "phrase"]
     for text_field in sorted({q.field for q in phrase_qs}):
         fq = [q for q in phrase_qs if q.field == text_field]
-        q_terms = qside(
-            qdf.where((F.col("kind") == "phrase")
-                      & (F.col("field") == text_field))
-            .select("query_id",
-                    F.size(F.array_distinct("terms")).alias("_need"),
-                    F.explode(F.array_distinct("terms")).alias("term")))
         tok = analyze_udf(analyzer)
-        toks = docs.select(
-            id_col, tok(F.col(text_field)).alias("_toks"))
-        doc_terms = toks.select(
-            id_col, "_toks",
-            F.explode(F.array_distinct("_toks")).alias("term"))
-        # candidates: docs containing EVERY distinct phrase term
-        cand = (doc_terms.join(q_terms, "term")
-                .groupBy(id_col, "query_id", "_need")
-                .agg(F.count("*").alias("_have"),
-                     F.first("_toks").alias("_toks"))
-                .where(F.col("_have") >= F.col("_need")))
-        # exact adjacency: the space-joined token stream must contain the
-        # space-joined phrase with token boundaries — pure codegen, no
-        # position explode; phrase text re-joins from the stored terms
+        streams = docs.select(
+            id_col,
+            F.concat(F.lit(" "),
+                     F.concat_ws(" ", tok(F.col(text_field))),
+                     F.lit(" ")).alias("_stream"))
         phr = F.broadcast(spark.createDataFrame(
-            [(q.query_id, " ".join(q.terms)) for q in fq],
+            [(q.query_id, " " + " ".join(q.terms) + " ") for q in fq],
             "query_id long, _phrase string"))
-        verified = (cand.join(phr, "query_id")
-                    .where(F.contains(
-                        F.concat(F.lit(" "),
-                                 F.concat_ws(" ", "_toks"), F.lit(" ")),
-                        F.concat(F.lit(" "), F.col("_phrase"),
-                                 F.lit(" "))))
-                    .select(id_col, "query_id"))
-        parts.append(verified)
+        parts.append(
+            streams.join(phr, F.contains(F.col("_stream"),
+                                         F.col("_phrase")))
+            .select(id_col, "query_id"))
 
     # --- term (keyword) queries: broadcast equality join ------------------
     term_qs = [q for q in queries if q.kind == "term"]

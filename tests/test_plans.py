@@ -244,3 +244,31 @@ def test_events_correlation_session_tz_invariant(sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert base == shifted and len(base) > 0
+
+
+def test_stream_correlation_ntz_matches_batch_under_dst_tz(spark):
+    """The streaming twin must agree with the batch engine on
+    timestamp_ntz legs even when the session timezone has DST: bucket
+    epochs must use the column's own type, not coerce through the zone."""
+    import datetime as dt
+
+    from opensearch_spark.search.correlation import (correlate_events,
+                                                     correlate_events_stream)
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        # spring-forward 2024-03-10 02:00 -> 03:00 local
+        a = spark.createDataFrame(
+            [(1, dt.datetime(2024, 3, 10, 2, 1))],
+            "event_id long, ts timestamp_ntz")
+        b = spark.createDataFrame(
+            [(10, dt.datetime(2024, 3, 10, 2, 5))],
+            "event_id long, ts timestamp_ntz")
+        want = sorted(map(tuple, correlate_events(a, b, window_sec=300)
+                          .collect()))
+        got = sorted(map(tuple, correlate_events_stream(a, b, window_sec=300)
+                         .collect()))
+        assert got == want and len(got) == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

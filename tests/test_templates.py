@@ -77,6 +77,27 @@ def test_same_priority_overlap_rejected():
     assert r.find_template("logs-2024") == "logs-override"
 
 
+def test_glob_intersection_is_exact():
+    from opensearch_spark.index.templates import globs_intersect
+
+    # the pair a substitution heuristic misses: both match 'logs-logs'
+    assert globs_intersect("*-logs", "logs-*")
+    assert globs_intersect("logs-*", "logs-2024")
+    assert globs_intersect("*", "anything-*")
+    assert not globs_intersect("logs-*", "metrics-*")
+    assert not globs_intersect("a*b", "c*d")
+    assert globs_intersect("a*b", "ab")
+    assert not globs_intersect("a*b", "ba")
+
+
+def test_same_priority_star_overlap_rejected_both_directions():
+    r = TemplateRegistry()
+    r.put_template("a", IndexTemplate(index_patterns=("*-logs",), priority=5))
+    with pytest.raises(ValueError, match="same\\s+priority"):
+        r.put_template("b", IndexTemplate(index_patterns=("logs-*",),
+                                          priority=5))
+
+
 def test_missing_component_rejected():
     r = TemplateRegistry()
     with pytest.raises(ValueError, match="do not exist"):
