@@ -4479,6 +4479,53 @@ def mm_feature_extract(spark, sf_dir):
 # --------------------------------------------------------------------------
 # search pipelines / ingest processor chains / reindex family
 # --------------------------------------------------------------------------
+@q("pipeline_hybrid_normalization", f"""
+WITH {O.TOK_CTES},
+tf1 AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+        WHERE term IN ('spark') GROUP BY doc_id, term),
+df1 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+        WHERE term IN ('spark') GROUP BY term),
+s1 AS (SELECT tf1.doc_id, round(sum({O.bm25_term(tf='tf1.tf')}), 6) AS s
+       FROM tf1 JOIN df1 USING (term) JOIN dl ON tf1.doc_id = dl.doc_id
+       CROSS JOIN stats GROUP BY tf1.doc_id
+       ORDER BY s DESC, tf1.doc_id LIMIT 50),
+tf2 AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+        WHERE term IN ('table','batch') GROUP BY doc_id, term),
+df2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+        WHERE term IN ('table','batch') GROUP BY term),
+s2 AS (SELECT tf2.doc_id, round(sum({O.bm25_term(tf='tf2.tf')}), 6) AS s
+       FROM tf2 JOIN df2 USING (term) JOIN dl ON tf2.doc_id = dl.doc_id
+       CROSS JOIN stats GROUP BY tf2.doc_id
+       ORDER BY s DESC, tf2.doc_id LIMIT 50),
+n1 AS (SELECT doc_id, CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+            ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+       END AS ns FROM s1),
+n2 AS (SELECT doc_id, CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+            ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+       END AS ns FROM s2),
+fused AS (SELECT coalesce(n1.doc_id, n2.doc_id) AS doc_id,
+                 (0.7 * coalesce(n1.ns, 0) + 0.3 * coalesce(n2.ns, 0))
+                     / 1.0 AS sc
+          FROM n1 FULL OUTER JOIN n2 ON n1.doc_id = n2.doc_id)
+SELECT doc_id, round(sc, 4) AS score FROM fused
+ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
+""")
+def pipeline_hybrid_normalization(spark, sf_dir):
+    """Hybrid search via the normalization processor (search-pipeline
+    phase: per-sub-query min_max normalization + weighted arithmetic-mean
+    combination, missing sub-query scores as 0) — lexical+lexical here,
+    the identical mechanism that fuses lexical+vector. Every post-search
+    frame is bounded by top_n, so the fuse costs nothing at corpus
+    scale."""
+    from opensearch_spark.search.pipeline import hybrid_search
+
+    s = get_searcher(spark, sf_dir)
+    return hybrid_search(
+        s, [Match(field="text", text="spark"),
+            Match(field="text", text="table batch")],
+        k=10, top_n=50, weights=[0.7, 0.3], round_scores=4)
+
+
 @q("pipeline_search", f"""
 WITH {O.TOK_CTES},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'table' GROUP BY doc_id),

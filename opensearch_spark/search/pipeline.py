@@ -89,3 +89,81 @@ class SearchPipeline:
             if hasattr(p, "process_response"):
                 hits = p.process_response(hits, searcher)
         return hits
+
+
+def hybrid_search(
+    searcher,
+    queries: list,
+    k: int = 10,
+    top_n: int = 50,
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+    weights: list[float] | None = None,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Hybrid query + normalization processor (the search-pipeline
+    normalization processor: per-sub-query score normalization, then
+    weighted combination — the mechanism behind lexical+semantic hybrid
+    ranking).
+
+    Each sub-query contributes its bounded top-``top_n`` hits; scores
+    normalize per sub-query (``min_max``: (s-min)/(max-min), single-score
+    lists → 1.0; ``l2``: s/√Σs²), then combine per doc with missing
+    sub-query scores as 0: ``arithmetic_mean`` Σwᵢsᵢ/Σw, or
+    ``geometric_mean`` / ``harmonic_mean`` (docs missing any sub-query →
+    0 under both, the zero-annihilation the means imply).
+
+    Scale shape: every frame after the sub-searches is ≤ top_n rows —
+    the normalizing aggregates and the outer joins are driver-trivial
+    regardless of corpus size; the corpus cost is exactly the N
+    sub-searches."""
+    ws = list(weights or [1.0] * len(queries))
+    if len(ws) != len(queries):
+        raise ValueError("weights must match queries")
+    frames = []
+    for i, q in enumerate(queries):
+        h = searcher.search(q, k=top_n, round_scores=6) \
+            .select("doc_id", F.col("score").alias(f"_s{i}"))
+        if normalization == "min_max":
+            agg = h.agg(F.min(f"_s{i}").alias("_mn"),
+                        F.max(f"_s{i}").alias("_mx"))
+            h = (h.crossJoin(F.broadcast(agg))
+                 .withColumn(
+                     f"_s{i}",
+                     F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0))
+                     .otherwise((F.col(f"_s{i}") - F.col("_mn"))
+                                / (F.col("_mx") - F.col("_mn"))))
+                 .drop("_mn", "_mx"))
+        elif normalization == "l2":
+            agg = h.agg(F.sqrt(F.sum(F.col(f"_s{i}") ** 2)).alias("_l2"))
+            h = (h.crossJoin(F.broadcast(agg))
+                 .withColumn(f"_s{i}", F.col(f"_s{i}") / F.col("_l2"))
+                 .drop("_l2"))
+        else:
+            raise ValueError(f"unknown normalization: {normalization}")
+        frames.append(h)
+    out = frames[0]
+    for h in frames[1:]:
+        out = out.join(h, "doc_id", "full_outer")
+    cols = [F.coalesce(F.col(f"_s{i}"), F.lit(0.0)) for i in range(len(ws))]
+    wsum = float(sum(ws))
+    if combination == "arithmetic_mean":
+        score = sum((w * c for w, c in zip(ws, cols)), F.lit(0.0)) / wsum
+    elif combination == "geometric_mean":
+        prod = cols[0] ** F.lit(ws[0])
+        for w, c in zip(ws[1:], cols[1:]):
+            prod = prod * (c ** F.lit(w))
+        score = prod ** F.lit(1.0 / wsum)
+    elif combination == "harmonic_mean":
+        any_zero = cols[0] == 0
+        for c in cols[1:]:
+            any_zero = any_zero | (c == 0)
+        denom = sum((F.lit(w) / c for w, c in zip(ws[1:], cols[1:])),
+                    F.lit(ws[0]) / cols[0])
+        score = F.when(any_zero, F.lit(0.0)).otherwise(F.lit(wsum) / denom)
+    else:
+        raise ValueError(f"unknown combination: {combination}")
+    out = out.select("doc_id", score.alias("score"))
+    if round_scores is not None:
+        out = out.withColumn("score", F.round("score", round_scores))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

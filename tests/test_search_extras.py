@@ -637,3 +637,35 @@ def test_script_score_boost_scales(searcher):
     s2 = {r.doc_id: r.score for r in searcher.score(q2).collect()}
     assert s1.keys() == s2.keys()
     assert all(abs(s2[d] - 2.0 * s1[d]) < 1e-9 for d in s1)
+
+
+def test_hybrid_search_modes(searcher):
+    """normalization processor: l2 + geometric/harmonic combinations and
+    the single-score min_max edge (normalizes to 1.0)."""
+    import math
+
+    from opensearch_spark.search import queries as Q
+    from opensearch_spark.search.pipeline import hybrid_search
+
+    qs = [Q.Match(field="text", text="spark"),
+          Q.Match(field="text", text="table")]
+    # l2: each sub-query's normalized vector has unit norm over its top_n
+    out = hybrid_search(searcher, qs, k=5, top_n=20, normalization="l2",
+                        combination="arithmetic_mean")
+    rows = out.collect()
+    assert rows and all(0.0 <= r["score"] <= 1.0 for r in rows)
+    # geometric mean: docs present in only one sub-query score 0 -> the
+    # survivors must match BOTH queries
+    both = hybrid_search(searcher, qs, k=50, top_n=50,
+                         combination="geometric_mean").where("score > 0")
+    a = {r["doc_id"] for r in searcher.search(qs[0], k=50).collect()}
+    b = {r["doc_id"] for r in searcher.search(qs[1], k=50).collect()}
+    assert {r["doc_id"] for r in both.collect()} <= (a & b)
+    # harmonic: same zero-annihilation property
+    h = hybrid_search(searcher, qs, k=50, top_n=50,
+                      combination="harmonic_mean").where("score > 0")
+    assert {r["doc_id"] for r in h.collect()} <= (a & b)
+    # weights validation
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hybrid_search(searcher, qs, weights=[1.0])
