@@ -958,6 +958,32 @@ def search_ids(spark, sf_dir):
     return s.score(Ids(values=[1, 2, 3, 5, 8])).orderBy("doc_id")
 
 
+@q("search_field_alias", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'spark' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'spark'),
+scored AS (SELECT tf.doc_id, round({O.bm25_term()}, 4) AS score
+           FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+SELECT s.doc_id, s.score FROM scored s JOIN documents d USING (doc_id)
+WHERE d.lang = 'py'
+ORDER BY s.score DESC, s.doc_id LIMIT 10
+""")
+def search_field_alias(spark, sf_dir):
+    """alias field type (index/mapper/FieldAliasMapper.java): queries
+    naming the alias ('body', 'language') resolve to their path targets
+    ('text', 'lang') through a generic pre-execution AST rewrite
+    (queries.resolve_field_aliases) — search/agg/sort indirection with
+    zero runtime cost."""
+    from opensearch_spark.search.queries import resolve_field_aliases
+
+    s = get_searcher(spark, sf_dir)
+    q_alias = Bool(must=[Match(field="body", text="spark")],
+                   filter=[Term(field="language", value="py")])
+    resolved = resolve_field_aliases(
+        q_alias, {"body": "text", "language": "lang"})
+    return s.search(resolved, k=10, mode="exhaustive", round_scores=4)
+
+
 @q("api_mget", """
 WITH req AS (SELECT * FROM (VALUES (1, 13), (2, 2), (3, 99999999),
                                    (4, 5)) AS v(ord, doc_id))

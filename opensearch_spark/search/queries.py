@@ -812,3 +812,36 @@ def from_dsl(d: dict) -> Query:
 
         return from_dsl(json.loads(base64.b64decode(body["query"])))
     raise ValueError(f"unsupported query kind: {kind}")
+
+
+def resolve_field_aliases(q: Query, aliases: dict[str, str]) -> Query:
+    """Field alias resolution (index/mapper/FieldAliasMapper.java): an
+    ``alias`` field type is a query-time indirection — searches, aggs and
+    sorts naming the alias hit its ``path`` target. Applied as a generic
+    pre-execution AST rewrite: every ``field`` attribute and every name
+    in a ``fields`` list maps through the alias table; sub-queries and
+    clause lists recurse. Aliases never chain (the reference forbids an
+    alias pointing at an alias), so one pass suffices."""
+    import dataclasses
+
+    def walk(node):
+        if isinstance(node, (list, tuple)):
+            out = [walk(x) for x in node]
+            return type(node)(out) if isinstance(node, tuple) else out
+        if not dataclasses.is_dataclass(node):
+            return node
+        kw = {}
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            if f.name == "field" and isinstance(v, str):
+                v = aliases.get(v, v)
+            elif f.name == "fields" and isinstance(v, (list, tuple)) \
+                    and all(isinstance(x, str) for x in v):
+                mapped = [aliases.get(x, x) for x in v]
+                v = type(v)(mapped) if isinstance(v, tuple) else mapped
+            else:
+                v = walk(v)
+            kw[f.name] = v
+        return dataclasses.replace(node, **kw)
+
+    return walk(q)
