@@ -958,6 +958,41 @@ def search_ids(spark, sf_dir):
     return s.score(Ids(values=[1, 2, 3, 5, 8])).orderBy("doc_id")
 
 
+@q("search_soft_deletes",
+   O.match_sql(["spark", "table"], k=10,
+               extra_filter="doc_id NOT IN (3, 7, 11)"))
+def search_soft_deletes(spark, sf_dir):
+    """Soft deletes (Lucene liveDocs model; InternalEngine delete →
+    soft-deletes field): tombstones append under <index>/deletes/, the
+    immutable postings stay untouched, results exclude the ids at decode
+    time while df/N/avgdl keep counting them until an expunging rebuild
+    (un-merged-segment semantics) — which is why the oracle is the plain
+    BM25 twin with only a result-set NOT IN filter."""
+    import shutil
+
+    from opensearch_spark.index.build import (InvertedIndex, delete_docs)
+    from opensearch_spark.search import Searcher
+
+    s = get_searcher(spark, sf_dir)
+    src = s.index.path
+    dst = src + "_softdel"
+    marker = os.path.join(dst, "meta.json")
+    import json as _json
+
+    fresh = False
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            fresh = _json.load(f).get("doc_count") == s.index.meta.get(
+                "doc_count")
+    if not fresh:
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+        delete_docs(spark, dst, [3, 7, 11])
+    s2 = Searcher(spark, InvertedIndex(dst))
+    return s2.search(Match(field="text", text="spark table"), k=10,
+                     mode="wand", round_scores=4)
+
+
 @q("search_field_alias", f"""
 WITH {O.TOK_CTES},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'spark' GROUP BY doc_id),

@@ -616,8 +616,54 @@ class InvertedIndex:
             return self._cached[name]
         return spark.read.parquet(os.path.join(self.path, name))
 
+    # ---------- soft deletes (Lucene liveDocs parity) ----------
+    #: literal NOT-IN is used (scan-evaluable, tiny expression) up to this
+    #: many tombstones; beyond it the doc-bearing tables take a broadcast
+    #: anti-join against the deletes table instead
+    TOMBSTONE_ISIN_MAX = 1024
+
+    @property
+    def _deletes_dir(self) -> str:
+        return os.path.join(self.path, "deletes")
+
+    def tombstones(self, spark: SparkSession):
+        """Sorted int64 array of soft-deleted doc ids, or None when the
+        index has no deletes. Collected and cached on the driver — the
+        exact posture of Lucene's in-RAM liveDocs bitset per segment
+        (soft-deleted docs stay in postings and STATS until a merge
+        expunges them; only result sets exclude them). Memory bound:
+        8 bytes per tombstone until expunge-by-rebuild."""
+        if getattr(self, "_tomb_loaded", False):
+            return self._tomb
+        self._tomb = None
+        if os.path.isdir(self._deletes_dir):
+            import numpy as _np
+
+            rows = (spark.read.parquet(self._deletes_dir)
+                    .select("doc_id").distinct().collect())
+            if rows:
+                self._tomb = _np.sort(
+                    _np.array([r["doc_id"] for r in rows], dtype="int64"))
+        self._tomb_loaded = True
+        return self._tomb
+
+    def refresh_tombstones(self) -> None:
+        """Invalidate the cached delete set (call after delete_docs)."""
+        self._tomb_loaded = False
+
+    def _live(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        """Filter a doc_id-bearing frame to live (non-deleted) docs."""
+        tomb = self.tombstones(spark)
+        if tomb is None:
+            return df
+        if len(tomb) <= self.TOMBSTONE_ISIN_MAX:
+            return df.where(~F.col("doc_id").isin([int(x) for x in tomb]))
+        dels = spark.read.parquet(self._deletes_dir) \
+            .select("doc_id").distinct()
+        return df.join(F.broadcast(dels), "doc_id", "left_anti")
+
     def docs(self, spark: SparkSession) -> DataFrame:
-        return self._table(spark, "docs")
+        return self._live(spark, self._table(spark, "docs"))
 
     def postings(self, spark: SparkSession) -> DataFrame:
         return self._table(spark, "postings")
@@ -626,7 +672,7 @@ class InvertedIndex:
         return self._table(spark, "dictionary")
 
     def positions(self, spark: SparkSession) -> DataFrame:
-        return self._table(spark, "positions")
+        return self._live(spark, self._table(spark, "positions"))
 
     def postings_for_terms(self, spark: SparkSession, terms: list[str]) -> DataFrame:
         """Term-pruned posting-block scan: directory pruning via ``part`` +
@@ -645,7 +691,10 @@ class InvertedIndex:
         the built docs table and the source corpus. Returns #mismatches."""
         field = field or self.meta["field"]
         src = corpus.select(F.sha2(F.col(field), 256).alias("src_sha"))
-        built = self.docs(spark).select(F.col("content_sha256").alias("src_sha"))
+        # raw table: the invariant is vs the ingested corpus, so soft
+        # deletes (query-time liveDocs) must not affect it
+        built = self._table(spark, "docs") \
+            .select(F.col("content_sha256").alias("src_sha"))
         # multiset equality via full-outer count compare
         a = src.groupBy("src_sha").count().withColumnRenamed("count", "a")
         b = built.groupBy("src_sha").count().withColumnRenamed("count", "b")
@@ -653,3 +702,24 @@ class InvertedIndex:
             F.coalesce("a", F.lit(0)) != F.coalesce("b", F.lit(0))
         )
         return j.count()
+
+
+def delete_docs(spark: SparkSession, index_path: str,
+                doc_ids: list[int]) -> int:
+    """Soft-delete documents by id (the engine's delete/_delete_by_query
+    write path — Lucene's soft-deletes model: a tombstone is APPENDED,
+    the immutable postings stay untouched, and searches exclude the ids
+    at query time via the cached liveDocs set; stats keep counting them
+    until an expunging rebuild, exactly like un-merged Lucene segments).
+
+    Each call appends one parquet file under ``<index>/deletes/`` —
+    write-once like segments, so concurrent deleters never conflict.
+    Returns the number of ids written. Callers holding an
+    ``InvertedIndex``/``Searcher`` must ``refresh_tombstones()`` (or
+    rebuild the handle) to observe the new deletes."""
+    if not doc_ids:
+        return 0
+    (spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+     .coalesce(1).write.mode("append")
+     .parquet(os.path.join(index_path, "deletes")))
+    return len(doc_ids)

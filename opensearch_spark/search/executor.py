@@ -211,8 +211,11 @@ class Searcher:
 
     def _flat_postings(self, terms: list[str]) -> DataFrame:
         """Decoded (term, doc_id, tf, dl) for the given terms — vectorized
-        block decode in mapInPandas."""
+        block decode in mapInPandas. Soft-deleted docs drop at decode time
+        (liveDocs; stats intentionally keep counting them until an
+        expunging rebuild — Lucene's un-merged-segment behavior)."""
         blocks = self._blocks_for_terms(terms)
+        tomb = self.index.tombstones(self.spark)
 
         def decode(batches):
             from opensearch_spark.index.codec import varbyte_decode
@@ -229,11 +232,20 @@ class Searcher:
                     if n > 1:
                         np.cumsum(gaps, out=docs[1:])
                         docs[1:] += first_doc
+                    tf = varbyte_decode(tvb).astype(np.int64)
+                    dl = varbyte_decode(lvb).astype(np.int64)
+                    if tomb is not None and docs.size:
+                        idx = np.searchsorted(tomb, docs)
+                        dead = (idx < tomb.size) \
+                            & (tomb[np.minimum(idx, tomb.size - 1)] == docs)
+                        if dead.any():
+                            live = ~dead
+                            docs, tf, dl = docs[live], tf[live], dl[live]
                     outs.append(pd.DataFrame({
                         "term": term,
                         "doc_id": docs,
-                        "tf": varbyte_decode(tvb).astype(np.int64),
-                        "dl": varbyte_decode(lvb).astype(np.int64),
+                        "tf": tf,
+                        "dl": dl,
                     }))
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
@@ -334,7 +346,8 @@ class Searcher:
             .sortWithinPartitions("bucket", "term_idx")
         )
         fn = wand_partition_fn(
-            list(weights), k, self.k1, self.b, self.avgdl, n_required
+            list(weights), k, self.k1, self.b, self.avgdl, n_required,
+            tombstones=self.index.tombstones(self.spark),
         )
         part_topk = ordered.select(
             "bucket", "term_idx", "first_doc", "n", "max_impact",

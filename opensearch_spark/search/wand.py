@@ -63,6 +63,7 @@ def _score_bucket(
     avgdl: float,
     n_required: int,
     theta: float,
+    tombstones: "np.ndarray | None" = None,
 ):
     """Exact per-doc scores for one bucket, with block-level skipping.
 
@@ -115,6 +116,14 @@ def _score_bucket(
         counts = np.diff(np.concatenate((starts, [all_docs.size])))
         ok = counts >= n_required
         uniq_docs, sums = uniq_docs[ok], sums[ok]
+    if tombstones is not None and uniq_docs.size:
+        # liveDocs check at scoring time (Lucene posture): dropping docs
+        # only lowers realized scores, so every skip bound stays strict.
+        # tombstones is sorted → membership via searchsorted.
+        idx = np.searchsorted(tombstones, uniq_docs)
+        dead = (idx < tombstones.size) \
+            & (tombstones[np.minimum(idx, tombstones.size - 1)] == uniq_docs)
+        uniq_docs, sums = uniq_docs[~dead], sums[~dead]
     return uniq_docs, sums
 
 
@@ -132,6 +141,7 @@ def wand_partition_fn(
     avgdl: float,
     n_required: int,
     max_buffer_rows: int | None = None,
+    tombstones: "np.ndarray | None" = None,
 ):
     """Build the mapInPandas function: block rows (sorted by bucket within
     the partition) → this partition's top-k.
@@ -172,7 +182,8 @@ def wand_partition_fn(
                 continue
             s, e = int(starts[i]), int(ends[i])
             res = _score_bucket(
-                pdf.iloc[s:e], w, k1, b, avgdl, n_required, topk.threshold)
+                pdf.iloc[s:e], w, k1, b, avgdl, n_required, topk.threshold,
+                tombstones)
             if res is not None:
                 topk.merge(*res)
 
