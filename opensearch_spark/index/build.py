@@ -723,3 +723,26 @@ def delete_docs(spark: SparkSession, index_path: str,
      .coalesce(1).write.mode("append")
      .parquet(os.path.join(index_path, "deletes")))
     return len(doc_ids)
+
+
+def expunge_deletes(spark: SparkSession, index_path: str,
+                    out_dir: str) -> "InvertedIndex":
+    """Expunge soft deletes by rebuild (Lucene forcemerge with
+    ``only_expunge_deletes``): re-index the LIVE docs into ``out_dir``
+    with the original index config (recovered from meta.json). After the
+    expunge, df/N/avgdl no longer count the deleted docs and the new
+    tree carries no tombstones — the merged-segment end state. The old
+    tree stays untouched (immutable snapshots; callers swap paths)."""
+    idx = InvertedIndex(index_path)
+    m = idx.meta
+    cfg = IndexConfig(
+        field=m["field"], analyzer=m["analyzer"], id_col="doc_id",
+        keyword_cols=tuple(m.get("keyword_cols", ())),
+        n_parts=int(m["n_parts"]),
+        bucket_span=int(m.get("bucket_span", 1 << 15)),
+        k1=float(m["k1"]), b=float(m["b"]),
+        with_positions=bool(m.get("with_positions")),
+        index_options=m.get("index_options", "freqs"))
+    live = idx.docs(spark)  # accessor already excludes tombstones
+    drop = [c for c in ("dl", "content_sha256") if c in live.columns]
+    return build_index(spark, live.drop(*drop), out_dir, cfg)

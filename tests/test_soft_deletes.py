@@ -90,3 +90,34 @@ def test_no_deletes_dir_is_zero_cost(spark, sf_dir, tmp_path):
 
 def test_empty_delete_list_is_noop(spark, del_index):
     assert delete_docs(spark, del_index, []) == 0
+
+
+def test_expunge_deletes_rebuild(spark, del_index, tmp_path):
+    """forcemerge only_expunge_deletes: the rebuilt tree excludes the
+    tombstoned docs from STATS too, and carries no deletes dir."""
+    import os
+
+    from opensearch_spark.index.build import expunge_deletes
+
+    s = _searcher(spark, del_index)
+    if s.index.tombstones(spark) is None:  # self-sufficient when run alone
+        first = s.search(Q.Match(field="text", text="the"), k=1,
+                         mode="exhaustive").collect()[0]["doc_id"]
+        delete_docs(spark, del_index, [first])
+        s = _searcher(spark, del_index)
+    n_dead = len(s.index.tombstones(spark))
+    assert n_dead >= 1
+    out = str(tmp_path / "expunged")
+    idx2 = expunge_deletes(spark, del_index, out)
+    assert idx2.doc_count == s.index.doc_count - n_dead
+    assert idx2.tombstones(spark) is None
+    assert not os.path.isdir(os.path.join(out, "deletes"))
+    # results identical to the tombstone-filtered search (scores differ:
+    # stats legitimately change at expunge, like a Lucene merge)
+    got = {r["doc_id"] for r in Searcher(spark, idx2).search(
+        Q.Match(field="text", text="the"), k=1000, mode="exhaustive")
+        .collect()}
+    want = {r["doc_id"] for r in s.search(
+        Q.Match(field="text", text="the"), k=1000, mode="exhaustive")
+        .collect()}
+    assert got == want
