@@ -404,6 +404,20 @@ class Searcher:
             return F.col(q.field).rlike("^(" + q.value + ")$")
         return None
 
+    def delete_by_query(self, q) -> None:
+        """_delete_by_query against the live index (modules/reindex
+        Reindexer.java delete mode), as SOFT deletes: the matching doc
+        ids are appended to the tombstone table as a distributed write —
+        never collected to the driver, so a query matching 10^9 docs
+        tombstones them in one job. Refreshes this searcher's cached
+        liveDocs set so subsequent searches exclude the matches."""
+        import os as _os
+
+        (self.matching_docs(q).select("doc_id").distinct()
+         .write.mode("append")
+         .parquet(_os.path.join(self.index.path, "deletes")))
+        self.index.refresh_tombstones()
+
     def matching_docs(self, q) -> DataFrame:
         """Filter context: DataFrame of matching doc_id (no score)."""
         pred = self._docs_predicate(q)

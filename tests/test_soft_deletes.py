@@ -121,3 +121,25 @@ def test_expunge_deletes_rebuild(spark, del_index, tmp_path):
         Q.Match(field="text", text="the"), k=1000, mode="exhaustive")
         .collect()}
     assert got == want
+
+
+def test_delete_by_query_distributed_tombstones(spark, sf_dir, tmp_path):
+    """_delete_by_query as soft deletes: distributed tombstone write (no
+    driver collect), immediate exclusion after the built-in refresh."""
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    path = str(tmp_path / "dbq")
+    build_index(spark, corpus, path,
+                IndexConfig(field="text", analyzer="standard",
+                            keyword_cols=("lang",), n_parts=2,
+                            bucket_span=1 << 12))
+    s = _searcher(spark, path)
+    n_de = s.matching_docs(Q.Term(field="lang", value="de")).count()
+    assert n_de > 0
+    s.delete_by_query(Q.Term(field="lang", value="de"))
+    # keyword path excludes them without a new handle
+    assert s.matching_docs(Q.Term(field="lang", value="de")).count() == 0
+    # scoring path excludes them too
+    hit_langs = {r["lang"] for r in s.fetch(
+        s.search(Q.Match(field="text", text="the"), k=50,
+                 mode="exhaustive"), ["lang"]).collect()}
+    assert "de" not in hit_langs
