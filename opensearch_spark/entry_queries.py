@@ -2230,6 +2230,42 @@ def text_bpe_encode(spark, sf_dir):
             .select("doc_id", "n_tokens").orderBy("doc_id"))
 
 
+@q("curation_chunk_documents", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE doc_id < 40
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS start_token
+  FROM t WHERE len(toks) > 0
+),
+c AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_token) - 1
+              AS INT) AS chunk_id,
+         CAST(start_token AS INT) AS start_token,
+         list_slice(toks, start_token + 1, start_token + 32) AS chunk
+  FROM s
+)
+SELECT doc_id, chunk_id, start_token,
+       CAST(len(chunk) AS INT) AS n_chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+""")
+def curation_chunk_documents(spark, sf_dir):
+    """RAG-ingestion chunking (ml/curation.py chunk_documents): 32-token
+    chunks, 8-token overlap between consecutive chunks — pure codegen
+    sequence+slice, no UDF, no shuffle; the oracle mirrors it with
+    range()/list_slice."""
+    from opensearch_spark.ml.curation import chunk_documents
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 40)
+    return (chunk_documents(d, "text", "doc_id",
+                            chunk_tokens=32, overlap=8)
+            .orderBy("doc_id", "chunk_id"))
+
+
 @q("curation_gopher_quality", f"""
 WITH words AS (
     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

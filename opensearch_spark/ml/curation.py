@@ -415,3 +415,45 @@ def dsir_log_importance(
     return scored.select(
         id_col, "n_tokens", "log_importance",
         (F.col("log_importance") > 0).alias("keep"))
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 128,
+                    overlap: int = 0) -> DataFrame:
+    """RAG-ingestion chunking: split each document's whitespace-token
+    stream into fixed-size chunks with ``overlap`` tokens of context
+    carried between consecutive chunks (the standard retrieval-corpus
+    prep step before embedding).
+
+    Pure codegen: one sequence() over chunk starts + a transform/slice —
+    no UDF, no shuffle (chunking is embarrassingly per-row; the explode
+    multiplies rows ~n_tokens/stride, which IS the output). Chunk starts
+    advance by ``chunk_tokens - overlap``; the last chunk may be short
+    but is never empty; single-token docs produce exactly one chunk.
+
+    Returns (id, chunk_id, start_token, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # last start must still contribute NEW tokens (its fresh content
+    # begins at start+overlap), so starts run to size - overlap - 1 —
+    # otherwise a trailing chunk could be pure overlap of its predecessor
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(F.col("_toks")) - overlap - 1, F.lit(0)),
+        F.lit(stride))
+    chunk = F.col("start_token")
+    return (df.where(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col), toks.alias("_toks"))
+            .select(id_col, F.col("_toks"),
+                    F.posexplode(starts).alias("chunk_id", "start_token"))
+            .select(
+                id_col, "chunk_id", "start_token",
+                F.slice(F.col("_toks"), chunk + 1, chunk_tokens)
+                .alias("_chunk"))
+            .select(
+                id_col, "chunk_id", "start_token",
+                F.size("_chunk").alias("n_chunk_tokens"),
+                F.concat_ws(" ", "_chunk").alias("chunk_text")))

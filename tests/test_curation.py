@@ -342,3 +342,37 @@ def test_dsir_is_codegen_with_broadcast_weights(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # weights join the docs broadcast
+
+
+def test_chunk_documents_semantics(spark):
+    from opensearch_spark.ml.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+         (2, "solo"),                                 # 1 token -> 1 chunk
+         (3, "   ")],                                 # blank -> no chunks
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["chunk_id"]): r for r in
+           chunk_documents(df, chunk_tokens=8, overlap=4).collect()}
+    # doc 1: stride 4, starts run to size-overlap-1=5 -> [0, 4]
+    assert {k for k in out if k[0] == 1} == {(1, 0), (1, 1)}
+    assert out[(1, 0)]["chunk_text"].split() == [f"t{i}" for i in range(8)]
+    assert out[(1, 1)]["start_token"] == 4
+    assert out[(1, 1)]["chunk_text"].split() == [f"t{i}" for i in range(4, 10)]
+    assert out[(1, 1)]["n_chunk_tokens"] == 6
+    # overlap: chunk 1 repeats chunk 0's last 4 tokens, adds new ones
+    assert out[(2, 0)]["chunk_text"] == "solo"
+    assert not any(k[0] == 3 for k in out)
+    # no trailing all-overlap chunk
+    assert max(k[1] for k in out if k[0] == 1) == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from opensearch_spark.ml.curation import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
