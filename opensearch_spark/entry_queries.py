@@ -4409,6 +4409,88 @@ def sim_ivf_fixed_topk(spark, sf_dir):
                       centroids=hyperplanes(8, EMB_DIM))
 
 
+#: PQ gate geometry — 4 subspaces × 8 codewords over the 64-dim fixture
+#: (subdim 16). Shared by the oracle builder and the gate so engine and
+#: SQL codebooks/query can never diverge.
+PQ_NSUB, PQ_KSUB = 4, 8
+
+
+def _pq_query_vec() -> list[float]:
+    """Deterministic PQ query vector (md5-derived constants, 'pqq:' salt):
+    the gate's query is a FIXED literal, so the oracle's ADC distance
+    table inlines the byte-identical doubles the engine computes —
+    stronger parity than a data-drawn query (no float-drift surface at
+    all in the final summed value)."""
+    import hashlib as _h
+
+    return [(int(_h.md5(f"pqq:{d}".encode()).hexdigest()[:8], 16)
+             / float(2 ** 32)) * 2.0 - 1.0 for d in range(EMB_DIM)]
+
+
+def _pq_fixed_sql() -> str:
+    """Oracle for sim_pq_topk — every PQ stage is SQL-expressible because
+    codebooks AND query are fixed constants: per-subspace code = first-max
+    argmax of (2·dot(sub, c_j) − ||c_j||²) via row_number (the exact
+    ``_pq_code_expr`` fold), ADC = a literal-array lookup chain whose
+    distance-table doubles are computed by the SAME Python loop that
+    builds the engine's literals."""
+    subdim = EMB_DIM // PQ_NSUB
+    books = S.pq_codebooks_fixed(PQ_NSUB, PQ_KSUB, subdim)
+    qv = _pq_query_vec()
+    cbs, assigns, joins, qd_lookups = [], [], [], []
+    for m, book in enumerate(books):
+        lits = ", ".join(
+            f"({j}, [{', '.join(repr(x) for x in c)}], "
+            f"{sum(x * x for x in c)!r})"
+            for j, c in enumerate(book))
+        cbs.append(f"cb{m}(j, cv, c2) AS (VALUES {lits})")
+        lo, hi = m * subdim + 1, (m + 1) * subdim
+        assigns.append(f"""a{m} AS (
+    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+        ORDER BY 2 * list_dot_product(v[{lo}:{hi}], cv) - c2 DESC, j ASC
+    ) AS rn FROM e CROSS JOIN cb{m})""")
+        joins.append(
+            f"JOIN (SELECT vec_id, j AS code{m} FROM a{m} WHERE rn = 1) "
+            f"c{m} USING (vec_id)")
+        qsub = qv[lo - 1:hi]
+        dists = []
+        for c in book:
+            s = 0.0
+            for x, y in zip(qsub, c):
+                s += (float(x) - float(y)) ** 2
+            dists.append(s)
+        qd_lookups.append(
+            f"list_extract([{', '.join(repr(d) for d in dists)}], "
+            f"code{m} + 1)")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{', '.join(cbs)},
+{', '.join(assigns)},
+sel AS (SELECT e.vec_id{''.join(f', code{m}' for m in range(PQ_NSUB))}
+        FROM e {' '.join(joins)})
+SELECT vec_id, round({' + '.join(qd_lookups)}, 6) AS adc
+FROM sel ORDER BY adc ASC, vec_id ASC LIMIT 10
+"""
+
+
+@q("sim_pq_topk", _pq_fixed_sql())
+def sim_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (k-NN plugin faiss IVF-PQ encoder
+    family, `PQ4x3` geometry here; Jegou et al. TPAMI 2011) with FIXED
+    md5-derived codebooks — the hash-gated twin of the Lloyd-trained
+    ``pq_train`` path (rows-only recall-tested in tests/test_ml.py,
+    mirroring the ivf_topk / ivf_fixed_topk split). Encoding is one
+    codegen scan (codes materializable at build time: 64-dim float32 →
+    4 small codes, the 100 TB memory story); the query never touches raw
+    vectors — ADC is a literal distance-table lookup chain."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = int(emb.select(F.size("embedding").alias("d")).first()["d"])
+    if dim != EMB_DIM:  # keep engine + oracle codebook dims in lockstep
+        raise ValueError(f"embeddings dim {dim} != EMB_DIM {EMB_DIM}")
+    books = S.pq_codebooks_fixed(PQ_NSUB, PQ_KSUB, EMB_DIM // PQ_NSUB)
+    return S.pq_adc_topk(emb, _pq_query_vec(), books, k=10)
+
+
 _ANN_CACHE: dict[str, "S.AnnIndex"] = {}
 
 

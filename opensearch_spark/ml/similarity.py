@@ -547,3 +547,160 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.42, n_planes: int = 8,
     pairs = embedding_near_dup_pairs(df, threshold, n_planes, vec_col, id_col)
     removed = pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(removed.hint("merge"), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# product quantization (the k-NN plugin's faiss IVF-PQ encoder path —
+# `PQ<m>x<b>` encoder in the reference ecosystem's method spec; algorithm:
+# Jegou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks_fixed(n_sub: int, ksub: int,
+                       subdim: int) -> list[list[list[float]]]:
+    """Deterministic md5-derived per-subspace codebooks — the same
+    fixed-constants posture as ``hyperplanes``: the identical literals
+    inline into the engine's Catalyst expressions and the DuckDB oracle
+    SQL, so the PQ gate is fully hash-checked (the Lloyd-trained
+    ``pq_train`` codebooks stay rows-only / recall-tested, mirroring the
+    ivf_topk / ivf_fixed_topk split)."""
+    import hashlib
+
+    books = []
+    for m in range(n_sub):
+        book = []
+        for j in range(ksub):
+            row = []
+            for d in range(subdim):
+                h = int(hashlib.md5(
+                    f"pq:{m}:{j}:{d}".encode()).hexdigest()[:8], 16)
+                row.append((h / float(2 ** 32)) * 2.0 - 1.0)
+            book.append(row)
+        books.append(book)
+    return books
+
+
+def pq_train(df: DataFrame, n_sub: int = 4, ksub: int = 8,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_iters: int = 2,
+             oversample: int | None = None) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks deterministically, k-means||-style
+    (same discipline as ``kmeanspp_centroids``): ONE distributed pass
+    collects an md5-ranked oversampled pool, farthest-point seeding + the
+    Lloyd refinements run per subspace over the tiny pool DRIVER-SIDE in
+    numpy — O(pool · ksub · n_sub) work on ≤ a few hundred vectors.
+
+    Scale shape: table scans = 1, independent of n_sub and ksub (the
+    classic faiss recipe also trains on a bounded sample, not the corpus).
+    Returns ``codebooks[m][j][d]`` with d over ``dim / n_sub``.
+    """
+    import numpy as np
+
+    pool_n = int(oversample or max(8 * ksub, 64))
+    pool_rows = (df.select(id_col, vec_col)
+                 .withColumn("_r", F.md5(F.col(id_col).cast("string")))
+                 .orderBy("_r", id_col).limit(pool_n)
+                 .select(id_col, vec_col).collect())
+    pool_rows.sort(key=lambda r: r[id_col])
+    pool = np.asarray([[float(x) for x in r[vec_col]] for r in pool_rows],
+                      dtype=np.float64)
+    if pool.shape[0] == 0:
+        return []
+    dim = pool.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"pq_train: dim {dim} not divisible by n_sub {n_sub}")
+    subdim = dim // n_sub
+    books = []
+    for m in range(n_sub):
+        sub = pool[:, m * subdim:(m + 1) * subdim]
+        k = min(ksub, sub.shape[0])
+        chosen = [0]
+        d2 = ((sub - sub[0]) ** 2).sum(axis=1)
+        while len(chosen) < k:
+            j = int(d2.argmax())  # first max -> deterministic tie-break
+            chosen.append(j)
+            d2 = np.minimum(d2, ((sub - sub[j]) ** 2).sum(axis=1))
+        cents = sub[chosen].copy()
+        for _ in range(n_iters):
+            # Lloyd over the pool: assign by squared distance, re-mean
+            dists = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = dists.argmin(axis=1)
+            for j in range(k):
+                sel = sub[assign == j]
+                if len(sel):
+                    cents[j] = sel.mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def _pq_code_expr(vec_col: str, book: list[list[float]], m: int, subdim: int):
+    """argmin_j ||sub_m(v) - c_j||² as a Catalyst expression over the
+    subvector slice — argmax_j (2·sub·c_j − ||c_j||²), ties to the
+    smallest j (the ``_nearest_centroid_expr`` semantics).
+
+    Construction is ``array_max`` over struct(score, -j) — LINEAR
+    expression size in ksub. The when-chain fold used for small coarse
+    codebooks duplicates its running best at every step (O(2^k) tree);
+    at PQ codebook sizes (16-256 codewords) that detonates the driver,
+    while the struct-max lexicographic compare is one array of k
+    entries."""
+    sub = F.slice(F.col(vec_col), m * subdim + 1, subdim)
+    entries = []
+    for j, c in enumerate(book):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        c2 = sum(x * x for x in c)
+        s = 2.0 * _dot(sub, arr) - F.lit(float(c2))
+        entries.append(F.struct(s.alias("s"), F.lit(-j).alias("nj")))
+    best = F.array_max(F.array(*entries))
+    return (-best["nj"]).cast("int")
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Encode vectors to their PQ codes: (id, code_0 … code_{M-1}), one
+    small int per subspace. This is the 100 TB memory story — a 64-dim
+    float32 vector (256 B) becomes M bytes (32× at M=8), and the codes
+    table is materialized ONCE at build time (AnnIndex discipline) so
+    query-time scoring never touches the raw vectors. Pure codegen: the
+    per-subspace argmin folds run JVM-side in one scan, no shuffle."""
+    subdim = len(codebooks[0][0])
+    cols = [_pq_code_expr(vec_col, book, m, subdim).alias(f"code_{m}")
+            for m, book in enumerate(codebooks)]
+    return df.select(F.col(id_col), *cols)
+
+
+def pq_adc_topk(df: DataFrame, query_vec: list[float],
+                codebooks: list[list[list[float]]], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                exclude_id: int | None = None) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k, ascending squared L2: the query
+    builds an M×ksub distance table DRIVER-SIDE (M·ksub·subdim flops,
+    query-scale not corpus-scale); each doc's distance is then
+    Σ_m table[m][code_m] — a literal-array ``element_at`` lookup chain
+    over the codes, zero per-row vector math at query time. Plan: one
+    scan (of the materializable codes) + TakeOrderedAndProject; the
+    lookup stays inside whole-stage codegen.
+
+    Distance-table terms sum left-to-right per subspace, mirroring the
+    SQL twin's literal order, so engine and oracle add identical doubles
+    in identical order (hash-stable)."""
+    subdim = len(codebooks[0][0])
+    codes = pq_encode(df, codebooks, vec_col, id_col)
+    adc = None
+    for m, book in enumerate(codebooks):
+        qsub = query_vec[m * subdim:(m + 1) * subdim]
+        dists = []
+        for c in book:
+            s = 0.0
+            for x, y in zip(qsub, c):
+                s += (float(x) - float(y)) ** 2
+            dists.append(s)
+        lookup = F.element_at(F.array(*[F.lit(d) for d in dists]),
+                              F.col(f"code_{m}") + 1)
+        adc = lookup if adc is None else adc + lookup
+    out = codes.select(F.col(id_col), F.round(adc, 6).alias("adc"))
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != exclude_id)
+    return out.orderBy(F.asc("adc"), F.asc(id_col)).limit(k)
