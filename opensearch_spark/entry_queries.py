@@ -6718,6 +6718,69 @@ def search_annotated_text(spark, sf_dir):
             .orderBy("doc_id").limit(50))
 
 
+from opensearch_spark.search import flatobject as FO  # noqa: E402
+
+
+def _flat_json_col():
+    """Deterministic derived flat_object source (corpus has no JSON
+    object columns — same derivation posture as the geo/ip families):
+    a depth-3 object over existing columns, every leaf a string."""
+    return F.to_json(F.struct(
+        F.struct(
+            F.col("source").alias("src"),
+            F.concat(F.lit("b"), (F.col("n_chars") % 5).cast("string"))
+            .alias("band")).alias("app"),
+        F.col("lang").alias("lang"),
+        F.struct(F.struct(
+            F.concat(F.lit("t"), (F.col("doc_id") % 3).cast("string"))
+            .alias("tag")).alias("x")).alias("deep"),
+    ))
+
+
+@q("api_flat_object_flatten", """
+WITH d AS (SELECT doc_id, source, lang, n_chars FROM documents
+           WHERE doc_id < 15),
+leaves AS (
+  SELECT doc_id, 'app.src' AS path, source AS value FROM d
+  UNION ALL
+  SELECT doc_id, 'app.band', 'b' || CAST(n_chars % 5 AS VARCHAR) FROM d
+  UNION ALL
+  SELECT doc_id, 'lang', lang FROM d
+  UNION ALL
+  SELECT doc_id, 'deep.x.tag', 't' || CAST(doc_id % 3 AS VARCHAR) FROM d)
+SELECT doc_id, path, value FROM leaves ORDER BY doc_id, path
+""")
+def api_flat_object_flatten(spark, sf_dir):
+    """flat_object leaf extraction (FlatObjectFieldMapper.java): the
+    GENERIC bounded-depth flattener (iterated from_json map parse +
+    explode, pure codegen — `search/flatobject.py`) run over the derived
+    depth-3 JSON; the oracle enumerates the same leaves directly from
+    the base columns. Output is the (doc_id, dotted path, value) triple
+    stream the mapper would index as its _valueAndPath terms."""
+    d = _docs(spark, sf_dir).withColumn("_fo", _flat_json_col())
+    return (FO.flatten_json(d.where(F.col("doc_id") < 15), "_fo")
+            .orderBy("doc_id", "path"))
+
+
+@q("search_flat_object", """
+SELECT doc_id, source FROM documents
+WHERE doc_id % 3 = 1 AND n_chars % 5 = 2 ORDER BY doc_id
+""")
+def search_flat_object(spark, sf_dir):
+    """flat_object term queries, both streams of the mapper: a
+    dotted-path term (deep.x.tag = 't1' — the _valueAndPath stream) AND
+    a value-only term ('b2' matching ANY leaf — the root-field stream),
+    intersected in filter context. The flatten runs once per stream over
+    the derived JSON (materializable at build time); matching is a
+    filter + distinct + semi-join — no scoring, keyword semantics."""
+    d = _docs(spark, sf_dir).withColumn("_fo", _flat_json_col())
+    by_path = FO.flat_object_match(d, "_fo", "t1", path="deep.x.tag")
+    by_value = FO.flat_object_match(d, "_fo", "b2")
+    return (d.join(by_path, "doc_id", "left_semi")
+            .join(by_value, "doc_id", "left_semi")
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
 from opensearch_spark.index import mapping as MAP  # noqa: E402
 
 

@@ -669,3 +669,32 @@ def test_hybrid_search_modes(searcher):
     import pytest as _pt
     with _pt.raises(ValueError):
         hybrid_search(searcher, qs, weights=[1.0])
+
+
+def test_flatten_json_generic_shapes(spark):
+    """Generic flat_object flattener: depth recursion, dotted paths,
+    multiple leaves, depth-cap remnants kept as raw terms."""
+    from opensearch_spark.search import flatobject as FO
+
+    rows = [
+        (1, '{"a": "x", "b": {"c": "y", "d": {"e": "z"}}}'),
+        (2, '{"only": "leaf"}'),
+        (3, '{"deep": {"l2": {"l3": {"l4": "kept-raw"}}}}'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, j string")
+    got = {(r["doc_id"], r["path"], r["value"])
+           for r in FO.flatten_json(df, "j", max_depth=3).collect()}
+    assert (1, "a", "x") in got
+    assert (1, "b.c", "y") in got
+    assert (1, "b.d.e", "z") in got
+    assert (2, "only", "leaf") in got
+    # depth 3 cap: the level-3 object survives as its raw JSON term
+    raw = [v for d, p, v in got if d == 3 and p == "deep.l2.l3"]
+    assert raw and raw[0].startswith("{")
+    # term matching over both streams
+    ids = {r["doc_id"] for r in
+           FO.flat_object_match(df, "j", "y", path="b.c").collect()}
+    assert ids == {1}
+    any_leaf = {r["doc_id"] for r in
+                FO.flat_object_match(df, "j", "leaf").collect()}
+    assert any_leaf == {2}
