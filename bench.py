@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "search_painless_score",
     "agg_session_window",
     "text_bpe_train",
+    # round-3 second-continuation additions
+    "sim_pq_topk",
+    "search_flat_object",
 ]
 
 

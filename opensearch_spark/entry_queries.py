@@ -4487,8 +4487,28 @@ def sim_pq_topk(spark, sf_dir):
     dim = int(emb.select(F.size("embedding").alias("d")).first()["d"])
     if dim != EMB_DIM:  # keep engine + oracle codebook dims in lockstep
         raise ValueError(f"embeddings dim {dim} != EMB_DIM {EMB_DIM}")
-    books = S.pq_codebooks_fixed(PQ_NSUB, PQ_KSUB, EMB_DIM // PQ_NSUB)
-    return S.pq_adc_topk(emb, _pq_query_vec(), books, k=10)
+    return _pq_index(spark, sf_dir).topk(spark, _pq_query_vec(), k=10)
+
+
+_PQ_CACHE: dict[str, "S.PqIndex"] = {}
+
+
+def _pq_index(spark, sf_dir) -> "S.PqIndex":
+    """Build (or reuse) the materialized PQ codes for sf_dir — the gate
+    serves from codes-only scans (PqIndex discipline: the encode scan
+    runs once at build, queries never read the embedding column)."""
+    key = os.path.abspath(sf_dir)
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
+    out = os.path.join(INDEX_ROOT,
+                       hashlib.sha256(key.encode()).hexdigest()[:16] + "_pq")
+    if os.path.exists(os.path.join(out, "meta.json")):
+        idx = S.PqIndex(out)
+    else:
+        books = S.pq_codebooks_fixed(PQ_NSUB, PQ_KSUB, EMB_DIM // PQ_NSUB)
+        idx = S.PqIndex.build(_t(spark, sf_dir, "embeddings"), out, books)
+    _PQ_CACHE[key] = idx
+    return idx
 
 
 _ANN_CACHE: dict[str, "S.AnnIndex"] = {}

@@ -316,3 +316,32 @@ def test_pq_trained_beats_fixed_codebooks(spark):
     got = {r["vec_id"]
            for r in S.pq_adc_topk(emb, qv, fine, k=10).collect()}
     assert len(got & exact_ids) >= 2
+
+
+def test_pq_index_serving_parity_and_codes_only_scan(spark):
+    """The materialized PqIndex serving path returns byte-identical
+    results to the direct encode+score path, and its query plan reads
+    ONLY the codes table (never the embedding column)."""
+    import shutil
+    import tempfile
+    from opensearch_spark.ml import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = S.pq_codebooks_fixed(4, 8, 16)
+    qv = [float(x) for x in emb.where("vec_id = 2").first()["embedding"]]
+    out = tempfile.mkdtemp(prefix="pqidx_")
+    try:
+        idx = S.PqIndex.build(emb, out, books)
+        served = [tuple(r) for r in idx.topk(spark, qv, k=10).collect()]
+        direct = [tuple(r)
+                  for r in S.pq_adc_topk(emb, qv, books, k=10).collect()]
+        assert served == direct
+        plan = idx.topk(spark, qv, k=10)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "embedding" not in plan
+        assert "code_0" in plan
+        # reload from disk round-trips the codebooks
+        again = S.PqIndex(out)
+        assert again.codebooks == books
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
