@@ -6,8 +6,9 @@ the Python stdlib (`zlib`, `struct`). These are complete, spec-correct
 implementations for the subset they claim (PNG: 8-bit non-interlaced
 RGB/RGBA/greyscale, all five filter types; WAV: PCM16 mono/stereo), so
 the multimodal feature-extraction path runs a REAL decode — bit-exact
-round-trip property-tested — rather than the former stub. JPEG/video
-codecs remain honestly stubbed (entropy-coding libs absent).
+round-trip property-tested — rather than the former stub. Baseline
+JPEG is implemented in ml/jpegcodec.py (numpy DCT + pure-Python
+canonical Huffman); only video containers remain stubbed.
 
 Used by ml/multimodal.py's `real_decode` and the `mm_png_features` /
 `mm_wav_features` gates, whose DuckDB oracles recompute the expected

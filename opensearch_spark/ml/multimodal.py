@@ -1,14 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns + typed metadata, processed in Arrow-batched ``mapInPandas``.
 
-Decode status (round 3): PNG images and PCM16 WAV audio are decoded FOR
-REAL — ml/codecs.py implements both formats spec-correct with only the
-stdlib (zlib inflate + all five PNG unfilters; RIFF chunk walk), bit-
-exact round-trip property-tested, and the `mm_png_features` /
-`mm_wav_features` gates hash-match closed-form DuckDB oracles. JPEG and
-video codecs remain honestly stubbed behind ``decoder=`` hooks (entropy
-coders absent from this container); the deterministic fake decoder
-ships for their tests and a real one (PIL/av) is a one-liner swap.
+Decode status (round 3): PNG images, PCM16 WAV audio AND baseline JPEG
+are decoded FOR REAL with zero external deps — ml/codecs.py implements
+PNG/WAV spec-correct with only the stdlib (zlib inflate + all five PNG
+unfilters; RIFF chunk walk), bit-exact round-trip property-tested, with
+`mm_png_features` / `mm_wav_features` gates hash-matching closed-form
+DuckDB oracles; ml/jpegcodec.py implements baseline sequential JPEG
+(SOF0, greyscale/4:4:4, Annex K tables, canonical Huffman + 0xFF
+stuffing) with round-trip error-bound tests (lossy by spec — no SQL
+oracle possible, unit-gated). Only video containers remain stubbed
+behind ``decoder=`` hooks (av absent); the deterministic fake decoder
+ships for their tests.
 """
 
 from __future__ import annotations
@@ -33,18 +36,24 @@ def fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def real_decode(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Real image decode for the formats ml/codecs.py implements (PNG);
-    other formats raise honestly (JPEG entropy coding needs libs absent
-    from this container)."""
+    """Real image decode for the formats implemented in-repo: PNG
+    (ml/codecs.py) and baseline JPEG (ml/jpegcodec.py — SOF0, greyscale
+    or 4:4:4). Other formats raise honestly (video containers need av)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from opensearch_spark.ml.codecs import decode_png
 
         img = decode_png(payload)
-        return img[:, :, None].repeat(3, axis=2) if img.ndim == 2 else img
-    raise NotImplementedError(
-        "only PNG decode is implemented without external libs (ml/codecs.py);"
-        " JPEG/video need PIL/av — pass decoder=fake_decode or your own"
-    )
+    elif payload[:2] == b"\xFF\xD8":
+        from opensearch_spark.ml.jpegcodec import decode_jpeg
+
+        img = decode_jpeg(payload)
+    else:
+        raise NotImplementedError(
+            "PNG and baseline JPEG decode are implemented without external"
+            " libs (ml/codecs.py, ml/jpegcodec.py); video needs av — pass"
+            " decoder=fake_decode or your own"
+        )
+    return img[:, :, None].repeat(3, axis=2) if img.ndim == 2 else img
 
 
 def png_features(df: DataFrame) -> DataFrame:

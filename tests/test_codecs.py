@@ -69,3 +69,93 @@ def test_wav_odd_length_chunk_alignment():
 def test_wav_rejects_non_riff():
     with pytest.raises(ValueError):
         C.decode_wav(b"\x89PNG\r\n\x1a\nnope")
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (ml/jpegcodec.py)
+# ---------------------------------------------------------------------------
+
+
+def _gradient(h, w, ch=None):
+    import numpy as np
+
+    base = (np.add.outer(np.arange(h), np.arange(w)) % 256)
+    if ch is None:
+        return base.astype(np.uint8)
+    return np.stack([(base + 40 * c) % 256 for c in range(ch)],
+                    -1).astype(np.uint8)
+
+
+def test_jpeg_near_lossless_with_flat_tables():
+    """With all-ones quant tables the only loss is DCT float rounding and
+    the YCbCr transform: error bounded by 2 counts per channel."""
+    import numpy as np
+    from opensearch_spark.ml.jpegcodec import decode_jpeg, encode_jpeg
+
+    ones = np.ones((8, 8), np.int32)
+    rng = np.random.default_rng(11)
+    for img in [_gradient(24, 40), _gradient(24, 40, 3),
+                rng.integers(0, 256, (16, 16), dtype=np.uint8),
+                rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)]:
+        out = decode_jpeg(encode_jpeg(img, quant_luma=ones,
+                                      quant_chroma=ones))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_annexk_tables_lossy_but_close_on_smooth_images():
+    """Standard Annex K tables on smooth content: small error (the
+    regime JPEG is designed for), exact dims restored incl. non-8-aligned."""
+    import numpy as np
+    from opensearch_spark.ml.jpegcodec import decode_jpeg, encode_jpeg
+
+    for img in [_gradient(24, 40), _gradient(19, 29, 3)]:
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 3.0
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """The entropy stream of a noisy fixture contains stuffed 0xFF00
+    sequences; the decoder must unstuff them (and the stream still
+    round-trips)."""
+    import numpy as np
+    from opensearch_spark.ml.jpegcodec import decode_jpeg, encode_jpeg
+
+    found = False
+    for seed in range(40):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+        data = encode_jpeg(img)
+        scan = data[data.find(b"\xFF\xDA"):-2]
+        out = decode_jpeg(data)
+        assert out.shape == img.shape
+        if b"\xFF\x00" in scan:
+            found = True
+            break
+    assert found  # stuffing actually exercised by at least one fixture
+
+
+def test_jpeg_honest_failures():
+    import numpy as np
+    import pytest
+    from opensearch_spark.ml.jpegcodec import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\nnot-a-jpeg")
+    # truncated entropy stream
+    data = encode_jpeg(_gradient(16, 16))
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:len(data) - 12] + b"\xFF\xD9")
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((8, 8), np.float64))  # not uint8
+
+
+def test_real_decode_routes_jpeg():
+    import numpy as np
+    from opensearch_spark.ml.jpegcodec import encode_jpeg
+    from opensearch_spark.ml.multimodal import real_decode
+
+    img = _gradient(16, 24)
+    out = real_decode(encode_jpeg(img), 24, 16)
+    assert out.shape == (16, 24, 3)  # grey expanded to 3 channels
