@@ -8,7 +8,9 @@ RGB/RGBA/greyscale, all five filter types; WAV: PCM16 mono/stereo), so
 the multimodal feature-extraction path runs a REAL decode — bit-exact
 round-trip property-tested — rather than the former stub. Baseline
 JPEG is implemented in ml/jpegcodec.py (numpy DCT + pure-Python
-canonical Huffman); only video containers remain stubbed.
+canonical Huffman), and video is covered by the AVI/MJPG container
+codec below (RIFF walk + per-frame JPEG) — no stubs remain in the
+image/audio/video decode path.
 
 Used by ml/multimodal.py's `real_decode` and the `mm_png_features` /
 `mm_wav_features` gates, whose DuckDB oracles recompute the expected
@@ -202,3 +204,81 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     if n_ch > 1:
         samples = samples.reshape(-1, n_ch)
     return rate, samples
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPG (RIFF container over per-frame baseline JPEG)
+# ---------------------------------------------------------------------------
+
+def encode_avi_mjpg(frames: list[np.ndarray], fps: int = 10,
+                    quant_luma: np.ndarray | None = None,
+                    quant_chroma: np.ndarray | None = None) -> bytes:
+    """Minimal AVI container with MJPG-compressed frames: RIFF('AVI ')
+    with hdrl (avih + one 'vids'/'MJPG' stream) and a movi LIST of
+    '00dc' chunks, each a baseline JPEG from ml/jpegcodec.py. Every
+    frame must share one (H, W[, 3]) uint8 shape."""
+    from opensearch_spark.ml.jpegcodec import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("all frames must share one shape")
+    payloads = [encode_jpeg(f, quant_luma=quant_luma,
+                            quant_chroma=quant_chroma) for f in frames]
+
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(cc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", cc + body)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0, len(frames),
+                       0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIIi4H", 0, 0, 0, 0, 1, fps, 0,
+                          len(frames), 0, 0, -1, 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_mjpg(data: bytes) -> tuple[int, list[np.ndarray]]:
+    """Decode a minimal AVI/MJPG file: RIFF walk to the movi LIST,
+    decode every '00dc'/'00db' chunk as baseline JPEG. Returns
+    (fps, frames). Non-MJPG streams raise NotImplementedError."""
+    from opensearch_spark.ml.jpegcodec import decode_jpeg
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    fps, frames = 0, []
+
+    def walk(buf: bytes) -> None:
+        nonlocal fps
+        pos = 0
+        while pos + 8 <= len(buf):
+            cc = buf[pos:pos + 4]
+            (ln,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            body = buf[pos + 8:pos + 8 + ln]
+            if cc == b"LIST":
+                walk(body[4:])
+            elif cc == b"avih":
+                usec = struct.unpack("<I", body[:4])[0]
+                fps = round(1_000_000 / usec) if usec else 0
+            elif cc == b"strh":
+                if body[:4] == b"vids" and body[4:8] not in (b"MJPG",
+                                                             b"mjpg"):
+                    raise NotImplementedError(
+                        f"video codec {body[4:8]!r} (MJPG only)")
+            elif cc in (b"00dc", b"00db"):
+                frames.append(decode_jpeg(body))
+            pos += 8 + ln + (ln & 1)
+
+    walk(data[12:])
+    if not frames:
+        raise ValueError("no video frames found")
+    return fps, frames

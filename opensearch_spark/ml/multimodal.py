@@ -9,9 +9,10 @@ unfilters; RIFF chunk walk), bit-exact round-trip property-tested, with
 DuckDB oracles; ml/jpegcodec.py implements baseline sequential JPEG
 (SOF0, greyscale/4:4:4, Annex K tables, canonical Huffman + 0xFF
 stuffing) with round-trip error-bound tests (lossy by spec — no SQL
-oracle possible, unit-gated). Only video containers remain stubbed
-behind ``decoder=`` hooks (av absent); the deterministic fake decoder
-ships for their tests.
+oracle possible, unit-gated). Video is real too: the AVI/MJPG container
+(`mjpg_video_features` — RIFF walk + per-frame JPEG decode). The
+``decoder=`` hooks and deterministic fake decoder remain for formats
+outside these (e.g. inter-frame codecs, which genuinely need av).
 """
 
 from __future__ import annotations
@@ -50,7 +51,8 @@ def real_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     else:
         raise NotImplementedError(
             "PNG and baseline JPEG decode are implemented without external"
-            " libs (ml/codecs.py, ml/jpegcodec.py); video needs av — pass"
+            " libs (ml/codecs.py, ml/jpegcodec.py; AVI/MJPG video via"
+            " decode_avi_mjpg); other formats need PIL/av — pass"
             " decoder=fake_decode or your own"
         )
     return img[:, :, None].repeat(3, axis=2) if img.ndim == 2 else img
@@ -182,3 +184,36 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)))
         .alias("frame_idx"),
     )
+
+
+def mjpg_video_features(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video pipeline: decode the AVI/MJPG payload (RIFF walk +
+    per-frame baseline-JPEG decode, ml/codecs.py + ml/jpegcodec.py),
+    sample every ``every_n``-th frame and emit per-frame mean/max luma.
+    Same Arrow-batched mapInPandas shape as the image/audio paths —
+    decode is embarrassingly parallel, shuffle-free; the frame explode
+    multiplies rows by n_frames/every_n, which IS the output."""
+    from opensearch_spark.ml.codecs import decode_avi_mjpg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "fps": [], "n_frames": [],
+                    "frame_idx": [], "mean_luma": [], "max_luma": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fps, frames = decode_avi_mjpg(bytes(payload))
+                for i in range(0, len(frames), every_n):
+                    f = frames[i]
+                    luma = (f if f.ndim == 2
+                            else (0.299 * f[..., 0] + 0.587 * f[..., 1]
+                                  + 0.114 * f[..., 2]))
+                    rows["doc_id"].append(int(did))
+                    rows["fps"].append(int(fps))
+                    rows["n_frames"].append(len(frames))
+                    rows["frame_idx"].append(i)
+                    rows["mean_luma"].append(float(luma.mean()))
+                    rows["max_luma"].append(float(luma.max()))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run, "doc_id long, fps int, n_frames int, frame_idx int,"
+             " mean_luma double, max_luma double")

@@ -159,3 +159,27 @@ def test_real_decode_routes_jpeg():
     img = _gradient(16, 24)
     out = real_decode(encode_jpeg(img), 24, 16)
     assert out.shape == (16, 24, 3)  # grey expanded to 3 channels
+
+
+def test_avi_mjpg_roundtrip_and_honest_failures():
+    import numpy as np
+    import pytest
+    from opensearch_spark.ml.codecs import decode_avi_mjpg, encode_avi_mjpg
+
+    ones = np.ones((8, 8), np.int32)
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+              for _ in range(4)]
+    data = encode_avi_mjpg(frames, fps=15, quant_luma=ones,
+                           quant_chroma=ones)
+    fps, out = decode_avi_mjpg(data)
+    assert fps == 15 and len(out) == 4
+    for f, o in zip(frames, out):
+        assert o.shape == f.shape
+        assert np.abs(o.astype(int) - f.astype(int)).max() <= 2
+    with pytest.raises(ValueError):
+        decode_avi_mjpg(b"RIFF\x00\x00\x00\x00WAVE")  # not AVI
+    with pytest.raises(ValueError):
+        encode_avi_mjpg([])  # no frames
+    with pytest.raises(ValueError):
+        encode_avi_mjpg([frames[0], frames[0][:8]])  # mixed shapes

@@ -345,3 +345,35 @@ def test_pq_index_serving_parity_and_codes_only_scan(spark):
         assert again.codebooks == books
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_mjpg_video_features_real_decode(spark):
+    """End-to-end real video pipeline: AVI/MJPG payloads decoded in
+    mapInPandas, sampled-frame luma features match a driver-side
+    reference decode exactly."""
+    import numpy as np
+    from opensearch_spark.ml.codecs import encode_avi_mjpg, decode_avi_mjpg
+    from opensearch_spark.ml.multimodal import mjpg_video_features
+
+    ones = np.ones((8, 8), np.int32)
+    payloads = []
+    for did in (1, 2):
+        frames = [np.full((16, 16, 3), 30 * (did + i), dtype=np.uint8)
+                  for i in range(5)]
+        payloads.append((did, bytearray(encode_avi_mjpg(
+            frames, fps=10, quant_luma=ones, quant_chroma=ones))))
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {(r["doc_id"], r["frame_idx"]): (r["fps"], r["n_frames"],
+                                           r["mean_luma"], r["max_luma"])
+           for r in mjpg_video_features(df, every_n=2).collect()}
+    assert len(got) == 6  # frames 0,2,4 per doc
+    for did, payload in payloads:
+        fps, frames = decode_avi_mjpg(bytes(payload))
+        for i in range(0, len(frames), 2):
+            f = frames[i]
+            luma = (0.299 * f[..., 0] + 0.587 * f[..., 1]
+                    + 0.114 * f[..., 2])
+            fps_g, n_g, mean_g, max_g = got[(did, i)]
+            assert (fps_g, n_g) == (10, 5)
+            assert abs(mean_g - float(luma.mean())) < 1e-9
+            assert abs(max_g - float(luma.max())) < 1e-9
