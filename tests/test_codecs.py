@@ -183,3 +183,24 @@ def test_avi_mjpg_roundtrip_and_honest_failures():
         encode_avi_mjpg([])  # no frames
     with pytest.raises(ValueError):
         encode_avi_mjpg([frames[0], frames[0][:8]])  # mixed shapes
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40), w=st.integers(1, 40),
+    ch=st.sampled_from([None, 3]), seed=st.integers(0, 2 ** 16),
+)
+def test_jpeg_flat_table_roundtrip_property(h, w, ch, seed):
+    """Property: any uint8 image (grey or RGB, any dims incl. non-8-
+    aligned) round-trips through baseline JPEG with flat quant tables
+    within 2 counts per channel (DCT float + YCbCr rounding only)."""
+    import numpy as np
+    from opensearch_spark.ml.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch is None else (h, w, ch)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    ones = np.ones((8, 8), np.int32)
+    out = decode_jpeg(encode_jpeg(img, quant_luma=ones, quant_chroma=ones))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
