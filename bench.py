@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     # round-3 second-continuation additions
     "sim_pq_topk",
     "search_flat_object",
+    "sim_ivfpq_topk",
 ]
 
 

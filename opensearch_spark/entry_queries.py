@@ -4511,6 +4511,134 @@ def _pq_index(spark, sf_dir) -> "S.PqIndex":
     return idx
 
 
+#: IVF-PQ gate geometry: 8 fixed coarse centroids (the md5 hyperplane
+#: constants, `_ivf_fixed_sql` posture) over the sim_pq_topk 4×8 residual
+#: codebooks. nprobe=2 — the query reads 2 of 8 inverted lists.
+IVFPQ_NCENT, IVFPQ_NPROBE = 8, 2
+
+
+def _ivfpq_fixed_sql() -> str:
+    """Oracle for sim_ivfpq_topk — the full faiss-IVFPQ pipeline is
+    SQL-expressible because coarse centroids, residual codebooks, AND the
+    query are fixed constants: coarse assignment = the `_ivf_fixed_sql`
+    row_number argmin; residual codes avoid per-row vector subtraction by
+    the dot decomposition dot(sub(v)−sub(c), b) = dot(sub(v), b) − const —
+    each per-m codebook CTE carries adj = 2·dot(sub(c), b) + ||b||² keyed
+    by the row's assignment; ADC inlines per-probe distance tables
+    computed by the SAME Python loop that builds the engine's literals
+    (``ivfpq_adc_tables``), selected by a CASE on the assignment."""
+    from opensearch_spark.ml.similarity import (hyperplanes,
+                                                ivfpq_adc_tables,
+                                                pq_codebooks_fixed)
+
+    subdim = EMB_DIM // PQ_NSUB
+    cents = hyperplanes(IVFPQ_NCENT, EMB_DIM)
+    books = pq_codebooks_fixed(PQ_NSUB, PQ_KSUB, subdim)
+    qv = _pq_query_vec()
+
+    def d2(c):
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(qv, c))
+
+    probes = sorted(range(IVFPQ_NCENT),
+                    key=lambda j: (d2(cents[j]), j))[:IVFPQ_NPROBE]
+    tables = ivfpq_adc_tables(qv, cents, books, probes)
+
+    cent_lits = ", ".join(
+        f"({j}, [{', '.join(repr(x) for x in c)}])"
+        for j, c in enumerate(cents))
+    cbs, rs, joins = [], [], []
+    for m, book in enumerate(books):
+        rows = []
+        for cj, c in enumerate(cents):
+            for j, b in enumerate(book):
+                adj = (2.0 * sum(cx * bx for cx, bx in
+                                 zip(c[m * subdim:(m + 1) * subdim], b))
+                       + sum(x * x for x in b))
+                rows.append(
+                    f"({cj}, {j}, [{', '.join(repr(x) for x in b)}], "
+                    f"{adj!r})")
+        cbs.append(f"cb{m}(cj, j, bv, adj) AS (VALUES {', '.join(rows)})")
+        lo, hi = m * subdim + 1, (m + 1) * subdim
+        rs.append(f"""r{m} AS (
+    SELECT vec_id, cb{m}.j, row_number() OVER (PARTITION BY vec_id
+        ORDER BY 2 * list_dot_product(v[{lo}:{hi}], bv) - adj DESC,
+                 cb{m}.j ASC) AS rn
+    FROM ev JOIN cb{m} ON cb{m}.cj = ev.cj)""")
+        joins.append(
+            f"JOIN (SELECT vec_id, j AS code{m} FROM r{m} WHERE rn = 1) "
+            f"s{m} USING (vec_id)")
+
+    def lookup_chain(p: int) -> str:
+        return " + ".join(
+            f"list_extract([{', '.join(repr(d) for d in tables[p][m])}], "
+            f"code{m} + 1)" for m in range(PQ_NSUB))
+
+    case = (f"CASE WHEN cj = {probes[0]} THEN {lookup_chain(probes[0])} "
+            f"ELSE {lookup_chain(probes[1])} END")
+    return f"""
+WITH cents(j, cv) AS (VALUES {cent_lits}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assign AS (
+    SELECT vec_id, j, row_number() OVER (
+        PARTITION BY vec_id
+        ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+                 + list_dot_product(cv, cv) ASC, j ASC) AS rn
+    FROM e CROSS JOIN cents
+),
+ev AS (SELECT e.vec_id, e.v, a.j AS cj
+       FROM e JOIN assign a ON a.vec_id = e.vec_id AND a.rn = 1
+       WHERE a.j IN ({probes[0]}, {probes[1]})),
+{', '.join(cbs)},
+{', '.join(rs)},
+sel AS (SELECT ev.vec_id, ev.cj{''.join(f', code{m}' for m in range(PQ_NSUB))}
+        FROM ev {' '.join(joins)})
+SELECT vec_id, round({case}, 6) AS adc
+FROM sel ORDER BY adc ASC, vec_id ASC LIMIT 10
+"""
+
+
+@q("sim_ivfpq_topk", _ivfpq_fixed_sql())
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (k-NN plugin faiss `ivf,pq` method;
+    `KNNMethodContext`/faiss IndexIVFPQ; Jegou et al. TPAMI 2011): coarse
+    quantizer → inverted lists, residual product quantization inside each
+    list, nprobe-pruned ADC scan. The serving posture is the 100 TB
+    story twice over: the codes table is partitioned by the coarse
+    assignment (probe set = directory pruning, plan-asserted in
+    tests/test_ml.py), and the pruned scan reads 4 small ints per row —
+    no raw vectors, no shuffle, one TakeOrderedAndProject."""
+    from opensearch_spark.ml.similarity import hyperplanes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = int(emb.select(F.size("embedding").alias("d")).first()["d"])
+    if dim != EMB_DIM:  # keep engine + oracle constants in lockstep
+        raise ValueError(f"embeddings dim {dim} != EMB_DIM {EMB_DIM}")
+    return _ivfpq_index(spark, sf_dir).topk(
+        spark, _pq_query_vec(), k=10, nprobe=IVFPQ_NPROBE)
+
+
+_IVFPQ_CACHE: dict[str, "S.IvfPqIndex"] = {}
+
+
+def _ivfpq_index(spark, sf_dir) -> "S.IvfPqIndex":
+    """Build (or reuse) the materialized IVF-PQ codes for sf_dir —
+    assignment is a parquet PARTITION column, codes the only data cols."""
+    key = os.path.abspath(sf_dir)
+    if key in _IVFPQ_CACHE:
+        return _IVFPQ_CACHE[key]
+    out = os.path.join(INDEX_ROOT,
+                       hashlib.sha256(key.encode()).hexdigest()[:16] + "_ivfpq")
+    if os.path.exists(os.path.join(out, "meta.json")):
+        idx = S.IvfPqIndex(out)
+    else:
+        cents = S.hyperplanes(IVFPQ_NCENT, EMB_DIM)
+        books = S.pq_codebooks_fixed(PQ_NSUB, PQ_KSUB, EMB_DIM // PQ_NSUB)
+        idx = S.IvfPqIndex.build(_t(spark, sf_dir, "embeddings"), out,
+                                 cents, books)
+    _IVFPQ_CACHE[key] = idx
+    return idx
+
+
 _ANN_CACHE: dict[str, "S.AnnIndex"] = {}
 
 

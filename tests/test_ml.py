@@ -377,3 +377,81 @@ def test_mjpg_video_features_real_decode(spark):
             assert (fps_g, n_g) == (10, 5)
             assert abs(mean_g - float(luma.mean())) < 1e-9
             assert abs(max_g - float(luma.max())) < 1e-9
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+@pytest.fixture(scope="module")
+def ivfpq_index(spark, sf_dir, tmp_path_factory):
+    from opensearch_spark.ml import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    cents = S.hyperplanes(8, dim)
+    books = S.pq_codebooks_fixed(4, 8, dim // 4)
+    out = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    return S.IvfPqIndex.build(emb, out, cents, books), cents, books
+
+
+def test_ivfpq_prunes_partitions(ivfpq_index, spark, sf_dir):
+    """The probe set must reach the codes scan as directory-level
+    partition pruning — the nprobe/n_centroids I/O saving is structural,
+    not a filter evaluated after the read."""
+    idx, _, _ = ivfpq_index
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    df = idx.topk(spark, qv, k=5, nprobe=2, exclude_id=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "_c" in plan.split("PartitionFilters")[1][:200]
+    # and the pruned scan never touches the raw vectors
+    assert "embedding" not in plan.split("ReadSchema")[-1][:300]
+
+
+def test_ivfpq_matches_numpy_reference(ivfpq_index, spark, sf_dir):
+    """Engine codes + ADC vs an independent numpy IVF-PQ: coarse assign
+    (argmin L2, ties to smallest j), residual encode, per-probe distance
+    tables — exact agreement on codes and 1e-9 agreement on distances."""
+    import numpy as np
+    from opensearch_spark.ml import similarity as S
+
+    idx, cents, books = ivfpq_index
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample = {r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+              for r in emb.where(F.col("vec_id") < 40).collect()}
+    C = np.array(cents)
+    B = [np.array(b) for b in books]
+    subdim = C.shape[1] // len(B)
+
+    def np_encode(v):
+        c = int(((v - C) ** 2).sum(axis=1).argmin())  # first-min ties
+        res = v - C[c]
+        codes = []
+        for m, book in enumerate(B):
+            sub = res[m * subdim:(m + 1) * subdim]
+            codes.append(int(((sub - book) ** 2).sum(axis=1).argmin()))
+        return c, codes
+
+    got = {r[idx.id_col]: (int(r["_c"]), [int(r[f"code_{m}"])
+                                          for m in range(len(B))])
+           for r in idx.codes(spark)
+           .where(F.col(idx.id_col) < 40).collect()}
+    for vid, v in sample.items():
+        c, codes = np_encode(v)
+        assert got[vid] == (c, codes), f"vec {vid}: {got[vid]} != {(c, codes)}"
+
+    # ADC distances: engine top-k values equal the numpy reconstruction
+    qv = [float(x) for x in sample[0]]
+    rows = idx.topk(spark, qv, k=10, nprobe=2).collect()
+    probes = set(idx.probes(qv, 2))
+    q = np.array(qv)
+    for r in rows:
+        vid = r[idx.id_col]
+        c, codes = np_encode(sample[vid]) if vid in sample else (None, None)
+        if c is None:
+            continue
+        assert c in probes
+        qres = q - C[c]
+        want = sum(((qres[m * subdim:(m + 1) * subdim] - B[m][codes[m]]) ** 2).sum()
+                   for m in range(len(B)))
+        assert abs(r["adc"] - round(float(want), 6)) < 1e-6
