@@ -123,18 +123,21 @@ def ivf_centroids(df: DataFrame, n_centroids: int = 16,
 
 def _nearest_centroid_expr(vec_col: str, cents: list[list[float]]):
     """argmin_j ||v - c_j||² as a single Catalyst expression: since ||v||²
-    is common, argmax_j (2·v·c_j - ||c_j||²)."""
-    best_j, best_s = F.lit(0), None
+    is common, argmax_j (2·v·c_j - ||c_j||²).
+
+    Linear-size ``array_max`` struct fold (the ``_pq_code_expr``
+    discipline) — the earlier when-chain duplicated its running best at
+    every step, an O(2^k) expression tree that stalls the driver around
+    16 centroids. struct-max over (score, -j) keeps the same semantics:
+    first maximum, ties to the smallest j."""
+    entries = []
     for j, c in enumerate(cents):
         arr = F.array(*[F.lit(float(x)) for x in c])
         c2 = sum(x * x for x in c)
         s = 2.0 * _dot(F.col(vec_col), arr) - F.lit(float(c2))
-        if best_s is None:
-            best_s = s
-        else:
-            best_j = F.when(s > best_s, F.lit(j)).otherwise(best_j)
-            best_s = F.when(s > best_s, s).otherwise(best_s)
-    return best_j.cast("int")
+        entries.append(F.struct(s.alias("s"), F.lit(-j).alias("nj")))
+    best = F.array_max(F.array(*entries))
+    return (-best["nj"]).cast("int")
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
