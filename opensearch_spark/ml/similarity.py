@@ -659,6 +659,68 @@ def _pq_code_expr(vec_col: str, book: list[list[float]], m: int, subdim: int):
     return (-best["nj"]).cast("int")
 
 
+def pq_encode_batched(df: DataFrame, codebooks: list[list[list[float]]],
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      cents: list[list[float]] | None = None,
+                      keep_vec: bool = False) -> DataFrame:
+    """Arrow-batched numpy PQ encode — the build path for PRODUCTION-size
+    codebooks (16×256 and up), where the literal argmin expression fold
+    would put tens of thousands of nodes into one Catalyst projection.
+    Per batch: one (rows × ksub) matmul per subspace, argmin row-wise —
+    classic faiss encode, vectorized end-to-end (mapInPandas, zero per-row
+    Python). With ``cents`` the encode is RESIDUAL (IVF-PQ): vectors are
+    first assigned to their nearest coarse centroid and the codebooks
+    quantize v − c. Ties go to the smallest codeword index (numpy argmin
+    semantics), matching the expression path's tie rule; exact bit-parity
+    with the expression encode is only guaranteed off ties (summation
+    order differs), which is why the SQL-oracle gates keep the small
+    expression encode and this path is recall-tested.
+    ``keep_vec`` passes the raw vector through for rerank-capable indexes.
+    """
+    import numpy as np
+
+    n_sub = len(codebooks)
+    subdim = len(codebooks[0][0])
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    bnorm = [(b * b).sum(axis=1) for b in books]
+    C = np.asarray(cents, dtype=np.float64) if cents is not None else None
+    cnorm = (C * C).sum(axis=1) if C is not None else None
+
+    fields = [f"{id_col} long"]
+    if C is not None:
+        fields.append("_c int")
+    fields += [f"code_{m} int" for m in range(n_sub)]
+    if keep_vec:
+        fields.append(f"{vec_col} array<double>")
+    schema = ", ".join(fields)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            out = {id_col: pdf[id_col].values}
+            if C is not None:
+                # nearest coarse centroid: argmin ||v-c||² = argmin(-2vc+c²)
+                assign = (-2.0 * (V @ C.T) + cnorm).argmin(axis=1)
+                out["_c"] = assign.astype("int32")
+                R = V - C[assign]
+            else:
+                R = V
+            for m in range(n_sub):
+                sub = R[:, m * subdim:(m + 1) * subdim]
+                d = -2.0 * (sub @ books[m].T) + bnorm[m]
+                out[f"code_{m}"] = d.argmin(axis=1).astype("int32")
+            if keep_vec:
+                out[vec_col] = [v.tolist() for v in V]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
               vec_col: str = "embedding",
               id_col: str = "vec_id") -> DataFrame:
@@ -733,17 +795,31 @@ class PqIndex:
     def build(df: DataFrame, out_dir: str,
               codebooks: list[list[list[float]]],
               vec_col: str = "embedding",
-              id_col: str = "vec_id") -> "PqIndex":
+              id_col: str = "vec_id",
+              store_vec: bool = False) -> "PqIndex":
+        """``store_vec`` co-locates the raw vector column with the codes
+        (faiss IndexRefineFlat posture) so ``topk(rerank=R)`` can refine
+        ADC candidates with exact distances WITHOUT a join back to the
+        source table. Parquet is columnar: the ADC scan still reads only
+        the code columns (column pruning), so the query-time I/O story is
+        unchanged — the vector column's pages are touched only by the
+        rerank fetch, under a pushed-down ``id IN (...)`` filter.
+        Codebooks past 512 total codewords encode via the Arrow-batched
+        numpy path (the literal argmin fold is for oracle-parity sizes)."""
         import json
         import os
 
-        (pq_encode(df, codebooks, vec_col, id_col)
-         .write.mode("overwrite")
-         .parquet(os.path.join(out_dir, "codes")))
+        big = len(codebooks) * len(codebooks[0]) > 512
+        if big or store_vec:
+            enc = pq_encode_batched(df, codebooks, vec_col, id_col,
+                                    keep_vec=store_vec)
+        else:
+            enc = pq_encode(df, codebooks, vec_col, id_col)
+        enc.write.mode("overwrite").parquet(os.path.join(out_dir, "codes"))
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "meta.json"), "w") as f:
             json.dump({"codebooks": codebooks, "id_col": id_col,
-                       "vec_col": vec_col}, f)
+                       "vec_col": vec_col, "store_vec": store_vec}, f)
         return PqIndex(out_dir)
 
     def codes(self, spark) -> DataFrame:
@@ -751,11 +827,41 @@ class PqIndex:
 
         return spark.read.parquet(os.path.join(self.path, "codes"))
 
+    def _rerank(self, spark, cand_df: DataFrame, query_vec: list[float],
+                k: int, rerank: int) -> DataFrame:
+        """faiss-refine step: take the ADC top-``rerank`` candidate ids
+        (a BOUNDED driver-side list, ≤ rerank rows by construction),
+        re-scan the codes table for ONLY those rows' stored vectors — the
+        ``id IN (...)`` filter pushes down to the parquet scan (row-group
+        stat pruning; with IVF-PQ the scan is additionally partition-
+        pruned to the probe set) — and rank them by EXACT squared L2.
+        This is what restores recall when quantization cells are coarser
+        than the local neighbor structure (tight clusters collapse to one
+        code and tie on ADC): the candidate set is cheap and approximate,
+        the final order is exact."""
+        if not self.meta.get("store_vec"):
+            raise ValueError("rerank requires an index built with "
+                             "store_vec=True")
+        ids = [r[self.id_col] for r in
+               cand_df.limit(rerank).select(self.id_col).collect()]
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        vec = self.meta["vec_col"]
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec), q, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda a, v: a + v)
+        return (self.codes(spark)
+                .where(F.col(self.id_col).isin(ids))
+                .select(F.col(self.id_col), F.round(d2, 6).alias("d2"))
+                .orderBy(F.asc("d2"), F.asc(self.id_col)).limit(k))
+
     def topk(self, spark, query_vec: list[float], k: int = 10,
-             exclude_id: int | None = None) -> DataFrame:
+             exclude_id: int | None = None,
+             rerank: int | None = None) -> DataFrame:
         """ADC top-k over the materialized codes (ascending squared L2).
         Same distance-table literals and left-to-right sum as
-        ``pq_adc_topk`` — byte-identical output, minus the encode scan."""
+        ``pq_adc_topk`` — byte-identical output, minus the encode scan.
+        With ``rerank=R``: exact-distance refine of the ADC top-R
+        (requires ``store_vec`` at build); returns (id, d2) exact."""
         subdim = len(self.codebooks[0][0])
         adc = None
         for m, book in enumerate(self.codebooks):
@@ -773,7 +879,10 @@ class PqIndex:
             F.col(self.id_col), F.round(adc, 6).alias("adc"))
         if exclude_id is not None:
             out = out.where(F.col(self.id_col) != exclude_id)
-        return out.orderBy(F.asc("adc"), F.asc(self.id_col)).limit(k)
+        ranked = out.orderBy(F.asc("adc"), F.asc(self.id_col))
+        if rerank is not None and rerank > k:
+            return self._rerank(spark, ranked, query_vec, k, rerank)
+        return ranked.limit(k)
 
 
 def _pq_res_code_expr(vec_col: str, book: list[list[float]], m: int,
@@ -859,22 +968,35 @@ class IvfPqIndex:
     @staticmethod
     def build(df: DataFrame, out_dir: str, cents: list[list[float]],
               codebooks: list[list[list[float]]],
-              vec_col: str = "embedding", id_col: str = "vec_id") -> "IvfPqIndex":
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              store_vec: bool = False) -> "IvfPqIndex":
+        """``store_vec`` co-locates raw vectors with the residual codes
+        inside the coarse-assignment partitions (see ``PqIndex.build``) —
+        the rerank fetch is then BOTH partition-pruned to the probe set
+        and id-filtered, never a join. Large codebooks encode via the
+        Arrow-batched numpy residual path."""
         import json
         import os
 
         subdim = len(codebooks[0][0])
-        assigned = df.withColumn("_c", _nearest_centroid_expr(vec_col, cents))
-        code_cols = [
-            _pq_res_code_expr(vec_col, book, m, subdim, cents, "_c")
-            .alias(f"code_{m}") for m, book in enumerate(codebooks)]
-        (assigned.select(F.col(id_col), F.col("_c"), *code_cols)
-         .write.mode("overwrite").partitionBy("_c")
+        big = len(codebooks) * len(codebooks[0]) > 512
+        if big or store_vec:
+            enc = pq_encode_batched(df, codebooks, vec_col, id_col,
+                                    cents=cents, keep_vec=store_vec)
+        else:
+            assigned = df.withColumn(
+                "_c", _nearest_centroid_expr(vec_col, cents))
+            code_cols = [
+                _pq_res_code_expr(vec_col, book, m, subdim, cents, "_c")
+                .alias(f"code_{m}") for m, book in enumerate(codebooks)]
+            enc = assigned.select(F.col(id_col), F.col("_c"), *code_cols)
+        (enc.write.mode("overwrite").partitionBy("_c")
          .parquet(os.path.join(out_dir, "codes")))
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "meta.json"), "w") as f:
             json.dump({"centroids": cents, "codebooks": codebooks,
-                       "id_col": id_col, "vec_col": vec_col}, f)
+                       "id_col": id_col, "vec_col": vec_col,
+                       "store_vec": store_vec}, f)
         return IvfPqIndex(out_dir)
 
     def probes(self, query_vec: list[float], nprobe: int) -> list[int]:
@@ -892,12 +1014,15 @@ class IvfPqIndex:
         return spark.read.parquet(os.path.join(self.path, "codes"))
 
     def topk(self, spark, query_vec: list[float], k: int = 10,
-             nprobe: int = 2, exclude_id: int | None = None) -> DataFrame:
+             nprobe: int = 2, exclude_id: int | None = None,
+             rerank: int | None = None) -> DataFrame:
         """Partition-pruned ADC top-k (ascending squared L2 on quantized
         residuals). The per-probe distance tables select by the row's
         coarse assignment via a when-chain over the (tiny) probe set;
         subspace lookups sum left-to-right, mirroring the SQL twin's
-        literal order — hash-stable engine/oracle parity."""
+        literal order — hash-stable engine/oracle parity. With
+        ``rerank=R``: exact refine of the ADC top-R from the stored
+        vectors inside the probed partitions (build with store_vec)."""
         probes = self.probes(query_vec, nprobe)
         tables = ivfpq_adc_tables(query_vec, self.centroids,
                                   self.codebooks, probes)
@@ -918,4 +1043,20 @@ class IvfPqIndex:
                .select(F.col(self.id_col), F.round(adc, 6).alias("adc")))
         if exclude_id is not None:
             out = out.where(F.col(self.id_col) != exclude_id)
-        return out.orderBy(F.asc("adc"), F.asc(self.id_col)).limit(k)
+        ranked = out.orderBy(F.asc("adc"), F.asc(self.id_col))
+        if rerank is not None and rerank > k:
+            if not self.meta.get("store_vec"):
+                raise ValueError("rerank requires an index built with "
+                                 "store_vec=True")
+            ids = [r[self.id_col] for r in
+                   ranked.limit(rerank).select(self.id_col).collect()]
+            q = F.array(*[F.lit(float(x)) for x in query_vec])
+            vec = self.meta["vec_col"]
+            d2 = F.aggregate(
+                F.zip_with(F.col(vec), q, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, v: a + v)
+            return (self.codes(spark).where(F.col("_c").isin(probes))
+                    .where(F.col(self.id_col).isin(ids))
+                    .select(F.col(self.id_col), F.round(d2, 6).alias("d2"))
+                    .orderBy(F.asc("d2"), F.asc(self.id_col)).limit(k))
+        return ranked.limit(k)

@@ -455,3 +455,97 @@ def test_ivfpq_matches_numpy_reference(ivfpq_index, spark, sf_dir):
         want = sum(((qres[m * subdim:(m + 1) * subdim] - B[m][codes[m]]) ** 2).sum()
                    for m in range(len(B)))
         assert abs(r["adc"] - round(float(want), 6)) < 1e-6
+
+
+# ------------------------------------------------- batched encode + rerank
+
+def test_pq_encode_batched_matches_expression_encode(spark, sf_dir):
+    """The Arrow-batched numpy encode (production codebook sizes) emits
+    the SAME codes as the literal Catalyst argmin fold (oracle-parity
+    sizes) — plain and residual (IVF) modes both. Ties are measure-zero
+    on md5-random codebooks, so exact equality is the right check."""
+    from opensearch_spark.ml import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    books = S.pq_codebooks_fixed(4, 8, dim // 4)
+
+    expr = {r["vec_id"]: tuple(int(r[f"code_{m}"]) for m in range(4))
+            for r in S.pq_encode(emb, books).collect()}
+    batched = {r["vec_id"]: tuple(int(r[f"code_{m}"]) for m in range(4))
+               for r in S.pq_encode_batched(emb, books).collect()}
+    assert batched == expr
+
+    # residual mode vs the IvfPq expression encode
+    cents = S.hyperplanes(8, dim)
+    assigned = emb.withColumn("_c", S._nearest_centroid_expr("embedding", cents))
+    cols = [S._pq_res_code_expr("embedding", book, m, dim // 4, cents, "_c")
+            .alias(f"code_{m}") for m, book in enumerate(books)]
+    expr_res = {r["vec_id"]: (int(r["_c"]),
+                              tuple(int(r[f"code_{m}"]) for m in range(4)))
+                for r in assigned.select("vec_id", "_c", *cols).collect()}
+    batched_res = {r["vec_id"]: (int(r["_c"]),
+                                 tuple(int(r[f"code_{m}"]) for m in range(4)))
+                   for r in S.pq_encode_batched(emb, books, cents=cents).collect()}
+    assert batched_res == expr_res
+
+
+def test_pq_index_rerank_exact_refine(spark, sf_dir, tmp_path):
+    """store_vec + rerank: the refine step returns the EXACT-L2 top-k
+    among the ADC top-R candidates (faiss IndexRefineFlat semantics),
+    verified against a driver-side numpy reference; rerank on an index
+    built without store_vec raises."""
+    import numpy as np
+    import pytest as _pytest
+    from opensearch_spark.ml import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    books = S.pq_codebooks_fixed(4, 8, dim // 4)
+    qv = [float(x) for x in emb.where("vec_id = 5").first()["embedding"]]
+
+    idx = S.PqIndex.build(emb, str(tmp_path / "pq"), books, store_vec=True)
+    got = [(r["vec_id"], r["d2"])
+           for r in idx.topk(spark, qv, k=10, rerank=100).collect()]
+
+    # reference: exact L2 over the ADC top-100 candidate ids
+    cand = [r["vec_id"] for r in idx.topk(spark, qv, k=100).collect()]
+    V = {r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+         for r in emb.where(F.col("vec_id").isin(cand)).collect()}
+    q = np.array(qv)
+    want = sorted(((round(float(((V[i] - q) ** 2).sum()), 6), i)
+                   for i in cand))[:10]
+    assert got == [(i, d2) for d2, i in want]
+    # the query's own vector is candidate #1 at distance 0
+    assert got[0] == (5, 0.0)
+
+    plain = S.PqIndex.build(emb, str(tmp_path / "pq2"), books)
+    with _pytest.raises(ValueError, match="store_vec"):
+        plain.topk(spark, qv, k=5, rerank=50).collect()
+
+
+def test_ivfpq_rerank_exact_within_probes(spark, sf_dir, tmp_path):
+    """IVF-PQ rerank refines within the probed partitions only: results
+    are the exact-L2 top-k of the ADC top-R candidate set, and every id
+    lives in a probed coarse cell."""
+    import numpy as np
+    from opensearch_spark.ml import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    cents = S.hyperplanes(8, dim)
+    books = S.pq_codebooks_fixed(4, 8, dim // 4)
+    qv = [float(x) for x in emb.where("vec_id = 7").first()["embedding"]]
+
+    idx = S.IvfPqIndex.build(emb, str(tmp_path / "ivfpq"), cents, books,
+                             store_vec=True)
+    got = [(r["vec_id"], r["d2"])
+           for r in idx.topk(spark, qv, k=8, nprobe=3, rerank=64).collect()]
+    cand = [r["vec_id"]
+            for r in idx.topk(spark, qv, k=64, nprobe=3).collect()]
+    V = {r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+         for r in emb.where(F.col("vec_id").isin(cand)).collect()}
+    q = np.array(qv)
+    want = sorted(((round(float(((V[i] - q) ** 2).sum()), 6), i)
+                   for i in cand))[:8]
+    assert got == [(i, d2) for d2, i in want]
