@@ -958,9 +958,17 @@ def search_ids(spark, sf_dir):
     return s.score(Ids(values=[1, 2, 3, 5, 8])).orderBy("doc_id")
 
 
+#: tombstoned ids for the soft-delete gate: two ids from the CLEAN
+#: top-10 of the gate query at each testdata scale (sf0.001 / 0.01 /
+#: 0.1), so the exclusion provably changes the result set at every
+#: scale — a searcher that silently ignored tombstones could not
+#: hash-match the oracle (gates must be probative).
+_SOFTDEL_IDS = [417, 245, 370, 98, 4115, 3695]
+
+
 @q("search_soft_deletes",
    O.match_sql(["spark", "table"], k=10,
-               extra_filter="doc_id NOT IN (3, 7, 11)"))
+               extra_filter=f"doc_id NOT IN ({', '.join(map(str, _SOFTDEL_IDS))})"))
 def search_soft_deletes(spark, sf_dir):
     """Soft deletes (Lucene liveDocs model; InternalEngine delete →
     soft-deletes field): tombstones append under <index>/deletes/, the
@@ -976,18 +984,29 @@ def search_soft_deletes(spark, sf_dir):
     s = get_searcher(spark, sf_dir)
     src = s.index.path
     dst = src + "_softdel"
-    marker = os.path.join(dst, "meta.json")
+    # written only AFTER delete_docs succeeds — a crash between copytree
+    # and delete_docs leaves no marker, so the next run rebuilds instead
+    # of serving the undeleted copy; layout/analyzer keys catch a src
+    # rebuilt to the same doc_count (snapshot _fresh discipline)
+    marker = os.path.join(dst, "softdel_done.json")
     import json as _json
 
+    want = {"doc_count": s.index.meta.get("doc_count"),
+            "layout_version": s.index.meta.get("layout_version"),
+            "analyzer": s.index.meta.get("analyzer"),
+            "with_positions": bool(s.index.meta.get("with_positions")),
+            "index_options": s.index.meta.get("index_options", "freqs"),
+            "deleted": _SOFTDEL_IDS}
     fresh = False
     if os.path.isfile(marker):
         with open(marker) as f:
-            fresh = _json.load(f).get("doc_count") == s.index.meta.get(
-                "doc_count")
+            fresh = _json.load(f) == want
     if not fresh:
         shutil.rmtree(dst, ignore_errors=True)
         shutil.copytree(src, dst)
-        delete_docs(spark, dst, [3, 7, 11])
+        delete_docs(spark, dst, _SOFTDEL_IDS)
+        with open(marker, "w") as f:
+            _json.dump(want, f)
     s2 = Searcher(spark, InvertedIndex(dst))
     return s2.search(Match(field="text", text="spark table"), k=10,
                      mode="wand", round_scores=4)
@@ -1000,7 +1019,7 @@ dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'spark'),
 scored AS (SELECT tf.doc_id, round({O.bm25_term()}, 4) AS score
            FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
 SELECT s.doc_id, s.score FROM scored s JOIN documents d USING (doc_id)
-WHERE d.lang = 'py'
+WHERE d.lang = 'en'
 ORDER BY s.score DESC, s.doc_id LIMIT 10
 """)
 def search_field_alias(spark, sf_dir):
@@ -1013,7 +1032,7 @@ def search_field_alias(spark, sf_dir):
 
     s = get_searcher(spark, sf_dir)
     q_alias = Bool(must=[Match(field="body", text="spark")],
-                   filter=[Term(field="language", value="py")])
+                   filter=[Term(field="language", value="en")])
     resolved = resolve_field_aliases(
         q_alias, {"body": "text", "language": "lang"})
     return s.search(resolved, k=10, mode="exhaustive", round_scores=4)
