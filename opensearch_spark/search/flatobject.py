@@ -17,9 +17,10 @@ unions, not driver loops over data; the explode multiplies rows by leaf
 count, which IS the output (same posture as chunking). Like the
 reference, leaf values are indexed as strings (keyword semantics).
 
-Caveat shared with the reference's parser: a leaf STRING value that
-itself looks like a JSON object is indistinguishable from a nested
-object at this representation and is descended into.
+Caveat shared with the reference's parser: a leaf STRING value that is
+itself VALID JSON-object text is indistinguishable from a nested object
+at this representation and is descended into ('{'-prefixed strings that
+don't parse stay leaves).
 """
 
 from __future__ import annotations
@@ -34,20 +35,32 @@ def flatten_json(df: DataFrame, json_col: str, id_col: str = "doc_id",
     """(id, path, value) leaf triples of a JSON-object column, paths
     dotted, depth bounded by ``max_depth`` (deeper objects are kept as
     their raw JSON string — the reference also caps flat_object depth)."""
+    # descend ONLY into values from_json actually parses as an object:
+    # a '{'-prefixed string that is NOT valid JSON (from_json → null map)
+    # stays a leaf instead of silently vanishing in the explode, and a
+    # null-valued leaf (three-valued startswith → NULL predicate) is
+    # coalesced into the leaf branch rather than dropping out of both.
+    # '{}' parses to an EMPTY map and yields no leaves — the reference's
+    # empty-object semantics.
+    def _is_obj():
+        return F.coalesce(
+            F.col("value").startswith("{")
+            & F.from_json(F.col("value"), _MAP).isNotNull(),
+            F.lit(False))
+
     lvl = df.select(
         F.col(id_col),
         F.explode(F.from_json(F.col(json_col), _MAP)).alias("path", "value"))
-    is_obj = F.col("value").startswith("{")
-    out = lvl.where(~is_obj)
-    cur = lvl.where(is_obj)
+    out = lvl.where(~_is_obj())
+    cur = lvl.where(_is_obj())
     for _ in range(max_depth - 1):
         nxt = (cur.select(
             F.col(id_col), F.col("path").alias("_p"),
             F.explode(F.from_json(F.col("value"), _MAP)).alias("k", "value"))
             .select(F.col(id_col),
                     F.concat_ws(".", "_p", "k").alias("path"), "value"))
-        out = out.unionByName(nxt.where(~is_obj))
-        cur = nxt.where(is_obj)
+        out = out.unionByName(nxt.where(~_is_obj()))
+        cur = nxt.where(_is_obj())
     return out.unionByName(cur)  # depth-capped remnants kept as raw terms
 
 

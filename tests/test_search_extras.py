@@ -698,3 +698,30 @@ def test_flatten_json_generic_shapes(spark):
     any_leaf = {r["doc_id"] for r in
                 FO.flat_object_match(df, "j", "leaf").collect()}
     assert any_leaf == {2}
+
+
+def test_flatten_json_malformed_and_null_leaves_kept(spark):
+    """'{'-prefixed strings that are NOT valid JSON objects stay leaves
+    (from_json would null them out of a blind descend), null-valued
+    leaves survive the three-valued startswith predicate, and '{}'
+    yields no leaves (empty-object semantics) — no silent drops."""
+    from opensearch_spark.search import flatobject as FO
+
+    rows = [
+        (1, '{"a": "{oops", "b": "ok"}'),
+        (2, '{"n": null, "m": "v"}'),
+        (3, '{"empty": "{}", "real": {"k": "w"}}'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, j string")
+    got = {(r["doc_id"], r["path"], r["value"])
+           for r in FO.flatten_json(df, "j", max_depth=3).collect()}
+    assert (1, "a", "{oops") in got          # unparseable stays a leaf
+    assert (1, "b", "ok") in got
+    assert (2, "n", None) in got             # null leaf kept, not dropped
+    assert (2, "m", "v") in got
+    assert (3, "real.k", "w") in got
+    # '{}' parses to an empty map: contributes no leaves, like the ref
+    assert not [p for d, p, v in got if d == 3 and p == "empty"]
+    # and the value stream can match the malformed-string leaf
+    ids = {r["doc_id"] for r in FO.flat_object_match(df, "j", "{oops").collect()}
+    assert ids == {1}
