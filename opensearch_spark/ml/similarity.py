@@ -827,41 +827,15 @@ class PqIndex:
 
         return spark.read.parquet(os.path.join(self.path, "codes"))
 
-    def _rerank(self, spark, cand_df: DataFrame, query_vec: list[float],
-                k: int, rerank: int) -> DataFrame:
-        """faiss-refine step: take the ADC top-``rerank`` candidate ids
-        (a BOUNDED driver-side list, ≤ rerank rows by construction),
-        re-scan the codes table for ONLY those rows' stored vectors — the
-        ``id IN (...)`` filter pushes down to the parquet scan (row-group
-        stat pruning; with IVF-PQ the scan is additionally partition-
-        pruned to the probe set) — and rank them by EXACT squared L2.
-        This is what restores recall when quantization cells are coarser
-        than the local neighbor structure (tight clusters collapse to one
-        code and tie on ADC): the candidate set is cheap and approximate,
-        the final order is exact."""
-        if not self.meta.get("store_vec"):
-            raise ValueError("rerank requires an index built with "
-                             "store_vec=True")
-        ids = [r[self.id_col] for r in
-               cand_df.limit(rerank).select(self.id_col).collect()]
-        q = F.array(*[F.lit(float(x)) for x in query_vec])
-        vec = self.meta["vec_col"]
-        d2 = F.aggregate(
-            F.zip_with(F.col(vec), q, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda a, v: a + v)
-        return (self.codes(spark)
-                .where(F.col(self.id_col).isin(ids))
-                .select(F.col(self.id_col), F.round(d2, 6).alias("d2"))
-                .orderBy(F.asc("d2"), F.asc(self.id_col)).limit(k))
-
     def topk(self, spark, query_vec: list[float], k: int = 10,
              exclude_id: int | None = None,
              rerank: int | None = None) -> DataFrame:
         """ADC top-k over the materialized codes (ascending squared L2).
         Same distance-table literals and left-to-right sum as
         ``pq_adc_topk`` — byte-identical output, minus the encode scan.
-        With ``rerank=R``: exact-distance refine of the ADC top-R
-        (requires ``store_vec`` at build); returns (id, d2) exact."""
+        With ``rerank=R`` (R ≥ k; R < k raises): exact-distance refine of
+        the ADC top-R (requires ``store_vec`` at build); returns (id, d2)
+        exact. ``rerank=k`` refines exactly the top-k."""
         subdim = len(self.codebooks[0][0])
         adc = None
         for m, book in enumerate(self.codebooks):
@@ -880,9 +854,41 @@ class PqIndex:
         if exclude_id is not None:
             out = out.where(F.col(self.id_col) != exclude_id)
         ranked = out.orderBy(F.asc("adc"), F.asc(self.id_col))
-        if rerank is not None and rerank > k:
-            return self._rerank(spark, ranked, query_vec, k, rerank)
+        if rerank is not None:
+            return _exact_refine(self.codes(spark), self.meta, ranked,
+                                 query_vec, k, rerank, self.id_col)
         return ranked.limit(k)
+
+
+def _exact_refine(scan: DataFrame, meta: dict, ranked: DataFrame,
+                  query_vec: list[float], k: int, rerank: int,
+                  id_col: str) -> DataFrame:
+    """faiss-refine step, shared by PqIndex and IvfPqIndex: take the ADC
+    top-``rerank`` candidate ids (a BOUNDED driver-side list, ≤ rerank
+    rows by construction), re-scan ``scan`` for ONLY those rows' stored
+    vectors — the ``id IN (...)`` filter pushes down to the parquet scan
+    (row-group stat pruning; IvfPq passes a scan already partition-pruned
+    to the probe set) — and rank them by EXACT squared L2. This is what
+    restores recall when quantization cells are coarser than the local
+    neighbor structure (tight clusters collapse to one code and tie on
+    ADC): the candidate set is cheap and approximate, the final order is
+    exact. ``rerank == k`` is the legitimate refine-exactly-the-top-k
+    config; ``rerank < k`` is a contradiction and raises rather than
+    silently serving unrefined ADC distances."""
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    if not meta.get("store_vec"):
+        raise ValueError("rerank requires an index built with "
+                         "store_vec=True")
+    ids = [r[id_col] for r in
+           ranked.limit(rerank).select(id_col).collect()]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    d2 = F.aggregate(
+        F.zip_with(F.col(meta["vec_col"]), q, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, v: a + v)
+    return (scan.where(F.col(id_col).isin(ids))
+            .select(F.col(id_col), F.round(d2, 6).alias("d2"))
+            .orderBy(F.asc("d2"), F.asc(id_col)).limit(k))
 
 
 def _pq_res_code_expr(vec_col: str, book: list[list[float]], m: int,
@@ -1044,19 +1050,8 @@ class IvfPqIndex:
         if exclude_id is not None:
             out = out.where(F.col(self.id_col) != exclude_id)
         ranked = out.orderBy(F.asc("adc"), F.asc(self.id_col))
-        if rerank is not None and rerank > k:
-            if not self.meta.get("store_vec"):
-                raise ValueError("rerank requires an index built with "
-                                 "store_vec=True")
-            ids = [r[self.id_col] for r in
-                   ranked.limit(rerank).select(self.id_col).collect()]
-            q = F.array(*[F.lit(float(x)) for x in query_vec])
-            vec = self.meta["vec_col"]
-            d2 = F.aggregate(
-                F.zip_with(F.col(vec), q, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda a, v: a + v)
-            return (self.codes(spark).where(F.col("_c").isin(probes))
-                    .where(F.col(self.id_col).isin(ids))
-                    .select(F.col(self.id_col), F.round(d2, 6).alias("d2"))
-                    .orderBy(F.asc("d2"), F.asc(self.id_col)).limit(k))
+        if rerank is not None:
+            return _exact_refine(
+                self.codes(spark).where(F.col("_c").isin(probes)),
+                self.meta, ranked, query_vec, k, rerank, self.id_col)
         return ranked.limit(k)

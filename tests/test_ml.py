@@ -519,6 +519,19 @@ def test_pq_index_rerank_exact_refine(spark, sf_dir, tmp_path):
     # the query's own vector is candidate #1 at distance 0
     assert got[0] == (5, 0.0)
 
+    # rerank == k is the refine-exactly-the-top-k config, not a no-op:
+    # output is the exact-L2 reorder of the ADC top-10, schema (id, d2)
+    rk = [(r["vec_id"], r["d2"])
+          for r in idx.topk(spark, qv, k=10, rerank=10).collect()]
+    cand10 = [r["vec_id"] for r in idx.topk(spark, qv, k=10).collect()]
+    # ADC top-10 ⊆ ADC top-100, so V already holds every candidate
+    want10 = sorted((round(float(((V[i] - q) ** 2).sum()), 6), i)
+                    for i in cand10)
+    assert rk == [(i, d2) for d2, i in want10]
+    # rerank < k is a contradiction: raise, never silently degrade
+    with _pytest.raises(ValueError, match="must be >= k"):
+        idx.topk(spark, qv, k=10, rerank=5)
+
     plain = S.PqIndex.build(emb, str(tmp_path / "pq2"), books)
     with _pytest.raises(ValueError, match="store_vec"):
         plain.topk(spark, qv, k=5, rerank=50).collect()
