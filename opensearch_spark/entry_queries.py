@@ -4281,7 +4281,8 @@ scored AS (SELECT tf.doc_id, sum({O.bm25_term()}) AS raw_score
 bm AS (SELECT doc_id, round(raw_score, 4) AS score FROM scored
        ORDER BY round(raw_score, 4) DESC, doc_id LIMIT 50),
 bm_n AS (SELECT doc_id, CASE WHEN max(score) OVER () > min(score) OVER ()
-             THEN (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ())
+             THEN CASE WHEN score = min(score) OVER () THEN 0.001
+                  ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ()) END
              ELSE 1.0 END AS n_bm FROM bm),
 qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
 pairs AS (SELECT e.vec_id, unnest(CAST(e.embedding AS DOUBLE[])) AS x,
@@ -4292,7 +4293,8 @@ sums AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
 cosv AS (SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 4) AS score FROM sums
          ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 4) DESC, vec_id LIMIT 50),
 cos_n AS (SELECT vec_id AS doc_id, CASE WHEN max(score) OVER () > min(score) OVER ()
-              THEN (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ())
+              THEN CASE WHEN score = min(score) OVER () THEN 0.001
+                   ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ()) END
               ELSE 1.0 END AS n_cos FROM cosv),
 fused AS (SELECT coalesce(bm_n.doc_id, cos_n.doc_id) AS doc_id,
                  round(coalesce(n_bm, 0) * 0.5 + coalesce(n_cos, 0) * 0.5, 6) AS hybrid_score
@@ -4844,9 +4846,11 @@ s2 AS (SELECT tf2.doc_id, round(sum({O.bm25_term(tf='tf2.tf')}), 6) AS s
        CROSS JOIN stats GROUP BY tf2.doc_id
        ORDER BY s DESC, tf2.doc_id LIMIT 50),
 n1 AS (SELECT doc_id, CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+            WHEN s = min(s) OVER () THEN 0.001
             ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
        END AS ns FROM s1),
 n2 AS (SELECT doc_id, CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+            WHEN s = min(s) OVER () THEN 0.001
             ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
        END AS ns FROM s2),
 fused AS (SELECT coalesce(n1.doc_id, n2.doc_id) AS doc_id,

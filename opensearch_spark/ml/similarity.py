@@ -434,13 +434,18 @@ def hybrid_minmax(searcher, q, emb_df: DataFrame, query_vec: list[float],
         F.col(id_col).alias("doc_id"), F.col("cosine").alias("score"))
 
     def norm(df):
-        # bounded frame (<= n_candidates rows): the min/max agg is tiny
+        # bounded frame (<= n_candidates rows): the min/max agg is tiny.
+        # The leg's min-scoring hit clamps to MIN_SCORE=0.001 instead of
+        # 0 (reference MinMaxScoreNormalizationTechnique) — a doc that
+        # MATCHED a leg must stay distinguishable from one absent from it
         mm = df.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
         return (df.crossJoin(F.broadcast(mm))
                 .select("doc_id",
                         F.when(F.col("hi") > F.col("lo"),
-                               (F.col("score") - F.col("lo"))
-                               / (F.col("hi") - F.col("lo")))
+                               F.when(F.col("score") == F.col("lo"),
+                                      F.lit(0.001))
+                               .otherwise((F.col("score") - F.col("lo"))
+                                          / (F.col("hi") - F.col("lo"))))
                         .otherwise(F.lit(1.0)).alias("n")))
 
     j = (norm(bm).withColumnRenamed("n", "n_bm")

@@ -107,7 +107,8 @@ def hybrid_search(
     ranking).
 
     Each sub-query contributes its bounded top-``top_n`` hits; scores
-    normalize per sub-query (``min_max``: (s-min)/(max-min), single-score
+    normalize per sub-query (``min_max``: (s-min)/(max-min) with the min
+    hit clamped to 0.001 — the reference's MIN_SCORE — and single-score
     lists → 1.0; ``l2``: s/√Σs²), then combine per doc with missing
     sub-query scores as 0: ``arithmetic_mean`` Σwᵢsᵢ/Σw, or
     ``geometric_mean`` / ``harmonic_mean`` (docs missing any sub-query →
@@ -127,10 +128,16 @@ def hybrid_search(
         if normalization == "min_max":
             agg = h.agg(F.min(f"_s{i}").alias("_mn"),
                         F.max(f"_s{i}").alias("_mx"))
+            # the sub-query's min-scoring hit clamps to MIN_SCORE=0.001,
+            # not 0 (reference MinMaxScoreNormalizationTechnique): under
+            # geometric/harmonic combination an exact 0 would annihilate
+            # a doc that matched EVERY sub-query, making it
+            # indistinguishable from one missing a leg entirely
             h = (h.crossJoin(F.broadcast(agg))
                  .withColumn(
                      f"_s{i}",
                      F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0))
+                     .when(F.col(f"_s{i}") == F.col("_mn"), F.lit(0.001))
                      .otherwise((F.col(f"_s{i}") - F.col("_mn"))
                                 / (F.col("_mx") - F.col("_mn"))))
                  .drop("_mn", "_mx"))

@@ -725,3 +725,28 @@ def test_flatten_json_malformed_and_null_leaves_kept(spark):
     # and the value stream can match the malformed-string leaf
     ids = {r["doc_id"] for r in FO.flat_object_match(df, "j", "{oops").collect()}
     assert ids == {1}
+
+
+def test_hybrid_minmax_clamps_min_hit(searcher, spark):
+    """min_max normalization maps each sub-query's minimum-scoring hit to
+    MIN_SCORE=0.001 (reference MinMaxScoreNormalizationTechnique), never
+    0.0 — under geometric_mean a doc that matched EVERY sub-query must
+    not be annihilated into indistinguishability from a partial match."""
+    from opensearch_spark.search import queries as Q
+    from opensearch_spark.search.pipeline import hybrid_search
+
+    qs = [Q.Match(field="text", text="spark"),
+          Q.Match(field="text", text="table")]
+    # arithmetic mean: no doc that matched a leg contributes exactly 0
+    # from that leg, so a doc in BOTH legs strictly outranks the same
+    # doc restricted to one leg's min + absent from the other
+    h = hybrid_search(searcher, qs, k=200, top_n=50,
+                      combination="geometric_mean").collect()
+    scores = {r["doc_id"]: r["score"] for r in h}
+    both = [r for r in searcher.search(qs[0], k=50).collect()
+            if r["doc_id"] in {x["doc_id"]
+                               for x in searcher.search(qs[1], k=50).collect()}]
+    assert both, "fixture: need at least one doc matching both legs"
+    for r in both:
+        assert scores.get(r["doc_id"], 0.0) > 0.0, \
+            f"doc {r['doc_id']} matched both legs but scored 0"
