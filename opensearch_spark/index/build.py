@@ -647,9 +647,26 @@ class InvertedIndex:
         self._tomb_loaded = True
         return self._tomb
 
+    def tombstones_bcast(self, spark: SparkSession):
+        """Spark Broadcast handle of the sorted tombstone array, or None
+        when the index has no deletes. This — not the raw array — is what
+        posting-decode/WAND closures must capture: a broadcast ships ONCE
+        per executor (torrent blocks), while a closure-captured numpy
+        array re-serializes into EVERY task. The UDFs resolve ``.value``
+        executor-side."""
+        tomb = self.tombstones(spark)
+        if tomb is None:
+            return None
+        if getattr(self, "_tomb_bcast", None) is None:
+            self._tomb_bcast = spark.sparkContext.broadcast(tomb)
+        return self._tomb_bcast
+
     def refresh_tombstones(self) -> None:
         """Invalidate the cached delete set (call after delete_docs)."""
         self._tomb_loaded = False
+        if getattr(self, "_tomb_bcast", None) is not None:
+            self._tomb_bcast.unpersist()
+            self._tomb_bcast = None
 
     def _live(self, spark: SparkSession, df: DataFrame) -> DataFrame:
         """Filter a doc_id-bearing frame to live (non-deleted) docs."""

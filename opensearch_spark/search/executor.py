@@ -215,11 +215,14 @@ class Searcher:
         (liveDocs; stats intentionally keep counting them until an
         expunging rebuild — Lucene's un-merged-segment behavior)."""
         blocks = self._blocks_for_terms(terms)
-        tomb = self.index.tombstones(self.spark)
+        # broadcast handle, not the array: ships once per executor, and
+        # the task closure stays bytes-sized however many docs are deleted
+        tomb_bc = self.index.tombstones_bcast(self.spark)
 
         def decode(batches):
             from opensearch_spark.index.codec import varbyte_decode
 
+            tomb = tomb_bc.value if tomb_bc is not None else None
             for pdf in batches:
                 outs = []
                 for term, first_doc, n, dvb, tvb, lvb in zip(
@@ -347,7 +350,7 @@ class Searcher:
         )
         fn = wand_partition_fn(
             list(weights), k, self.k1, self.b, self.avgdl, n_required,
-            tombstones=self.index.tombstones(self.spark),
+            tombstones=self.index.tombstones_bcast(self.spark),
         )
         part_topk = ordered.select(
             "bucket", "term_idx", "first_doc", "n", "max_impact",
@@ -408,9 +411,14 @@ class Searcher:
         """_delete_by_query against the live index (modules/reindex
         Reindexer.java delete mode), as SOFT deletes: the matching doc
         ids are appended to the tombstone table as a distributed write —
-        never collected to the driver, so a query matching 10^9 docs
-        tombstones them in one job. Refreshes this searcher's cached
-        liveDocs set so subsequent searches exclude the matches."""
+        the WRITE never collects to the driver. Subsequent searches load
+        the delete set ONCE into an in-RAM liveDocs array (8 bytes/id —
+        Lucene's own per-segment liveDocs posture) shipped per executor
+        via broadcast, so serving cost grows with the delete count, not
+        the query count; when the delete ratio gets large,
+        ``expunge_deletes`` (forcemerge) is the reclaim path, exactly as
+        in the reference. Refreshes this searcher's cached liveDocs set
+        so subsequent searches exclude the matches."""
         import os as _os
 
         (self.matching_docs(q).select("doc_id").distinct()

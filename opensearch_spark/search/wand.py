@@ -141,10 +141,14 @@ def wand_partition_fn(
     avgdl: float,
     n_required: int,
     max_buffer_rows: int | None = None,
-    tombstones: "np.ndarray | None" = None,
+    tombstones=None,
 ):
     """Build the mapInPandas function: block rows (sorted by bucket within
     the partition) → this partition's top-k.
+
+    ``tombstones`` is a sorted int64 ndarray, a Spark Broadcast wrapping
+    one (resolved executor-side, so the task closure carries only the
+    handle), or None.
 
     Fast path (partition fits ``max_buffer_rows``): buffer the partition,
     compute bucket upper bounds, process buckets in descending-UB order —
@@ -157,7 +161,8 @@ def wand_partition_fn(
     w = np.asarray(weights, dtype=np.float64)
     cap = MAX_BUFFER_ROWS if max_buffer_rows is None else max_buffer_rows
 
-    def process_frame(pdf: pd.DataFrame, topk: _TopK, ordered: bool) -> None:
+    def process_frame(pdf: pd.DataFrame, topk: _TopK, ordered: bool,
+                      tomb=None) -> None:
         """Score every complete bucket group of ``pdf`` (desc-UB order when
         ``ordered``, storage order otherwise)."""
         buckets = pdf["bucket"].to_numpy()
@@ -183,7 +188,7 @@ def wand_partition_fn(
             s, e = int(starts[i]), int(ends[i])
             res = _score_bucket(
                 pdf.iloc[s:e], w, k1, b, avgdl, n_required, topk.threshold,
-                tombstones)
+                tomb)
             if res is not None:
                 topk.merge(*res)
 
@@ -197,6 +202,12 @@ def wand_partition_fn(
         return pdf.iloc[:last_start], pdf.iloc[last_start:].reset_index(drop=True)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Broadcast → resolve ONCE per task, executor-side, into a local
+        # passed explicitly to process_frame (closure-cell sharing between
+        # sibling inner functions does not survive worker pickling, so a
+        # nonlocal rebind here would not reach process_frame's cell)
+        tomb = tombstones.value if hasattr(tombstones, "value") \
+            else tombstones
         topk = _TopK(k)
         buf: list[pd.DataFrame] = []
         total = 0
@@ -214,19 +225,19 @@ def wand_partition_fn(
                     buf = []
                     done, carry = split_last_bucket(frame)
                     if done is not None:
-                        process_frame(done, topk, ordered=False)
+                        process_frame(done, topk, ordered=False, tomb=tomb)
             else:
                 frame = (pd.concat([carry, pdf], ignore_index=True)
                          if carry is not None and len(carry) else pdf)
                 done, carry = split_last_bucket(frame)
                 if done is not None:
-                    process_frame(done, topk, ordered=False)
+                    process_frame(done, topk, ordered=False, tomb=tomb)
         if streaming:
             if carry is not None and len(carry):
-                process_frame(carry, topk, ordered=False)
+                process_frame(carry, topk, ordered=False, tomb=tomb)
         elif buf:
             frame = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-            process_frame(frame, topk, ordered=True)
+            process_frame(frame, topk, ordered=True, tomb=tomb)
         yield pd.DataFrame({"doc_id": topk.docs, "score": topk.scores})
 
     return run
