@@ -329,9 +329,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad the stream
+        # before a marker code — skip them instead of reading a garbage
+        # segment length out of the padding
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated marker at end of stream")
         marker = data[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone (length-less) marker codes
+            pos += 2
+            continue
         (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
         body = data[pos + 4:pos + 2 + ln]
         if marker == 0xDB:  # DQT (may hold several tables)

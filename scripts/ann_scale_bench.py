@@ -111,15 +111,21 @@ def main() -> None:
         t0 = time.perf_counter()
         S.AnnIndex.build(emb, ann_dir, n_planes=8, n_centroids=16)
         build_sec["ann_lsh_ivf"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    books = S.pq_train(emb, n_sub=8, ksub=64, n_iters=3)
-    cents = S.kmeanspp_centroids(emb, 16)
-    build_sec["train"] = round(time.perf_counter() - t0, 3)
-    if not os.path.exists(os.path.join(pq_dir, "meta.json")):
+    # training feeds ONLY the two build branches — skip the 500k-vector
+    # training scans entirely on warm-cache runs (both indexes persist
+    # their codebooks/centroids in meta.json)
+    need_pq = not os.path.exists(os.path.join(pq_dir, "meta.json"))
+    need_ivfpq = not os.path.exists(os.path.join(ivfpq_dir, "meta.json"))
+    if need_pq or need_ivfpq:
+        t0 = time.perf_counter()
+        books = S.pq_train(emb, n_sub=8, ksub=64, n_iters=3)
+        cents = S.kmeanspp_centroids(emb, 16)
+        build_sec["train"] = round(time.perf_counter() - t0, 3)
+    if need_pq:
         t0 = time.perf_counter()
         S.PqIndex.build(emb, pq_dir, books)
         build_sec["pq"] = round(time.perf_counter() - t0, 3)
-    if not os.path.exists(os.path.join(ivfpq_dir, "meta.json")):
+    if need_ivfpq:
         t0 = time.perf_counter()
         S.IvfPqIndex.build(emb, ivfpq_dir, cents, books)
         build_sec["ivfpq"] = round(time.perf_counter() - t0, 3)

@@ -204,3 +204,18 @@ def test_jpeg_flat_table_roundtrip_property(h, w, ch, seed):
     out = decode_jpeg(encode_jpeg(img, quant_luma=ones, quant_chroma=ones))
     assert out.shape == img.shape
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2: 0xFF fill padding before a marker, and standalone
+    (length-less) TEM markers, must not derail the segment walk."""
+    import numpy as np
+    from opensearch_spark.ml.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3 + 10)
+    data = encode_jpeg(img)
+    base = decode_jpeg(data)
+    # inject two fill bytes + a TEM marker right after SOI
+    padded = data[:2] + b"\xFF" + b"\xFF\x01" + data[2:]
+    got = decode_jpeg(padded)
+    assert np.array_equal(got, base)
