@@ -2544,13 +2544,21 @@ def agg_date_histogram_offset(spark, sf_dir):
     """date_histogram with offset (DateHistogramAggregationBuilder offset
     param / DateIntervalWrapper): fixed_interval=1d shifted by +6h — the
     bucket boundary falls at 06:00, not midnight. Bucketing is pure epoch
-    arithmetic (timezone-invariant), one map-side expression + one
-    shuffle, identical at any corpus size."""
+    arithmetic in the column's OWN type (timestampdiff/timestampadd on an
+    NTZ epoch literal — the correlation.py posture): unix_timestamp /
+    from_unixtime would shift labels by the driver session's timezone,
+    and the driver runs gates in ITS OWN SparkSession. One map-side
+    expression + one shuffle, identical at any corpus size."""
     ev = _t(spark, sf_dir, "events")
     off, day = 21600, 86400
-    bucket = F.from_unixtime(
-        (F.floor((F.unix_timestamp("ts") - off) / day) * day + off)
-        .cast("bigint"), "yyyy-MM-dd HH:mm:ss").alias("bucket")
+    lit = ("TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+           if dict(ev.dtypes)["ts"] == "timestamp_ntz"
+           else "CAST(0 AS TIMESTAMP)")
+    bucket = F.expr(
+        f"date_format(timestampadd(SECOND, CAST("
+        f"((timestampdiff(SECOND, {lit}, ts) - {off}) div {day}) * {day} "
+        f"+ {off} AS BIGINT), {lit}), 'yyyy-MM-dd HH:mm:ss')"
+    ).alias("bucket")
     return (ev.groupBy(bucket).agg(F.count("*").alias("doc_count"))
             .orderBy("bucket"))
 

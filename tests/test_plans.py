@@ -272,3 +272,31 @@ def test_stream_correlation_ntz_matches_batch_under_dst_tz(spark):
         assert got == want and len(got) == 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_date_histogram_offset_session_tz_invariant(sf_dir):
+    """agg_date_histogram_offset bucket labels must not shift with
+    spark.sql.session.timeZone: the bucketing runs as NTZ wall-clock
+    arithmetic (timestampdiff/timestampadd on an epoch literal), never
+    unix_timestamp/from_unixtime, which interpret NTZ in the SESSION
+    zone and would shift every label on a non-UTC driver."""
+    from opensearch_spark.entry_queries import QUERIES
+    from opensearch_spark.session import get_spark
+
+    spark = get_spark("tz_offset_gate", master="local[2]")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+
+    def run():
+        return sorted(
+            (r["bucket"], r["doc_count"]) for r in
+            QUERIES["agg_date_histogram_offset"](spark, sf_dir).collect())
+
+    try:
+        base = run()
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        shifted = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert base == shifted and len(base) > 0
+    # boundary sits at 06:00, the offset's whole point
+    assert all(b.endswith("06:00:00") for b, _ in base)
