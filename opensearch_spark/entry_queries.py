@@ -6061,15 +6061,17 @@ def search_intervals_prefix(spark, sf_dir):
 WITH {_POS_CTE}
 SELECT DISTINCT a.doc_id, 1.0 AS score
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id
-WHERE a.term = 'spark' AND levenshtein(b.term, 'tabl') <= 1
+WHERE a.term = 'spark' AND damerau_levenshtein(b.term, 'tabl') <= 1
   AND b.p > a.p AND b.p - a.p - 1 <= 1
 ORDER BY a.doc_id
 """)
 def search_intervals_fuzzy(spark, sf_dir):
     """intervals `fuzzy` rule (IntervalsSourceProvider.Fuzzy): the last
     token expands to its bounded dictionary matches within edit distance
-    (AUTO: 1 edit for a 4-char term), as clause alternatives in the same
-    minimal-window algebra."""
+    (AUTO: 1 edit for a 4-char term; Damerau — the rule uses FuzzyQuery's
+    DEFAULT_TRANSPOSITIONS like the engine's Fuzzy default, so the oracle
+    is damerau_levenshtein, not classic levenshtein), as clause
+    alternatives in the same minimal-window algebra."""
     from opensearch_spark.search import Intervals
 
     s = get_searcher(spark, sf_dir)

@@ -725,7 +725,9 @@ def from_dsl(d: dict) -> Query:
         if isinstance(spec, dict):
             fz = spec.get("fuzziness", "AUTO")
             return Fuzzy(field=f, value=spec["value"],
-                         fuzziness=None if fz == "AUTO" else int(fz))
+                         fuzziness=None if fz == "AUTO" else int(fz),
+                         transpositions=bool(
+                             spec.get("transpositions", True)))
         return Fuzzy(field=f, value=spec)
     if kind == "bool":
         as_list = lambda x: x if isinstance(x, list) else [x]  # noqa: E731

@@ -750,3 +750,15 @@ def test_hybrid_minmax_clamps_min_hit(searcher, spark):
     for r in both:
         assert scores.get(r["doc_id"], 0.0) > 0.0, \
             f"doc {r['doc_id']} matched both legs but scored 0"
+
+
+def test_from_dsl_fuzzy_transpositions_flag():
+    """The DSL 'transpositions' option must reach the Fuzzy dataclass:
+    false selects classic Levenshtein expansion, absent defaults to the
+    reference's DEFAULT_TRANSPOSITIONS=true (Damerau)."""
+    from opensearch_spark.search.queries import from_dsl
+
+    q = from_dsl({"fuzzy": {"text": {
+        "value": "psark", "fuzziness": 1, "transpositions": False}}})
+    assert q.transpositions is False and q.fuzziness == 1
+    assert from_dsl({"fuzzy": {"text": {"value": "psark"}}}).transpositions
