@@ -115,7 +115,8 @@ def decontaminate_fuzzy(df: DataFrame, eval_df: DataFrame,
     """
     from opensearch_spark.ml import dedup as D
 
-    sh_t = D.shingles(df, text_col, n, id_col).persist()
+    sh_t = D.persist_rotating(D.shingles(df, text_col, n, id_col),
+                              "decontaminate_fuzzy.shingles")
     sh_e = D.shingles(eval_df, text_col, n, id_col)
     bt = D.banded_signatures(sh_t, id_col)
     be = D.banded_signatures(sh_e, id_col)
@@ -261,8 +262,13 @@ def unigram_logppl(df: DataFrame, text_col: str = "text",
     ).where(F.col("term") != "")
     # cached (memory-and-disk, vocabulary-sized) so the posture-deciding
     # count materializes the same aggregate the join consumes — the
-    # decision costs no extra corpus pass
-    cf = toks.groupBy("term").agg(F.count("*").alias("cf")).cache()
+    # decision costs no extra corpus pass; rotation releases the
+    # previous call's vocabulary cache (ml/dedup.persist_rotating)
+    from opensearch_spark.ml.dedup import persist_rotating
+
+    cf = persist_rotating(
+        toks.groupBy("term").agg(F.count("*").alias("cf")),
+        "unigram_logppl.cf")
     total = cf.agg(F.sum("cf").alias("total"))
     p = (cf.crossJoin(F.broadcast(total))
            .withColumn("p", F.col("cf") / F.col("total"))

@@ -16,6 +16,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+#: last persisted frame per operator tag — see :func:`persist_rotating`
+_PERSIST_LAST: dict = {}
+
+
+def persist_rotating(df: DataFrame, tag: str, level=None) -> DataFrame:
+    """``df.persist(level)``, releasing the frame PREVIOUSLY persisted
+    under ``tag`` first. Operators that materialize corpus-scale
+    intermediates (shingle streams, band signatures, vocabulary counts)
+    are called repeatedly in a long-lived session (gates, benches,
+    serving); without rotation every call pins another copy in executor
+    storage until session end. One generation per operator is the bound;
+    a caller still holding the previous result frame just recomputes."""
+    old = _PERSIST_LAST.get(tag)
+    if old is not None:
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass  # e.g. its SparkSession is already gone
+    df = df.persist(level) if level is not None else df.persist()
+    _PERSIST_LAST[tag] = df
+    return df
+
 # minhash permutation constants — fixed, shared with the SQL oracle
 MOD_X = 1000003            # reduce 32-bit token hash into safe mul range
 MOD_H = 999999937          # prime < 2^30
@@ -220,14 +242,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
     scale — one shingling pass, three sequential re-reads."""
     from pyspark import StorageLevel
 
-    sh = shingles(df, text_col, n, id_col).persist(StorageLevel.DISK_ONLY)
+    sh = persist_rotating(shingles(df, text_col, n, id_col),
+                          "minhash_lsh.shingles", StorageLevel.DISK_ONLY)
     # banded is consumed by the bucket-size agg AND both sides of the
     # pair self-join; unpersisted, each consumer recomputes the 16-column
     # wide min-agg over the full shingle stream (measured 190 s of a
     # 250 s pipeline at 600k docs). It is only n_docs × n_bands small
     # rows — disk-materialize once.
-    banded = (banded_signatures(sh, id_col, n_hashes, band_rows)
-              .persist(StorageLevel.DISK_ONLY))
+    banded = persist_rotating(
+        banded_signatures(sh, id_col, n_hashes, band_rows),
+        "minhash_lsh.banded", StorageLevel.DISK_ONLY)
     if max_bucket is not None:
         bsz = banded.groupBy("band", "sig").agg(
             F.count("*").alias("_m"), F.min(id_col).alias("_minid"))

@@ -34,6 +34,31 @@ from pyspark.sql import DataFrame, functions as F
 DEFAULT_WINDOW_SEC = 300  # EventsCorrelationSettings.java:37-41 (5 minutes)
 
 
+def _epoch_us_sql(df: DataFrame, c: str) -> str:
+    """SQL snippet: microseconds since the epoch, computed in the
+    column's OWN type (timestampdiff on two NTZ — or two TS — operands is
+    pure arithmetic), so the value is session-timezone-invariant;
+    unix_micros(cast) would shift by the session offset on a non-UTC
+    driver. Shared by the batch and streaming engines so the epoch rule
+    can never drift between them again (it did once: 62ed3cf had to
+    retrofit the NTZ fix into the streaming twin)."""
+    lit = ("TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+           if dict(df.dtypes)[c] == "timestamp_ntz"
+           else "CAST(0 AS TIMESTAMP)")
+    return f"timestampdiff(MICROSECOND, {lit}, {c})"
+
+
+def _bucket_sql(us: str, w_us: int) -> str:
+    """SQL snippet: window bucket of a microsecond expression by EXACT
+    integer division (`div`), not floor(double /): float division is only
+    ~1e-6-bucket accurate at epoch-microsecond magnitudes, and a boundary
+    event rounding the wrong way would put a true pair at bucket distance
+    2 — outside the ±1 expansion. Floored toward -inf for pre-epoch
+    values so the adjacency invariant holds for any timestamp sign."""
+    return (f"CASE WHEN {us} >= 0 THEN {us} div {w_us} "
+            f"ELSE -((-{us} + {w_us} - 1) div {w_us}) END")
+
+
 def correlate_events(
     leg_a: DataFrame,
     leg_b: DataFrame,
@@ -47,38 +72,18 @@ def correlate_events(
     (signed; |dt_us| <= window).  Ordered output is the caller's job.
     """
     w_us = int(window_sec) * 1_000_000
-    # parquet timestamps load as TIMESTAMP_NTZ; microseconds are taken as
-    # a wall-clock difference from the epoch IN THE COLUMN'S OWN TYPE
-    # (timestampdiff on two NTZ/TS operands is pure arithmetic), so the
-    # result is session-timezone-invariant — unix_micros(cast) would
-    # shift by the session offset on a non-UTC driver
-    def us(df, c):
-        lit = ("TIMESTAMP_NTZ'1970-01-01 00:00:00'"
-               if dict(df.dtypes)[c] == "timestamp_ntz"
-               else "CAST(0 AS TIMESTAMP)")
-        return F.expr(f"timestampdiff(MICROSECOND, {lit}, {c})")
-
-    # bucket by EXACT integer division (`div`), not floor(double /):
-    # float division is only ~1e-6-bucket accurate at epoch-microsecond
-    # magnitudes, and a boundary event rounding the wrong way would put a
-    # true pair at bucket distance 2 — outside the ±1 expansion. Floored
-    # toward -inf for pre-epoch values so the adjacency invariant holds
-    # for any timestamp sign.
-    def bkt(c):
-        return F.expr(
-            f"CASE WHEN {c} >= 0 THEN {c} div {w_us} "
-            f"ELSE -((-{c} + {w_us} - 1) div {w_us}) END")
-
     a = leg_a.select(
-        F.col(id_col).alias("a_id"), us(leg_a, ts_col).alias("ta"),
-    ).withColumn("bkt", bkt("ta"))
+        F.col(id_col).alias("a_id"),
+        F.expr(_epoch_us_sql(leg_a, ts_col)).alias("ta"),
+    ).withColumn("bkt", F.expr(_bucket_sql("ta", w_us)))
     b = leg_b.select(
-        F.col(id_col).alias("b_id"), us(leg_b, ts_col).alias("tb"),
+        F.col(id_col).alias("b_id"),
+        F.expr(_epoch_us_sql(leg_b, ts_col)).alias("tb"),
     )
     # expand B to its bucket and both neighbors; exactly one offset can
     # pair with any given A-bucket, so the join emits no duplicates
     b3 = (b.withColumn("_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-            .withColumn("bkt", bkt("tb") + F.col("_off"))
+            .withColumn("bkt", F.expr(_bucket_sql("tb", w_us)) + F.col("_off"))
             .drop("_off"))
     pairs = (a.join(b3, "bkt")
               .where(F.abs(F.col("tb") - F.col("ta")) <= w_us)
@@ -120,18 +125,11 @@ def correlate_events_stream(
     if b.isStreaming:
         b = b.withWatermark("tb", watermark)
 
+    # the SAME shared epoch + exact-div bucket rule as the batch path
+    # (timestamps stay raw columns here — the join condition needs the
+    # event-time range predicate for watermark state eviction)
     def bkt(df, c):
-        # same type-aware epoch pick as the batch path: timestampdiff on
-        # mixed NTZ/TS operands coerces through the session timezone and
-        # shifts bucket boundaries across DST transitions — a true pair
-        # would land at bucket distance 2, outside the ±1 expansion
-        lit = ("TIMESTAMP_NTZ'1970-01-01 00:00:00'"
-               if dict(df.dtypes)[c] == "timestamp_ntz"
-               else "CAST(0 AS TIMESTAMP)")
-        us = f"timestampdiff(MICROSECOND, {lit}, {c})"
-        return F.expr(
-            f"CASE WHEN {us} >= 0 THEN {us} div {w_us} "
-            f"ELSE -((-{us} + {w_us} - 1) div {w_us}) END")
+        return F.expr(_bucket_sql(_epoch_us_sql(df, c), w_us))
 
     a = a.withColumn("bkt", bkt(a, "ta"))
     b3 = (b.withColumn("_off",

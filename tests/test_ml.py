@@ -562,3 +562,20 @@ def test_ivfpq_rerank_exact_within_probes(spark, sf_dir, tmp_path):
     want = sorted(((round(float(((V[i] - q) ** 2).sum()), 6), i)
                    for i in cand))[:8]
     assert got == [(i, d2) for d2, i in want]
+
+
+def test_persist_rotating_releases_previous_generation(spark):
+    """Repeated operator calls must not accumulate persisted frames:
+    persist_rotating under one tag keeps exactly one generation cached."""
+    from opensearch_spark.ml.dedup import _PERSIST_LAST, persist_rotating
+
+    d1 = persist_rotating(spark.range(10), "rot.test")
+    d1.count()
+    assert d1.storageLevel.useMemory or d1.storageLevel.useDisk
+    d2 = persist_rotating(spark.range(20), "rot.test")
+    d2.count()
+    assert d2.count() == 20 and _PERSIST_LAST["rot.test"] is d2
+    # previous generation no longer cached (recompute still works)
+    assert not d1.storageLevel.useMemory and not d1.storageLevel.useDisk
+    assert d1.count() == 10
+    _PERSIST_LAST.pop("rot.test").unpersist(False)
