@@ -168,10 +168,15 @@ class DataStream:
                 f"seg_{gens[0]['segment_id']}", "docs")).limit(0)
         df = spark.read.parquet(*[os.path.join(d, "docs") for d in dirs])
         if ts_col is not None and ts_col in df.columns:
+            # cast the bound literal to the COLUMN'S OWN type: casting to
+            # plain TIMESTAMP against an NTZ column would coerce through
+            # the session timezone and shift the window on a non-UTC
+            # driver (the gate contract is session-tz-invariant)
+            ts_type = dict(df.dtypes)[ts_col]
             if ts_min is not None:
-                df = df.where(F.col(ts_col) >= F.lit(ts_min).cast("timestamp"))
+                df = df.where(F.col(ts_col) >= F.lit(ts_min).cast(ts_type))
             if ts_max is not None:
-                df = df.where(F.col(ts_col) <= F.lit(ts_max).cast("timestamp"))
+                df = df.where(F.col(ts_col) <= F.lit(ts_max).cast(ts_type))
         return df
 
     def materialize(self, spark: SparkSession) -> InvertedIndex:

@@ -300,3 +300,27 @@ def test_date_histogram_offset_session_tz_invariant(sf_dir):
     assert base == shifted and len(base) > 0
     # boundary sits at 06:00, the offset's whole point
     assert all(b.endswith("06:00:00") for b, _ in base)
+
+
+def test_datastream_view_session_tz_invariant(sf_dir):
+    """docs_view's range bounds cast to the ts column's OWN type — a
+    plain TIMESTAMP cast against an NTZ column coerces through the
+    session timezone and shifts the window on a non-UTC driver."""
+    from opensearch_spark.entry_queries import QUERIES
+    from opensearch_spark.session import get_spark
+
+    spark = get_spark("tz_ds_gate", master="local[2]")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+
+    def run():
+        return sorted(
+            (r["event_id"], r["event_type"]) for r in
+            QUERIES["stream_datastream_view"](spark, sf_dir).collect())
+
+    try:
+        base = run()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert base == shifted and len(base) > 0
