@@ -7330,6 +7330,109 @@ def search_common_terms(spark, sf_dir):
         k=10, mode="exhaustive", round_scores=4)
 
 
+@q("agg_children", """
+WITH pb AS (SELECT c_mktsegment AS segment, count(*) AS parent_count
+            FROM customer GROUP BY 1),
+cs AS (SELECT c.c_mktsegment AS segment, count(*) AS child_count,
+              round(avg(o.o_totalprice), 2) AS avg_child_total
+       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+       GROUP BY 1)
+SELECT pb.segment, pb.parent_count,
+       coalesce(cs.child_count, 0) AS child_count, cs.avg_child_total
+FROM pb LEFT JOIN cs USING (segment) ORDER BY segment
+""")
+def agg_children(spark, sf_dir):
+    """`children` aggregation (modules/parent-join
+    ChildrenAggregationBuilder.java:61, ParentToChildrenAggregator.java):
+    bucket the PARENT docs (terms on c_mktsegment), then descend into each
+    bucket's children and run child-scope sub-aggregations (doc_count +
+    avg over the children). The reference joins parent→child through
+    same-shard global ordinals; here the child side joins the broadcast
+    parent dimension (one narrow broadcast join, one hash agg on the tiny
+    bucket key — no shuffle of the child fact beyond the agg itself), and
+    childless parent buckets survive via the left join, as the reference's
+    buckets do."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    pb = (c.groupBy(F.col("c_mktsegment").alias("segment"))
+          .agg(F.count("*").alias("parent_count")))
+    cs = (o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                 o.o_custkey == F.col("c_custkey"))
+          .groupBy(F.col("c_mktsegment").alias("segment"))
+          .agg(F.count("*").alias("child_count"),
+               F.round(F.avg("o_totalprice"), 2).alias("avg_child_total")))
+    return (pb.join(cs, "segment", "left")
+            .select("segment", "parent_count",
+                    F.coalesce("child_count", F.lit(0)).alias("child_count"),
+                    "avg_child_total")
+            .orderBy("segment"))
+
+
+@q("agg_parent", """
+WITH pp AS (SELECT DISTINCT o.o_orderstatus AS status, c.c_custkey, c.c_acctbal
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+SELECT status, count(*) AS parent_count,
+       round(avg(c_acctbal), 2) AS avg_acctbal
+FROM pp GROUP BY status ORDER BY status
+""")
+def agg_parent(spark, sf_dir):
+    """`parent` aggregation (modules/parent-join
+    ParentAggregationBuilder.java, ChildrenToParentAggregator.java, dedup
+    semantics in ParentJoinAggregator.java — each parent ordinal is
+    collected ONCE per child bucket regardless of how many of its
+    children land there): bucket the CHILD docs (terms on
+    o_orderstatus), join up to parents, and run parent-scope sub-aggs
+    over the deduplicated parents. Spark-first: distinct on
+    (bucket, parent-key) BEFORE the join shrinks the join input to one
+    row per (bucket, parent) — one shuffle for the distinct, a broadcast
+    of the parent dim, then a tiny hash agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    pp = (o.select(F.col("o_orderstatus").alias("status"), "o_custkey")
+          .distinct()
+          .join(F.broadcast(c.select("c_custkey", "c_acctbal")),
+                F.col("o_custkey") == F.col("c_custkey")))
+    return (pp.groupBy("status")
+            .agg(F.count("*").alias("parent_count"),
+                 F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"))
+            .orderBy("status"))
+
+
+@q("api_stored_script", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'spark' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'spark'),
+scored AS (SELECT tf.doc_id, {O.bm25_term()} AS raw
+           FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+sc AS (SELECT s.doc_id, s.raw * 3.0 / sqrt(1.0 + d.n_chars) AS v
+       FROM scored s JOIN documents d USING (doc_id))
+SELECT doc_id, round(v, 4) AS score FROM sc
+ORDER BY round(v, 4) DESC, doc_id LIMIT 10
+""")
+def api_stored_script(spark, sf_dir):
+    """Stored scripts (_scripts API: PutStoredScriptRequest,
+    StoredScriptSource.java, ScriptService.putStoredScript) + use-by-id
+    (Script.java ScriptType.STORED): put a painless source under an id
+    (compiled/validated at put time, like the reference's script cache),
+    then reference it from script_score as {"id", "params"} — params ride
+    the REQUEST, never the stored source. The resolved source compiles to
+    the same Catalyst expression the inline path uses (search/painless.py);
+    identical float ops in identical order as the SQL twin."""
+    from opensearch_spark.search.apis import put_stored_script
+    from opensearch_spark.search.queries import from_dsl
+
+    put_stored_script(
+        "boost-by-brevity",
+        "_score * params.w / Math.sqrt(1.0 + doc['n_chars'].value)",
+        lang="painless")
+    s = get_searcher(spark, sf_dir)
+    query = from_dsl({"script_score": {
+        "query": {"match": {"text": "spark"}},
+        "script": {"id": "boost-by-brevity", "params": {"w": 3.0}},
+        "fields": ["n_chars"]}})
+    return s.search(query, k=10, round_scores=4)
+
+
 # --------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate verifies the first
 # ~50 queries() entries each round. Gates with a green row in

@@ -116,3 +116,48 @@ class AliasRegistry:
         for o in outs[1:]:
             merged = merged.unionByName(o)
         return merged.orderBy(F.desc("score"), "_index", "doc_id").limit(k)
+
+
+# --- stored scripts (_scripts API) ---------------------------------------
+# PutStoredScriptRequest / StoredScriptSource.java: the cluster state keeps
+# {id -> (lang, source)}; a request-time Script carries ScriptType.STORED
+# with an `id` and its OWN `params` (params are never stored —
+# Script.java's stored-script parse rejects them). Here the "cluster
+# state" is a process-level registry; scripts validate at put time by
+# compiling (the reference compiles into the script cache on put).
+_STORED_SCRIPTS: dict[str, dict] = {}
+
+
+def put_stored_script(script_id: str, source: str,
+                      lang: str = "painless") -> None:
+    """Store {id: {lang, source}}, validating painless sources by
+    compiling them now (put-time failure, like the reference's
+    ScriptService.putStoredScript compile check)."""
+    if lang == "painless":
+        from opensearch_spark.search.painless import _lex, _Parser
+
+        class _AnyParams(dict):
+            # put-time compile check binds no param VALUES (the reference
+            # compiles stored scripts against an empty runtime-params map
+            # too): any params.X reference resolves to a placeholder.
+            def __contains__(self, key):
+                return True
+
+            def __getitem__(self, key):
+                return 0
+
+        # parser invoked directly: painless_to_sql would dict()-copy the
+        # permissive mapping back into a strict one
+        _Parser(_lex(source), _AnyParams(), "score").parse()  # raises on bad source
+    _STORED_SCRIPTS[script_id] = {"lang": lang, "source": source}
+
+
+def get_stored_script(script_id: str) -> dict:
+    try:
+        return _STORED_SCRIPTS[script_id]
+    except KeyError:
+        raise KeyError(f"stored script not found: {script_id!r}") from None
+
+
+def delete_stored_script(script_id: str) -> None:
+    _STORED_SCRIPTS.pop(script_id, None)

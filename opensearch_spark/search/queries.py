@@ -543,6 +543,15 @@ def _script_src(sc, score_col: str = "score") -> str:
                                                   painless_to_sql)
 
     if isinstance(sc, dict):
+        if "id" in sc and "source" not in sc:
+            # ScriptType.STORED (Script.java): resolve {id, params} from
+            # the stored-scripts registry; params always come from the
+            # request, never the stored source.
+            from opensearch_spark.search.apis import get_stored_script
+
+            stored = get_stored_script(sc["id"])
+            sc = {"source": stored["source"], "lang": stored["lang"],
+                  "params": sc.get("params")}
         if "source" not in sc:
             raise ValueError(
                 f"script object must carry 'source', got {sorted(sc)}")

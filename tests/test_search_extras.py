@@ -762,3 +762,37 @@ def test_from_dsl_fuzzy_transpositions_flag():
         "value": "psark", "fuzziness": 1, "transpositions": False}}})
     assert q.transpositions is False and q.fuzziness == 1
     assert from_dsl({"fuzzy": {"text": {"value": "psark"}}}).transpositions
+
+
+def test_stored_scripts_registry():
+    """_scripts API: put validates painless at put time (compile check,
+    ScriptService.putStoredScript), get raises on unknown id, the DSL
+    resolves {"id", "params"} with request-time params, and params are
+    never stored."""
+    import pytest
+
+    from opensearch_spark.search.apis import (delete_stored_script,
+                                              get_stored_script,
+                                              put_stored_script)
+    from opensearch_spark.search.queries import from_dsl
+
+    # put-time compile failure (unterminated call) never lands in the store
+    with pytest.raises(ValueError):
+        put_stored_script("bad", "Math.sqrt(", lang="painless")
+    with pytest.raises(KeyError):
+        get_stored_script("bad")
+    # params.X compiles at put time without bound values
+    put_stored_script("t-boost", "_score * params.f", lang="painless")
+    assert get_stored_script("t-boost") == {
+        "lang": "painless", "source": "_score * params.f"}
+    q = from_dsl({"script_score": {
+        "query": {"match_all": {}},
+        "script": {"id": "t-boost", "params": {"f": 2.5}}}})
+    assert "2.5" in q.script  # request params inlined into the resolved source
+    # missing id at request time surfaces as KeyError
+    with pytest.raises(KeyError):
+        from_dsl({"script_score": {"query": {"match_all": {}},
+                                   "script": {"id": "nope"}}})
+    delete_stored_script("t-boost")
+    with pytest.raises(KeyError):
+        get_stored_script("t-boost")
