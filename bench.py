@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     "sim_pq_topk",
     "search_flat_object",
     "sim_ivfpq_topk",
+    # round-3 close-out additions
+    "agg_children",
+    "agg_parent",
+    "api_stored_script",
 ]
 
 

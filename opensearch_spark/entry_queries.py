@@ -7398,6 +7398,38 @@ def agg_parent(spark, sf_dir):
             .orderBy("status"))
 
 
+@q("search_expression_score", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'table' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'table'),
+scored AS (SELECT tf.doc_id, {O.bm25_term()} AS raw
+           FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+sc AS (SELECT s.doc_id, s.raw * 2.0 / log10(10 + d.n_chars) AS v
+       FROM scored s JOIN documents d USING (doc_id))
+SELECT doc_id, round(v, 4) AS score FROM sc
+ORDER BY round(v, 4) DESC, doc_id LIMIT 10
+""")
+def search_expression_score(spark, sf_dir):
+    """script_score with lang "expression" (modules/lang-expression,
+    ExpressionScriptEngine.java + Lucene JavascriptCompiler): bare Math
+    function names, bare param variables, doc['f'] with optional .value —
+    the reference's fast numeric-only script language. The adapter
+    (painless.expression_to_sql) rewrites the dialect onto the painless
+    grammar, so expression scripts compile to the same whole-stage-codegen
+    Catalyst expression as painless — zero Python in the scoring path.
+    Formula order matches the SQL twin literally (w inlined as 2.0)."""
+    from opensearch_spark.search.queries import from_dsl
+
+    s = get_searcher(spark, sf_dir)
+    query = from_dsl({"script_score": {
+        "query": {"match": {"text": "table"}},
+        "script": {
+            "source": "_score * w / log10(10 + doc['n_chars'].value)",
+            "lang": "expression", "params": {"w": 2.0}},
+        "fields": ["n_chars"]}})
+    return s.search(query, k=10, round_scores=4)
+
+
 @q("api_stored_script", f"""
 WITH {O.TOK_CTES},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'spark' GROUP BY doc_id),

@@ -337,3 +337,64 @@ def looks_like_painless(source: str) -> bool:
     return bool(re.search(
         r"doc\[|doc\.[A-Za-z_]\w*\.value|params\.|params\[|Math\."
         r"|(?<!\w)_score(?!\w)|\?[^?]*:", source))
+
+
+# --- lang-expression (Lucene expressions) adapter -------------------------
+# modules/lang-expression ExpressionScriptEngine.java compiles scripts with
+# JavascriptCompiler.DEFAULT_FUNCTIONS: BARE Math function names
+# (abs/ln/sqrt/...), doc['f'] with .value optional, _score, and params
+# bound as BARE variables. The arithmetic surface is a subset of what the
+# Painless compiler above handles, so the adapter rewrites the dialect
+# (bare fn -> Math.X, bare param var -> params.X) and reuses _Parser.
+# Date/geo member methods (getSeconds()/.lat etc.) are out of scope.
+_EXPR_FUNC_MAP = {
+    "abs": "abs", "ceil": "ceil", "exp": "exp", "floor": "floor",
+    "ln": "log", "log10": "log10", "max": "max", "min": "min",
+    "pow": "pow", "sqrt": "sqrt",
+}
+
+_EXPR_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def expression_to_sql(source: str, params: dict | None = None,
+                      score_col: str = "score") -> str:
+    """Compile a Lucene-expressions script (lang: "expression") to SQL by
+    rewriting it onto the Painless grammar. Unknown bare variables raise,
+    like the reference's binding step (ExpressionScriptEngine: a variable
+    is _score, a doc-values access, or a params key — nothing else)."""
+    params = dict(params or {})
+    out, i, n = [], 0, len(source)
+    while i < n:
+        ch = source[i]
+        if ch in "'\"":  # string literal (doc['field'] keys): copy verbatim
+            j = i + 1
+            while j < n and source[j] != ch:
+                j += 2 if source[j] == "\\" else 1
+            out.append(source[i:j + 1])
+            i = j + 1
+            continue
+        m = _EXPR_IDENT.match(source, i)
+        if not m:
+            out.append(ch)
+            i += 1
+            continue
+        name = m.group(0)
+        j = m.end()
+        prev = out and out[-1].endswith(".")
+        rest = source[j:].lstrip()
+        if prev or name in ("doc", "_score", "params", "value", "Math"):
+            out.append(name)  # member access / already-painless markers
+        elif rest.startswith("("):
+            fn = _EXPR_FUNC_MAP.get(name)
+            if fn is None:
+                raise ValueError(
+                    f"expression: unsupported function {name!r}")
+            out.append(f"Math.{fn}")
+        elif name in params:
+            out.append(f"params.{name}")
+        else:
+            raise ValueError(
+                f"expression: unknown variable {name!r} (not _score, "
+                f"doc[...], or a params key)")
+        i = j
+    return painless_to_sql("".join(out), params, score_col)

@@ -557,6 +557,13 @@ def _script_src(sc, score_col: str = "score") -> str:
                 f"script object must carry 'source', got {sorted(sc)}")
         src = sc["source"]
         lang = sc.get("lang")
+        if lang == "expression":
+            # modules/lang-expression (Lucene expressions): bare Math
+            # functions + bare param variables, rewritten onto the
+            # painless grammar
+            from opensearch_spark.search.painless import expression_to_sql
+
+            return expression_to_sql(src, sc.get("params"), score_col)
         if lang == "painless" or (lang is None and looks_like_painless(src)):
             return painless_to_sql(src, sc.get("params"), score_col)
         return src

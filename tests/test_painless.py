@@ -139,3 +139,28 @@ def test_spark_side_execution(spark):
         "doc['n'].value % 7 == 0 && !doc['lang'].value.equals('md')", {})
     got = sorted(r["n"] for r in df.where(F.expr(sql)).collect())
     assert got == [0, 14]
+
+
+def test_expression_lang_adapter():
+    """lang-expression dialect (ExpressionScriptEngine.java): bare Math
+    functions map to the shared SQL fns, bare variables resolve from
+    params, unknown variables/functions raise like the reference's
+    binding step."""
+    import pytest
+
+    from opensearch_spark.search.painless import expression_to_sql
+    from opensearch_spark.search.queries import _script_src
+
+    assert expression_to_sql("doc['foo'] + abs(1)", None) == "(foo + abs(1))"
+    assert expression_to_sql("min(doc['a'], max(doc['b'], 3))", None) \
+        == "least(a, greatest(b, 3))"
+    assert expression_to_sql("_score * ln(1 + doc['x'].value) / w",
+                             {"w": 2.0}, "score") \
+        == "((score * ln((1 + x))) / 2.0)"
+    with pytest.raises(ValueError):
+        expression_to_sql("doc['a'] + zz", None)
+    with pytest.raises(ValueError):
+        expression_to_sql("haversin(1, 2, 3, 4)", None)
+    # DSL routing: lang "expression" reaches the adapter
+    assert _script_src({"source": "sqrt(doc['x'])", "lang": "expression"}) \
+        == "sqrt(x)"
