@@ -1684,6 +1684,186 @@ def search_fetch(spark, sf_dir):
     return s.fetch(hits, columns=["lang", "source"]).orderBy("doc_id")
 
 
+@q("search_fetch_fields", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark','vector') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark','vector') GROUP BY term),
+scored AS (SELECT tf.doc_id, round(sum({O.bm25_term()}), 4) AS score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id),
+top5 AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 5)
+SELECT t.doc_id, t.score, d.lang, d.n_chars,
+       strftime(DATE '2024-01-01' + CAST(d.doc_id % 365 AS INT), '%Y/%m/%d') AS ts
+FROM top5 t JOIN documents d USING (doc_id) ORDER BY t.doc_id
+""")
+def search_fetch_fields(spark, sf_dir):
+    """``fields`` request param (FetchFieldsPhase.java + FieldFetcher.java,
+    registered in SearchModule.createFetchSubPhases): wildcard field
+    patterns resolved against the mapping driver-side (metadata, not
+    data), date fields rendered through the requested format. The
+    resolved projection is exactly the fetch scan's ReadSchema; the date
+    column is the derived calendar-day ``ts`` (geo/ip-family trick), so
+    formatting is session-timezone-invariant."""
+    from opensearch_spark.search.fetchphase import fetch_fields
+
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Match(field="text", text="spark vector"), k=5,
+                    mode="exhaustive", round_scores=4)
+    return fetch_fields(
+        s.index.docs(spark), hits,
+        ["lang", "n_*", {"field": "ts", "format": "yyyy/MM/dd"}],
+    ).orderBy("doc_id")
+
+
+@q("search_docvalue_fields", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('merge','table') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('merge','table') GROUP BY term),
+scored AS (SELECT tf.doc_id, round(sum({O.bm25_term()}), 4) AS score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id),
+top5 AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 5)
+SELECT t.doc_id, t.score, d.source, d.n_chars,
+       strftime(DATE '2024-01-01' + CAST(d.doc_id % 365 AS INT), '%Y-%m-%d') AS ts
+FROM top5 t JOIN documents d USING (doc_id) ORDER BY t.doc_id
+""")
+def search_docvalue_fields(spark, sf_dir):
+    """``docvalue_fields`` (FetchDocValuesPhase.java): columnar doc-value
+    reads for the hit frame — keyword/numeric/date only; an explicit
+    text field raises exactly like the reference (text carries no doc
+    values), a wildcard silently skips text. Doc values ARE the columnar
+    layout here, so the phase is the same pruned broadcast-join
+    projection with per-field date formatting."""
+    from opensearch_spark.search.fetchphase import fetch_fields
+
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Match(field="text", text="merge table"), k=5,
+                    mode="exhaustive", round_scores=4)
+    return fetch_fields(
+        s.index.docs(spark), hits,
+        ["source", "n_chars", {"field": "ts", "format": "yyyy-MM-dd"}],
+        docvalues=True,
+    ).orderBy("doc_id")
+
+
+@q("search_source_filter", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('window','table') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('window','table') GROUP BY term),
+scored AS (SELECT tf.doc_id, round(sum({O.bm25_term()}), 4) AS score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id),
+top5 AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 5)
+SELECT t.doc_id, t.score, d.lang, d.source
+FROM top5 t JOIN documents d USING (doc_id) ORDER BY t.doc_id
+""")
+def search_source_filter(spark, sf_dir):
+    """``_source`` include/exclude filtering (FetchSourcePhase.java +
+    FetchSourceContext.filter): include patterns select source keys,
+    exclude patterns veto — excludes win on overlap. Re-expressed as
+    pure column pruning: the filtered-out columns (here ``text`` — the
+    wide one — and ``n_chars``) never leave the parquet reader."""
+    from opensearch_spark.search.fetchphase import source_filter
+
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Match(field="text", text="window table"), k=5,
+                    mode="exhaustive", round_scores=4)
+    return source_filter(
+        s.index.docs(spark), hits,
+        includes=["lang", "source", "n_*"], excludes=["n_*"],
+    ).orderBy("doc_id")
+
+
+@q("search_script_fields", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'table' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2 WHERE term = 'table'),
+scored AS (SELECT tf.doc_id, round({O.bm25_term()}, 4) AS score
+           FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+topk AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+SELECT t.doc_id, t.score,
+       d.n_chars / 100.0 AS chars_per_100,
+       d.doc_id % 7 AS id_mod
+FROM topk t JOIN documents d USING (doc_id) ORDER BY t.doc_id
+""")
+def search_script_fields(spark, sf_dir):
+    """``script_fields`` (ScriptFieldsPhase.java): one scripted value per
+    fetched hit. Each script compiles through the Painless subset
+    compiler (search/painless.py) into a Catalyst projection over the
+    joined top-k — per-hit scripting with zero Python in the loop."""
+    from opensearch_spark.search.fetchphase import script_fields
+
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Match(field="text", text="table"), k=10,
+                    mode="exhaustive", round_scores=4)
+    return script_fields(
+        s.index.docs(spark), hits,
+        {"chars_per_100": {"script": {
+            "source": "doc['n_chars'].value / params.div",
+            "params": {"div": 100.0}}},
+         "id_mod": {"script": {"source": "doc['doc_id'].value % 7"}}},
+    ).orderBy("doc_id")
+
+
+def _indices_boost_oracle() -> str:
+    return f"""
+WITH {O.TOK_CTES},
+{_TITLE_CTES},
+tf_a AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+         WHERE term IN ('merge', 'spark') GROUP BY doc_id, term),
+df_a AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+         WHERE term IN ('merge', 'spark') GROUP BY term),
+sa AS (SELECT tf_a.doc_id, sum({O.bm25_term(tf='tf_a.tf')}) AS s
+       FROM tf_a JOIN df_a USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY tf_a.doc_id),
+tf_b AS (SELECT doc_id, term, count(*) AS tf FROM ttok2
+         WHERE term IN ('merge', 'spark') GROUP BY doc_id, term),
+df_b AS (SELECT term, count(DISTINCT doc_id) AS df FROM ttok2
+         WHERE term IN ('merge', 'spark') GROUP BY term),
+sb AS (SELECT tf_b.doc_id,
+              sum(ln(1.0 + (tstats.N - df + 0.5) / (df + 0.5)) * (1.2 + 1.0) * tf_b.tf
+                  / (tf_b.tf + 1.2 * (1.0 - 0.75 + 0.75 * tdl.dl / tstats.avgdl))) AS s
+       FROM tf_b JOIN df_b USING (term) JOIN tdl USING (doc_id) CROSS JOIN tstats
+       GROUP BY tf_b.doc_id),
+ta AS (SELECT 'docs' AS idx, doc_id, round(s, 4) * 1.0 AS score FROM sa
+       ORDER BY round(s, 4) DESC, doc_id LIMIT 10),
+tb AS (SELECT 'docs_title' AS idx, doc_id, round(s, 4) * 2.0 AS score FROM sb
+       ORDER BY round(s, 4) DESC, doc_id LIMIT 10),
+u AS (SELECT * FROM ta UNION ALL SELECT * FROM tb)
+SELECT idx AS "_index", doc_id, round(score, 4) AS score FROM u
+ORDER BY round(score, 4) DESC, idx, doc_id LIMIT 10
+"""
+
+
+@q("search_indices_boost", _indices_boost_oracle())
+def search_indices_boost(spark, sf_dir):
+    """``indices_boost`` (SearchSourceBuilder.indexBoosts; QueryPhase
+    applies the per-index factor shard-side before the coordinator
+    merge): each index's bounded top-k is scaled by the first matching
+    boost pattern (ObjectFloatHashMap first-write wins), then
+    merge-sorted into the global top-k — the boost never touches
+    unfetched rows, so cost is identical to the plain cross-index
+    search at any corpus size."""
+    from opensearch_spark.search.fetchphase import apply_indices_boost
+
+    s = get_searcher(spark, sf_dir)
+    a = s.search(Match(field="text", text="merge spark"), k=10,
+                 mode="wand", round_scores=4)
+    b = s.search(Match(field="title", text="merge spark"), k=10,
+                 mode="exhaustive", round_scores=4)
+    res = apply_indices_boost(
+        {"docs": a, "docs_title": b},
+        {"docs_t*": 2.0}, k=10)
+    return (res.withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), "_index", "doc_id").limit(10))
+
+
 @q("search_explain", f"""
 WITH {O.TOK_CTES},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'spark' GROUP BY doc_id),

@@ -94,7 +94,12 @@ def _lit(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # a bare `100.0` literal parses as DECIMAL in Spark SQL, but a
+        # Painless double param means double arithmetic (Java semantics) —
+        # emit an explicit DOUBLE so mixed expressions stay double-typed
+        return f"CAST({v!r} AS DOUBLE)"
+    if isinstance(v, int):
         return repr(v)
     return _sql_str(str(v))
 

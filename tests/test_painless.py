@@ -156,7 +156,7 @@ def test_expression_lang_adapter():
         == "least(a, greatest(b, 3))"
     assert expression_to_sql("_score * ln(1 + doc['x'].value) / w",
                              {"w": 2.0}, "score") \
-        == "((score * ln((1 + x))) / 2.0)"
+        == "((score * ln((1 + x))) / CAST(2.0 AS DOUBLE))"
     with pytest.raises(ValueError):
         expression_to_sql("doc['a'] + zz", None)
     with pytest.raises(ValueError):
