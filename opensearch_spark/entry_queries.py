@@ -1864,6 +1864,71 @@ def search_indices_boost(spark, sf_dir):
             .orderBy(F.desc("score"), "_index", "doc_id").limit(10))
 
 
+@q("search_query_then_fetch", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark', 'merge') GROUP BY doc_id, term),
+shn AS (SELECT CAST(doc_id % 4 AS INT) AS shard, count(*) AS N
+        FROM documents GROUP BY 1),
+shdl AS (SELECT CAST(doc_id % 4 AS INT) AS shard, sum(dl) * 1.0 AS sdl
+         FROM dl GROUP BY 1),
+sstats AS (SELECT shn.shard, N, sdl / N AS avgdl FROM shn JOIN shdl USING (shard)),
+sdf AS (SELECT CAST(doc_id % 4 AS INT) AS shard, term, count(*) AS df
+        FROM tf GROUP BY 1, 2),
+scored AS (SELECT CAST(tf.doc_id % 4 AS INT) AS shard, tf.doc_id,
+                  sum({O.bm25_term()}) AS s
+           FROM tf JOIN dl USING (doc_id)
+           JOIN sdf ON sdf.shard = CAST(tf.doc_id % 4 AS INT)
+                   AND sdf.term = tf.term
+           JOIN sstats ON sstats.shard = CAST(tf.doc_id % 4 AS INT)
+           GROUP BY 1, 2),
+r AS (SELECT shard, doc_id, round(s, 4) AS score,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY round(s, 4) DESC, doc_id) AS rnk
+      FROM scored)
+SELECT doc_id, shard, score FROM r WHERE rnk <= 10
+ORDER BY score DESC, doc_id LIMIT 10
+""")
+def search_query_then_fetch(spark, sf_dir):
+    """Default search type query_then_fetch (SearchType.java:62): each
+    shard scores with its OWN df / docCount / avgdl, so scores depend on
+    routing — the classic small-index score-skew the reference documents.
+    Shards are the deterministic ``doc_id % 4`` routing partition; the
+    oracle recomputes shard-local stats from scratch in SQL. Spark plan:
+    term-pruned postings + one n_shards-row broadcast stats aggregate +
+    bounded per-shard window top-k (search/dfs.py)."""
+    from opensearch_spark.search.dfs import sharded_search
+
+    s = get_searcher(spark, sf_dir)
+    return sharded_search(s, "spark merge", n_shards=4, k=10, dfs=False)
+
+
+@q("search_dfs_query_then_fetch", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark', 'merge') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark', 'merge') GROUP BY term),
+scored AS (SELECT tf.doc_id, round(sum({O.bm25_term()}), 4) AS score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id)
+SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard, score FROM scored
+ORDER BY score DESC, doc_id LIMIT 10
+""")
+def search_dfs_query_then_fetch(spark, sf_dir):
+    """dfs_query_then_fetch (SearchType.java:55; AggregatedDfs in
+    search/dfs/DfsSearchResult.java): a pre-query round-trip sums df and
+    collection stats across shards, then every shard scores with GLOBAL
+    statistics — the merged top-k is provably identical to a single-index
+    search. The oracle is therefore the PLAIN global match top-10 (no
+    shard arithmetic at all): the gate pins the identity, not just the
+    numbers."""
+    from opensearch_spark.search.dfs import sharded_search
+
+    s = get_searcher(spark, sf_dir)
+    return sharded_search(s, "spark merge", n_shards=4, k=10, dfs=True)
+
+
 @q("search_explain", f"""
 WITH {O.TOK_CTES},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'spark' GROUP BY doc_id),
