@@ -130,25 +130,22 @@ _STORED_SCRIPTS: dict[str, dict] = {}
 
 def put_stored_script(script_id: str, source: str,
                       lang: str = "painless") -> None:
-    """Store {id: {lang, source}}, validating painless sources by
+    """Store {id: {lang, source}}, validating compilable langs by
     compiling them now (put-time failure, like the reference's
     ScriptService.putStoredScript compile check)."""
-    if lang == "painless":
-        from opensearch_spark.search.painless import _lex, _Parser
+    if lang in ("painless", "expression"):
+        from opensearch_spark.search.painless import (_AnyParams, _lex,
+                                                      _Parser,
+                                                      expression_to_sql)
 
-        class _AnyParams(dict):
-            # put-time compile check binds no param VALUES (the reference
-            # compiles stored scripts against an empty runtime-params map
-            # too): any params.X reference resolves to a placeholder.
-            def __contains__(self, key):
-                return True
-
-            def __getitem__(self, key):
-                return 0
-
-        # parser invoked directly: painless_to_sql would dict()-copy the
-        # permissive mapping back into a strict one
-        _Parser(_lex(source), _AnyParams(), "score").parse()  # raises on bad source
+        if lang == "expression":
+            # the expression adapter needs params as a permissive map
+            # too: bare variables bind as params at put time
+            expression_to_sql(source, _AnyParams(), "score")
+        else:
+            # parser invoked directly: painless_to_sql would dict()-copy
+            # the permissive mapping back into a strict one
+            _Parser(_lex(source), _AnyParams(), "score").parse()
     _STORED_SCRIPTS[script_id] = {"lang": lang, "source": source}
 
 

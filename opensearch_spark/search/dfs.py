@@ -12,15 +12,27 @@ identical to a single-index search.
 
 Spark-first re-expression: the "shards" are a routing partition of the one
 global index (``doc_id % n_shards`` — the same deterministic routing the
-``index_routing_shards`` gate models). Per-shard collection stats are one
-tiny aggregate over the docs table (n_shards rows, broadcast); per-shard
-df is a groupBy over the term-pruned postings of the query terms only.
-Scoring stays the shared ``bm25_sql_expr`` Catalyst expression (the same
-string the DuckDB oracle inlines), per-shard top-k is a window over the
-bounded scored frame, and the coordinator merge is a global
-TakeOrderedAndProject. Nothing here scans more than the match query
-itself: at 100 TB the only addition over a plain match is the
-n_shards-row stats aggregate (column-pruned dl scan) and a broadcast.
+``index_routing_shards`` gate models). Scoring stays a Catalyst expression
+(the same formula string the DuckDB oracle inlines), per-shard top-k is a
+window over the bounded scored frame, and the coordinator merge is a
+global TakeOrderedAndProject.
+
+Statistics posture under soft deletes (mirrors the reference exactly):
+
+- ``dfs=True`` uses the SAME statistics as the plain searcher — the
+  dictionary df and index-meta docCount/avgdl, which intentionally keep
+  counting soft-deleted docs until an expunging rebuild (Lucene's
+  un-merged-segment behavior; see ``Searcher._flat_postings``). That is
+  what ``AggregatedDfs`` ships: the coordinator's aggregated (stale)
+  Lucene stats. The identity with ``Searcher.search`` therefore holds
+  with or without tombstones — pinned by a unit test. The stats are
+  driver-side reads (preloaded dictionary + meta), so dfs mode adds ZERO
+  Spark jobs over the plain match.
+- ``dfs=False`` computes each shard's stats from its live routing
+  partition in-plan (one broadcast n_shards-row aggregate over the docs
+  table + a groupBy over the term-pruned postings): the model is a
+  freshly-merged shard set, the natural reading of a synthetic routing
+  split. Nothing scans more than the match query itself.
 """
 
 from __future__ import annotations
@@ -38,8 +50,9 @@ def sharded_search(s, text: str, *, field: str = "text", n_shards: int = 4,
     ``dfs=False`` → query_then_fetch: shard-local df/N/avgdl (the
     reference default, scores depend on routing). ``dfs=True`` →
     dfs_query_then_fetch: globally aggregated stats — provably identical
-    to the plain single-index match top-k (pinned by a unit test).
-    Returns (doc_id, shard, score) sorted by (score desc, doc_id).
+    to the plain single-index match top-k (pinned by a unit test, deletes
+    included). Returns (doc_id, shard, score) sorted by (score desc,
+    doc_id). Honors the index's configured BM25 k1/b.
     """
     fs = s._searcher_for(field)
     terms = list(dict.fromkeys(fs.analyze(text)))
@@ -48,21 +61,27 @@ def sharded_search(s, text: str, *, field: str = "text", n_shards: int = 4,
             "doc_id", F.lit(0).alias("shard"), "score").limit(0)
 
     shard = (F.col("doc_id") % n_shards).cast("int").alias("shard")
-    flat = fs._flat_postings(terms).withColumn("shard", shard)
 
     if dfs:
-        # AggregatedDfs: one global stats row, cross-joined (broadcast)
-        docs = fs.index.docs(s.spark).select("dl")
-        stats = docs.agg(
-            F.count(F.lit(1)).alias("N"),
-            (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"))
-        dfreq = (flat.groupBy("term")
-                 .agg(F.count(F.lit(1)).alias("df")))
-        scored = (flat
-                  .join(F.broadcast(dfreq), "term")
-                  .crossJoin(F.broadcast(stats)))
+        # AggregatedDfs = the coordinator's (delete-inclusive) Lucene
+        # stats: dictionary df + meta docCount/avgdl, exactly what the
+        # plain searcher inlines — driver-side, no extra Spark jobs
+        dfd = fs.term_dfs(terms)
+        live = [t for t in terms if t in dfd]
+        if not live:
+            return fs._empty_scores().select(
+                "doc_id", F.lit(0).alias("shard"), "score").limit(0)
+        flat = fs._flat_postings(live).withColumn("shard", shard)
+        dfreq = s.spark.createDataFrame(
+            [(t, dfd[t]) for t in live], "term string, df long")
+        per_term = (flat.join(F.broadcast(dfreq), "term")
+                    .withColumn("term_score", F.expr(bm25_sql_expr(
+                        "tf", "dl", "df", str(fs.N), str(fs.avgdl),
+                        k1=fs.k1, b=fs.b))))
     else:
-        # shard-local stats: n_shards rows from a column-pruned dl scan
+        flat = fs._flat_postings(terms).withColumn("shard", shard)
+        # shard-local stats over the live routing partition: n_shards
+        # rows from a column-pruned dl scan, broadcast
         docs = fs.index.docs(s.spark).select("doc_id", "dl")
         stats = (docs.groupBy(shard)
                  .agg(F.count(F.lit(1)).alias("N"),
@@ -70,12 +89,13 @@ def sharded_search(s, text: str, *, field: str = "text", n_shards: int = 4,
                        / F.count(F.lit(1))).alias("avgdl")))
         dfreq = (flat.groupBy("shard", "term")
                  .agg(F.count(F.lit(1)).alias("df")))
-        scored = (flat
-                  .join(F.broadcast(dfreq), ["shard", "term"])
-                  .join(F.broadcast(stats), "shard"))
+        per_term = (flat
+                    .join(F.broadcast(dfreq), ["shard", "term"])
+                    .join(F.broadcast(stats), "shard")
+                    .withColumn("term_score", F.expr(bm25_sql_expr(
+                        "tf", "dl", "df", "N", "avgdl",
+                        k1=fs.k1, b=fs.b))))
 
-    per_term = scored.withColumn(
-        "term_score", F.expr(bm25_sql_expr("tf", "dl", "df", "N", "avgdl")))
     per_doc = (per_term.groupBy("shard", "doc_id")
                .agg(F.sum("term_score").alias("score")))
     if round_to is not None:

@@ -122,7 +122,9 @@ def fetch_fields(docs: DataFrame, hits: DataFrame, specs: list,
     seen: set[str] = set()
     for pat, fmt in _norm_specs(specs):
         for f in resolve_patterns([pat], docvalues=docvalues):
-            if f in seen:
+            # doc_id is the join key and already on the hit frame — a
+            # wildcard resolving to it must not duplicate the column
+            if f in seen or f == "doc_id":
                 continue
             seen.add(f)
             cols.append(_format_col(f, fmt).alias(f))

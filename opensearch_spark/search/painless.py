@@ -331,6 +331,20 @@ def painless_to_sql(source: str, params: dict | None = None,
     return _Parser(_lex(source), dict(params or {}), score_col).parse()
 
 
+class _AnyParams(dict):
+    """Permissive params map for put-time compile validation: the
+    reference compiles stored scripts with no runtime params bound, so
+    any params.X reference resolves to a placeholder instead of raising.
+    Callers must invoke the parser directly (painless_to_sql's dict()
+    copy would collapse this back into a strict dict)."""
+
+    def __contains__(self, key):
+        return True
+
+    def __getitem__(self, key):
+        return 0
+
+
 def looks_like_painless(source: str) -> bool:
     """Heuristic used by the DSL parser when no explicit lang is given:
     Painless-only surface syntax that can never be valid Spark SQL.
@@ -359,6 +373,7 @@ _EXPR_FUNC_MAP = {
 }
 
 _EXPR_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_EXPR_NUM = re.compile(r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
 
 
 def expression_to_sql(source: str, params: dict | None = None,
@@ -366,8 +381,10 @@ def expression_to_sql(source: str, params: dict | None = None,
     """Compile a Lucene-expressions script (lang: "expression") to SQL by
     rewriting it onto the Painless grammar. Unknown bare variables raise,
     like the reference's binding step (ExpressionScriptEngine: a variable
-    is _score, a doc-values access, or a params key — nothing else)."""
-    params = dict(params or {})
+    is _score, a doc-values access, or a params key — nothing else).
+    ``params`` may be a permissive mapping (``_AnyParams``) for put-time
+    validation — it is used as-is, never dict()-copied."""
+    params = params if params is not None else {}
     out, i, n = [], 0, len(source)
     while i < n:
         ch = source[i]
@@ -378,6 +395,14 @@ def expression_to_sql(source: str, params: dict | None = None,
             out.append(source[i:j + 1])
             i = j + 1
             continue
+        if ch.isdigit() or (ch == "." and i + 1 < n and source[i + 1].isdigit()):
+            # numeric literal incl. exponent form (1e-3, 2E5 — valid
+            # Lucene-expressions DECIMAL syntax): copy as a unit so the
+            # exponent's 'e' is never scanned as a variable
+            mnum = _EXPR_NUM.match(source, i)
+            out.append(mnum.group(0))
+            i = mnum.end()
+            continue
         m = _EXPR_IDENT.match(source, i)
         if not m:
             out.append(ch)
@@ -387,8 +412,12 @@ def expression_to_sql(source: str, params: dict | None = None,
         j = m.end()
         prev = out and out[-1].endswith(".")
         rest = source[j:].lstrip()
-        if prev or name in ("doc", "_score", "params", "value", "Math"):
-            out.append(name)  # member access / already-painless markers
+        if prev or name == "_score":
+            out.append(name)  # member name after a dot / the score marker
+        elif name in ("doc", "params", "Math") and rest[:1] in (".", "["):
+            # painless-style marker CHAINS pass through; a bare variable
+            # that merely shares the name falls through to params/error
+            out.append(name)
         elif rest.startswith("("):
             fn = _EXPR_FUNC_MAP.get(name)
             if fn is None:
@@ -402,4 +431,6 @@ def expression_to_sql(source: str, params: dict | None = None,
                 f"expression: unknown variable {name!r} (not _score, "
                 f"doc[...], or a params key)")
         i = j
-    return painless_to_sql("".join(out), params, score_col)
+    # parser invoked directly (not via painless_to_sql) so a permissive
+    # _AnyParams mapping survives for put-time validation
+    return _Parser(_lex("".join(out)), params, score_col).parse()

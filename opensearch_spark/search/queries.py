@@ -543,6 +543,13 @@ def _script_src(sc, score_col: str = "score") -> str:
                                                   painless_to_sql)
 
     if isinstance(sc, dict):
+        if "id" in sc and "source" in sc:
+            # Script.java's parser rejects a script carrying both a
+            # stored id and an inline source — surfacing the malformed
+            # request instead of silently preferring one
+            raise ValueError(
+                "script object must carry either 'id' (stored) or "
+                "'source' (inline), not both")
         if "id" in sc and "source" not in sc:
             # ScriptType.STORED (Script.java): resolve {id, params} from
             # the stored-scripts registry; params always come from the

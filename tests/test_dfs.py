@@ -66,3 +66,53 @@ def test_empty_query_terms(s, spark):
     out = sharded_search(s, "", n_shards=4, k=10, dfs=False)
     assert out.count() == 0
     assert out.columns == ["doc_id", "shard", "score"]
+
+
+def test_dfs_identity_survives_soft_deletes(spark, tmp_path_factory):
+    """AggregatedDfs ships the coordinator's (delete-inclusive) Lucene
+    stats, so the dfs≡global identity must hold with tombstones present:
+    both sides drop the deleted doc from HITS but keep scoring with the
+    stale df/N/avgdl until an expunging rebuild."""
+    from opensearch_spark.index.build import (IndexConfig, InvertedIndex,
+                                              build_index, delete_docs)
+    from opensearch_spark.search import Searcher
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet").limit(300)
+    path = str(tmp_path_factory.mktemp("dfsdel") / "idx")
+    build_index(spark, corpus, path,
+                IndexConfig(field="text", analyzer="standard",
+                            keyword_cols=("lang",), n_parts=4,
+                            bucket_span=1 << 12, with_positions=False))
+    s0 = Searcher(spark, InvertedIndex(path))
+    base = s0.search(Match(field="text", text="spark merge"), k=5,
+                     mode="exhaustive", round_scores=4).collect()
+    assert base
+    delete_docs(spark, path, [base[0].doc_id])
+    s1 = Searcher(spark, InvertedIndex(path))
+
+    got = sharded_search(s1, "spark merge", n_shards=4, k=10, dfs=True)
+    want = s1.search(Match(field="text", text="spark merge"), k=10,
+                     mode="exhaustive", round_scores=4)
+    assert _rows(got) == _rows(want)
+    assert base[0].doc_id not in {d for d, _ in _rows(got)}
+
+
+def test_honors_index_k1_b(spark, tmp_path_factory):
+    """sharded_search must score with the index's configured BM25
+    parameters, not the library defaults."""
+    from opensearch_spark.index.build import (IndexConfig, InvertedIndex,
+                                              build_index)
+    from opensearch_spark.search import Searcher
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet").limit(300)
+    path = str(tmp_path_factory.mktemp("dfskb") / "idx")
+    build_index(spark, corpus, path,
+                IndexConfig(field="text", analyzer="standard",
+                            keyword_cols=("lang",), n_parts=4,
+                            bucket_span=1 << 12, with_positions=False,
+                            k1=0.9, b=0.3))
+    s1 = Searcher(spark, InvertedIndex(path))
+    got = sharded_search(s1, "spark merge", n_shards=4, k=10, dfs=True)
+    want = s1.search(Match(field="text", text="spark merge"), k=10,
+                     mode="exhaustive", round_scores=4)
+    assert _rows(got) == _rows(want)

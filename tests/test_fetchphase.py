@@ -69,6 +69,16 @@ def test_fetch_fields_wildcard_and_date_format(spark):
     assert rows[2]["ts"] == "2024/01/03"
 
 
+def test_fetch_fields_star_wildcard_no_duplicate_doc_id(spark):
+    """fields: ["*"] resolves to doc_id among others — the join key must
+    not be emitted twice (downstream orderBy("doc_id") would be
+    ambiguous)."""
+    out = fetch_fields(_docs(spark), _hits(spark), ["*"])
+    assert out.columns.count("doc_id") == 1
+    got = {r["doc_id"] for r in out.orderBy("doc_id").collect()}
+    assert got == {1, 2}
+
+
 def test_source_filter_excludes_win(spark):
     out = source_filter(_docs(spark), _hits(spark),
                         includes=["lang", "n_*", "source"],

@@ -164,3 +164,44 @@ def test_expression_lang_adapter():
     # DSL routing: lang "expression" reaches the adapter
     assert _script_src({"source": "sqrt(doc['x'])", "lang": "expression"}) \
         == "sqrt(x)"
+    # exponent numeric literals are valid expressions DECIMAL syntax —
+    # the 'e' must never scan as a variable
+    assert expression_to_sql("_score * 1e-3", None, "score") \
+        == "(score * 1e-3)"
+    assert expression_to_sql("2E5 + doc['x']", None) == "(2E5 + x)"
+    # a bare variable that merely SHARES a marker name ('value', 'params',
+    # 'doc', 'Math' not followed by a member chain) binds as a param...
+    assert expression_to_sql("doc['a'].value * value", {"value": 2.0}) \
+        == "(a * CAST(2.0 AS DOUBLE))"
+    # ...and raises when it is not a params key, instead of leaking a raw
+    # column reference into the SQL
+    with pytest.raises(ValueError):
+        expression_to_sql("value + 1", None)
+    with pytest.raises(ValueError):
+        expression_to_sql("doc + 1", None)
+
+
+def test_script_id_and_source_both_rejected():
+    """Script.java's parse rejects a script carrying both a stored id and
+    an inline source — the DSL must 400, not silently pick one."""
+    import pytest
+
+    from opensearch_spark.search.queries import _script_src
+
+    with pytest.raises(ValueError, match="not both"):
+        _script_src({"id": "x", "source": "_score"})
+
+
+def test_put_stored_script_validates_expression_lang():
+    """put-time compile check covers lang=expression too (the reference
+    compiles every stored script into the cache on put)."""
+    import pytest
+
+    from opensearch_spark.search.apis import (_STORED_SCRIPTS,
+                                              put_stored_script)
+
+    put_stored_script("__t_expr_ok", "sqrt(w) * _score", lang="expression")
+    assert _STORED_SCRIPTS.pop("__t_expr_ok")["lang"] == "expression"
+    with pytest.raises(ValueError):
+        put_stored_script("__t_expr_bad", "sqrt(", lang="expression")
+    assert "__t_expr_bad" not in _STORED_SCRIPTS
