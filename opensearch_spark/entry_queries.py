@@ -5813,6 +5813,39 @@ def search_suggest_completion(spark, sf_dir):
         weight_col="n_chars", skip_duplicates=True).orderBy("rank")
 
 
+@q("search_suggest_completion_context", """
+WITH comp AS (
+  SELECT lower(array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 8), ' ')) AS suggestion,
+         n_chars AS weight, lang
+  FROM documents
+),
+ctx AS (SELECT suggestion,
+               CAST(weight * CASE lang WHEN 'de' THEN 3 ELSE 1 END AS BIGINT) AS weight
+        FROM comp WHERE suggestion LIKE 'table %' AND lang IN ('en', 'de')),
+dedup AS (SELECT suggestion, max(weight) AS weight FROM ctx GROUP BY suggestion),
+ranked AS (SELECT suggestion, weight,
+           CAST(row_number() OVER (ORDER BY weight DESC, suggestion) AS INT) AS rank
+           FROM dedup)
+SELECT suggestion, weight, rank FROM ranked WHERE rank <= 5 ORDER BY rank
+""")
+def search_suggest_completion_context(spark, sf_dir):
+    """Completion suggester with category contexts
+    (CategoryContextMapping.java + CategoryQueryContext +
+    ContextMappings.java): query contexts FILTER candidates to matching
+    context values and multiply each match's weight by its context's
+    boost — here lang∈{en, de} with de boosted 3×, so German entries can
+    outrank longer English ones. Filter is a scan-pushable isin, boost a
+    literal map lookup: contexts add zero shuffles."""
+    from opensearch_spark.search import completion_suggest
+
+    d = with_title(_docs(spark, sf_dir))
+    return completion_suggest(
+        d, prefix="table ", size=5, input_col="title",
+        weight_col="n_chars", skip_duplicates=True,
+        context_col="lang",
+        contexts=[{"value": "de", "boost": 3}, "en"]).orderBy("rank")
+
+
 @q("search_highlight_fvh", f"""
 WITH {_POS_CTE},
 m AS (SELECT doc_id, p FROM pos WHERE term IN ('spark','merge') AND doc_id < 40),

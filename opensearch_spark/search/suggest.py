@@ -67,6 +67,8 @@ def completion_suggest(
     weight_col: str | None = None,
     fuzziness: int = 0,
     skip_duplicates: bool = False,
+    context_col: str | None = None,
+    contexts: list | None = None,
 ) -> DataFrame:
     """Completion suggester (search/suggest/completion/
     CompletionSuggestionBuilder.java): weighted prefix autocomplete.
@@ -85,12 +87,41 @@ def completion_suggest(
     the input (FuzzyCompletionQuery semantics approximation);
     ``skip_duplicates`` keeps the highest-weight entry per suggestion
     text. Returns (suggestion, weight, rank).
+
+    ``contexts`` + ``context_col``: category contexts
+    (``search/suggest/completion/context/CategoryContextMapping.java`` +
+    ``CategoryQueryContext``): when query contexts are given, a
+    suggestion must match one of them (filter), and its weight is
+    multiplied by the highest boost among the matched contexts
+    (``ContextMappings.java`` scores entries per matched context).
+    Entries are plain values or {"value": ..., "boost": int}. The
+    context here is a single-valued keyword column — the filter is a
+    scan-pushable ``isin``, the boost a tiny literal map lookup, so
+    contexts add zero shuffles.
     """
     p = prefix.lower()
     sug = F.lower(F.col(input_col)).alias("suggestion")
     w = (F.col(weight_col).cast("long") if weight_col
          else F.lit(1).cast("long")).alias("weight")
-    base = inputs.select(sug, w)
+    if contexts:
+        if not context_col:
+            raise ValueError("contexts given without a context_col")
+        specs = [(c, 1) if isinstance(c, str)
+                 else (c["value"], int(c.get("boost", 1))) for c in contexts]
+        boosts: dict = {}
+        for v, b in specs:  # duplicate context values keep the max boost
+            boosts[v] = max(b, boosts.get(v, b))
+        bmap = F.create_map(
+            *[x for v, b in boosts.items() for x in (F.lit(v), F.lit(b))])
+        base = (inputs
+                .where(F.col(context_col).isin(list(boosts)))
+                .select(sug, w, F.col(context_col).alias("_ctx"))
+                .withColumn("weight",
+                            (F.col("weight")
+                             * bmap[F.col("_ctx")]).cast("long"))
+                .drop("_ctx"))
+    else:
+        base = inputs.select(sug, w)
     if fuzziness <= 0:
         cand = base.where(F.col("suggestion").startswith(p))
     else:

@@ -251,6 +251,35 @@ def test_completion_prefix_and_weight_order(spark):
         ("spark submit", 9, 1), ("spark shell", 5, 2)]
 
 
+def test_completion_category_contexts(spark):
+    """CategoryContextMapping + CategoryQueryContext: contexts FILTER to
+    matching values and boost-multiply the weight; entries outside every
+    query context never surface; duplicate context values keep the max
+    boost; contexts without context_col raise."""
+    import pytest
+
+    from opensearch_spark.search import completion_suggest
+
+    df = spark.createDataFrame(
+        [("spark shell", 5, "en"), ("spark submit", 4, "de"),
+         ("spark sql", 9, "fr"), ("spark conf", 1, "de")],
+        "input string, weight int, lang string")
+    out = completion_suggest(
+        df, "spark", size=5, weight_col="weight", context_col="lang",
+        contexts=[{"value": "de", "boost": 3}, "en"]).collect()
+    # fr entry filtered despite top raw weight; de weights tripled
+    assert [(r["suggestion"], r["weight"]) for r in out] == [
+        ("spark submit", 12, ), ("spark shell", 5), ("spark conf", 3)]
+    # duplicate context values: max boost wins
+    out2 = completion_suggest(
+        df, "spark", size=5, weight_col="weight", context_col="lang",
+        contexts=["de", {"value": "de", "boost": 2}]).collect()
+    assert [(r["suggestion"], r["weight"]) for r in out2] == [
+        ("spark submit", 8), ("spark conf", 2)]
+    with pytest.raises(ValueError, match="context_col"):
+        completion_suggest(df, "spark", contexts=["en"])
+
+
 def test_completion_fuzzy_prefix(spark):
     from opensearch_spark.search import completion_suggest
 
