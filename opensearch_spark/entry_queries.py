@@ -1929,6 +1929,54 @@ def search_dfs_query_then_fetch(spark, sf_dir):
     return sharded_search(s, "spark merge", n_shards=4, k=10, dfs=True)
 
 
+@q("search_derived_field_range", """
+WITH d AS (SELECT doc_id,
+                  round(n_chars / CAST(100.0 AS DOUBLE), 4) AS chars_per_100
+           FROM documents)
+SELECT doc_id, chars_per_100 FROM d
+WHERE chars_per_100 >= 1.0 AND chars_per_100 < 3.0
+ORDER BY chars_per_100 DESC, doc_id LIMIT 20
+""")
+def search_derived_field_range(spark, sf_dir):
+    """Derived field queried with a range (DerivedFieldMapper.java +
+    DerivedFieldQuery.java): the script value is computed at query time —
+    the reference materializes it per doc into a single-doc MemoryIndex
+    and runs the inner query against it; here the Painless script is one
+    Catalyst expression fused into the scan's codegen stage, filtered and
+    top-k'd like any column (search/derivedfields.py)."""
+    from opensearch_spark.search.derivedfields import with_derived_fields
+
+    d = with_derived_fields(_docs(spark, sf_dir), {
+        "chars_per_100": {"type": "double", "script": {
+            "source": "doc['n_chars'].value / params.div",
+            "params": {"div": 100.0}}}})
+    d = d.withColumn("chars_per_100", F.round("chars_per_100", 4))
+    return (d.where((F.col("chars_per_100") >= 1.0)
+                    & (F.col("chars_per_100") < 3.0))
+            .select("doc_id", "chars_per_100")
+            .orderBy(F.desc("chars_per_100"), "doc_id").limit(20))
+
+
+@q("agg_derived_field_terms", """
+SELECT upper(lang) AS lang_upper, count(*) AS doc_count
+FROM documents GROUP BY 1 ORDER BY doc_count DESC, lang_upper
+""")
+def agg_derived_field_terms(spark, sf_dir):
+    """Terms aggregation over a derived keyword field
+    (DerivedFieldSupportedTypes KEYWORD + a toUpperCase() script): the
+    derived column exists only inside the plan — one groupBy, no
+    materialization, vs the reference's per-doc script execution during
+    aggregation collection."""
+    from opensearch_spark.search.derivedfields import with_derived_fields
+
+    d = with_derived_fields(_docs(spark, sf_dir), {
+        "lang_upper": {"type": "keyword",
+                       "script": "doc['lang'].value.toUpperCase()"}})
+    return (d.groupBy("lang_upper")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), "lang_upper"))
+
+
 @q("search_explain", f"""
 WITH {O.TOK_CTES},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'spark' GROUP BY doc_id),
