@@ -81,6 +81,11 @@ BENCH_QUERIES = [
     "agg_children",
     "agg_parent",
     "api_stored_script",
+    # round-3 final-session additions
+    "search_fetch_fields",
+    "search_query_then_fetch",
+    "search_derived_field_range",
+    "search_suggest_completion_context",
 ]
 
 

@@ -1094,6 +1094,38 @@ def api_cat_count(spark, sf_dir):
             .orderBy("idx"))
 
 
+@q("api_track_total_hits", f"""
+WITH {O.TOK_CTES},
+m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = 'table'),
+c AS (SELECT count(*) AS total FROM m)
+SELECT * FROM (
+  SELECT CAST(50 AS BIGINT) AS threshold,
+         CAST(CASE WHEN total <= 50 THEN total ELSE 50 END AS BIGINT) AS value,
+         CASE WHEN total <= 50 THEN 'eq' ELSE 'gte' END AS relation FROM c
+  UNION ALL
+  SELECT CAST(1000000 AS BIGINT), CAST(total AS BIGINT), 'eq' FROM c
+) ORDER BY threshold
+""")
+def api_track_total_hits(spark, sf_dir):
+    """track_total_hits (TopDocsCollectorContext: counting stops at the
+    threshold, totals beyond it report (threshold, "gte")): the bounded
+    count is limit(n+1).count() — CollectLimit short-circuits the scan,
+    so cost is bounded by the threshold, not the corpus. Two thresholds
+    gated: one below the true total (gte) and one above (eq)."""
+    from opensearch_spark.search.apis import track_total_hits
+
+    s = get_searcher(spark, sf_dir)
+    fs = s._searcher_for("text")
+    matching = fs._flat_postings(["table"]).select("doc_id")
+    rows = []
+    for thr in (50, 1_000_000):
+        v, rel = track_total_hits(matching, thr)
+        rows.append((thr, v, rel))
+    return spark.createDataFrame(
+        rows, "threshold bigint, value bigint, relation string"
+    ).orderBy("threshold")
+
+
 @q("search_exists", """
 SELECT doc_id, 1.0 AS score FROM documents
 WHERE lang IS NOT NULL ORDER BY doc_id

@@ -118,6 +118,27 @@ class AliasRegistry:
         return merged.orderBy(F.desc("score"), "_index", "doc_id").limit(k)
 
 
+def track_total_hits(matching: DataFrame, n: int | bool = 10_000):
+    """``track_total_hits`` (TopDocsCollectorContext.createTotalHitCount
+    Collector / rest layer's ``TotalHits.Relation``): counting stops at
+    the threshold — a total ≤ n reports (total, "eq"), beyond it reports
+    (n, "gte"). ``True`` means exact (track fully), ``False`` the default
+    10k threshold.
+
+    Spark-first: ``limit(n+1).count()`` — the scan short-circuits once
+    n+1 rows are produced (CollectLimit), so the cost is bounded by the
+    threshold, not the corpus, exactly the reference's early-termination
+    contract. Returns (value, relation).
+    """
+    if n is True:
+        return int(matching.count()), "eq"
+    n = 10_000 if n is False else int(n)
+    c = matching.limit(n + 1).count()
+    if c <= n:
+        return c, "eq"
+    return n, "gte"
+
+
 # --- stored scripts (_scripts API) ---------------------------------------
 # PutStoredScriptRequest / StoredScriptSource.java: the cluster state keeps
 # {id -> (lang, source)}; a request-time Script carries ScriptType.STORED
