@@ -1126,6 +1126,64 @@ def api_track_total_hits(spark, sf_dir):
     ).orderBy("threshold")
 
 
+@q("api_search_request", f"""
+WITH {O.TOK_CTES},
+m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term IN ('spark', 'merge')),
+j AS (SELECT d.doc_id, d.n_chars, d.lang, d.source
+      FROM m JOIN documents d USING (doc_id)),
+o AS (SELECT *, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn FROM j)
+SELECT doc_id, n_chars, lang, source,
+       strftime(DATE '2024-01-01' + CAST(doc_id % 365 AS INT), '%Y-%m-%d') AS ts
+FROM o WHERE rn > 2 AND rn <= 7 ORDER BY doc_id
+""")
+def api_search_request(spark, sf_dir):
+    """Full ``_search`` request body through one executor
+    (SearchSourceBuilder.java parse → query-then-fetch lifecycle): query
+    + field sort + from/size paging + _source include filtering + a
+    formatted ``fields`` date — composed into a single Catalyst plan by
+    search/request.py; the fetch joins run over the bounded page only."""
+    from opensearch_spark.search.request import execute_search_request
+
+    s = get_searcher(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": "spark merge"}},
+        "from": 2, "size": 5,
+        "sort": [{"n_chars": {"order": "desc"}}],
+        "_source": {"includes": ["lang", "source"]},
+        "fields": [{"field": "ts", "format": "yyyy-MM-dd"}],
+    }
+    return execute_search_request(s, body).orderBy("doc_id")
+
+
+@q("api_search_request_aggs", f"""
+WITH {O.TOK_CTES},
+m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = 'table'),
+g AS (SELECT d.source, count(*) AS doc_count,
+             avg(d.n_chars) AS avg_chars, max(d.n_chars) AS max_chars
+      FROM m JOIN documents d USING (doc_id) GROUP BY d.source)
+SELECT source, doc_count, round(avg_chars, 4) AS avg_chars, max_chars
+FROM g ORDER BY doc_count DESC, source LIMIT 5
+""")
+def api_search_request_aggs(spark, sf_dir):
+    """``_search`` body in aggregations posture (size: 0): query filter
+    context + a terms bucket with nested metric sub-aggs, compiled to one
+    groupBy over the matching ids (search/request.py). The shape every
+    reference dashboard emits."""
+    from opensearch_spark.search.request import execute_search_request
+
+    s = get_searcher(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": "table"}},
+        "size": 0,
+        "aggs": {"by_source": {
+            "terms": {"field": "source", "size": 5},
+            "aggs": {"avg_chars": {"avg": {"field": "n_chars"}},
+                     "max_chars": {"max": {"field": "n_chars"}}}}},
+    }
+    out = execute_search_request(s, body)
+    return out.withColumn("avg_chars", F.round("avg_chars", 4))
+
+
 @q("search_exists", """
 SELECT doc_id, 1.0 AS score FROM documents
 WHERE lang IS NOT NULL ORDER BY doc_id

@@ -119,11 +119,11 @@ def fetch_fields(docs: DataFrame, hits: DataFrame, specs: list,
     columns — the projection reaches the scan's ReadSchema."""
     docs = with_derived(docs)
     cols: list[Column] = []
-    seen: set[str] = set()
+    # doc_id is the join key; any column already on the hit frame (a
+    # prior _source phase, a sort key) must not be emitted twice
+    seen: set[str] = set(hits.columns)
     for pat, fmt in _norm_specs(specs):
         for f in resolve_patterns([pat], docvalues=docvalues):
-            # doc_id is the join key and already on the hit frame — a
-            # wildcard resolving to it must not duplicate the column
             if f in seen or f == "doc_id":
                 continue
             seen.add(f)
@@ -154,6 +154,13 @@ def script_fields(docs: DataFrame, hits: DataFrame,
     expression per hit (ScriptFieldsPhase runs the script per fetched
     doc; here it is a codegen projection over the joined top-k)."""
     docs = with_derived(docs)
+    # hit frames may already carry doc columns (a prior _source phase):
+    # drop the docs-side duplicates so references stay unambiguous — the
+    # surviving hits-side copy holds the identical value
+    dup = [c for c in docs.columns
+           if c != "doc_id" and c in set(hits.columns)]
+    if dup:
+        docs = docs.drop(*dup)
     cols = []
     for name, spec in scripts.items():
         script = spec.get("script", spec)

@@ -1,0 +1,193 @@
+"""Full ``_search`` request-body executor.
+
+The reference's public query surface is the JSON request body parsed by
+``search/builder/SearchSourceBuilder.java`` (query / from / size / sort /
+_source / fields / script_fields / min_score / search_after / aggs /
+derived / track_total_hits — each wired in ``SearchModule.java`` and
+executed through the query-then-fetch lifecycle, SURVEY.md §3.1). A user
+migrating from the reference ships these bodies — this module executes
+one against the engine by composing the already-gated primitives into a
+single Catalyst plan:
+
+- ``query``            → ``queries.from_dsl`` → score() / matching_docs()
+- ``sort``             → docs-joined ORDER BY → TakeOrderedAndProject
+- ``from``/``size``    → offset + limit over the bounded ordered frame
+- ``search_after``     → keyset predicate on the sort keys (no deep
+                         from+size scan — the scale-correct cursor)
+- ``_source``          → fetchphase.source_filter (pure column pruning)
+- ``fields``           → fetchphase.fetch_fields (wildcards + date fmt)
+- ``script_fields``    → fetchphase.script_fields (Painless → Catalyst)
+- ``derived``          → derivedfields.with_derived_fields (sortable /
+                         aggregatable query-time scripted columns)
+- ``min_score``        → post-score filter
+- ``aggs``             → a terms/metrics compiler over the filter-context
+                         matching docs (size: 0 requests)
+- ``track_total_hits`` → apis.track_total_hits (bounded count)
+
+Unsupported body keys raise NotImplementedError naming the dedicated
+module (highlight/suggest/rescore/collapse each have their own gated
+API) — explicit, never silently ignored. Everything composes into ONE
+plan: the query's bounded top-k broadcast-joins the docs table once, so
+a full-body request costs the same as its bare query at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from opensearch_spark.search import queries as Q
+from opensearch_spark.search.queries import from_dsl
+
+# body keys executed here; anything else raises with a pointer
+_HANDLED = {
+    "query", "from", "size", "sort", "_source", "fields", "script_fields",
+    "min_score", "search_after", "aggs", "aggregations", "derived",
+    "track_total_hits",
+}
+_DEDICATED = {
+    "highlight": "search/highlight.py (highlight_field)",
+    "suggest": "search/suggest.py (term/phrase/completion_suggest)",
+    "rescore": "entry_queries.search_rescore composition",
+    "collapse": "entry_queries.search_collapse composition",
+    "knn": "ml/similarity.py (cosine/LSH/IVF/PQ top-k)",
+    "pit": "search/scroll.py (PIT cursors)",
+}
+
+_METRIC_AGGS = {
+    "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+    "value_count": F.count,
+    "cardinality": F.countDistinct,
+}
+
+
+def _sort_spec(sort) -> list[tuple[str, bool]]:
+    """Normalize the body's sort section to [(field, ascending)]."""
+    out: list[tuple[str, bool]] = []
+    for entry in sort if isinstance(sort, list) else [sort]:
+        if isinstance(entry, str):
+            out.append((entry, entry != "_score"))
+        else:
+            (fld, spec), = entry.items()
+            order = spec.get("order", "asc") if isinstance(spec, dict) else spec
+            out.append((fld, order != "desc"))
+    return out
+
+
+def _compile_aggs(matching: DataFrame, docs: DataFrame, aggs: dict) -> DataFrame:
+    """terms bucket (+ nested metric sub-aggs) or top-level metrics —
+    the high-traffic shape of reference agg requests. One broadcast of
+    the bounded matching-ids frame, one groupBy."""
+    scoped = docs.join(matching, "doc_id")
+
+    (name, spec), = aggs.items()
+    sub = spec.get("aggs", spec.get("aggregations", {}))
+    body = {k: v for k, v in spec.items() if k not in ("aggs", "aggregations")}
+    (kind, conf), = body.items()
+
+    def metric_cols(subaggs: dict) -> list:
+        cols = []
+        for sname, sspec in subaggs.items():
+            (skind, sconf), = sspec.items()
+            fn = _METRIC_AGGS.get(skind)
+            if fn is None:
+                raise NotImplementedError(
+                    f"aggs: sub-aggregation [{skind}] not supported in the "
+                    "request executor — use its dedicated gated operator")
+            cols.append(fn(sconf["field"]).alias(sname))
+        return cols
+
+    if kind == "terms":
+        size = int(conf.get("size", 10))
+        g = (scoped.groupBy(F.col(conf["field"]).alias("key"))
+             .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols(sub)))
+        return (g.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+                .withColumnRenamed("key", conf["field"]))
+    if kind in _METRIC_AGGS:
+        return scoped.agg(_METRIC_AGGS[kind](conf["field"]).alias(name))
+    raise NotImplementedError(
+        f"aggs: [{kind}] not supported in the request executor — use its "
+        "dedicated gated operator")
+
+
+def execute_search_request(s, body: dict, *, field: str = "text",
+                           round_scores: int | None = 4):
+    """Execute a reference ``_search`` request body against the engine.
+
+    Returns the hits DataFrame (or the aggregation frame for ``aggs``
+    requests). ``s`` is a Searcher (entry_queries.get_searcher result).
+    """
+    for key in body:
+        if key not in _HANDLED:
+            hint = _DEDICATED.get(key)
+            raise NotImplementedError(
+                f"_search body key [{key}] is not executed here"
+                + (f" — use {hint}" if hint else ""))
+
+    ast = from_dsl(body["query"]) if "query" in body else Q.MatchAll()
+    size = int(body.get("size", 10))
+    offset = int(body.get("from", 0))
+
+    docs = s.index.docs(s.spark)
+    if "derived" in body:
+        from opensearch_spark.search.derivedfields import with_derived_fields
+        docs = with_derived_fields(docs, body["derived"])
+
+    aggs = body.get("aggs", body.get("aggregations"))
+    if aggs:
+        if size not in (0, 10):  # explicit non-zero size with aggs: one
+            # frame can't carry both shapes — the REST layer returns both,
+            # a DataFrame API returns the aggregations (size: 0 posture)
+            raise NotImplementedError(
+                "aggs with a non-zero size: run the hits request and the "
+                "aggs request as two bodies")
+        return _compile_aggs(s.matching_docs(ast), docs, aggs)
+
+    sort = body.get("sort")
+    if sort and _sort_spec(sort)[0][0] != "_score":
+        spec = _sort_spec(sort)
+        if "min_score" in body:
+            raise NotImplementedError(
+                "min_score with a field sort needs the scored frame — "
+                "compose s.search + the sort join explicitly")
+        cols = [f for f, _ in spec if f != "_score"]
+        hits = (s.matching_docs(ast)
+                .join(docs.select("doc_id", *cols), "doc_id"))
+        order = [F.asc(f) if asc else F.desc(f) for f, asc in spec]
+        order.append(F.asc("doc_id"))  # stable tiebreak (shard doc order)
+        if "search_after" in body:
+            # keyset cursor: strictly-after predicate over (key, doc_id)
+            (f0, asc0), = spec[:1]
+            key_val, last_id = body["search_after"]
+            k = F.col(f0)
+            hits = hits.where(
+                (k > key_val if asc0 else k < key_val)
+                | ((k == key_val) & (F.col("doc_id") > last_id)))
+        hits = hits.orderBy(*order)
+    else:
+        if "search_after" in body:
+            raise NotImplementedError(
+                "search_after over the score sort: use the dedicated "
+                "search_after/scroll cursor operators (search/scroll.py)")
+        hits = s.search(ast, k=offset + size, round_scores=round_scores)
+        if "min_score" in body:
+            hits = hits.where(F.col("score") >= float(body["min_score"]))
+        hits = hits.orderBy(F.desc("score"), F.asc("doc_id"))
+
+    page = hits.offset(offset).limit(size) if offset else hits.limit(size)
+
+    # fetch sub-phases over the bounded page (broadcast joins)
+    from opensearch_spark.search import fetchphase
+
+    out = page
+    src = body.get("_source")
+    if isinstance(src, dict):
+        out = fetchphase.source_filter(
+            docs, out, includes=src.get("includes"),
+            excludes=src.get("excludes"))
+    elif isinstance(src, list):
+        out = fetchphase.source_filter(docs, out, includes=src)
+    if "fields" in body:
+        out = fetchphase.fetch_fields(docs, out, body["fields"])
+    if "script_fields" in body:
+        out = fetchphase.script_fields(docs, out, body["script_fields"])
+    return out

@@ -1,0 +1,95 @@
+"""_search request-body executor (SearchSourceBuilder surface) —
+composition, paging, keyset search_after, failure modes."""
+
+import pytest
+
+from opensearch_spark.entry_queries import get_searcher
+from opensearch_spark.search.request import execute_search_request
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def s(spark):
+    return get_searcher(spark, SF)
+
+
+def test_from_size_page_is_window_of_full_order(s):
+    body = {"query": {"match": {"text": "spark merge"}},
+            "sort": [{"n_chars": {"order": "desc"}}]}
+    full = execute_search_request(s, {**body, "size": 10}).collect()
+    page = execute_search_request(s, {**body, "from": 4, "size": 3}).collect()
+    assert [r.doc_id for r in page] == [r.doc_id for r in full[4:7]]
+
+
+def test_search_after_keyset_continues_the_page(s):
+    body = {"query": {"match": {"text": "spark merge"}},
+            "sort": [{"n_chars": {"order": "desc"}}], "size": 5}
+    first = execute_search_request(s, body).collect()
+    last = first[-1]
+    nxt = execute_search_request(
+        s, {**body, "search_after": [last.n_chars, last.doc_id]}).collect()
+    full = execute_search_request(s, {**body, "size": 10}).collect()
+    assert [r.doc_id for r in nxt] == [r.doc_id for r in full[5:10]]
+
+
+def test_min_score_filters_score_path(s):
+    base = {"query": {"match": {"text": "spark merge"}}, "size": 10}
+    allr = execute_search_request(s, base).collect()
+    thr = allr[4].score
+    got = execute_search_request(s, {**base, "min_score": thr}).collect()
+    assert all(r.score >= thr for r in got)
+    assert len(got) == sum(1 for r in allr if r.score >= thr)
+
+
+def test_default_query_is_match_all(s):
+    out = execute_search_request(s, {"size": 3,
+                                     "sort": [{"doc_id": "asc"}]})
+    assert [r.doc_id for r in out.collect()] == [0, 1, 2]
+
+
+def test_source_list_form_and_script_fields(s):
+    out = execute_search_request(s, {
+        "query": {"match": {"text": "table"}}, "size": 3,
+        "_source": ["lang"],
+        "script_fields": {"c2": {"script": {
+            "source": "doc['n_chars'].value * params.m",
+            "params": {"m": 2}}}},
+    })
+    cols = set(out.columns)
+    assert {"doc_id", "score", "lang", "c2"} <= cols
+    assert "text" not in cols
+    r = out.collect()[0]
+    assert r.c2 is not None
+
+
+def test_top_level_metric_agg(s):
+    out = execute_search_request(s, {
+        "query": {"match": {"text": "table"}}, "size": 0,
+        "aggs": {"total_chars": {"sum": {"field": "n_chars"}}}})
+    row = out.collect()[0]
+    assert row.total_chars > 0
+
+
+def test_unsupported_keys_raise_with_pointer(s):
+    with pytest.raises(NotImplementedError, match="highlight"):
+        execute_search_request(s, {"highlight": {"fields": {"text": {}}}})
+    with pytest.raises(NotImplementedError, match="scroll"):
+        execute_search_request(s, {"query": {"match": {"text": "x"}},
+                                   "search_after": [1.0, 5]})
+    with pytest.raises(NotImplementedError, match="sub-aggregation"):
+        execute_search_request(s, {"size": 0, "aggs": {"a": {
+            "terms": {"field": "lang"},
+            "aggs": {"p": {"percentiles": {"field": "n_chars"}}}}}})
+
+
+def test_derived_field_sortable_in_body(s):
+    out = execute_search_request(s, {
+        "query": {"match": {"text": "table"}}, "size": 5,
+        "derived": {"c100": {"type": "long", "script": {
+            "source": "doc['n_chars'].value / params.d",
+            "params": {"d": 100.0}}}},
+        "sort": [{"c100": {"order": "desc"}}]})
+    rows = out.collect()
+    vals = [r.c100 for r in rows]
+    assert vals == sorted(vals, reverse=True) and len(rows) == 5
