@@ -102,6 +102,16 @@ def _compile_aggs(matching: DataFrame, docs: DataFrame, aggs: dict) -> DataFrame
              .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols(sub)))
         return (g.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
                 .withColumnRenamed("key", conf["field"]))
+    if kind == "histogram":
+        # HistogramAggregator: key = floor(value/interval)*interval,
+        # present buckets in key order (min_doc_count>=1 posture, the
+        # shape our gated agg_histogram pins)
+        interval = float(conf["interval"])
+        key = (F.floor(F.col(conf["field"]) / interval)
+               * F.lit(interval)).alias("key")
+        g = (scoped.groupBy(key)
+             .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols(sub)))
+        return g.orderBy("key")
     if kind in _METRIC_AGGS:
         return scoped.agg(_METRIC_AGGS[kind](conf["field"]).alias(name))
     raise NotImplementedError(

@@ -71,6 +71,20 @@ def test_top_level_metric_agg(s):
     assert row.total_chars > 0
 
 
+def test_histogram_agg_with_sub_metric(s):
+    out = execute_search_request(s, {
+        "query": {"match": {"text": "table"}}, "size": 0,
+        "aggs": {"by_len": {"histogram": {"field": "n_chars",
+                                          "interval": 100.0},
+                            "aggs": {"mx": {"max": {"field": "n_chars"}}}}}})
+    rows = out.collect()
+    assert rows
+    keys = [r.key for r in rows]
+    assert keys == sorted(keys)
+    assert all(r.key % 100 == 0 and r.mx < r.key + 100 for r in rows)
+    assert all(r.doc_count >= 1 for r in rows)
+
+
 def test_unsupported_keys_raise_with_pointer(s):
     with pytest.raises(NotImplementedError, match="highlight"):
         execute_search_request(s, {"highlight": {"fields": {"text": {}}}})
