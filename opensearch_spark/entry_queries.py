@@ -1012,6 +1012,97 @@ def search_soft_deletes(spark, sf_dir):
                      mode="wand", round_scores=4)
 
 
+def _pit_sql() -> str:
+    """Oracle twin of search_pit: the SAME scored set feeds two top-10s —
+    the PIT view (pre-delete generation: no exclusion) and the live view
+    (tombstoned ids excluded) — because soft deletes never change
+    df/N/avgdl, only result membership."""
+    ids = ", ".join(map(str, _SOFTDEL_IDS))
+    return f"""
+WITH {O.TOK_CTES},
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM tok2
+    WHERE term IN ('spark', 'table') GROUP BY doc_id, term
+),
+dfreq AS (
+    SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+    WHERE term IN ('spark', 'table') GROUP BY term
+),
+scored AS (
+    SELECT tf.doc_id, round(sum({O.bm25_term()}), 4) AS score
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+),
+topk_pit AS (
+    SELECT 'pit' AS view, doc_id, score FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+),
+topk_live AS (
+    SELECT 'live' AS view, doc_id, score FROM scored
+    WHERE doc_id NOT IN ({ids})
+    ORDER BY score DESC, doc_id LIMIT 10
+)
+SELECT view, doc_id, score FROM topk_pit
+UNION ALL
+SELECT view, doc_id, score FROM topk_live
+ORDER BY view DESC, score DESC, doc_id
+"""
+
+
+@q("search_pit", _pit_sql())
+def search_pit(spark, sf_dir):
+    """Point-in-time search (action/search/CreatePitAction,
+    search/internal/PitReaderContext.java): a pit_id opened BEFORE a
+    delete keeps serving the pre-delete view while the live reader and
+    the oracle's live twin exclude the tombstoned ids. The handle pins
+    only the liveDocs generation (the delete-file set at open) — the
+    segment tree is write-once parquet, immutable by construction
+    (index/pit.py). The gate replays a persisted handle across runs,
+    proving PITs survive driver restarts (JSON pit_id round-trip)."""
+    import json as _json
+    import shutil
+
+    from opensearch_spark.index.build import InvertedIndex, delete_docs
+    from opensearch_spark.index.pit import PitIndex, PointInTime, open_pit
+    from opensearch_spark.search import Searcher
+
+    s = get_searcher(spark, sf_dir)
+    src = s.index.path
+    dst = src + "_pit"
+    marker = os.path.join(dst, "pit_done.json")
+    handle_file = os.path.join(dst, "pit_handle.json")
+    want = {"doc_count": s.index.meta.get("doc_count"),
+            "layout_version": s.index.meta.get("layout_version"),
+            "analyzer": s.index.meta.get("analyzer"),
+            "with_positions": bool(s.index.meta.get("with_positions")),
+            "index_options": s.index.meta.get("index_options", "freqs"),
+            "deleted": _SOFTDEL_IDS}
+    fresh = False
+    if os.path.isfile(marker) and os.path.isfile(handle_file):
+        with open(marker) as f:
+            fresh = _json.load(f) == want
+    if not fresh:
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+        pit = open_pit(dst)  # generation 0: no tombstones yet
+        delete_docs(spark, dst, _SOFTDEL_IDS)
+        with open(handle_file, "w") as f:
+            f.write(pit.to_json())
+        with open(marker, "w") as f:
+            _json.dump(want, f)
+    with open(handle_file) as f:
+        pit = PointInTime.from_json(f.read())
+    q_ = Match(field="text", text="spark table")
+    through_pit = (Searcher(spark, PitIndex(pit))
+                   .search(q_, k=10, mode="wand", round_scores=4)
+                   .select(F.lit("pit").alias("view"), "doc_id", "score"))
+    live = (Searcher(spark, InvertedIndex(dst))
+            .search(q_, k=10, mode="wand", round_scores=4)
+            .select(F.lit("live").alias("view"), "doc_id", "score"))
+    return through_pit.unionByName(live) \
+        .orderBy(F.desc("view"), F.desc("score"), "doc_id")
+
+
 @q("search_field_alias", f"""
 WITH {O.TOK_CTES},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'spark' GROUP BY doc_id),
@@ -2296,6 +2387,42 @@ def api_validate_query(spark, sf_dir):
         F.when(F.col("valid"), F.col("explanation"))
          .otherwise(F.lit("")).alias("explanation"),
     ).orderBy("query_id")
+
+
+@q("api_painless_execute", """
+SELECT context, result FROM (VALUES
+    ('painless_test', CAST(100 * 2 + 5 AS DOUBLE)),
+    ('filter', CASE WHEN 120 > 100 THEN CAST(1 AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END),
+    ('score', round(ln(2 + 4) * 1.5, 4))
+) AS v(context, result)
+ORDER BY context
+""")
+def api_painless_execute(spark, sf_dir):
+    """_scripts/painless/_execute (modules/lang-painless
+    PainlessExecuteAction.java; rest-api-spec
+    scripts_painless_execute.json): run a script outside any index in
+    each of the reference's three contexts — painless_test (params
+    only), filter (boolean over a provided document), score (double over
+    a provided document). Scripts compile through the same
+    Painless→Catalyst path the query engine uses; the oracle hand-inlines
+    the arithmetic. Boolean results are encoded 1.0/0.0 so the frame
+    stays single-typed."""
+    from opensearch_spark.search.apis import painless_execute
+
+    r1 = painless_execute(spark, "params.count * params.factor + 5",
+                          {"count": 100, "factor": 2})
+    r2 = painless_execute(spark, "doc['n_chars'].value > params.min",
+                          {"min": 100}, context="filter",
+                          document={"n_chars": 120})
+    r3 = painless_execute(
+        spark, "Math.log(2 + doc['votes'].value) * params.boost",
+        {"boost": 1.5}, context="score", document={"votes": 4})
+    rows = [("painless_test", float(r1)),
+            ("filter", 1.0 if r2 else 0.0),
+            ("score", round(float(r3), 4))]
+    return spark.createDataFrame(rows, "context string, result double") \
+        .orderBy("context")
 
 
 def _pluralized(corpus: DataFrame) -> DataFrame:
@@ -6406,6 +6533,31 @@ def mm_frame_signatures(spark, sf_dir):
     d = (_docs(spark, sf_dir).where(F.col("doc_id") < 50)
          .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload")))
     return MM.frame_signatures(d, frame_bytes=64, every_n=2)              .orderBy("doc_id", "frame_idx")
+
+
+@q("search_termvectors_artificial", f"""
+WITH {O.TOK_CTES},
+req AS (SELECT unnest(string_split_regex(
+            'spark table query spark zzzzunseen', '\\s+')) AS term),
+rtf AS (SELECT term, count(*) AS tf FROM req GROUP BY term),
+idx AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+        FROM tok2 GROUP BY term)
+SELECT r.term, CAST(r.tf AS INT) AS tf,
+       CAST(coalesce(i.df, 0) AS BIGINT) AS df,
+       CAST(coalesce(i.ttf, 0) AS BIGINT) AS ttf
+FROM rtf r LEFT JOIN idx i USING (term)
+ORDER BY term
+""")
+def search_termvectors_artificial(spark, sf_dir):
+    """_termvectors with an inline (artificial) document — and the
+    per-entry form of _mtermvectors (action/termvectors/
+    TermVectorsRequest.java `doc`, TransportMultiTermVectorsAction): the
+    provided text is analyzed on the fly, each term decorated with the
+    INDEX's df/ttf via a term-pruned dictionary lookup; a term the index
+    has never seen reports df=0/ttf=0 (probative: the oracle recomputes
+    both statistics from the raw corpus)."""
+    s = get_searcher(spark, sf_dir)
+    return s.termvectors_artificial("spark table query spark zzzzunseen")
 
 
 @q("search_termvectors", f"""

@@ -626,6 +626,14 @@ class InvertedIndex:
     def _deletes_dir(self) -> str:
         return os.path.join(self.path, "deletes")
 
+    def _delete_sources(self) -> list[str]:
+        """Parquet paths holding this reader's tombstones. The base index
+        reads the whole append-only ``deletes/`` dir (always-current
+        liveDocs); a PIT reader (``index.pit.PitIndex``) overrides this to
+        the exact file set pinned at open time, which is what makes a
+        point-in-time view immune to concurrent ``delete_docs`` appends."""
+        return [self._deletes_dir] if os.path.isdir(self._deletes_dir) else []
+
     def tombstones(self, spark: SparkSession):
         """Sorted int64 array of soft-deleted doc ids, or None when the
         index has no deletes. Collected and cached on the driver — the
@@ -636,10 +644,11 @@ class InvertedIndex:
         if getattr(self, "_tomb_loaded", False):
             return self._tomb
         self._tomb = None
-        if os.path.isdir(self._deletes_dir):
+        srcs = self._delete_sources()
+        if srcs:
             import numpy as _np
 
-            rows = (spark.read.parquet(self._deletes_dir)
+            rows = (spark.read.parquet(*srcs)
                     .select("doc_id").distinct().collect())
             if rows:
                 self._tomb = _np.sort(
@@ -675,7 +684,7 @@ class InvertedIndex:
             return df
         if len(tomb) <= self.TOMBSTONE_ISIN_MAX:
             return df.where(~F.col("doc_id").isin([int(x) for x in tomb]))
-        dels = spark.read.parquet(self._deletes_dir) \
+        dels = spark.read.parquet(*self._delete_sources()) \
             .select("doc_id").distinct()
         return df.join(F.broadcast(dels), "doc_id", "left_anti")
 

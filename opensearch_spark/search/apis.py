@@ -84,6 +84,42 @@ def render_search_template(source: str, params: dict) -> dict:
     return json.loads(_PARAM.sub(sub, source))
 
 
+def painless_execute(spark: SparkSession, source: str,
+                     params: dict | None = None,
+                     context: str = "painless_test",
+                     document: dict | None = None):
+    """``_scripts/painless/_execute`` (rest-api-spec
+    ``scripts_painless_execute.json``; modules/lang-painless
+    ``PainlessExecuteAction.java``): compile and run a script outside any
+    index. The three reference contexts:
+
+    - ``painless_test`` — script of params only, result returned as-is;
+    - ``filter`` — boolean predicate over a caller-provided document;
+    - ``score`` — double over a caller-provided document.
+
+    The script compiles through the same Painless→Catalyst path the
+    query engine uses (search/painless.py), evaluated against a one-row
+    frame built from ``document`` — the reference likewise indexes the
+    provided doc into an ephemeral single-doc shard. Returns the scalar
+    result (bool for filter, float for score)."""
+    from opensearch_spark.search.painless import painless_to_sql
+    expr = painless_to_sql(source, params or {})
+    if document:
+        import pandas as pd
+
+        row = spark.createDataFrame(pd.DataFrame([document]))
+    else:
+        row = spark.range(1)
+    out = row.select(F.expr(expr).alias("result"))
+    if context == "filter":
+        out = out.select(F.col("result").cast("boolean").alias("result"))
+    elif context == "score":
+        out = out.select(F.col("result").cast("double").alias("result"))
+    elif context != "painless_test":
+        raise ValueError(f"painless_execute: unknown context {context!r}")
+    return out.collect()[0]["result"]
+
+
 class AliasRegistry:
     """Index aliases (`_aliases` API; AliasMetadata / IndicesAliasesRequest):
     alias → list of (index_name, searcher, optional filter query).

@@ -1421,6 +1421,25 @@ class Searcher:
             "doc_id", F.explode(analyze_udf(self.index.analyzer)(F.col(self.field))).alias("term"))
         return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
+    def termvectors_artificial(self, text: str) -> DataFrame:
+        """_termvectors with an inline (artificial) document
+        (action/termvectors/TermVectorsRequest.java ``doc`` — and the
+        per-entry form of _mtermvectors): the provided doc is analyzed
+        on the fly with the index analyzer — driver-side, it is ONE
+        document, exactly the reference's requesting-node posture — and
+        each term is decorated with the INDEX's field statistics via a
+        term-pruned dictionary lookup. Terms absent from the index
+        report df=0/ttf=0 (the reference omits stats for unseen terms;
+        zeros keep the row so tf is still returned)."""
+        tf: dict[str, int] = {}
+        for t in self.analyze(text):
+            tf[t] = tf.get(t, 0) + 1
+        stats = self.term_stats(list(tf))
+        rows = [(t, n) + tuple(stats.get(t, (0, 0)))
+                for t, n in sorted(tf.items())]
+        return self.spark.createDataFrame(
+            rows, "term string, tf int, df long, ttf long")
+
     # ---------- entry points ----------
     def search(self, q, k: int = 10, mode: str = "auto",
                round_scores: int | None = None, margin: int = 50) -> DataFrame:
