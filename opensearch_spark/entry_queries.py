@@ -497,6 +497,62 @@ def search_collapse(spark, sf_dir):
             .select("lang", "doc_id", "score").orderBy("lang"))
 
 
+@q("search_collapse_inner_hits", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark','batch') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark','batch') GROUP BY term),
+scored AS (SELECT tf.doc_id, round(sum({O.bm25_term()}), 4) AS score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY tf.doc_id),
+j AS (SELECT s.doc_id, s.score, d.lang
+      FROM scored s JOIN documents d USING (doc_id)),
+inner_r AS (SELECT lang, doc_id, score,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY score DESC, doc_id)
+                       AS inner_rank
+            FROM j),
+topg AS (SELECT lang,
+                CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                     AS INT) AS group_rank
+         FROM inner_r WHERE inner_rank = 1
+         ORDER BY score DESC, doc_id LIMIT 3)
+SELECT t.group_rank, i.lang, CAST(i.inner_rank AS INT) AS inner_rank,
+       i.doc_id, i.score
+FROM inner_r i JOIN topg t USING (lang)
+WHERE i.inner_rank <= 3
+ORDER BY group_rank, inner_rank
+""")
+def search_collapse_inner_hits(spark, sf_dir):
+    """Field collapse with inner_hits — the expand phase
+    (action/search/ExpandSearchPhase.java; CollapseBuilder.java
+    `innerHits`): the top-k collapsed heads (best hit per group, ranked
+    by their score) each expand to that group's top `size` hits. The
+    reference fans out one msearch per head; here the per-group window
+    ranking computes every group's inner list in the SAME pass that
+    found the heads, and the ≤k collected heads (bounded, k=3) drive a
+    broadcast semi-join — no second corpus scan."""
+    s = get_searcher(spark, sf_dir)
+    scores = s.score(Match(field="text", text="spark batch")) \
+              .withColumn("score", F.round("score", 4))
+    docs = s.index.docs(spark).select("doc_id", "lang")
+    w_in = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    inner = (scores.join(docs, "doc_id")
+             .withColumn("inner_rank", F.row_number().over(w_in))
+             .where(F.col("inner_rank") <= 3))
+    heads = (inner.where(F.col("inner_rank") == 1)
+             .orderBy(F.desc("score"), F.asc("doc_id")).limit(3).collect())
+    gdf = spark.createDataFrame(
+        [(r["lang"], i + 1) for i, r in enumerate(heads)],
+        "lang string, group_rank int")
+    return (inner.join(F.broadcast(gdf), "lang")
+            .select("group_rank", "lang",
+                    F.col("inner_rank").cast("int").alias("inner_rank"),
+                    "doc_id", "score")
+            .orderBy("group_rank", "inner_rank"))
+
+
 @q("search_after", f"""
 WITH {O.TOK_CTES},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok2 WHERE term = 'value' GROUP BY doc_id),

@@ -4,7 +4,9 @@ The reference's public query surface is the JSON request body parsed by
 ``search/builder/SearchSourceBuilder.java`` (query / from / size / sort /
 _source / fields / script_fields / min_score / search_after / aggs /
 derived / track_total_hits — each wired in ``SearchModule.java`` and
-executed through the query-then-fetch lifecycle, SURVEY.md §3.1). A user
+executed through the query-then-fetch lifecycle, SURVEY.md §3.1; ``pit``
+re-binds the request to a point-in-time handle's pinned liveDocs
+generation — index/pit.py). A user
 migrating from the reference ships these bodies — this module executes
 one against the engine by composing the already-gated primitives into a
 single Catalyst plan:
@@ -42,7 +44,7 @@ from opensearch_spark.search.queries import from_dsl
 _HANDLED = {
     "query", "from", "size", "sort", "_source", "fields", "script_fields",
     "min_score", "search_after", "aggs", "aggregations", "derived",
-    "track_total_hits",
+    "track_total_hits", "pit",
 }
 _DEDICATED = {
     "highlight": "search/highlight.py (highlight_field)",
@@ -50,7 +52,6 @@ _DEDICATED = {
     "rescore": "entry_queries.search_rescore composition",
     "collapse": "entry_queries.search_collapse composition",
     "knn": "ml/similarity.py (cosine/LSH/IVF/PQ top-k)",
-    "pit": "search/scroll.py (PIT cursors)",
 }
 
 _METRIC_AGGS = {
@@ -132,6 +133,18 @@ def execute_search_request(s, body: dict, *, field: str = "text",
             raise NotImplementedError(
                 f"_search body key [{key}] is not executed here"
                 + (f" — use {hint}" if hint else ""))
+
+    if "pit" in body:
+        # a pit section re-binds the request to the handle's pinned
+        # liveDocs generation (the reference's only pit_id consumption
+        # path: SearchSourceBuilder.pointInTimeBuilder); everything
+        # downstream — scoring, fetch joins, aggs — reads through the
+        # pinned reader, so concurrent deletes stay invisible
+        from opensearch_spark.index.pit import PitIndex, PointInTime
+        from opensearch_spark.search.executor import Searcher
+
+        pit = PointInTime.from_json(body["pit"]["id"])
+        s = Searcher(s.spark, PitIndex(pit))
 
     ast = from_dsl(body["query"]) if "query" in body else Q.MatchAll()
     size = int(body.get("size", 10))

@@ -107,3 +107,35 @@ def test_derived_field_sortable_in_body(s):
     rows = out.collect()
     vals = [r.c100 for r in rows]
     assert vals == sorted(vals, reverse=True) and len(rows) == 5
+
+
+def test_pit_body_pins_generation(spark, tmp_path):
+    """A body with a pit section reads through the handle's pinned
+    liveDocs generation: deletes appended after open are invisible to
+    the PIT request, visible to the live one."""
+    from opensearch_spark.index.build import (IndexConfig, InvertedIndex,
+                                              build_index, delete_docs)
+    from opensearch_spark.index.pit import open_pit
+    from opensearch_spark.search import Searcher
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    path = str(tmp_path / "idx")
+    build_index(spark, corpus, path,
+                IndexConfig(field="text", analyzer="standard",
+                            id_col="doc_id", n_parts=2,
+                            bucket_span=1 << 12))
+    body = {"query": {"match": {"text": "the"}}, "size": 5}
+    before = execute_search_request(
+        Searcher(spark, InvertedIndex(path)), body).collect()
+    assert before
+
+    pit = open_pit(path)
+    delete_docs(spark, path, [before[0].doc_id])
+    live = Searcher(spark, InvertedIndex(path))
+    after = execute_search_request(live, body).collect()
+    assert before[0].doc_id not in {r.doc_id for r in after}
+
+    pinned = execute_search_request(
+        live, {**body, "pit": {"id": pit.to_json()}}).collect()
+    assert [(r.doc_id, r.score) for r in pinned] == \
+        [(r.doc_id, r.score) for r in before]
