@@ -834,6 +834,49 @@ def ingest_upsert_versioned(spark, sf_dir):
                       F.length("text").alias("n_chars_new")).orderBy("doc_id")
 
 
+@q("search_routed", f"""
+WITH {O.TOK_CTES},
+routed AS (
+    SELECT doc_id FROM documents
+    WHERE CAST(('0x' || substr(md5(lang), 1, 8))::BIGINT % 4 AS INT)
+        = CAST(('0x' || substr(md5('en'), 1, 8))::BIGINT % 4 AS INT)),
+tf AS (SELECT doc_id, count(*) AS tf FROM tok2
+       WHERE term = 'spark' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term = 'spark'),
+scored AS (SELECT tf.doc_id, round({O.bm25_term()}, 4) AS score
+           FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id
+           CROSS JOIN stats)
+SELECT s.doc_id, s.score FROM scored s JOIN routed USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT 10
+""")
+def search_routed(spark, sf_dir):
+    """Routed search (`?routing=` on _search; OperationRouting.java
+    `hash(routing) % numPrimaryShards` + RestSearchAction routing param):
+    the query executes against ONLY the shard the routing value hashes
+    to — the shard may hold other routing keys that hashed alike, so
+    semantics are shard restriction, not a key filter. Here the routed
+    doc set applies as a filter-context semi-join; with a
+    routing-aligned layout (IndexConfig order_cols + range id_order on
+    the routing key) the same restriction becomes storage-level pruning
+    — one shard's worth of files scanned, the reference's actual saving.
+    Scores use global collection stats (the dfs_query_then_fetch
+    posture; the shard-local query_then_fetch variant is gated
+    separately in search_query_then_fetch)."""
+    import hashlib as _h
+
+    from opensearch_spark.index.versioning import routing_partition
+
+    s = get_searcher(spark, sf_dir)
+    shard = int(_h.md5(b"en").hexdigest()[:8], 16) % 4
+    routed = (routing_partition(_docs(spark, sf_dir), "lang", 4)
+              .where(F.col("shard") == shard).select("doc_id"))
+    scores = s.score(Match(field="text", text="spark")) \
+              .withColumn("score", F.round("score", 4))
+    return (scores.join(routed, "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
 @q("index_routing_shards", """
 SELECT doc_id,
        CAST(('0x' || substr(md5(CAST(lang AS VARCHAR)), 1, 8))::BIGINT % 4
@@ -2512,6 +2555,57 @@ def _alt_searcher(spark, sf_dir, suffix: str, analyzer: str,
                     index_options=index_options), n)
     idx.cache(spark)
     return Searcher(spark, idx, **searcher_kw)
+
+
+def _copy_to_transform(corpus: DataFrame) -> DataFrame:
+    """copy_to at index time: the title field's tokens (first 8 of text,
+    the same derivation as with_title) are copied into the combined
+    stream, so tf adds up and dl grows — the reference's behavior of
+    indexing copied values into the target field's postings."""
+    t = F.array_join(
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, TITLE_TOKENS), " ")
+    return corpus.withColumn("text", F.concat_ws(" ", t, F.col("text")))
+
+
+@q("search_copy_to", f"""
+WITH ctok AS (
+    SELECT doc_id, unnest(list_slice(
+        string_split_regex(trim(text), '\\s+'), 1, 8)) AS term
+    FROM documents
+    UNION ALL
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM documents
+),
+ctok2 AS (SELECT doc_id, term FROM ctok WHERE term <> ''),
+cdl AS (SELECT doc_id, count(*) AS dl FROM ctok2 GROUP BY doc_id),
+cstats AS (
+    SELECT (SELECT count(*) FROM documents) AS N,
+           (SELECT sum(dl) FROM cdl) * 1.0
+               / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ctok2
+       WHERE term IN ('merge', 'spark') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM ctok2
+          WHERE term IN ('merge', 'spark') GROUP BY term),
+scored AS (SELECT tf.doc_id, round(sum({O.bm25_term()}), 4) AS score
+           FROM tf JOIN dfreq USING (term) JOIN cdl dl USING (doc_id)
+           CROSS JOIN cstats stats GROUP BY tf.doc_id)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id LIMIT 10
+""")
+def search_copy_to(spark, sf_dir):
+    """copy_to mapping parameter (index/mapper/FieldMapper.java CopyTo;
+    TypeParsers.java parses it): source-field values are re-analyzed
+    INTO the target field's postings at index time — tf adds up, dl
+    grows, df counts the combined stream — so one query over the
+    combined field replaces a multi_match. Probative vs plain match:
+    docs whose first-8-token 'title' repeats a query term score
+    differently than the text-only index. The oracle rebuilds the
+    concatenated token stream and its own dl/avgdl."""
+    cp = _alt_searcher(spark, sf_dir, "cpt", "standard",
+                       transform=_copy_to_transform)
+    return cp.search(Match(field="text", text="spark merge"), k=10,
+                     mode="exhaustive", round_scores=4)
 
 
 @q("api_analyze_chain", f"""
