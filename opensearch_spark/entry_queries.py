@@ -528,28 +528,30 @@ def search_collapse_inner_hits(spark, sf_dir):
     """Field collapse with inner_hits — the expand phase
     (action/search/ExpandSearchPhase.java; CollapseBuilder.java
     `innerHits`): the top-k collapsed heads (best hit per group, ranked
-    by their score) each expand to that group's top `size` hits. The
-    reference fans out one msearch per head; here the per-group window
-    ranking computes every group's inner list in the SAME pass that
-    found the heads, and the ≤k collected heads (bounded, k=3) drive a
-    broadcast semi-join — no second corpus scan."""
+    by their score) each expand to that group's top `size` hits. Two
+    phases like the reference — but where it fans out one msearch per
+    head, the expand here is ONE window pass restricted (broadcast
+    semi-join on the ≤k collected head groups, pushed below the window)
+    to exactly the head groups, so phase-2 cost is bounded by the groups
+    actually returned, not the group cardinality."""
     s = get_searcher(spark, sf_dir)
     scores = s.score(Match(field="text", text="spark batch")) \
               .withColumn("score", F.round("score", 4))
     docs = s.index.docs(spark).select("doc_id", "lang")
+    j = scores.join(docs, "doc_id")
     w_in = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
-    inner = (scores.join(docs, "doc_id")
-             .withColumn("inner_rank", F.row_number().over(w_in))
-             .where(F.col("inner_rank") <= 3))
-    heads = (inner.where(F.col("inner_rank") == 1)
+    heads = (j.withColumn("rn", F.row_number().over(w_in))
+             .where(F.col("rn") == 1)
              .orderBy(F.desc("score"), F.asc("doc_id")).limit(3).collect())
     gdf = spark.createDataFrame(
         [(r["lang"], i + 1) for i, r in enumerate(heads)],
         "lang string, group_rank int")
-    return (inner.join(F.broadcast(gdf), "lang")
-            .select("group_rank", "lang",
-                    F.col("inner_rank").cast("int").alias("inner_rank"),
-                    "doc_id", "score")
+    inner = (j.join(F.broadcast(gdf), "lang")
+             .withColumn("inner_rank", F.row_number().over(w_in))
+             .where(F.col("inner_rank") <= 3))
+    return (inner.select("group_rank", "lang",
+                         F.col("inner_rank").cast("int").alias("inner_rank"),
+                         "doc_id", "score")
             .orderBy("group_rank", "inner_rank"))
 
 
@@ -841,9 +843,9 @@ routed AS (
     WHERE CAST(('0x' || substr(md5(lang), 1, 8))::BIGINT % 4 AS INT)
         = CAST(('0x' || substr(md5('en'), 1, 8))::BIGINT % 4 AS INT)),
 tf AS (SELECT doc_id, count(*) AS tf FROM tok2
-       WHERE term = 'spark' GROUP BY doc_id),
+       WHERE term = 'window' GROUP BY doc_id),
 dfreq AS (SELECT count(DISTINCT doc_id) AS df FROM tok2
-          WHERE term = 'spark'),
+          WHERE term = 'window'),
 scored AS (SELECT tf.doc_id, round({O.bm25_term()}, 4) AS score
            FROM tf CROSS JOIN dfreq JOIN dl ON tf.doc_id = dl.doc_id
            CROSS JOIN stats)
@@ -871,7 +873,11 @@ def search_routed(spark, sf_dir):
     shard = int(_h.md5(b"en").hexdigest()[:8], 16) % 4
     routed = (routing_partition(_docs(spark, sf_dir), "lang", 4)
               .where(F.col("shard") == shard).select("doc_id"))
-    scores = s.score(Match(field="text", text="spark")) \
+    # probative term choice: md5-shard(en)=0 also holds zh/es/de but NOT
+    # fr (shard 2), and 'window' puts >=1 fr doc in the UNROUTED top-10
+    # at every testdata scale (verified sf0.001/0.01/0.1) — an engine
+    # that silently ignored routing could not hash-match the oracle
+    scores = s.score(Match(field="text", text="window")) \
               .withColumn("score", F.round("score", 4))
     return (scores.join(routed, "doc_id")
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
@@ -1057,6 +1063,44 @@ def search_ids(spark, sf_dir):
     return s.score(Ids(values=[1, 2, 3, 5, 8])).orderBy("doc_id")
 
 
+def _snapshot_index(s, suffix: str, marker_name: str, want_extra: dict,
+                    mutate, require_files: tuple = ()) -> str:
+    """Copy-on-write index snapshot with staleness-marker discipline
+    (shared by the soft-delete / PIT gates): copy the searcher's tree to
+    ``<path>_<suffix>``, run ``mutate(dst)`` (tombstones, PIT opens, …),
+    then write the marker LAST — a crash inside the window leaves no
+    marker, so the next run rebuilds instead of serving a half-mutated
+    copy. The want-dict's layout/analyzer/positions/index_options/
+    doc_count keys catch a source rebuilt to the same doc_count;
+    ``require_files`` names artifacts mutate() must have produced (their
+    absence also marks the copy stale)."""
+    import json as _json
+    import shutil
+
+    src = s.index.path
+    dst = src + "_" + suffix
+    marker = os.path.join(dst, marker_name)
+    want = {"doc_count": s.index.meta.get("doc_count"),
+            "layout_version": s.index.meta.get("layout_version"),
+            "analyzer": s.index.meta.get("analyzer"),
+            "with_positions": bool(s.index.meta.get("with_positions")),
+            "index_options": s.index.meta.get("index_options", "freqs"),
+            **want_extra}
+    fresh = False
+    if os.path.isfile(marker) and all(
+            os.path.isfile(os.path.join(dst, f)) for f in require_files):
+        with open(marker) as f:
+            fresh = _json.load(f) == want
+    if not fresh:
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+        mutate(dst)
+        with open(marker, "w") as f:
+            _json.dump(want, f)
+    return dst
+
+
+
 #: tombstoned ids for the soft-delete gate: two ids from the CLEAN
 #: top-10 of the gate query at each testdata scale (sf0.001 / 0.01 /
 #: 0.1), so the exclusion provably changes the result set at every
@@ -1075,37 +1119,13 @@ def search_soft_deletes(spark, sf_dir):
     time while df/N/avgdl keep counting them until an expunging rebuild
     (un-merged-segment semantics) — which is why the oracle is the plain
     BM25 twin with only a result-set NOT IN filter."""
-    import shutil
-
     from opensearch_spark.index.build import (InvertedIndex, delete_docs)
     from opensearch_spark.search import Searcher
 
     s = get_searcher(spark, sf_dir)
-    src = s.index.path
-    dst = src + "_softdel"
-    # written only AFTER delete_docs succeeds — a crash between copytree
-    # and delete_docs leaves no marker, so the next run rebuilds instead
-    # of serving the undeleted copy; layout/analyzer keys catch a src
-    # rebuilt to the same doc_count (snapshot _fresh discipline)
-    marker = os.path.join(dst, "softdel_done.json")
-    import json as _json
-
-    want = {"doc_count": s.index.meta.get("doc_count"),
-            "layout_version": s.index.meta.get("layout_version"),
-            "analyzer": s.index.meta.get("analyzer"),
-            "with_positions": bool(s.index.meta.get("with_positions")),
-            "index_options": s.index.meta.get("index_options", "freqs"),
-            "deleted": _SOFTDEL_IDS}
-    fresh = False
-    if os.path.isfile(marker):
-        with open(marker) as f:
-            fresh = _json.load(f) == want
-    if not fresh:
-        shutil.rmtree(dst, ignore_errors=True)
-        shutil.copytree(src, dst)
-        delete_docs(spark, dst, _SOFTDEL_IDS)
-        with open(marker, "w") as f:
-            _json.dump(want, f)
+    dst = _snapshot_index(
+        s, "softdel", "softdel_done.json", {"deleted": _SOFTDEL_IDS},
+        lambda d: delete_docs(spark, d, _SOFTDEL_IDS))
     s2 = Searcher(spark, InvertedIndex(dst))
     return s2.search(Match(field="text", text="spark table"), k=10,
                      mode="wand", round_scores=4)
@@ -1158,38 +1178,22 @@ def search_pit(spark, sf_dir):
     segment tree is write-once parquet, immutable by construction
     (index/pit.py). The gate replays a persisted handle across runs,
     proving PITs survive driver restarts (JSON pit_id round-trip)."""
-    import json as _json
-    import shutil
-
     from opensearch_spark.index.build import InvertedIndex, delete_docs
     from opensearch_spark.index.pit import PitIndex, PointInTime, open_pit
     from opensearch_spark.search import Searcher
 
     s = get_searcher(spark, sf_dir)
-    src = s.index.path
-    dst = src + "_pit"
-    marker = os.path.join(dst, "pit_done.json")
-    handle_file = os.path.join(dst, "pit_handle.json")
-    want = {"doc_count": s.index.meta.get("doc_count"),
-            "layout_version": s.index.meta.get("layout_version"),
-            "analyzer": s.index.meta.get("analyzer"),
-            "with_positions": bool(s.index.meta.get("with_positions")),
-            "index_options": s.index.meta.get("index_options", "freqs"),
-            "deleted": _SOFTDEL_IDS}
-    fresh = False
-    if os.path.isfile(marker) and os.path.isfile(handle_file):
-        with open(marker) as f:
-            fresh = _json.load(f) == want
-    if not fresh:
-        shutil.rmtree(dst, ignore_errors=True)
-        shutil.copytree(src, dst)
-        pit = open_pit(dst)  # generation 0: no tombstones yet
-        delete_docs(spark, dst, _SOFTDEL_IDS)
-        with open(handle_file, "w") as f:
-            f.write(pit.to_json())
-        with open(marker, "w") as f:
-            _json.dump(want, f)
-    with open(handle_file) as f:
+
+    def _open_then_delete(d: str) -> None:
+        pit0 = open_pit(d)  # generation 0: no tombstones yet
+        delete_docs(spark, d, _SOFTDEL_IDS)
+        with open(os.path.join(d, "pit_handle.json"), "w") as f:
+            f.write(pit0.to_json())
+
+    dst = _snapshot_index(
+        s, "pit", "pit_done.json", {"deleted": _SOFTDEL_IDS},
+        _open_then_delete, require_files=("pit_handle.json",))
+    with open(os.path.join(dst, "pit_handle.json")) as f:
         pit = PointInTime.from_json(f.read())
     q_ = Match(field="text", text="spark table")
     through_pit = (Searcher(spark, PitIndex(pit))

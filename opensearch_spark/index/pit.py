@@ -48,9 +48,12 @@ def _delete_files(index_path: str) -> tuple[str, ...]:
 class PointInTime:
     """Opaque PIT handle: (index path, pinned tombstone-file set).
 
-    ``pit_id`` is content-derived (sha256 of path + files + the index
-    generation meta), mirroring the reference's opaque id while staying
-    deterministic for tests."""
+    ``pit_id`` is content-derived (sha256 of the path + the pinned file
+    list), so it is deterministic for tests and two opens at the same
+    generation share an id — handles are value objects identifying a
+    GENERATION, not registry keys per open (the reference mints a fresh
+    id per open because it must refcount a live Lucene reader; nothing
+    here needs closing)."""
 
     index_path: str
     delete_files: tuple[str, ...]

@@ -144,11 +144,31 @@ def execute_search_request(s, body: dict, *, field: str = "text",
         from opensearch_spark.search.executor import Searcher
 
         pit = PointInTime.from_json(body["pit"]["id"])
-        s = Searcher(s.spark, PitIndex(pit))
+        # extra analyzed fields carry over so multi-field queries keep
+        # routing to their sub-searchers; the handle pins the MAIN
+        # index's liveDocs generation — per-field indexes are separate
+        # trees, so pinning those too means one open_pit per tree (the
+        # reference has one Lucene reader for all fields, we have one
+        # per analyzed field)
+        s = Searcher(s.spark, PitIndex(pit), extra_fields=s.extra_fields)
 
     ast = from_dsl(body["query"]) if "query" in body else Q.MatchAll()
     size = int(body.get("size", 10))
     offset = int(body.get("from", 0))
+
+    total = None
+    if "track_total_hits" in body:
+        from opensearch_spark.search.apis import track_total_hits
+        if body.get("aggs") or body.get("aggregations"):
+            raise NotImplementedError(
+                "track_total_hits with aggs: one frame can't carry both "
+                "shapes — run api_track_total_hits / the aggs body "
+                "separately")
+        total = track_total_hits(s.matching_docs(ast),
+                                 body["track_total_hits"])
+        if size == 0:  # count-only request: the total IS the response
+            return s.spark.createDataFrame(
+                [total], "total_hits long, total_relation string")
 
     docs = s.index.docs(s.spark)
     if "derived" in body:
@@ -213,4 +233,7 @@ def execute_search_request(s, body: dict, *, field: str = "text",
         out = fetchphase.fetch_fields(docs, out, body["fields"])
     if "script_fields" in body:
         out = fetchphase.script_fields(docs, out, body["script_fields"])
+    if total is not None:
+        # hits.total rides alongside the hits, as in the REST response
+        out = out.withColumn("total_hits", F.lit(total[0]))                  .withColumn("total_relation", F.lit(total[1]))
     return out

@@ -139,3 +139,18 @@ def test_pit_body_pins_generation(spark, tmp_path):
         live, {**body, "pit": {"id": pit.to_json()}}).collect()
     assert [(r.doc_id, r.score) for r in pinned] == \
         [(r.doc_id, r.score) for r in before]
+
+
+def test_track_total_hits_consumed(s):
+    base = {"query": {"match": {"text": "table"}}}
+    hits = execute_search_request(
+        s, {**base, "size": 3, "track_total_hits": 50}).collect()
+    assert len(hits) == 3
+    assert all(r.total_relation in ("eq", "gte") for r in hits)
+    # size:0 count-only form; threshold below the true total caps at gte
+    low = execute_search_request(
+        s, {**base, "size": 0, "track_total_hits": 5}).collect()
+    assert (low[0].total_hits, low[0].total_relation) == (5, "gte")
+    exact = execute_search_request(
+        s, {**base, "size": 0, "track_total_hits": True}).collect()
+    assert exact[0].total_relation == "eq" and exact[0].total_hits > 5
