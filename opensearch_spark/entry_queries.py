@@ -1131,6 +1131,77 @@ def search_soft_deletes(spark, sf_dir):
                      mode="wand", round_scores=4)
 
 
+def _expunge_sql() -> str:
+    """Oracle twin of index_expunge_deletes: unlike the soft-delete
+    oracle (plain BM25 twin + NOT IN on the RESULT set), the expunged
+    tree's tok/dl/df/N/avgdl are all computed over the live subset —
+    the merged-segment end state where deletes stop counting."""
+    ids = ", ".join(map(str, _SOFTDEL_IDS))
+    return f"""
+WITH live AS (SELECT * FROM documents WHERE doc_id NOT IN ({ids})),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM live
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM live) AS N,
+           (SELECT sum(dl) FROM dl) * 1.0
+               / (SELECT count(*) FROM live) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark', 'table') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark', 'table') GROUP BY term),
+scored AS (SELECT tf.doc_id, round(sum({O.bm25_term()}), 4) AS score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY tf.doc_id)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+@q("index_expunge_deletes", _expunge_sql())
+def index_expunge_deletes(spark, sf_dir):
+    """forcemerge only_expunge_deletes (action/admin/indices/forcemerge/
+    ForceMergeRequest.java `onlyExpungeDeletes`; Lucene
+    forceMergeDeletes): rebuild the LIVE docs into a fresh tree — after
+    the expunge df/N/avgdl stop counting the tombstoned docs and no
+    tombstones remain. Probative against the soft-delete gate pair: the
+    SAME query over the SAME surviving docs scores DIFFERENTLY here
+    because the collection statistics genuinely dropped (the oracle
+    recomputes tok/dl/stats over the live subset, where the soft-delete
+    oracle only NOT-INs the result set)."""
+    from opensearch_spark.index.build import (InvertedIndex, delete_docs,
+                                              expunge_deletes)
+    from opensearch_spark.index.build import LAYOUT_VERSION
+    from opensearch_spark.search import Searcher
+
+    s = get_searcher(spark, sf_dir)
+    # the soft-deleted tree (same discipline/ids as search_soft_deletes)
+    dst = _snapshot_index(
+        s, "softdel", "softdel_done.json", {"deleted": _SOFTDEL_IDS},
+        lambda d: delete_docs(spark, d, _SOFTDEL_IDS))
+    out = s.index.path + "_expunged"
+    # doc ids are dense 0..N-1, so the live count is exact
+    exp_n = s.N - sum(1 for i in _SOFTDEL_IDS if i < s.N)
+    fresh = False
+    if os.path.exists(os.path.join(out, "meta.json")):
+        m = InvertedIndex(out).meta
+        fresh = (int(m.get("doc_count", -1)) == exp_n
+                 and m.get("layout_version") == LAYOUT_VERSION
+                 and m.get("analyzer") == s.index.meta.get("analyzer"))
+    if not fresh:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        expunge_deletes(spark, dst, out)
+    s2 = Searcher(spark, InvertedIndex(out))
+    return s2.search(Match(field="text", text="spark table"), k=10,
+                     mode="wand", round_scores=4)
+
+
 def _pit_sql() -> str:
     """Oracle twin of search_pit: the SAME scored set feeds two top-10s —
     the PIT view (pre-delete generation: no exclusion) and the live view
