@@ -2422,6 +2422,38 @@ def search_msearch(spark, sf_dir):
     return out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
 
 
+@q("search_msearch_template", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('sort','window') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('sort','window') GROUP BY term),
+per AS (SELECT tf.term, tf.doc_id, round({O.bm25_term()}, 4) AS score
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+qa AS (SELECT 'q1' AS query_id, doc_id, score FROM per WHERE term = 'sort'
+       ORDER BY score DESC, doc_id LIMIT 5),
+qb AS (SELECT 'q2' AS query_id, doc_id, score FROM per WHERE term = 'window'
+       ORDER BY score DESC, doc_id LIMIT 5)
+SELECT * FROM qa UNION ALL SELECT * FROM qb ORDER BY query_id, score DESC, doc_id
+""")
+def search_msearch_template(spark, sf_dir):
+    """_msearch/template (rest-api-spec msearch_template.json;
+    TransportMultiSearchTemplateAction): each line's template renders
+    with its own params (the same mustache interpolation as
+    search_template), then the rendered bodies execute through the SAME
+    fused single-postings-scan msearch path — render is driver-side
+    string work, the plan is identical to _msearch."""
+    from opensearch_spark.search.apis import render_search_template
+    from opensearch_spark.search.queries import from_dsl
+
+    s = get_searcher(spark, sf_dir)
+    tpl = '{"match": {"text": "{{t}}"}}'
+    bodies = {qid: from_dsl(render_search_template(tpl, {"t": term}))
+              for qid, term in (("q1", "sort"), ("q2", "window"))}
+    out = s.msearch(bodies, k=5, round_scores=4)
+    return out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+
+
 @q("search_terms_enum", f"""
 WITH {O.TOK_CTES}
 SELECT term, count(DISTINCT doc_id) AS df FROM tok2

@@ -324,3 +324,26 @@ def test_datastream_view_session_tz_invariant(sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert base == shifted and len(base) > 0
+
+
+def test_collapse_expand_join_broadcasts(spark, sf_dir):
+    """The collapse inner_hits expand phase: the ≤k head-group frame
+    joins as a BroadcastHashJoin below the window (restriction pushed
+    under the rank), never a SortMergeJoin against the scored frame."""
+    from opensearch_spark.entry_queries import QUERIES
+
+    df = QUERIES["search_collapse_inner_hits"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_routed_restriction_is_broadcastable(spark, sf_dir):
+    """Routed search: the shard-restriction semi-join must not shuffle
+    the scored side (broadcast join; at scale the routed set is one
+    shard's ids or — with a routing-aligned layout — a storage prune)."""
+    from opensearch_spark.entry_queries import QUERIES
+
+    df = QUERIES["search_routed"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
