@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "search_query_then_fetch",
     "search_derived_field_range",
     "search_suggest_completion_context",
+    # round-3 sixth-session additions
+    "sim_hnsw_topk",
 ]
 
 

@@ -5492,6 +5492,78 @@ def sim_lsh_topk(spark, sf_dir):
                                               exclude_id=0)
 
 
+_HNSW_CACHE: dict[str, object] = {}
+
+
+def _hnsw_index(spark, sf_dir):
+    """Build (or reuse) the per-segment HNSW graph table for sf_dir —
+    one packed binary blob per deterministic hash segment, the graph
+    equivalent of the LSH/IVF materialized indexes above."""
+    from opensearch_spark.ml.hnsw import HnswIndex
+
+    key = os.path.abspath(sf_dir)
+    if key in _HNSW_CACHE:
+        return _HNSW_CACHE[key]
+    out = os.path.join(INDEX_ROOT,
+                       hashlib.sha256(key.encode()).hexdigest()[:16] + "_hnsw")
+    if os.path.exists(os.path.join(out, "meta.json")):
+        idx = HnswIndex(out)
+    else:
+        idx = HnswIndex.build(_t(spark, sf_dir, "embeddings"), out,
+                              m=8, ef_construction=64, n_segments=4)
+    _HNSW_CACHE[key] = idx
+    return idx
+
+
+_HNSW_EXACT_ORACLE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (SELECT e.vec_id,
+                 unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+                 unnest(q.qe) AS y
+          FROM embeddings e CROSS JOIN q {extra_where_join}),
+s AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+      FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 4) AS cosine
+FROM s WHERE vec_id <> 0 {extra_where}
+ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 4) DESC, vec_id LIMIT 10
+"""
+
+
+@q("sim_hnsw_topk", _HNSW_EXACT_ORACLE.format(extra_where_join="",
+                                              extra_where=""))
+def sim_hnsw_topk(spark, sf_dir):
+    """Graph-ANN top-k over per-segment HNSW (the reference's
+    events-correlation-engine correlation_vector field: per-segment
+    Lucene99 HNSW graphs with m/ef_construction, per-leaf kNN + global
+    TopDocs merge — CorrelationParamsContext.java:25-46,
+    CorrelationQueryBuilder.java). ef_search=512 covers every segment at
+    all test scales, so the beam visits each connected graph exhaustively
+    and the DuckDB exact-cosine twin is a FULL oracle, not a recall gate
+    (same discipline as sim_sq8_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return _hnsw_index(spark, sf_dir).topk(spark, qv, k=10, ef_search=512,
+                                           exclude_id=0)
+
+
+@q("sim_hnsw_filtered", _HNSW_EXACT_ORACLE.format(
+    extra_where_join="WHERE e.vec_id % 3 = 1",
+    extra_where="AND vec_id % 3 = 1"))
+def sim_hnsw_filtered(spark, sf_dir):
+    """Filtered graph-ANN: CorrelationQueryBuilder.java's optional
+    ``filter`` becomes an acceptOrds mask inside each segment's beam —
+    the walk TRAVERSES every node but COLLECTS only accepted ones
+    (Lucene's filtered-kNN posture), so a selective predicate cannot
+    strand the search on an island of rejected nodes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return _hnsw_index(spark, sf_dir).topk(
+        spark, qv, k=10, ef_search=512, exclude_id=0,
+        accept_fn=lambda ids: ids % 3 == 1)
+
+
 def _near_dup_oracle_sql(threshold: float = 0.42, n_planes: int = 8,
                          dim: int = 64) -> str:
     """DuckDB twin of embedding_near_dup_pairs: inlined-hyperplane
