@@ -252,6 +252,51 @@ register_analyzer(
                       stemmer_override={"indices": "index"}))
 
 
+def icu_normalize_nfkc_cf(text: str) -> str:
+    """icu_normalizer char filter, default mode ``nfkc_cf`` (analysis-icu
+    plugin: IcuNormalizerCharFilterFactory / ICUNormalizer2CharFilter):
+    NFKC compatibility normalization + Unicode case folding — ligatures
+    decompose (ﬁ→fi), fullwidth forms narrow (Ａ→a, ２→2), superscripts
+    flatten (²→2), case folds (ß→ss). Applied BEFORE tokenization, as the
+    char-filter form is, so compatibility characters can't skew the word
+    break."""
+    import unicodedata
+
+    return unicodedata.normalize("NFKC", text).casefold()
+
+
+def tokenize_icu(text: str) -> list[str]:
+    """`icu` analyzer: icu_normalizer(nfkc_cf) char filter + standard
+    word break — the analysis-icu plugin's default analyzer shape."""
+    return tokenize_standard(icu_normalize_nfkc_cf(text))
+
+
+register_analyzer("icu", tokenize_icu)
+
+
+def icu_collation_key(t: str) -> str:
+    """icu_collation_keyword sort key, primary strength (analysis-icu:
+    ICUCollationKeywordFieldMapper with strength=primary): accents and
+    case are ignored at the primary level — NFKD, drop combining marks,
+    case fold. Callers tie-break equal primary keys by the original
+    string (deterministic codepoint order), which stands in for the
+    collator's higher strength levels."""
+    return icu_normalize_nfkc_cf(ascii_fold(t))
+
+
+def icu_collation_key_udf():
+    """Arrow-vectorized icu_collation_key for DataFrame sort expressions
+    (the field mapper stores the collation key at index time; computing
+    it in the sort projection is the query-time equivalent)."""
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def _key(s: pd.Series) -> pd.Series:
+        return s.map(icu_collation_key)
+
+    return _key
+
+
 def tokenize_char_trigram(text: str) -> list[str]:
     """Character trigrams of each standard token (the reference `wildcard`
     field type, WildcardFieldMapper.java: ngram-indexed acceleration for

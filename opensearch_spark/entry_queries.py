@@ -2768,6 +2768,95 @@ def api_analyze_fold(spark, sf_dir):
     return analyze_api(d, "text", "fold").orderBy("doc_id", "position")
 
 
+@q("api_analyze_icu", """
+WITH src AS (SELECT doc_id, concat(text, ' x2y') AS text2
+             FROM documents WHERE doc_id < 20),
+t AS (SELECT doc_id, string_split_regex(trim(text2), '\\s+') AS toks FROM src)
+SELECT doc_id, CAST(unnest(range(len(toks))) AS INT) AS position,
+       unnest(toks) AS token
+FROM t ORDER BY doc_id, position
+""")
+def api_analyze_icu(spark, sf_dir):
+    """icu_normalizer nfkc_cf char filter (analysis-icu plugin:
+    IcuNormalizerCharFilterFactory wrapping ICUNormalizer2CharFilter,
+    default mode nfkc_cf). Compatibility characters are injected
+    deterministically — every 'fi' becomes the ligature ﬁ (U+FB01) and a
+    fullwidth token Ｘ２ｙ is appended — and the icu chain must return the
+    stream to the plain-ascii standard analysis of the original text:
+    NFKC decomposes the ligature and narrows the fullwidth forms, case
+    folding lowers the fullwidth X. The oracle is the un-injected token
+    stream, so a chain that skips normalization (tokens 'ﬁle', 'ｘ２ｙ')
+    hash-mismatches on every doc."""
+    from opensearch_spark.search.apis import analyze_api
+
+    d = (_docs(spark, sf_dir).where(F.col("doc_id") < 20)
+         .select("doc_id",
+                 F.concat(F.regexp_replace("text", "fi", "ﬁ"),
+                          F.lit(" Ｘ２ｙ")).alias("text")))
+    return analyze_api(d, "text", "icu").orderBy("doc_id", "position")
+
+
+@q("search_icu_collation_sort", """
+WITH src AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN replace(split_part(trim(text), ' ', 1), 'a', 'á')
+                WHEN doc_id % 3 = 1
+                THEN replace(split_part(trim(text), ' ', 1), 'e', 'é')
+                ELSE split_part(trim(text), ' ', 1) END AS title
+    FROM documents)
+SELECT doc_id, title FROM src
+ORDER BY strip_accents(title), title, doc_id LIMIT 20
+""")
+def search_icu_collation_sort(spark, sf_dir):
+    """icu_collation_keyword sort (analysis-icu plugin:
+    ICUCollationKeywordFieldMapper, strength=primary): accents are
+    ignored at the primary level, so 'ápple' collates at 'a' instead of
+    binary-sorting after 'z'. Accents are injected deterministically on
+    the first token by doc_id parity; the engine sorts by the
+    Arrow-vectorized collation key (NFKD → strip marks → case fold) with
+    original-string + doc_id tie-breaks, which the oracle mirrors with
+    strip_accents. An engine sorting the raw strings mis-orders every
+    accented row."""
+    from opensearch_spark.analysis.analyzer import icu_collation_key_udf
+
+    first_tok = F.split(F.trim(F.col("text")), " ").getItem(0)
+    title = (F.when(F.col("doc_id") % 3 == 0,
+                    F.regexp_replace(first_tok, "a", "á"))
+             .when(F.col("doc_id") % 3 == 1,
+                   F.regexp_replace(first_tok, "e", "é"))
+             .otherwise(first_tok))
+    d = _docs(spark, sf_dir).select("doc_id", title.alias("title"))
+    key = icu_collation_key_udf()
+    return (d.orderBy(key(F.col("title")), F.col("title"), F.col("doc_id"))
+            .limit(20).select("doc_id", "title"))
+
+
+@q("search_size_field", """
+SELECT doc_id,
+       octet_length(encode(text)) + octet_length(encode(lang))
+       + octet_length(encode(source)) + 16 AS size
+FROM documents
+WHERE octet_length(encode(text)) + octet_length(encode(lang))
+      + octet_length(encode(source)) + 16 BETWEEN 300 AND 600
+ORDER BY size DESC, doc_id LIMIT 15
+""")
+def search_size_field(spark, sf_dir):
+    """mapper-size plugin: the _size metadata field (SizeFieldMapper.java
+    stores source.length() as an indexed long). Columnar _source, so
+    _size = Σ octet_length(string fields) + 8 bytes per fixed-width
+    field (doc_id, n_chars) — see index/mapping.py:with_size_field.
+    Range filter + size sort, the two operations the plugin exists for;
+    the range is non-empty at every test scale."""
+    from opensearch_spark.index.mapping import with_size_field
+
+    d = with_size_field(_docs(spark, sf_dir), ["text", "lang", "source"],
+                        ["doc_id", "n_chars"])
+    return (d.where(F.col("_size").between(300, 600))
+            .orderBy(F.col("_size").desc(), "doc_id").limit(15)
+            .select("doc_id", F.col("_size").alias("size")))
+
+
 @q("search_match_stemmed", f"""
 WITH src AS (SELECT doc_id, {O.PLURALIZE_SQL} AS text2 FROM documents),
 tok2 AS (

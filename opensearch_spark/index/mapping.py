@@ -141,6 +141,25 @@ def derived_doc_expr():
     return expr
 
 
+def with_size_field(df, string_cols: list[str],
+                    fixed_cols: list[str] = ()):
+    """mapper-size plugin: the ``_size`` metadata field
+    (MapperSizePlugin → SizeFieldMapper.java stores source.length() as an
+    indexed long so documents can be filtered/sorted/aggregated by size).
+
+    The reference measures the raw JSON ``_source`` envelope; our
+    _source is a parquet row, so the columnar equivalent is
+    _size = Σ octet_length(string fields) + 8 bytes per fixed-width
+    numeric field. Pure codegen (octet_length + adds) — at 100 TB this
+    is a free projection on the ingest scan, and the resulting long
+    column range-filters with ordinary parquet min/max pruning, exactly
+    what SizeFieldMapper's LongPoint buys Lucene."""
+    size = F.lit(8 * len(list(fixed_cols)))
+    for c in string_cols:
+        size = size + F.octet_length(F.col(c))
+    return df.withColumn("_size", size.cast("long"))
+
+
 DERIVED_DOC_SQL = """CASE
   WHEN event_id % 4 = 0 THEN concat('{"count": ', CAST(event_id % 1000 AS STRING),
        ', "name": "u', CAST(user_id AS STRING), '", "active": true}')
