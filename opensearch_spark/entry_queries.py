@@ -8451,6 +8451,98 @@ def api_stored_script(spark, sf_dir):
     return s.search(query, k=10, round_scores=4)
 
 
+@q("ingest_grok", """
+WITH ev AS (SELECT * FROM events ORDER BY event_id LIMIT 200)
+SELECT event_id,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS log_ts,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            WHEN event_type = 'error' THEN 'ERROR'
+            WHEN event_type = 'click' THEN 'DEBUG' ELSE 'INFO' END AS level,
+       CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS uid,
+       CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS val,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE concat('10.', CAST(user_id % 200 AS VARCHAR), '.',
+                        CAST(event_id % 250 AS VARCHAR), '.7') END AS client,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE concat(event_type, ' happened') END AS msg
+FROM ev ORDER BY event_id
+""")
+def ingest_grok(spark, sf_dir):
+    """grok ingest processor (GrokProcessor.java over libs/grok Grok.java:
+    %{SYNTAX:name:type} bank expansion to named regex groups, typed
+    captures). A log line is synthesized deterministically from the events
+    columns, then grok-parsed BACK into typed fields — the oracle states
+    the expected field values directly, so the gate only passes if the
+    compiled regex really extracts and type-casts every capture. Every
+    7th line is replaced with garbage that fails the whole-string match:
+    all captures must come back NULL (the ignore_failure posture).
+    Scale: compile is driver-side; extraction is g regexp_extract codegen
+    expressions per row (like the reference, one regex pass per processor
+    — here one per capture, still zero Python in the hot path)."""
+    from opensearch_spark.ingest.grok import grok_columns
+
+    ev = _t(spark, sf_dir, "events").orderBy("event_id").limit(200)
+    level = (F.when(F.col("event_type") == "error", "ERROR")
+             .when(F.col("event_type") == "click", "DEBUG")
+             .otherwise("INFO"))
+    line = F.when(F.col("event_id") % 7 == 0, F.lit("<garbage line>")) \
+        .otherwise(F.concat(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit(" "),
+            level,
+            F.lit(" uid="), F.col("user_id").cast("string"),
+            F.lit(" v="), F.col("value").cast("string"),
+            F.lit(" client=10."), (F.col("user_id") % 200).cast("string"),
+            F.lit("."), (F.col("event_id") % 250).cast("string"),
+            F.lit(".7 "), F.col("event_type"), F.lit(" happened")))
+    cols = grok_columns(
+        F.col("line"),
+        "%{TIMESTAMP_ISO8601:log_ts} %{LOGLEVEL:level} uid=%{INT:uid:int} "
+        "v=%{NUMBER:val:float} client=%{IP:client} %{GREEDYDATA:msg}")
+    return (ev.withColumn("line", line)
+            .select("event_id", *[c.alias(n) for n, c in cols.items()])
+            .orderBy("event_id"))
+
+
+@q("ingest_dissect", """
+WITH ev AS (SELECT * FROM events ORDER BY event_id LIMIT 200)
+SELECT event_id,
+       event_type AS etype,
+       CAST(user_id AS VARCHAR) AS uid,
+       concat(CAST(event_id % 250 AS VARCHAR), '_',
+              CAST(user_id % 200 AS VARCHAR)) AS shard,
+       concat('v=', CAST(value AS VARCHAR)) AS rest
+FROM ev ORDER BY event_id
+""")
+def ingest_dissect(spark, sf_dir):
+    """dissect ingest processor (DissectProcessor.java over libs/dissect
+    DissectParser.java; key modifiers DissectKey.java:173-177). The
+    synthesized line exercises the full modifier set: a plain key, a
+    right-padding key (``->`` absorbing the variable-width space run), a
+    skip key (``%{?session}``), and append-with-order keys
+    (``%{+shard/2}`` + ``%{+shard/1}`` reassembled in order position, not
+    pattern position, joined with the append_separator). The oracle states
+    each expected field from the source columns directly."""
+    from opensearch_spark.ingest.grok import dissect_columns
+
+    ev = _t(spark, sf_dir, "events").orderBy("event_id").limit(200)
+    pad = F.expr("repeat(' ', CAST(event_id % 3 AS INT) + 1)")
+    line = F.concat(
+        F.col("event_type"), F.lit("|"), pad,
+        F.col("user_id").cast("string"), F.lit("|sess-"),
+        (F.col("event_id") % 17).cast("string"), F.lit("|"),
+        (F.col("user_id") % 200).cast("string"), F.lit(">"),
+        (F.col("event_id") % 250).cast("string"), F.lit("|v="),
+        F.col("value").cast("string"))
+    cols = dissect_columns(
+        F.col("line"),
+        "%{etype}|%{->}%{uid}|%{?session}|%{+shard/2}>%{+shard/1}|%{rest}",
+        append_separator="_")
+    return (ev.withColumn("line", line)
+            .select("event_id", *[c.alias(n) for n, c in cols.items()])
+            .orderBy("event_id"))
+
+
 # --------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate verifies the first
 # ~50 queries() entries each round. Gates with a green row in

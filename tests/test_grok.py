@@ -1,0 +1,86 @@
+"""grok/dissect compiler unit tests (pure driver-side, no Spark).
+
+Reference semantics: libs/grok Grok.java (bank expansion, typed captures),
+libs/dissect DissectParser.java + DissectKey.java (append / append-with-
+order / skip / right padding)."""
+import re
+
+import pytest
+
+from opensearch_spark.ingest.grok import (
+    GrokError, compile_dissect, compile_grok,
+)
+
+
+def _match(rx, s):
+    m = re.match(f"^(?:{rx})$", s)
+    return m.groups() if m else None
+
+
+def test_grok_typed_captures():
+    rx, caps = compile_grok("%{INT:a:int} %{NUMBER:b:float} %{WORD:c}")
+    assert caps == [("a", "long"), ("b", "double"), ("c", "string")]
+    assert _match(rx, "-3 2.5 xy") == ("-3", "2.5", "xy")
+
+
+def test_grok_unnamed_does_not_capture():
+    rx, caps = compile_grok("%{INT} %{WORD:w}")
+    assert caps == [("w", "string")]
+    assert _match(rx, "7 ok") == ("ok",)
+
+
+def test_grok_bank_indirection():
+    # NUMBER → %{BASE10NUM}, IP → %{IPV4}: nested references expand
+    rx, caps = compile_grok("%{NUMBER:n} %{IP:ip}")
+    assert _match(rx, "1.5 10.0.0.255") == ("1.5", "10.0.0.255")
+    assert _match(rx, "1.5 10.0.0.999") is None
+
+
+def test_grok_unknown_pattern_raises():
+    with pytest.raises(GrokError):
+        compile_grok("%{NOPE:x}")
+
+
+def test_grok_cycle_raises():
+    with pytest.raises(GrokError):
+        compile_grok("%{A:x}", bank={"A": "%{B}", "B": "%{A}"})
+
+
+def test_grok_literal_regex_passthrough():
+    rx, _ = compile_grok(r"uid=\[%{INT:u}\]")
+    assert _match(rx, "uid=[42]") == ("42",)
+
+
+def test_dissect_basic_and_skip():
+    rx, slots, fields = compile_dissect("%{a} %{?x} %{b}")
+    assert fields == ["a", "b"]
+    assert _match(rx, "p skipme q") == ("p", "skipme", "q")
+
+
+def test_dissect_append_pattern_order():
+    # bare %{+k} appends in pattern order (DissectKey APPEND)
+    _, slots, fields = compile_dissect("%{+k}-%{+k}")
+    assert slots == [("k", 0), ("k", 1)]
+    assert fields == ["k"]
+
+
+def test_dissect_append_with_order():
+    # %{+k/n} reorders by n, not pattern position (APPEND_WITH_ORDER)
+    _, slots, _ = compile_dissect("%{+k/2}-%{+k/1}")
+    assert slots == [("k", 2), ("k", 1)]
+
+
+def test_dissect_right_padding():
+    rx, _, _ = compile_dissect("%{a->} %{b}")
+    assert _match(rx, "x      y") == ("x", "y")
+    assert _match(rx, "x y") == ("x", "y")
+
+
+def test_dissect_trailing_greedy():
+    rx, _, _ = compile_dissect("%{a}|%{rest}")
+    assert _match(rx, "k|v with | pipes") == ("k", "v with | pipes")
+
+
+def test_dissect_no_keys_raises():
+    with pytest.raises(GrokError):
+        compile_dissect("just literal text")
