@@ -155,6 +155,146 @@ def ascii_fold(t: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# language analyzers (analysis-common language providers: AnalysisModule
+# registers french/german/spanish via the Lucene language analyzers;
+# reference registration in indices/analysis/AnalysisModule.java). Each
+# chain is a deterministic light variant — elision/normalization + stop +
+# minimal-stemmer rules in the spirit of the corresponding Lucene
+# *MinimalStemFilter — with byte-identical SQL twins in oracle.py so the
+# gates can hash-compare against DuckDB.
+# ---------------------------------------------------------------------------
+
+# Lucene FrenchAnalyzer DEFAULT_ARTICLES (ElisionFilter)
+FRENCH_ELISION = ("qu", "l", "m", "t", "n", "s", "j", "d", "c",
+                  "jusqu", "quoiqu", "lorsqu", "puisqu")
+_ELISION_RE = re.compile(
+    r"\b(?:" + "|".join(sorted(FRENCH_ELISION, key=len, reverse=True))
+    + r")['’]", re.IGNORECASE)
+
+FRENCH_STOP_WORDS = frozenset(
+    "le la les de des du un une et en au aux ce qui que dans pour sur "
+    "pas plus par".split())
+
+GERMAN_STOP_WORDS = frozenset(
+    "der die das und in den von zu mit ist im ein eine auf als auch".split())
+
+SPANISH_STOP_WORDS = frozenset(
+    "el la los las de del y en un una que es por con para no se su".split())
+
+
+def elide_french_text(text: str) -> str:
+    """ElisionFilter as a char filter: drop the article + apostrophe
+    (``d'fenêtres`` → ``fenêtres``) BEFORE tokenization — the standard
+    tokenizer splits on the apostrophe, so the reference's token-filter
+    placement and this char-filter placement yield the same stream."""
+    return _ELISION_RE.sub("", text)
+
+
+def stem_french_light(t: str) -> str:
+    """Sequential truncation rules after FrenchMinimalStemFilter
+    (plural -x/-aux→-al, -s, mute final -r/-e/-é, final double letter);
+    the length guard is measured once on entry like the Lucene filter.
+    SQL twin: oracle.french_stem_steps_sql."""
+    if len(t) < 6:
+        return t
+    if t.endswith("aux"):
+        t = t[:-3] + "al"
+    elif t.endswith("x"):
+        t = t[:-1]
+    if t.endswith("s"):
+        t = t[:-1]
+    if t.endswith("r"):
+        t = t[:-1]
+    if t.endswith("e"):
+        t = t[:-1]
+    if t.endswith("é"):
+        t = t[:-1]
+    if len(t) >= 2 and t[-1] == t[-2]:
+        t = t[:-1]
+    return t
+
+
+def tokenize_french(text: str) -> list[str]:
+    """`french` analyzer: elision char filter + standard + french stop +
+    light stemmer."""
+    return [stem_french_light(t)
+            for t in tokenize_standard(elide_french_text(text))
+            if t not in FRENCH_STOP_WORDS]
+
+
+ANALYZERS["french"] = tokenize_french
+
+
+def normalize_german(t: str) -> str:
+    """GermanNormalizationFilter core mappings: umlauts to base vowel,
+    ß→ss (the snowball German2 forms)."""
+    return (t.replace("ä", "a").replace("ö", "o")
+             .replace("ü", "u").replace("ß", "ss"))
+
+
+_GERMAN_SUFFIXES = ("nen", "en", "se", "es", "er", "e", "s", "n")
+
+
+def stem_german_light(t: str) -> str:
+    """One longest-matching plural/inflection suffix stripped when ≥4
+    chars remain (GermanMinimalStemFilter discipline). SQL twin:
+    oracle.german_stem_sql."""
+    if len(t) < 5:
+        return t
+    for suf in _GERMAN_SUFFIXES:
+        if t.endswith(suf) and len(t) - len(suf) >= 4:
+            return t[:-len(suf)]
+    return t
+
+
+def tokenize_german(text: str) -> list[str]:
+    """`german` analyzer: standard + normalization + stop + light stemmer
+    (normalization first so umlaut spellings conflate before stopping)."""
+    out = []
+    for t in tokenize_standard(text):
+        t = normalize_german(t)
+        if t in GERMAN_STOP_WORDS:
+            continue
+        out.append(stem_german_light(t))
+    return out
+
+
+ANALYZERS["german"] = tokenize_german
+
+_SPANISH_DEACCENT = str.maketrans("áéíóúüñ", "aeiouun")
+
+
+def stem_spanish_light(t: str) -> str:
+    """Post-deaccent sequential rules in the spirit of
+    SpanishLightStemFilter: -ces→-z (luces→luz), plural -s, final
+    gender/theme vowel a/o/e; guard measured once on entry. SQL twin:
+    oracle.spanish_stem_steps_sql."""
+    if len(t) < 5:
+        return t
+    if t.endswith("ces"):
+        t = t[:-3] + "z"
+    if t.endswith("s"):
+        t = t[:-1]
+    if t and t[-1] in "aoe":
+        t = t[:-1]
+    return t
+
+
+def tokenize_spanish(text: str) -> list[str]:
+    """`spanish` analyzer: standard + deaccent + stop + light stemmer."""
+    out = []
+    for t in tokenize_standard(text):
+        t = t.translate(_SPANISH_DEACCENT)
+        if t in SPANISH_STOP_WORDS:
+            continue
+        out.append(stem_spanish_light(t))
+    return out
+
+
+ANALYZERS["spanish"] = tokenize_spanish
+
+
 def make_filter_chain(base: str = "standard", *,
                       stopwords: frozenset | None = None,
                       synonyms: dict[str, str] | None = None,

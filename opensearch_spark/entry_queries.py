@@ -8543,6 +8543,130 @@ def ingest_dissect(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def _frenchified(corpus: DataFrame) -> DataFrame:
+    """Spark twin of O.FRENCHIFY_SQL: inject elided/plural French forms so
+    the french chain (elision + stop + light stemmer) has real work."""
+    out = F.regexp_replace(F.col("text"), r"\bwindow\b", "d'fenêtres")
+    out = F.regexp_replace(out, r"\bmerge\b", "les fusions")
+    out = F.regexp_replace(out, r"\bsort\b", "qu'journaux")
+    return corpus.withColumn("text", out)
+
+
+@q("search_match_french", f"""
+WITH src AS (SELECT doc_id, {O.FRENCHIFY_SQL} AS text2 FROM documents),
+rawtok AS (SELECT doc_id, unnest(string_split_regex(trim(text2), '\\s+')) AS rt
+           FROM src),
+tok1 AS (SELECT doc_id, {O.french_elide_sql('rt')} AS t0
+         FROM rawtok WHERE rt <> ''),
+tok1f AS (SELECT doc_id, t0 FROM tok1
+          WHERE t0 <> '' AND t0 NOT IN {O.FRENCH_STOP_SQL}),
+st AS (SELECT doc_id, {O.french_stem_select('t0')} FROM tok1f),
+tok2 AS (SELECT doc_id, term FROM st),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS N,
+           (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('fenêtr','fusion','journal') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('fenêtr','fusion','journal') GROUP BY term),
+scored AS (SELECT tf.doc_id, sum({O.bm25_term()}) AS raw_score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY tf.doc_id)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scored ORDER BY round(raw_score, 4) DESC, doc_id LIMIT 10
+""")
+def search_match_french(spark, sf_dir):
+    """`french` analyzer end-to-end (analysis-common language provider:
+    Lucene FrenchAnalyzer = elision + stop + light stemmer; registration
+    in indices/analysis/AnalysisModule.java). Elided plural forms
+    (d'fenêtres, les fusions, qu'journaux) are injected deterministically;
+    the query carries different inflections (fenêtre / fusions /
+    journaux, the -aux→-al rule) so the match only lands if elision, the
+    french stop list, and every stemmer rule fire identically at index
+    and query time. Full BM25 over the french token stream, dl/avgdl
+    post-chain."""
+    s = _alt_searcher(spark, sf_dir, "french", "french",
+                      transform=_frenchified)
+    return s.search(Match(field="text", text="fenêtre fusions journaux"),
+                    k=10, mode="wand", round_scores=4)
+
+
+@q("api_analyze_german", f"""
+WITH src AS (SELECT doc_id,
+                    concat(replace(text, 'table', 'tische'),
+                           ' die größe') AS text2
+             FROM documents WHERE doc_id < 30),
+t AS (SELECT doc_id, string_split_regex(trim(text2), '\\s+') AS toks
+      FROM src),
+u AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS INT) AS p0,
+             unnest(toks) AS rt FROM t),
+norm AS (SELECT doc_id, p0, {O.german_normalize_sql('rt')} AS t0
+         FROM u WHERE rt <> ''),
+kept AS (SELECT doc_id, p0, {O.german_stem_sql('t0')} AS token
+         FROM norm WHERE t0 NOT IN {O.GERMAN_STOP_SQL})
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p0) - 1 AS INT)
+           AS position,
+       token
+FROM kept ORDER BY doc_id, position
+""")
+def api_analyze_german(spark, sf_dir):
+    """`german` analyzer chain (analysis-common: GermanNormalizationFilter
+    umlaut/ß folding + german stop + minimal stemmer). Umlaut forms (die
+    größe) and plural inflections (tische) are injected; the token stream
+    must show größe→gros (normalize then suffix strip), the stopped `die`
+    renumbering positions, and the suffix stemmer acting on the corpus
+    words too."""
+    from opensearch_spark.search.apis import analyze_api
+
+    d = (_docs(spark, sf_dir).where(F.col("doc_id") < 30)
+         .select("doc_id",
+                 F.concat(F.regexp_replace("text", "table", "tische"),
+                          F.lit(" die größe")).alias("text")))
+    return analyze_api(d, "text", "german").orderBy("doc_id", "position")
+
+
+@q("api_analyze_spanish", f"""
+WITH src AS (SELECT doc_id,
+                    concat(replace(replace(text, 'table', 'tablas'),
+                                   'window', 'canción'),
+                           ' las luces') AS text2
+             FROM documents WHERE doc_id < 30),
+t AS (SELECT doc_id, string_split_regex(trim(text2), '\\s+') AS toks
+      FROM src),
+u AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS INT) AS p0,
+             unnest(toks) AS rt FROM t),
+norm AS (SELECT doc_id, p0, strip_accents(rt) AS t0 FROM u WHERE rt <> ''),
+kept0 AS (SELECT doc_id, p0, t0 FROM norm
+          WHERE t0 NOT IN {O.SPANISH_STOP_SQL}),
+st AS (SELECT doc_id, p0, {O.spanish_stem_select('t0')} FROM kept0)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p0) - 1 AS INT)
+           AS position,
+       term AS token
+FROM st ORDER BY doc_id, position
+""")
+def api_analyze_spanish(spark, sf_dir):
+    """`spanish` analyzer chain (analysis-common: deaccent + spanish stop
+    + light stemmer). Injected canción must deaccent to cancion (so the
+    accented singular conflates with an unaccented plural's stem),
+    tablas→tabl, luces→luz via the -ces→-z rule, and `las` is stopped —
+    each step visible in the position-renumbered token stream."""
+    from opensearch_spark.search.apis import analyze_api
+
+    d = (_docs(spark, sf_dir).where(F.col("doc_id") < 30)
+         .select("doc_id",
+                 F.concat(
+                     F.regexp_replace(
+                         F.regexp_replace("text", "table", "tablas"),
+                         "window", "canción"),
+                     F.lit(" las luces")).alias("text")))
+    return analyze_api(d, "text", "spanish").orderBy("doc_id", "position")
+
+
 # --------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate verifies the first
 # ~50 queries() entries each round. Gates with a green row in

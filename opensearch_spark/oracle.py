@@ -106,3 +106,91 @@ WHERE nt >= {n_required} {('AND ' + extra_filter) if extra_filter else ''}
 ORDER BY round(raw_score, 4) DESC, doc_id
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# language-analyzer twins (analysis.analyzer french/german/spanish chains;
+# each mirrors the Python rules byte-for-byte — see the *_light docstrings)
+# ---------------------------------------------------------------------------
+
+# deterministic French-form injection for the `french` analyzer gate (the
+# corpus vocabulary is English-ish); Spark twin: entry_queries._frenchified
+FRENCHIFY_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    "'\\bwindow\\b', 'd''fenêtres', 'g'), "
+    "'\\bmerge\\b', 'les fusions', 'g'), "
+    "'\\bsort\\b', 'qu''journaux', 'g')")
+
+FRENCH_STOP_SQL = (
+    "('le','la','les','de','des','du','un','une','et','en','au','aux',"
+    "'ce','qui','que','dans','pour','sur','pas','plus','par')")
+
+GERMAN_STOP_SQL = (
+    "('der','die','das','und','in','den','von','zu','mit','ist','im',"
+    "'ein','eine','auf','als','auch')")
+
+SPANISH_STOP_SQL = (
+    "('el','la','los','las','de','del','y','en','un','una','que','es',"
+    "'por','con','para','no','se','su')")
+
+# ElisionFilter twin on a whitespace token (the engine elides at the char
+# level pre-tokenize; on this corpus apostrophes only occur at injected
+# elisions, so token-prefix stripping is equivalent)
+def french_elide_sql(col: str = "rt") -> str:
+    return ("regexp_replace(" + col +
+            ", '^(?:jusqu|quoiqu|lorsqu|puisqu|qu|[lmtnsjdc])['']', '')")
+
+
+def french_stem_select(col: str = "t0") -> str:
+    """SELECT-items chain (lateral aliases) ending in alias ``term`` —
+    twin of analysis.analyzer.stem_french_light; the guard g is measured
+    once on the entry form like the Lucene filter."""
+    return f"""length({col}) >= 6 AS g,
+  CASE WHEN length({col}) >= 6 AND {col} LIKE '%aux'
+         THEN substr({col}, 1, length({col}) - 3) || 'al'
+       WHEN length({col}) >= 6 AND {col} LIKE '%x'
+         THEN substr({col}, 1, length({col}) - 1)
+       ELSE {col} END AS t1,
+  CASE WHEN g AND t1 LIKE '%s' THEN substr(t1, 1, length(t1) - 1)
+       ELSE t1 END AS t2,
+  CASE WHEN g AND t2 LIKE '%r' THEN substr(t2, 1, length(t2) - 1)
+       ELSE t2 END AS t3,
+  CASE WHEN g AND t3 LIKE '%e' THEN substr(t3, 1, length(t3) - 1)
+       ELSE t3 END AS t4,
+  CASE WHEN g AND t4 LIKE '%é' THEN substr(t4, 1, length(t4) - 1)
+       ELSE t4 END AS t5,
+  CASE WHEN g AND length(t5) >= 2 AND substr(t5, -1) = substr(t5, -2, 1)
+       THEN substr(t5, 1, length(t5) - 1) ELSE t5 END AS term"""
+
+
+def german_normalize_sql(col: str = "rt") -> str:
+    """Twin of analysis.analyzer.normalize_german."""
+    return (f"replace(replace(replace(replace({col}, 'ä', 'a'), 'ö', 'o'),"
+            f" 'ü', 'u'), 'ß', 'ss')")
+
+
+def german_stem_sql(col: str = "t0") -> str:
+    """Twin of analysis.analyzer.stem_german_light (longest suffix first,
+    ≥4 chars must remain)."""
+    branches = []
+    for suf in ("nen", "en", "se", "es", "er", "e", "s", "n"):
+        n = len(suf)
+        branches.append(
+            f"WHEN {col} LIKE '%{suf}' AND length({col}) - {n} >= 4 "
+            f"THEN substr({col}, 1, length({col}) - {n})")
+    body = "\n       ".join(branches)
+    return (f"CASE WHEN length({col}) < 5 THEN {col}\n       "
+            f"{body}\n       ELSE {col} END")
+
+
+def spanish_stem_select(col: str = "t0") -> str:
+    """SELECT-items chain ending in alias ``term`` — twin of
+    analysis.analyzer.stem_spanish_light (input already deaccented)."""
+    return f"""length({col}) >= 5 AS g,
+  CASE WHEN length({col}) >= 5 AND {col} LIKE '%ces'
+         THEN substr({col}, 1, length({col}) - 3) || 'z'
+       ELSE {col} END AS s1,
+  CASE WHEN g AND s1 LIKE '%s' THEN substr(s1, 1, length(s1) - 1)
+       ELSE s1 END AS s2,
+  CASE WHEN g AND s2 <> '' AND substr(s2, -1) IN ('a','o','e')
+       THEN substr(s2, 1, length(s2) - 1) ELSE s2 END AS term"""

@@ -1,0 +1,89 @@
+"""french/german/spanish analyzer chains: Python rules vs their DuckDB SQL
+twins (oracle.py) — byte-identical on a generated word pool, plus pinned
+examples for each rule. No Spark needed."""
+import duckdb
+import pytest
+
+import opensearch_spark.oracle as O
+from opensearch_spark.analysis.analyzer import (
+    ANALYZERS, elide_french_text, normalize_german, stem_french_light,
+    stem_german_light, stem_spanish_light,
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+def _lits(words):
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+# word pool exercising every rule boundary (lengths 2..9, each suffix)
+POOL = [
+    "ab", "abc", "abcd", "abcde", "abcdef",
+    "fenêtres", "fusions", "journaux", "chevaux", "tableaux", "passe",
+    "aa", "xxx", "stream", "filter", "customer", "order", "tische",
+    "grosse", "innen", "abcdnen", "luces", "tablas", "cosas", "ces",
+    "cancion", "canciones", "spark", "table", "query", "aux", "eaux",
+    "masses", "verres", "heureux",
+]
+
+
+def test_french_stem_sql_twin(duck):
+    q = f"""WITH t AS (SELECT unnest([{_lits(POOL)}]) AS t0)
+    SELECT t0, term FROM (SELECT t0, {O.french_stem_select('t0')} FROM t)"""
+    for t0, term in duck.execute(q).fetchall():
+        assert term == stem_french_light(t0), t0
+
+
+def test_german_stem_sql_twin(duck):
+    q = f"""WITH t AS (SELECT unnest([{_lits(POOL)}]) AS t0)
+    SELECT t0, {O.german_stem_sql('t0')} AS term FROM t"""
+    for t0, term in duck.execute(q).fetchall():
+        assert term == stem_german_light(t0), t0
+
+
+def test_spanish_stem_sql_twin(duck):
+    q = f"""WITH t AS (SELECT unnest([{_lits(POOL)}]) AS t0)
+    SELECT t0, term FROM (SELECT t0, {O.spanish_stem_select('t0')} FROM t)"""
+    for t0, term in duck.execute(q).fetchall():
+        assert term == stem_spanish_light(t0), t0
+
+
+def test_french_elision_sql_twin(duck):
+    toks = ["d'fenêtres", "qu'journaux", "l'avion", "plain", "jusqu'ici",
+            "m'a", "s'il"]
+    q = f"""WITH t AS (SELECT unnest([{_lits(toks)}]) AS rt)
+    SELECT rt, {O.french_elide_sql('rt')} AS e FROM t"""
+    for rt, e in duck.execute(q).fetchall():
+        assert e == elide_french_text(rt), rt
+
+
+def test_german_normalize_sql_twin(duck):
+    words = ["größe", "müller", "straße", "bär", "plain"]
+    q = f"""WITH t AS (SELECT unnest([{_lits(words)}]) AS w)
+    SELECT w, {O.german_normalize_sql('w')} AS n FROM t"""
+    for w, n in duck.execute(q).fetchall():
+        assert n == normalize_german(w), w
+
+
+def test_french_chain_pinned():
+    assert ANALYZERS["french"]("d'fenêtres les fusions qu'journaux") == \
+        ["fenêtr", "fusion", "journal"]
+    # -aux→-al (chevaux→cheval), double-letter collapse runs after
+    assert stem_french_light("chevaux") == "cheval"
+    # guard: short tokens untouched
+    assert stem_french_light("aux") == "aux"
+
+
+def test_german_chain_pinned():
+    assert ANALYZERS["german"]("die größe der tische") == ["gros", "tisch"]
+    # remainder-≥4 guard: 'order' keeps its -er
+    assert stem_german_light("order") == "order"
+
+
+def test_spanish_chain_pinned():
+    assert ANALYZERS["spanish"]("las luces y canción") == ["luz", "cancion"]
+    assert stem_spanish_light("tablas") == "tabl"
