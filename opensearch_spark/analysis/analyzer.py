@@ -484,6 +484,68 @@ def tokenize_cjk_bigram(text: str) -> list[str]:
 register_analyzer("cjk_bigram", tokenize_cjk_bigram)
 
 
+# ---------------------------------------------------------------------------
+# dictionary-driven CJK segmentation — the mechanism behind the reference's
+# analysis-smartcn (HMMChineseTokenizer), analysis-kuromoji
+# (JapaneseTokenizer: dictionary lattice + Viterbi) and analysis-nori
+# plugins. Their shipped dictionaries aren't available in this environment,
+# so the engine demonstrates the segmentation mechanism itself with a
+# deterministic demo lexicon: greedy longest-match against the dictionary
+# inside each ideographic run, single-character fallback for
+# out-of-vocabulary chars (smartcn's unknown-word posture), non-CJK runs
+# through the standard chain.
+# ---------------------------------------------------------------------------
+
+# two-char words from one codepoint block, three-char words from a disjoint
+# block: greedy longest-match then provably re-segments any concatenation
+# (no cross-word window can be a lexicon entry)
+CJK_DEMO_LEXICON_2 = tuple(
+    chr(0x4E00 + 2 * i) + chr(0x4E00 + 2 * i + 1) for i in range(8))
+CJK_DEMO_LEXICON_3 = tuple(
+    chr(0x5B00 + 3 * i) + chr(0x5B00 + 3 * i + 1) + chr(0x5B00 + 3 * i + 2)
+    for i in range(6))
+CJK_DEMO_LEXICON = CJK_DEMO_LEXICON_2 + CJK_DEMO_LEXICON_3
+
+
+def segment_cjk_dict(run: str, lexicon: frozenset, max_len: int = 3) \
+        -> list[str]:
+    """Greedy longest-match word segmentation of one ideographic run."""
+    out: list[str] = []
+    i, n = 0, len(run)
+    while i < n:
+        for L in range(min(max_len, n - i), 1, -1):
+            w = run[i:i + L]
+            if w in lexicon:
+                out.append(w)
+                i += L
+                break
+        else:
+            out.append(run[i])  # OOV char → unigram token
+            i += 1
+    return out
+
+
+_CJK_DEMO_SET = frozenset(CJK_DEMO_LEXICON)
+
+
+def tokenize_cjk_dict(text: str) -> list[str]:
+    """`cjk_dict` analyzer: dictionary segmentation of CJK runs (greedy
+    longest match over CJK_DEMO_LEXICON, OOV unigram fallback), standard
+    analysis for everything else."""
+    out: list[str] = []
+    for m in _WORD_RE.finditer(text or ""):
+        w = m.group(0).lower()
+        for run in _CJK_RUN_RE.findall(w):
+            if _CJK_CHAR_RE.match(run):
+                out.extend(segment_cjk_dict(run, _CJK_DEMO_SET))
+            else:
+                out.extend(_chunk255(run))
+    return out
+
+
+register_analyzer("cjk_dict", tokenize_cjk_dict)
+
+
 def tokenize(text: str, analyzer: str = "standard") -> list[str]:
     return ANALYZERS[analyzer](text)
 

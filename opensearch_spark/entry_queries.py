@@ -8667,6 +8667,60 @@ def api_analyze_spanish(spark, sf_dir):
     return analyze_api(d, "text", "spanish").orderBy("doc_id", "position")
 
 
+def _cjk_lex_sql() -> tuple[str, str]:
+    from opensearch_spark.analysis.analyzer import CJK_DEMO_LEXICON
+    lex = "[" + ", ".join(f"'{w}'" for w in CJK_DEMO_LEXICON) + "]"
+    oov = "[" + ", ".join(f"'{chr(0x6C00 + k)}'" for k in range(5)) + "]"
+    return lex, oov
+
+
+_CJK_LEX_SQL, _CJK_OOV_SQL = _cjk_lex_sql()
+
+
+@q("api_analyze_cjk_dict", f"""
+WITH ids AS (SELECT doc_id, split_part(trim(text), ' ', 1) AS first_tok
+             FROM documents WHERE doc_id < 40),
+seq AS (SELECT doc_id, CAST(unnest(range(5)) AS INT) AS j FROM ids)
+SELECT doc_id, CAST(0 AS INT) AS position, first_tok AS token FROM ids
+UNION ALL
+SELECT doc_id, CAST(1 + j AS INT),
+       list_extract({_CJK_LEX_SQL},
+                    CAST((doc_id * 7 + j * 3) % 14 + 1 AS INT))
+FROM seq
+UNION ALL
+SELECT doc_id, CAST(6 AS INT),
+       list_extract({_CJK_OOV_SQL}, CAST(doc_id % 5 + 1 AS INT))
+FROM ids
+ORDER BY doc_id, position
+""")
+def api_analyze_cjk_dict(spark, sf_dir):
+    """Dictionary-driven CJK word segmentation — the mechanism of the
+    analysis-smartcn (HMMChineseTokenizer), analysis-kuromoji
+    (JapaneseTokenizer dictionary lattice) and analysis-nori plugins,
+    demonstrated with a deterministic demo lexicon (the shipped
+    dictionaries aren't in this environment). Each doc's text is a latin
+    token followed by five lexicon words CONCATENATED WITHOUT SEPARATORS
+    plus one out-of-vocabulary ideograph; the analyzer must segment the
+    unbroken ideographic run back into exactly those words (greedy
+    longest-match, mixed 2/3-char entries) and emit the OOV char as a
+    unigram. The oracle reconstructs the expected stream from the same
+    doc_id arithmetic, so any mis-segmentation hash-mismatches."""
+    from opensearch_spark.analysis.analyzer import CJK_DEMO_LEXICON
+    from opensearch_spark.search.apis import analyze_api
+
+    lex_arr = F.array(*[F.lit(w) for w in CJK_DEMO_LEXICON])
+    oov_arr = F.array(*[F.lit(chr(0x6C00 + k)) for k in range(5)])
+    parts = [F.split(F.trim(F.col("text")), r"\s+").getItem(0), F.lit(" ")]
+    for j in range(5):
+        parts.append(F.element_at(
+            lex_arr,
+            ((F.col("doc_id") * 7 + j * 3) % 14 + 1).cast("int")))
+    parts.append(F.element_at(oov_arr, (F.col("doc_id") % 5 + 1).cast("int")))
+    d = (_docs(spark, sf_dir).where(F.col("doc_id") < 40)
+         .select("doc_id", F.concat(*parts).alias("text")))
+    return analyze_api(d, "text", "cjk_dict").orderBy("doc_id", "position")
+
+
 # --------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate verifies the first
 # ~50 queries() entries each round. Gates with a green row in

@@ -87,3 +87,23 @@ def test_german_chain_pinned():
 def test_spanish_chain_pinned():
     assert ANALYZERS["spanish"]("las luces y canción") == ["luz", "cancion"]
     assert stem_spanish_light("tablas") == "tabl"
+
+
+def test_cjk_dict_segmentation():
+    from opensearch_spark.analysis.analyzer import (
+        CJK_DEMO_LEXICON, segment_cjk_dict)
+    lex = frozenset(CJK_DEMO_LEXICON)
+    w2a, w2b = CJK_DEMO_LEXICON[0], CJK_DEMO_LEXICON[1]
+    w3 = CJK_DEMO_LEXICON[9]
+    oov = chr(0x6C03)
+    # unbroken run of mixed-length words + OOV re-segments exactly
+    assert segment_cjk_dict(w2a + w3 + oov + w2b, lex) == [w2a, w3, oov, w2b]
+    # all-OOV run falls back to unigrams
+    assert segment_cjk_dict(oov * 3, lex) == [oov, oov, oov]
+
+
+def test_cjk_dict_mixed_script():
+    from opensearch_spark.analysis.analyzer import ANALYZERS, CJK_DEMO_LEXICON
+    w = CJK_DEMO_LEXICON[2]
+    assert ANALYZERS["cjk_dict"](f"Spark {w}{w} merge") == \
+        ["spark", w, w, "merge"]
