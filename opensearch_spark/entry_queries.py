@@ -8667,6 +8667,53 @@ def api_analyze_spanish(spark, sf_dir):
     return analyze_api(d, "text", "spanish").orderBy("doc_id", "position")
 
 
+@q("api_snapshot_url_restore", O.match_sql(["merge", "stream"], k=10))
+def api_snapshot_url_restore(spark, sf_dir):
+    """repository-url plugin-module (URLRepository.java): a READ-ONLY
+    snapshot repository addressed by URL — restore streams every
+    manifest-listed blob from ``file://<snap>/<rel>`` and verifies
+    size+md5 per blob; write attempts raise. The url-restored index
+    serves the query with oracle-identical scores."""
+    import shutil
+
+    from opensearch_spark.index.build import InvertedIndex
+    from opensearch_spark.index.snapshot import UrlRepository, snapshot_index
+
+    s = get_searcher(spark, sf_dir)
+    src = s.index.path
+    snap = src + "_urlsnap"
+    rest = src + "_urlrestored"
+
+    def _fresh() -> bool:
+        if not os.path.exists(os.path.join(rest, "meta.json")):
+            return False
+        r = InvertedIndex(rest)
+        return (r.meta.get("layout_version") == s.index.meta.get("layout_version")
+                and r.doc_count == s.index.doc_count
+                and r.meta.get("analyzer") == s.index.meta.get("analyzer")
+                and bool(r.meta.get("with_positions"))
+                    == bool(s.index.meta.get("with_positions"))
+                and r.meta.get("index_options", "freqs")
+                    == s.index.meta.get("index_options", "freqs"))
+
+    if not _fresh():
+        shutil.rmtree(snap, ignore_errors=True)
+        shutil.rmtree(rest, ignore_errors=True)
+        snapshot_index(src, snap)
+        repo = UrlRepository("file://" + snap)
+        try:
+            repo.snapshot()
+        except NotImplementedError:
+            pass  # read-only by contract — the write path must refuse
+        else:  # pragma: no cover - contract violation
+            raise AssertionError("url repository accepted a write")
+        repo.restore(rest)  # manifest lists blobs only, never itself
+        shutil.rmtree(snap, ignore_errors=True)
+    restored = Searcher(spark, InvertedIndex(rest))
+    return restored.search(Match(field="text", text="merge stream"),
+                           k=10, mode="wand", round_scores=4)
+
+
 def _cjk_lex_sql() -> tuple[str, str]:
     from opensearch_spark.analysis.analyzer import CJK_DEMO_LEXICON
     lex = "[" + ", ".join(f"'{w}'" for w in CJK_DEMO_LEXICON) + "]"

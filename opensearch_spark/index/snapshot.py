@@ -86,3 +86,57 @@ def restore_index(snap_dir: str, dest: str) -> str:
     shutil.copytree(snap_dir, dest)
     os.remove(os.path.join(dest, SNAP_MANIFEST))
     return dest
+
+
+class UrlRepository:
+    """Read-only URL snapshot repository (modules/repository-url
+    ``URLRepository.java``: blobs addressed by base URL, writes refused —
+    ``canUpdateInPlace``/write paths throw UnsupportedOperationException).
+
+    Restore streams each manifest-listed blob from ``<base>/<relpath>``
+    and verifies size+md5 as it lands. ``file://`` is what this sandbox
+    exercises; any scheme urllib can open (http/https) takes the same
+    path — at cluster scale the base would be an object-store / artifact
+    HTTP endpoint serving the same immutable files."""
+
+    def __init__(self, base_url: str):
+        from urllib.parse import urlparse
+
+        p = urlparse(base_url)
+        if p.scheme not in ("file", "http", "https"):
+            raise ValueError(f"unsupported url repository scheme: {p.scheme}")
+        self.base_url = base_url.rstrip("/")
+
+    def _read(self, rel: str) -> bytes:
+        from urllib.request import urlopen
+
+        with urlopen(f"{self.base_url}/{rel}") as r:
+            return r.read()
+
+    def manifest(self) -> dict:
+        return json.loads(self._read(SNAP_MANIFEST).decode("utf-8"))
+
+    def snapshot(self, *_a, **_k):
+        raise NotImplementedError(
+            "url repository is read-only (URLRepository.java)")
+
+    def restore(self, dest: str) -> str:
+        """Fetch + verify every blob in the manifest into ``dest``."""
+        if os.path.exists(dest):
+            raise ValueError(f"restore target exists: {dest}")
+        man = self.manifest()
+        os.makedirs(dest)
+        try:
+            for rel, want in man["files"].items():
+                blob = self._read(rel)
+                if len(blob) != want["bytes"] or \
+                        hashlib.md5(blob).hexdigest() != want["md5"]:
+                    raise ValueError(f"snapshot blob corrupt: {rel}")
+                p = os.path.join(dest, rel)
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                with open(p, "wb") as f:
+                    f.write(blob)
+        except Exception:
+            shutil.rmtree(dest, ignore_errors=True)
+            raise
+        return dest
