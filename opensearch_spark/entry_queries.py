@@ -8463,7 +8463,7 @@ SELECT event_id,
        CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS val,
        CASE WHEN event_id % 7 = 0 THEN NULL
             ELSE concat('10.', CAST(user_id % 200 AS VARCHAR), '.',
-                        CAST(event_id % 250 AS VARCHAR), '.7') END AS client,
+                        CAST(event_id % 250 AS VARCHAR), '.7') END AS ip,
        CASE WHEN event_id % 7 = 0 THEN NULL
             ELSE concat(event_type, ' happened') END AS msg
 FROM ev ORDER BY event_id
@@ -8498,7 +8498,7 @@ def ingest_grok(spark, sf_dir):
     cols = grok_columns(
         F.col("line"),
         "%{TIMESTAMP_ISO8601:log_ts} %{LOGLEVEL:level} uid=%{INT:uid:int} "
-        "v=%{NUMBER:val:float} client=%{IP:client} %{GREEDYDATA:msg}")
+        "v=%{NUMBER:val:float} client=%{IP:ip} %{GREEDYDATA:msg}")
     return (ev.withColumn("line", line)
             .select("event_id", *[c.alias(n) for n, c in cols.items()])
             .orderBy("event_id"))
