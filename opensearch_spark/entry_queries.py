@@ -8667,6 +8667,33 @@ def api_analyze_spanish(spark, sf_dir):
     return analyze_api(d, "text", "spanish").orderBy("doc_id", "position")
 
 
+@q("api_request_cache", O.match_sql(["filter", "batch"], k=10))
+def api_request_cache(spark, sf_dir):
+    """Shard request cache (IndicesRequestCache.java; tiered storage per
+    cache-common/cache-ehcache): the request runs once (miss → result
+    materialized content-addressed under the index generation) and is
+    then served from the cache — the returned frame is the CACHE-SERVED
+    one, so the oracle only matches if the materialized entry is the
+    correct result. Both paths are exercised every run (clear → miss →
+    hit) and the stats counters are asserted."""
+    from opensearch_spark.search.request_cache import RequestCache
+
+    s = get_searcher(spark, sf_dir)
+    cache = RequestCache(s.index)
+    cache.clear()
+    request = {"query": {"match": {"text": "filter batch"}}, "size": 10}
+
+    def compute():
+        return s.search(Match(field="text", text="filter batch"),
+                        k=10, mode="wand", round_scores=4)
+
+    cache.get_or_compute(spark, request, compute)          # miss, writes
+    served = cache.get_or_compute(spark, request, compute)  # hit, reads
+    st = cache.stats()
+    assert st["hits"] == 1 and st["misses"] == 1 and st["entries"] == 1, st
+    return served.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 @q("api_snapshot_url_restore", O.match_sql(["merge", "stream"], k=10))
 def api_snapshot_url_restore(spark, sf_dir):
     """repository-url plugin-module (URLRepository.java): a READ-ONLY
