@@ -762,13 +762,50 @@ def search_index_pattern(spark, sf_dir):
             .orderBy(F.desc("score"), "_index", "doc_id").limit(10))
 
 
+_RESTORE_MARKER = "_restore_ok.json"
+
+
+def _restore_via(s, rest: str, rebuild) -> str:
+    """Shared restored-tree freshness with marker-LAST discipline (same
+    crash-safety contract as _snapshot_index): the want-dict mirrors the
+    keys _load_or_build checks, so a source rebuilt with a different
+    layout/analyzer/positions/index_options invalidates the restored
+    tree; the marker is written only AFTER ``rebuild(rest)`` completed,
+    so a hard kill mid-restore leaves no marker and the next run rebuilds
+    instead of serving a half-restored index (manifest blobs land in
+    sorted-relpath order — meta.json arrives before postings)."""
+    import json as _json
+    import shutil
+
+    want = {"doc_count": s.index.meta.get("doc_count"),
+            "layout_version": s.index.meta.get("layout_version"),
+            "analyzer": s.index.meta.get("analyzer"),
+            "with_positions": bool(s.index.meta.get("with_positions")),
+            "index_options": s.index.meta.get("index_options", "freqs")}
+    marker = os.path.join(rest, _RESTORE_MARKER)
+    fresh = False
+    if os.path.isfile(marker):
+        try:
+            with open(marker) as f:
+                fresh = _json.load(f) == want
+        except (ValueError, OSError):
+            fresh = False  # truncated marker = stale
+    if not fresh:
+        shutil.rmtree(rest, ignore_errors=True)
+        rebuild(rest)
+        with open(marker, "w") as f:
+            _json.dump(want, f)
+    return rest
+
+
 @q("api_snapshot_restore", O.match_sql(["vector", "window"], k=10))
 def api_snapshot_restore(spark, sf_dir):
     """_snapshot API (SnapshotShardsService.java, fs repository): snapshot
     = file-level copy of the immutable index tree + per-file (size, md5)
     manifest; restore verifies every file and copies back. The restored
     index serves the same query with identical scores — proven against
-    the oracle."""
+    the oracle. Freshness/crash-safety via the shared marker-last
+    discipline (_restore_via)."""
     import shutil
 
     from opensearch_spark.index.build import InvertedIndex
@@ -777,32 +814,14 @@ def api_snapshot_restore(spark, sf_dir):
     s = get_searcher(spark, sf_dir)  # ensure the source index exists
     src = s.index.path
     snap = src + "_snap"
-    rest = src + "_restored"
 
-    def _fresh() -> bool:
-        # the restored copy is reusable only if it matches the CURRENT
-        # source (layout bumps / analyzer changes rebuild the source via
-        # _load_or_build — the restored tree must follow, not serve stale)
-        if not os.path.exists(os.path.join(rest, "meta.json")):
-            return False
-        r = InvertedIndex(rest)
-        # same keys _load_or_build checks — a source rebuilt with a
-        # different positions / index_options config must invalidate the
-        # restored tree too, never serve stale
-        return (r.meta.get("layout_version") == s.index.meta.get("layout_version")
-                and r.doc_count == s.index.doc_count
-                and r.meta.get("analyzer") == s.index.meta.get("analyzer")
-                and bool(r.meta.get("with_positions"))
-                    == bool(s.index.meta.get("with_positions"))
-                and r.meta.get("index_options", "freqs")
-                    == s.index.meta.get("index_options", "freqs"))
-
-    if not _fresh():
+    def rebuild(rest):
         shutil.rmtree(snap, ignore_errors=True)
-        shutil.rmtree(rest, ignore_errors=True)
         snapshot_index(src, snap)
         restore_index(snap, rest)
         shutil.rmtree(snap, ignore_errors=True)  # keep only the restore
+
+    rest = _restore_via(s, src + "_restored", rebuild)
     restored = Searcher(spark, InvertedIndex(rest))
     return restored.search(Match(field="text", text="vector window"),
                            k=10, mode="wand", round_scores=4)
@@ -8700,7 +8719,8 @@ def api_snapshot_url_restore(spark, sf_dir):
     snapshot repository addressed by URL — restore streams every
     manifest-listed blob from ``file://<snap>/<rel>`` and verifies
     size+md5 per blob; write attempts raise. The url-restored index
-    serves the query with oracle-identical scores."""
+    serves the query with oracle-identical scores. Freshness/crash-safety
+    via the shared marker-last discipline (_restore_via)."""
     import shutil
 
     from opensearch_spark.index.build import InvertedIndex
@@ -8709,23 +8729,9 @@ def api_snapshot_url_restore(spark, sf_dir):
     s = get_searcher(spark, sf_dir)
     src = s.index.path
     snap = src + "_urlsnap"
-    rest = src + "_urlrestored"
 
-    def _fresh() -> bool:
-        if not os.path.exists(os.path.join(rest, "meta.json")):
-            return False
-        r = InvertedIndex(rest)
-        return (r.meta.get("layout_version") == s.index.meta.get("layout_version")
-                and r.doc_count == s.index.doc_count
-                and r.meta.get("analyzer") == s.index.meta.get("analyzer")
-                and bool(r.meta.get("with_positions"))
-                    == bool(s.index.meta.get("with_positions"))
-                and r.meta.get("index_options", "freqs")
-                    == s.index.meta.get("index_options", "freqs"))
-
-    if not _fresh():
+    def rebuild(rest):
         shutil.rmtree(snap, ignore_errors=True)
-        shutil.rmtree(rest, ignore_errors=True)
         snapshot_index(src, snap)
         repo = UrlRepository("file://" + snap)
         try:
@@ -8736,6 +8742,8 @@ def api_snapshot_url_restore(spark, sf_dir):
             raise AssertionError("url repository accepted a write")
         repo.restore(rest)  # manifest lists blobs only, never itself
         shutil.rmtree(snap, ignore_errors=True)
+
+    rest = _restore_via(s, src + "_urlrestored", rebuild)
     restored = Searcher(spark, InvertedIndex(rest))
     return restored.search(Match(field="text", text="merge stream"),
                            k=10, mode="wand", round_scores=4)

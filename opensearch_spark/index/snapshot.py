@@ -121,21 +121,30 @@ class UrlRepository:
             "url repository is read-only (URLRepository.java)")
 
     def restore(self, dest: str) -> str:
-        """Fetch + verify every blob in the manifest into ``dest``."""
+        """Fetch + verify every blob in the manifest into ``dest``,
+        streamed in 1 MB chunks (constant memory per blob — a multi-GB
+        parquet part never lives in RAM whole); md5/size verified
+        incrementally as the blob lands."""
+        from urllib.request import urlopen
+
         if os.path.exists(dest):
             raise ValueError(f"restore target exists: {dest}")
         man = self.manifest()
         os.makedirs(dest)
         try:
             for rel, want in man["files"].items():
-                blob = self._read(rel)
-                if len(blob) != want["bytes"] or \
-                        hashlib.md5(blob).hexdigest() != want["md5"]:
-                    raise ValueError(f"snapshot blob corrupt: {rel}")
                 p = os.path.join(dest, rel)
                 os.makedirs(os.path.dirname(p), exist_ok=True)
-                with open(p, "wb") as f:
-                    f.write(blob)
+                h = hashlib.md5()
+                n = 0
+                with urlopen(f"{self.base_url}/{rel}") as r, \
+                        open(p, "wb") as f:
+                    for chunk in iter(lambda: r.read(1 << 20), b""):
+                        h.update(chunk)
+                        n += len(chunk)
+                        f.write(chunk)
+                if n != want["bytes"] or h.hexdigest() != want["md5"]:
+                    raise ValueError(f"snapshot blob corrupt: {rel}")
         except Exception:
             shutil.rmtree(dest, ignore_errors=True)
             raise

@@ -14,9 +14,12 @@ Reference surface:
 
 Spark-first design: both compilers run ON THE DRIVER, once per pipeline
 definition, and emit one ``F.regexp_extract(col, regex, group_i)``
-(Java-regex, whole-stage codegen) per captured field — the 100 TB hot path
-is pure JVM columnar work with zero Python per row, and the compiled
-pattern is a plan constant so Catalyst dedups the underlying regex match.
+(Java-regex, whole-stage codegen) per captured field plus one ``rlike``
+match guard — g+1 JVM regex passes per row for g captures. Catalyst does
+NOT merge them (the group index differs per expression); a single-pass
+extractor would need a Python UDF, and at typical g (≤ ~8) the extra JVM
+regex passes are far cheaper than an Arrow round-trip — zero Python in
+the hot path is the invariant that matters at 100 TB.
 """
 from __future__ import annotations
 
@@ -61,6 +64,37 @@ class GrokError(ValueError):
     pass
 
 
+def _neutralize_groups(seg: str) -> str:
+    """Rewrite bare capturing groups ``(`` in literal regex text to
+    non-capturing ``(?:`` so user parentheses can never shift the
+    named-capture group numbering (escapes and character classes are
+    honored). Matching semantics are unchanged."""
+    out: list[str] = []
+    i, n = 0, len(seg)
+    in_class = False
+    while i < n:
+        ch = seg[i]
+        if ch == "\\" and i + 1 < n:
+            out.append(seg[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+        elif ch == "(" and not seg.startswith("(?", i):
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def compile_grok(expr: str, bank: dict[str, str] | None = None,
                  _depth: int = 0) -> tuple[str, list[tuple[str, str]]]:
     """Expand ``%{SYNTAX[:name[:type]]}`` references into one Java regex.
@@ -79,7 +113,7 @@ def compile_grok(expr: str, bank: dict[str, str] | None = None,
     out: list[str] = []
     pos = 0
     for m in _GROK_REF.finditer(expr):
-        out.append(expr[pos:m.start()])
+        out.append(_neutralize_groups(expr[pos:m.start()]))
         pos = m.end()
         syntax, name, typ = m.group(1), m.group(2), m.group(3)
         if syntax not in bank:
@@ -93,25 +127,35 @@ def compile_grok(expr: str, bank: dict[str, str] | None = None,
             out.append(f"({sub})")
         else:
             out.append(f"(?:{sub})")
-    out.append(expr[pos:])
-    return "".join(out), captures
+    out.append(_neutralize_groups(expr[pos:]))
+    regex = "".join(out)
+    if _depth == 0 and "%{" in regex:
+        # a %{...} that _GROK_REF could not parse (bad type token, illegal
+        # name chars) would otherwise pass through as literal regex text —
+        # the reference's bank validation raises, so do we
+        raise GrokError(f"malformed grok reference left in pattern: {expr!r}")
+    return regex, captures
 
 
 def grok_columns(col: Column | str, expr: str,
                  bank: dict[str, str] | None = None) -> dict[str, Column]:
     """Per-capture typed columns (the GrokProcessor field writes).
 
-    A non-matching row yields NULL in every capture (regexp_extract's
-    empty string, nulled) — the relaxed ``ignore_failure`` posture;
-    combine with :func:`grok_matches` to reproduce the default
-    raise-on-miss as a filter or a validity column."""
+    A non-matching row (unanchored find fails, like Grok.java's Matcher
+    walk) yields NULL in every capture — the relaxed ``ignore_failure``
+    posture; combine with :func:`grok_matches` to reproduce the default
+    raise-on-miss as a filter or a validity column. A capture that
+    legitimately matches the empty string on a MATCHING row stays ''
+    (the reference sets the empty field value)."""
     regex, captures = compile_grok(expr, bank)
     c = F.col(col) if isinstance(col, str) else col
+    matched = c.rlike(regex)
     out: dict[str, Column] = {}
     for i, (name, typ) in enumerate(captures):
         v = F.regexp_extract(c, regex, i + 1)
-        v = F.when(v == "", None).otherwise(v)
-        out[name] = v.cast(typ) if typ != "string" else v
+        if typ != "string":
+            v = F.when(v == "", None).otherwise(v).cast(typ)
+        out[name] = F.when(matched, v)
     return out
 
 
@@ -151,6 +195,7 @@ def compile_dissect(pattern: str, append_separator: str = "") \
     (right padding skip)."""
     slots: list[tuple[str | None, int | None]] = []
     order_seen: dict[str, int] = {}
+    plain_seen: set[str] = set()
     regex_parts: list[str] = []
     pos = 0
     matches = list(_DISSECT_KEY.finditer(pattern))
@@ -178,6 +223,11 @@ def compile_dissect(pattern: str, append_separator: str = "") \
             name = body
         else:
             name = key
+            if name in plain_seen:
+                # DissectParser.java throws on duplicate non-append keys —
+                # a typo'd duplicate must not silently become an append
+                raise GrokError(f"duplicate dissect key %{{{name}}}")
+            plain_seen.add(name)
         slots.append((name, order))
         nxt = matches[i + 1].start() if i + 1 < len(matches) else len(pattern)
         sep = pattern[m.end():nxt]

@@ -6,8 +6,10 @@ and is invalidated by refresh; ``modules/cache-common`` +
 ``plugins/cache-ehcache`` extend it with tiered (heap → disk) storage.
 
 Spark-first re-expression: the cache value is the MATERIALIZED result of a
-search request, written once as parquet under ``<index>/_request_cache/``
-and re-served as a plain ``spark.read.parquet`` scan. The reference's
+search request, written once as parquet under a sibling directory
+``<index>_request_cache/`` (outside the index tree, so snapshots and
+copy-on-write index clones never carry cache entries) and re-served as a
+plain ``spark.read.parquet`` scan. The reference's
 "reader cache key" (which changes on refresh, so a cache entry can never
 outlive the data it summarizes) becomes a **generation fingerprint**:
 index meta identity + the append-only ``deletes/`` file listing — any
@@ -33,7 +35,10 @@ class RequestCache:
 
     def __init__(self, index, root: str | None = None):
         self.index = index
-        self.root = root or os.path.join(index.path, "_request_cache")
+        # SIBLING of the index tree, never inside it: snapshot/copytree
+        # walks of the index must not pick up materialized query results
+        # (stale-able cache entries have no place in a snapshot manifest)
+        self.root = root or index.path.rstrip(os.sep) + "_request_cache"
         self.hits = 0
         self.misses = 0
 

@@ -84,3 +84,47 @@ def test_dissect_trailing_greedy():
 def test_dissect_no_keys_raises():
     with pytest.raises(GrokError):
         compile_dissect("just literal text")
+
+
+def test_raw_group_neutralized():
+    # a user capturing group must not shift named-capture numbering
+    rx, caps = compile_grok("(foo|bar) %{WORD:w}")
+    assert caps == [("w", "string")]
+    assert _match(rx, "foo hello") == ("hello",)
+
+
+def test_raw_group_in_char_class_untouched():
+    rx, _ = compile_grok(r"[(]%{INT:n}[)]")
+    assert _match(rx, "(7)") == ("7",)
+
+
+def test_escaped_paren_untouched():
+    rx, _ = compile_grok(r"\(%{INT:n}\)")
+    assert _match(rx, "(9)") == ("9",)
+
+
+def test_malformed_reference_raises():
+    with pytest.raises(GrokError):
+        compile_grok("%{INT:uid:integer}")  # unknown type token
+    with pytest.raises(GrokError):
+        compile_grok("%{WORD:first-name}")  # illegal name char
+
+
+def test_dissect_duplicate_plain_key_raises():
+    with pytest.raises(GrokError):
+        compile_dissect("%{a}|%{a}")
+    # plain-then-append on the same name is the legal append form
+    rx, slots, fields = compile_dissect("%{a} %{+a}")
+    assert fields == ["a"]
+
+
+def test_grok_columns_empty_capture_vs_no_match(spark):
+    from opensearch_spark.ingest.grok import grok_columns
+
+    df = spark.createDataFrame(
+        [("xabc",), ("zzz",)], ["line"])
+    cols = grok_columns("line", "%{DATA:prefix}x%{GREEDYDATA:rest}")
+    out = {r["line"]: (r["prefix"], r["rest"])
+           for r in df.withColumns(cols).collect()}
+    assert out["xabc"] == ("", "abc")     # matching row, empty capture kept
+    assert out["zzz"] == (None, None)     # no match → NULLs
