@@ -236,16 +236,24 @@ def normalize_german(t: str) -> str:
 _GERMAN_SUFFIXES = ("nen", "en", "se", "es", "er", "e", "s", "n")
 
 
+def suffix_stem(t: str, suffixes: tuple, min_len: int, min_rem: int) -> str:
+    """Generic one-suffix minimal stemmer: strip the first (longest-first
+    ordered) matching suffix when the token is ≥ ``min_len`` chars and
+    ≥ ``min_rem`` chars remain. SQL twin: oracle.suffix_stem_sql — the
+    suffix tuple orders the CASE branches, so keep longest first."""
+    if len(t) < min_len:
+        return t
+    for suf in suffixes:
+        if t.endswith(suf) and len(t) - len(suf) >= min_rem:
+            return t[:-len(suf)]
+    return t
+
+
 def stem_german_light(t: str) -> str:
     """One longest-matching plural/inflection suffix stripped when ≥4
     chars remain (GermanMinimalStemFilter discipline). SQL twin:
     oracle.german_stem_sql."""
-    if len(t) < 5:
-        return t
-    for suf in _GERMAN_SUFFIXES:
-        if t.endswith(suf) and len(t) - len(suf) >= 4:
-            return t[:-len(suf)]
-    return t
+    return suffix_stem(t, _GERMAN_SUFFIXES, 5, 4)
 
 
 def tokenize_german(text: str) -> list[str]:
@@ -293,6 +301,62 @@ def tokenize_spanish(text: str) -> list[str]:
 
 
 ANALYZERS["spanish"] = tokenize_spanish
+
+# analysis-stempel plugin (Polish). The reference's StempelFilter is a
+# trained statistical stemmer (stempel tables, absent here); the engine
+# ships the deterministic light variant: diacritic normalization (ł has no
+# combining mark, so strip_accents-style folding is NOT enough) + stop +
+# one-suffix stemmer.
+POLISH_STOP_WORDS = frozenset(  # normalized forms (post-diacritic-fold)
+    "i w na z do sie jest nie to ze dla od po przy".split())
+_POLISH_MAP = str.maketrans("ąćęłńóśźż", "acelnoszz")
+_POLISH_SUFFIXES = ("owie", "ami", "ach", "ego", "emu",
+                    "ow", "om", "em", "ie", "y", "a", "e", "i", "u")
+
+
+def normalize_polish(t: str) -> str:
+    return t.translate(_POLISH_MAP)
+
+
+def stem_polish_light(t: str) -> str:
+    return suffix_stem(t, _POLISH_SUFFIXES, 5, 4)
+
+
+def tokenize_polish(text: str) -> list[str]:
+    """`polish` analyzer (analysis-stempel registration shape): standard +
+    diacritic fold + stop + light suffix stemmer."""
+    out = []
+    for t in tokenize_standard(text):
+        t = normalize_polish(t)
+        if t in POLISH_STOP_WORDS:
+            continue
+        out.append(stem_polish_light(t))
+    return out
+
+
+ANALYZERS["polish"] = tokenize_polish
+
+# analysis-ukrainian plugin. The reference wraps a morfologik dictionary
+# (absent here); deterministic light variant: stop + one-suffix stemmer
+# over the Cyrillic token stream (standard tokenizer handles Cyrillic
+# word chars natively).
+UKRAINIAN_STOP_WORDS = frozenset("і в на з до не це що як та у за".split())
+_UKRAINIAN_SUFFIXES = ("ення", "ння", "ами", "ові", "ою", "ах", "ів",
+                       "и", "а", "у", "і", "я")
+
+
+def stem_ukrainian_light(t: str) -> str:
+    return suffix_stem(t, _UKRAINIAN_SUFFIXES, 4, 3)
+
+
+def tokenize_ukrainian(text: str) -> list[str]:
+    """`ukrainian` analyzer (analysis-ukrainian registration shape):
+    standard + stop + light suffix stemmer."""
+    return [stem_ukrainian_light(t) for t in tokenize_standard(text)
+            if t not in UKRAINIAN_STOP_WORDS]
+
+
+ANALYZERS["ukrainian"] = tokenize_ukrainian
 
 
 def make_filter_chain(base: str = "standard", *,

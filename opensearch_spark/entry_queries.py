@@ -8749,6 +8749,74 @@ def api_snapshot_url_restore(spark, sf_dir):
                            k=10, mode="wand", round_scores=4)
 
 
+@q("api_analyze_polish", f"""
+WITH src AS (SELECT doc_id,
+                    concat(replace(text, 'table', 'stołami'),
+                           ' w stołów') AS text2
+             FROM documents WHERE doc_id < 30),
+t AS (SELECT doc_id, string_split_regex(trim(text2), '\\s+') AS toks
+      FROM src),
+u AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS INT) AS p0,
+             unnest(toks) AS rt FROM t),
+norm AS (SELECT doc_id, p0, {O.polish_normalize_sql('rt')} AS t0
+         FROM u WHERE rt <> ''),
+kept AS (SELECT doc_id, p0, {O.polish_stem_sql('t0')} AS token
+         FROM norm WHERE t0 NOT IN {O.POLISH_STOP_SQL})
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p0) - 1 AS INT)
+           AS position,
+       token
+FROM kept ORDER BY doc_id, position
+""")
+def api_analyze_polish(spark, sf_dir):
+    """`polish` analyzer (analysis-stempel plugin registration shape;
+    the trained stempel tables are absent, so the engine's documented
+    light variant runs: diacritic fold including ł→l — NOT reachable via
+    accent stripping — + stop + one-suffix stemmer). Injected distinct
+    inflections stołami/stołów must both fold+stem to `stol`, and the
+    stopped `w` renumbers positions."""
+    from opensearch_spark.search.apis import analyze_api
+
+    d = (_docs(spark, sf_dir).where(F.col("doc_id") < 30)
+         .select("doc_id",
+                 F.concat(F.regexp_replace("text", "table", "stołami"),
+                          F.lit(" w stołów")).alias("text")))
+    return analyze_api(d, "text", "polish").orderBy("doc_id", "position")
+
+
+@q("api_analyze_ukrainian", f"""
+WITH src AS (SELECT doc_id,
+                    concat(replace(text, 'window', 'вікнами'),
+                           ' і столи') AS text2
+             FROM documents WHERE doc_id < 30),
+t AS (SELECT doc_id, string_split_regex(trim(text2), '\\s+') AS toks
+      FROM src),
+u AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS INT) AS p0,
+             unnest(toks) AS rt FROM t),
+kept AS (SELECT doc_id, p0, {O.ukrainian_stem_sql('rt')} AS token
+         FROM u WHERE rt <> '' AND rt NOT IN {O.UKRAINIAN_STOP_SQL})
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p0) - 1 AS INT)
+           AS position,
+       token
+FROM kept ORDER BY doc_id, position
+""")
+def api_analyze_ukrainian(spark, sf_dir):
+    """`ukrainian` analyzer (analysis-ukrainian plugin registration
+    shape; the morfologik dictionary is absent, so the engine's
+    documented light variant runs: stop + one-suffix stemmer over the
+    Cyrillic stream — the standard tokenizer's \\w covers Cyrillic).
+    Injected вікнами→вікн and столи→стол; the stopped `і` renumbers
+    positions."""
+    from opensearch_spark.search.apis import analyze_api
+
+    d = (_docs(spark, sf_dir).where(F.col("doc_id") < 30)
+         .select("doc_id",
+                 F.concat(F.regexp_replace("text", "window", "вікнами"),
+                          F.lit(" і столи")).alias("text")))
+    return analyze_api(d, "text", "ukrainian").orderBy("doc_id", "position")
+
+
 def _cjk_lex_sql() -> tuple[str, str]:
     from opensearch_spark.analysis.analyzer import CJK_DEMO_LEXICON
     lex = "[" + ", ".join(f"'{w}'" for w in CJK_DEMO_LEXICON) + "]"

@@ -169,18 +169,56 @@ def german_normalize_sql(col: str = "rt") -> str:
             f" 'ü', 'u'), 'ß', 'ss')")
 
 
-def german_stem_sql(col: str = "t0") -> str:
-    """Twin of analysis.analyzer.stem_german_light (longest suffix first,
-    ≥4 chars must remain)."""
+def suffix_stem_sql(col: str, suffixes: tuple, min_len: int,
+                    min_rem: int) -> str:
+    """Twin of analysis.analyzer.suffix_stem: one longest-first suffix
+    stripped when ≥ min_len chars total and ≥ min_rem remain."""
     branches = []
-    for suf in ("nen", "en", "se", "es", "er", "e", "s", "n"):
+    for suf in suffixes:
         n = len(suf)
         branches.append(
-            f"WHEN {col} LIKE '%{suf}' AND length({col}) - {n} >= 4 "
+            f"WHEN {col} LIKE '%{suf}' AND length({col}) - {n} >= {min_rem} "
             f"THEN substr({col}, 1, length({col}) - {n})")
     body = "\n       ".join(branches)
-    return (f"CASE WHEN length({col}) < 5 THEN {col}\n       "
+    return (f"CASE WHEN length({col}) < {min_len} THEN {col}\n       "
             f"{body}\n       ELSE {col} END")
+
+
+def german_stem_sql(col: str = "t0") -> str:
+    """Twin of analysis.analyzer.stem_german_light."""
+    from opensearch_spark.analysis.analyzer import _GERMAN_SUFFIXES
+
+    return suffix_stem_sql(col, _GERMAN_SUFFIXES, 5, 4)
+
+
+def polish_normalize_sql(col: str = "rt") -> str:
+    """Twin of analysis.analyzer.normalize_polish (ł→l included — it is
+    a distinct letter, not a combining accent, so strip_accents would
+    miss it)."""
+    out = col
+    for a, b in zip("ąćęłńóśźż", "acelnoszz"):
+        out = f"replace({out}, '{a}', '{b}')"
+    return out
+
+
+def polish_stem_sql(col: str = "t0") -> str:
+    from opensearch_spark.analysis.analyzer import _POLISH_SUFFIXES
+
+    return suffix_stem_sql(col, _POLISH_SUFFIXES, 5, 4)
+
+
+def ukrainian_stem_sql(col: str = "t0") -> str:
+    from opensearch_spark.analysis.analyzer import _UKRAINIAN_SUFFIXES
+
+    return suffix_stem_sql(col, _UKRAINIAN_SUFFIXES, 4, 3)
+
+
+POLISH_STOP_SQL = (
+    "('i','w','na','z','do','sie','jest','nie','to','ze','dla','od',"
+    "'po','przy')")
+
+UKRAINIAN_STOP_SQL = (
+    "('і','в','на','з','до','не','це','що','як','та','у','за')")
 
 
 def spanish_stem_select(col: str = "t0") -> str:

@@ -107,3 +107,24 @@ def test_cjk_dict_mixed_script():
     w = CJK_DEMO_LEXICON[2]
     assert ANALYZERS["cjk_dict"](f"Spark {w}{w} merge") == \
         ["spark", w, w, "merge"]
+
+
+def test_polish_ukrainian_twins(duck):
+    from opensearch_spark.analysis.analyzer import (
+        normalize_polish, stem_polish_light, stem_ukrainian_light)
+
+    pool = ["stolami", "stolow", "okna", "ab", "krakowie", "domu",
+            "вікнами", "столи", "аб", "читання", "грошима", "оу"]
+    q = f"""WITH t AS (SELECT unnest([{_lits(pool)}]) AS t0)
+    SELECT t0, {O.polish_stem_sql('t0')} AS pl,
+           {O.ukrainian_stem_sql('t0')} AS uk FROM t"""
+    for t0, pl, uk in duck.execute(q).fetchall():
+        assert pl == stem_polish_light(t0), t0
+        assert uk == stem_ukrainian_light(t0), t0
+    qn = f"SELECT {O.polish_normalize_sql(_lits(['stołów źdźbło']))}"
+    assert duck.execute(qn).fetchone()[0] == normalize_polish("stołów źdźbło")
+
+
+def test_polish_ukrainian_chains_pinned():
+    assert ANALYZERS["polish"]("stołami w stołów") == ["stol", "stol"]
+    assert ANALYZERS["ukrainian"]("вікнами і столи") == ["вікн", "стол"]
