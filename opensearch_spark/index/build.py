@@ -648,9 +648,18 @@ class InvertedIndex:
         if srcs:
             import numpy as _np
 
+            from opensearch_spark.common.breaker import fielddata_breaker
+
             rows = (spark.read.parquet(*srcs)
                     .select("doc_id").distinct().collect())
             if rows:
+                # liveDocs lives with the reader: charge the fielddata
+                # breaker (HierarchyCircuitBreakerService posture) so a
+                # pathological tombstone count degrades into a clean
+                # CircuitBreakingException instead of a driver OOM that
+                # would poison every broadcast downstream
+                fielddata_breaker.add_estimate(
+                    8 * len(rows), f"tombstones[{self.path}]")
                 self._tomb = _np.sort(
                     _np.array([r["doc_id"] for r in rows], dtype="int64"))
         self._tomb_loaded = True

@@ -444,8 +444,18 @@ class Searcher:
     def expand_terms(self, q) -> list[str]:
         """prefix/wildcard/regexp/fuzzy → concrete term set via the
         dictionary (the reference's FST/automaton walk becomes a pruned
-        dictionary scan), bounded by max_expansions."""
+        dictionary scan), bounded by max_expansions. The expansion window
+        charges the request circuit breaker (CircuitBreaker.java posture:
+        a 64-bytes/term upper estimate over the cap) so stacked multi-term
+        queries trip cleanly instead of accumulating driver memory."""
+        from opensearch_spark.common.breaker import request_breaker
+
         cap = int(getattr(q, "max_expansions", None) or self.DEFAULT_MAX_EXPANSIONS)
+        with request_breaker.reserve(
+                64 * cap, f"expand_terms({type(q).__name__})"):
+            return self._expand_terms_any(q, cap)
+
+    def _expand_terms_any(self, q, cap: int) -> list[str]:
         if self._dict_pd is not None:
             return self._expand_terms_local(q, cap)
         d = self.index.dictionary(self.spark)
