@@ -1,0 +1,132 @@
+"""Task management: list and cancel running operations (`_tasks` API).
+
+Reference surface: ``server/.../tasks/TaskManager.java`` +
+``CancellableTask`` (cooperative cancellation checkpoints) and the
+``_tasks`` / ``_tasks/{id}/_cancel`` admin actions
+(``action/admin/cluster/node/tasks``).
+
+Spark-first mapping: every submitted operation runs in its own Spark **job
+group** (``setJobGroup(..., interruptOnCancel=True)``) on a dedicated
+``pyspark.InheritableThread``; cancel = ``sc.cancelJobGroup`` — Spark's
+cooperative job cancellation, the exact analog of the reference's
+CancellableTask checkpoints (running stages are interrupted at task
+boundaries, queued stages never start). The driver thread observes the
+SparkException and the task record flips to ``cancelled``.
+"""
+from __future__ import annotations
+
+import itertools
+import threading
+import time
+
+
+class TaskCancelledException(RuntimeError):
+    pass
+
+
+_ids = itertools.count(1)
+
+
+class Task:
+    def __init__(self, task_id: int, action: str, description: str):
+        self.id = task_id
+        self.action = action
+        self.description = description
+        self.start = time.monotonic()
+        self.status = "running"    # running | done | failed | cancelled
+        self.result = None
+        self.error: BaseException | None = None
+        self._done = threading.Event()
+
+    def info(self) -> dict:
+        return {"id": self.id, "action": self.action,
+                "description": self.description,
+                "running_time_s": round(time.monotonic() - self.start, 3),
+                "cancellable": True, "status": self.status}
+
+    def wait(self, timeout: float | None = None) -> bool:
+        return self._done.wait(timeout)
+
+
+class TaskManager:
+    def __init__(self, spark):
+        self.spark = spark
+        self._tasks: dict[int, Task] = {}
+        self._lock = threading.Lock()
+
+    def submit(self, action: str, fn, description: str = "") -> Task:
+        """Run ``fn()`` under its own cancellable job group."""
+        from pyspark import InheritableThread
+
+        task = Task(next(_ids), action, description)
+        with self._lock:
+            self._tasks[task.id] = task
+        gid = f"task-{task.id}"
+        sc = self.spark.sparkContext
+
+        def run():
+            sc.setJobGroup(gid, f"{action} {description}",
+                           interruptOnCancel=True)
+            try:
+                task.result = fn()
+                if task.status == "running":
+                    task.status = "done"
+                elif task.status == "cancelling":
+                    # the work completed before cancellation landed — the
+                    # reference reports such tasks as completed, not
+                    # cancelled (cancellation is cooperative/best-effort)
+                    task.status = "done"
+            except BaseException as e:  # noqa: BLE001 - recorded, not lost
+                if task.status == "cancelling" or "cancelled" in str(e).lower():
+                    task.status = "cancelled"
+                    task.error = TaskCancelledException(
+                        f"task {task.id} cancelled")
+                else:
+                    task.status = "failed"
+                    task.error = e
+            finally:
+                task._done.set()
+
+        # InheritableThread propagates the job-group local property in
+        # pinned-thread mode (plain threading.Thread would not)
+        t = InheritableThread(target=run)
+        t.daemon = True
+        task._thread = t
+        t.start()
+        return task
+
+    def list(self) -> list[dict]:
+        """`GET _tasks` — every registered task, running first."""
+        with self._lock:
+            infos = [t.info() for t in self._tasks.values()]
+        return sorted(infos, key=lambda i: (i["status"] != "running",
+                                            i["id"]))
+
+    def get(self, task_id: int) -> Task:
+        return self._tasks[task_id]
+
+    def cancel(self, task_id: int, grace_s: float = 60.0) -> bool:
+        """`POST _tasks/{id}/_cancel` — cooperative: running Spark stages
+        are interrupted, the task flips to cancelled once its thread
+        observes the SparkException. Cancellation is PERSISTENT like the
+        reference's CancellableTask flag: ``cancelJobGroup`` only hits
+        jobs active at call time, so a canceller thread re-issues it
+        until the task terminates (covers jobs the fn submits later and
+        the submit/cancel race). Returns False for finished tasks (the
+        reference responds 'task is not cancellable / completed')."""
+        task = self._tasks.get(task_id)
+        if task is None or task.status not in ("running",):
+            return False
+        task.status = "cancelling"
+        sc = self.spark.sparkContext
+        gid = f"task-{task.id}"
+
+        def canceller():
+            deadline = time.monotonic() + grace_s
+            while not task._done.is_set() and time.monotonic() < deadline:
+                sc.cancelJobGroup(gid)
+                task._done.wait(0.2)
+
+        t = threading.Thread(target=canceller, daemon=True)
+        t.start()
+        return True
