@@ -121,12 +121,37 @@ def _compile_aggs(matching: DataFrame, docs: DataFrame, aggs: dict) -> DataFrame
 
 
 def execute_search_request(s, body: dict, *, field: str = "text",
-                           round_scores: int | None = 4):
+                           round_scores: int | None = 4,
+                           request_cache: bool | None = None,
+                           cache=None):
     """Execute a reference ``_search`` request body against the engine.
 
     Returns the hits DataFrame (or the aggregation frame for ``aggs``
     requests). ``s`` is a Searcher (entry_queries.get_searcher result).
+
+    ``request_cache`` mirrors the reference's per-request flag
+    (IndicesRequestCache via RestSearchAction ``?request_cache=``):
+    ``None`` = the reference default — cache exactly the ``size: 0``
+    (aggregation/count) requests; True/False force. Cached entries are
+    keyed by (body, field, rounding) under the index generation
+    fingerprint (search/request_cache.py), so rebuilds and tombstone
+    appends invalidate naturally; a PIT body stays correct because the
+    pit id in the key pins its own liveDocs set. ``cache`` injects a
+    RequestCache (tests); default lives next to the index tree.
     """
+    use_cache = request_cache if request_cache is not None \
+        else int(body.get("size", 10)) == 0
+    if use_cache:
+        from opensearch_spark.search.request_cache import RequestCache
+
+        rc = cache if cache is not None else RequestCache(s.index)
+        return rc.get_or_compute(
+            s.spark,
+            {"body": body, "field": field, "round_scores": round_scores},
+            lambda: execute_search_request(
+                s, body, field=field, round_scores=round_scores,
+                request_cache=False))
+
     for key in body:
         if key not in _HANDLED:
             hint = _DEDICATED.get(key)

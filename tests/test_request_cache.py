@@ -116,3 +116,25 @@ def test_partial_write_never_served(spark, cache):
     cache.get_or_compute(spark, req, compute)
     assert calls["n"] == 1  # computed (tmp dir ignored), not served stale
     assert cache.stats()["misses"] == 1
+
+
+def test_request_executor_caches_size0(spark, searcher, tmp_path):
+    """execute_search_request mirrors the reference default: size:0
+    (aggs) requests read through the cache, hit on repeat."""
+    from opensearch_spark.search.request import execute_search_request
+
+    rc = RequestCache(searcher.index, root=str(tmp_path / "rc2"))
+    body = {"query": {"match": {"text": "spark"}}, "size": 0,
+            "aggs": {"by_lang": {"terms": {"field": "lang"}}}}
+    a = execute_search_request(searcher, body, cache=rc).collect()
+    b = execute_search_request(searcher, body, cache=rc).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert rc.stats()["misses"] == 1 and rc.stats()["hits"] == 1
+    # hits requests (size>0) bypass the cache by default
+    hits_body = {"query": {"match": {"text": "spark"}}, "size": 3}
+    execute_search_request(searcher, hits_body, cache=rc).collect()
+    assert rc.stats()["misses"] == 1  # unchanged — not cached
+    # explicit opt-in caches a hits request too
+    execute_search_request(searcher, hits_body, cache=rc,
+                           request_cache=True).collect()
+    assert rc.stats()["misses"] == 2
