@@ -8564,15 +8564,21 @@ def ingest_dissect(spark, sf_dir):
 
 def _frenchified(corpus: DataFrame) -> DataFrame:
     """Spark twin of O.FRENCHIFY_SQL: inject elided/plural French forms so
-    the french chain (elision + stop + light stemmer) has real work."""
+    the french chain (elision + stop + light stemmer) has real work. The
+    corpus is capped to doc_id < 3000 on BOTH sides (the oracle's src CTE
+    carries the same predicate and computes N/avgdl over the capped set):
+    the oracle's stemmer-step CTE holds several string columns per token
+    and must stay memory-bounded at every sf while sharing the process
+    with a large-heap Spark JVM."""
     out = F.regexp_replace(F.col("text"), r"\bwindow\b", "d'fenêtres")
     out = F.regexp_replace(out, r"\bmerge\b", "les fusions")
     out = F.regexp_replace(out, r"\bsort\b", "qu'journaux")
-    return corpus.withColumn("text", out)
+    return corpus.where(F.col("doc_id") < 3000).withColumn("text", out)
 
 
 @q("search_match_french", f"""
-WITH src AS (SELECT doc_id, {O.FRENCHIFY_SQL} AS text2 FROM documents),
+WITH src AS (SELECT doc_id, {O.FRENCHIFY_SQL} AS text2 FROM documents
+             WHERE doc_id < 3000),
 rawtok AS (SELECT doc_id, unnest(string_split_regex(trim(text2), '\\s+')) AS rt
            FROM src),
 tok1 AS (SELECT doc_id, {O.french_elide_sql('rt')} AS t0
@@ -8583,9 +8589,9 @@ st AS (SELECT doc_id, {O.french_stem_select('t0')} FROM tok1f),
 tok2 AS (SELECT doc_id, term FROM st),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
 stats AS (
-    SELECT (SELECT count(*) FROM documents) AS N,
+    SELECT (SELECT count(*) FROM src) AS N,
            (SELECT sum(dl) FROM dl) * 1.0
-           / (SELECT count(*) FROM documents) AS avgdl
+           / (SELECT count(*) FROM src) AS avgdl
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
        WHERE term IN ('fenêtr','fusion','journal') GROUP BY doc_id, term),
