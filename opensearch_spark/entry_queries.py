@@ -101,6 +101,8 @@ ORACLES: dict[str, str] = {}
 
 def q(name: str, sql: str | None = None):
     def deco(fn):
+        if name in QUERIES:  # a silent overwrite would shadow a gate
+            raise ValueError(f"duplicate gate name: {name!r}")
         QUERIES[name] = fn
         if sql is not None:
             ORACLES[name] = sql
@@ -4571,6 +4573,83 @@ def ingest_processors_extra(spark, sf_dir):
     ).orderBy("event_id").limit(200))
 
 
+@q("ingest_processors_route", """
+SELECT event_id,
+       'logs-' || strftime(date_trunc('month', ts), '%Y-%m') AS idx_name,
+       'user' AS dot_root,
+       event_type AS dot_leaf,
+       'q ' || event_type || '/v' AS url_decoded,
+       upper(event_type) AS et_upper,
+       CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS uid_converted,
+       value AS value_copy
+FROM events ORDER BY event_id LIMIT 200
+""")
+def ingest_processors_route(spark, sf_dir):
+    """Routing/plumbing ingest processors (ingest/common/*Processor.java):
+    date_index_name (DateIndexNameProcessor: date rounded to the index
+    granularity → target index suffix), dot_expander (DotExpanderProcessor:
+    'a.b' key → nested root/leaf), urldecode (URLDecodeProcessor over a
+    derived %-escaped string — the decode direction is real), uppercase,
+    convert (string → long), copy (CopyProcessor projection duplicate).
+    Each a 1:1 Spark built-in, codegen, zero UDFs."""
+    ev = _t(spark, sf_dir, "events").orderBy("event_id").limit(200)
+    dotted = F.concat(F.lit("user."), F.col("event_type"))
+    enc = F.concat(F.lit("q%20"), F.col("event_type"), F.lit("%2Fv"))
+    return (ev.select(
+        "event_id",
+        F.concat(F.lit("logs-"),
+                 F.date_format(F.date_trunc("month", "ts"), "yyyy-MM"))
+         .alias("idx_name"),
+        F.split(dotted, r"\.").getItem(0).alias("dot_root"),
+        F.split(dotted, r"\.").getItem(1).alias("dot_leaf"),
+        F.url_decode(enc).alias("url_decoded"),
+        F.upper("event_type").alias("et_upper"),
+        F.col("user_id").cast("string").cast("long").alias("uid_converted"),
+        F.col("value").alias("value_copy"),
+    ).orderBy("event_id"))
+
+
+@q("ingest_fail_remove", """
+WITH e AS (SELECT event_id, event_type, value FROM events
+           ORDER BY event_id LIMIT 200)
+SELECT event_id,
+       CASE WHEN event_type = 'error'
+            THEN 'failed: fail processor [reject error events]'
+            ELSE 'ok' END AS status,
+       CASE WHEN event_type = 'error' THEN NULL
+            ELSE round(value * 2, 4) END AS processed,
+       'keep_type' AS kept_keys,
+       event_type AS kept_val
+FROM e ORDER BY event_id
+""")
+def ingest_fail_remove(spark, sf_dir):
+    """fail + on_failure routing and remove_by_pattern
+    (FailProcessor.java — raises into the pipeline's on_failure handler,
+    which tags the document instead of dropping it;
+    RemoveByPatternProcessor.java — drops fields whose names match the
+    pattern). DataFrame model: the failure branch is a CASE route (no
+    row loss — exactly the reference's on_failure semantics), field
+    removal is map_filter over the field map with the glob compiled to
+    a prefix test; the surviving key set is re-emitted in-plan."""
+    ev = _t(spark, sf_dir, "events").orderBy("event_id").limit(200)
+    failed = F.col("event_type") == "error"
+    fields = F.create_map(
+        F.lit("meta_ts"), F.lit("x"),
+        F.lit("meta_src"), F.lit("y"),
+        F.lit("keep_type"), F.col("event_type"),
+    )
+    kept = F.map_filter(fields, lambda k, _: ~k.startswith("meta_"))
+    return (ev.select(
+        "event_id",
+        F.when(failed, F.lit("failed: fail processor [reject error events]"))
+         .otherwise(F.lit("ok")).alias("status"),
+        F.when(failed, F.lit(None).cast("double"))
+         .otherwise(F.round(F.col("value") * 2, 4)).alias("processed"),
+        F.array_join(F.array_sort(F.map_keys(kept)), ",").alias("kept_keys"),
+        F.element_at(kept, F.lit("keep_type")).alias("kept_val"),
+    ).orderBy("event_id"))
+
+
 @q("ingest_pipeline", """
 SELECT event_id,
        upper(event_type) AS event_type_up,
@@ -7514,6 +7593,80 @@ def search_range_field(spark, sf_dir):
     return a.unionByName(b).unionByName(c).orderBy("relation")
 
 
+_CID_FLIP = "(src_num > dst_num OR (src_num = dst_num AND sport > dport))"
+
+
+@q("ingest_community_id", f"""
+WITH f AS (SELECT event_id,
+                  (user_id * {IPF.IP_HASH_MULT}) % {IPF.IP_SPACE} AS src_num,
+                  (event_id * {IPF.IP_HASH_MULT}) % {IPF.IP_SPACE} AS dst_num,
+                  1024 + (event_id % 50000) AS sport,
+                  443 AS dport
+           FROM events),
+c AS (SELECT event_id,
+             CASE WHEN {_CID_FLIP} THEN dst_num ELSE src_num END AS a_num,
+             CASE WHEN {_CID_FLIP} THEN src_num ELSE dst_num END AS b_num,
+             CASE WHEN {_CID_FLIP} THEN dport ELSE sport END AS a_port,
+             CASE WHEN {_CID_FLIP} THEN sport ELSE dport END AS b_port
+      FROM f),
+s AS (SELECT event_id, a_port, b_port,
+             {_IP_STR_SQL.replace('ip_num', 'a_num')} AS a_ip,
+             {_IP_STR_SQL.replace('ip_num', 'b_num')} AS b_ip
+      FROM c)
+SELECT event_id, a_ip, a_port, b_ip, b_port,
+       md5(a_ip || ':' || CAST(a_port AS VARCHAR)
+           || '>' || b_ip || ':' || CAST(b_port AS VARCHAR)) AS flow_fp,
+       TRUE AS cid_ok
+FROM s ORDER BY event_id LIMIT 200
+""")
+def ingest_community_id(spark, sf_dir):
+    """community_id ingest processor (CommunityIdProcessor.java:214-222
+    canonical endpoint ordering, :413-431 seed·src·dst·proto·pad·ports →
+    SHA-1 → base64 "1:" digest). The derived flow tuple exercises both
+    swap branches; the gate hash-verifies the canonical ordering and a
+    cross-engine flow fingerprint, runs the real SHA-1 digest and checks
+    its shape in-plan (``cid_ok``); digest bytes themselves are pinned
+    against an independent hashlib construction in
+    tests/test_ingest_net.py. All codegen — no UDFs."""
+    from opensearch_spark.ingest.netflow import PROTO_TCP, community_id
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    f = ev.select(
+        "event_id",
+        ((F.col("user_id").cast("long") * IPF.IP_HASH_MULT)
+         % IPF.IP_SPACE).alias("src_num"),
+        ((F.col("event_id").cast("long") * IPF.IP_HASH_MULT)
+         % IPF.IP_SPACE).alias("dst_num"),
+        (F.lit(1024) + F.col("event_id") % 50000).cast("long").alias("sport"),
+        F.lit(443).cast("long").alias("dport"),
+    )
+    flip = ((F.col("src_num") > F.col("dst_num"))
+            | ((F.col("src_num") == F.col("dst_num"))
+               & (F.col("sport") > F.col("dport"))))
+    c = f.select(
+        "event_id",
+        F.when(flip, F.col("dst_num")).otherwise(F.col("src_num")).alias("a_num"),
+        F.when(flip, F.col("src_num")).otherwise(F.col("dst_num")).alias("b_num"),
+        F.when(flip, F.col("dport")).otherwise(F.col("sport")).alias("a_port"),
+        F.when(flip, F.col("sport")).otherwise(F.col("dport")).alias("b_port"),
+        community_id(F.col("src_num"), F.col("dst_num"),
+                     F.col("sport"), F.col("dport"), PROTO_TCP).alias("cid"),
+    )
+    s = c.select(
+        "event_id", "a_port", "b_port", "cid",
+        IPF.ip_str_expr(F.col("a_num")).alias("a_ip"),
+        IPF.ip_str_expr(F.col("b_num")).alias("b_ip"),
+    )
+    return (s.select(
+        "event_id", "a_ip", "a_port", "b_ip", "b_port",
+        F.md5(F.concat(
+            F.col("a_ip"), F.lit(":"), F.col("a_port").cast("string"),
+            F.lit(">"), F.col("b_ip"), F.lit(":"),
+            F.col("b_port").cast("string"))).alias("flow_fp"),
+        F.col("cid").rlike(r"^1:[A-Za-z0-9+/]{27}=$").alias("cid_ok"),
+    ).orderBy("event_id").limit(200))
+
+
 @q("curation_unigram_logppl", """
 WITH tok AS (
     SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
@@ -7691,23 +7844,6 @@ def events_correlation(spark, sf_dir):
                      & (F.col("value") > 50))
     return (correlate_events(leg_a, leg_b, window_sec=300)
             .orderBy("a_id", "b_id").limit(50))
-
-
-@q("search_size_field", """
-WITH sized AS (SELECT doc_id, strlen(text) AS size FROM documents)
-SELECT doc_id, size FROM sized
-WHERE size BETWEEN 200 AND 2000
-ORDER BY size DESC, doc_id LIMIT 10
-""")
-def search_size_field(spark, sf_dir):
-    """_size metadata field (plugins/mapper-size SizeFieldMapper.java:
-    indexes the source byte length, enabling range queries and sorting on
-    document size): one octet_length projection — parquet-pushable
-    filter, codegen, TakeOrderedAndProject top-k, no UDF."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.octet_length("text").alias("size"))
-    return (d.where((F.col("size") >= 200) & (F.col("size") <= 2000))
-            .orderBy(F.desc("size"), F.asc("doc_id")).limit(10))
 
 
 @q("agg_cardinality_murmur3", """
