@@ -5061,6 +5061,76 @@ def curation_source_mix(spark, sf_dir):
             .select("doc_id", "source", "keep_rate").orderBy("doc_id"))
 
 
+@q("curation_temperature_mix", """
+WITH t AS (SELECT source,
+                  len(string_split_regex(trim(text), '\\s+'))::BIGINT AS tok
+           FROM documents),
+per AS (SELECT source, sum(tok)::BIGINT AS tokens FROM t GROUP BY source),
+tot AS (SELECT sum(tokens)::BIGINT AS grand,
+               sum(pow(tokens, 0.5)) AS z FROM per)
+SELECT source, tokens,
+       round(tokens / grand, 6) AS natural_share,
+       round(pow(tokens, 0.5) / z, 6) AS temp_share,
+       round(pow(tokens, 0.5) / z * grand / tokens, 6) AS sample_factor
+FROM per, tot ORDER BY source
+""")
+def curation_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixing (α=0.5, the multilingual/recipe
+    smoothing of LLaMA/PaLM-style pipelines): w_i = t_i^α / Σ t_j^α over
+    per-source token counts; sample_factor >1 = the source repeats
+    epochs. One corpus scan (map-side partial token sums) + arithmetic
+    on the |sources|-row frame — ml/curation.temperature_mix."""
+    return CU.temperature_mix(_docs(spark, sf_dir), alpha=0.5)
+
+
+_URL_DERIVE_SQL = (
+    "'HTTP://WWW.SRC' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.EXAMPLE.COM:80/p/' || CAST(doc_id % 13 AS VARCHAR)"
+    " || '/?id=' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '&utm_source=feed' || CAST(doc_id % 2 AS VARCHAR)"
+    " || '#s' || CAST(doc_id AS VARCHAR)")
+
+
+@q("dedup_url", f"""
+WITH u AS (SELECT doc_id, {_URL_DERIVE_SQL} AS url FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS x FROM u),
+s2 AS (SELECT doc_id,
+              regexp_replace(
+                  regexp_replace(x, 'utm_[a-z_]+=[^&#]*&', '', 'g'),
+                  '[?&]utm_[a-z_]+=[^&#]*', '', 'g') AS x
+       FROM s1),
+s3 AS (SELECT doc_id,
+              regexp_replace(replace(x, ':80/', '/'), ':80$', '') AS x
+       FROM s2),
+s4 AS (SELECT doc_id,
+              replace(lower(regexp_extract(x, '^([^/]*//[^/]+)', 1))
+                      || regexp_replace(x, '^[^/]*//[^/]+', ''),
+                      '/?', '?') AS canon_url
+       FROM s3)
+SELECT canon_url, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
+FROM s4 GROUP BY canon_url
+ORDER BY canon_url
+""")
+def dedup_url(spark, sf_dir):
+    """URL-canonicalization dedup (the CommonCrawl/web-pipeline step):
+    drop #fragment, strip utm_* tracking params, drop the default :80
+    port, lowercase scheme+host, collapse '/?'; keep min doc_id per
+    canonical URL. Derived URL column (corpus has none) exercises every
+    rule; the canonicalizer itself (ml/dedup.canonical_url) is generic.
+    Plan: pure regexp codegen + ONE hash-shuffle groupBy — exact_dedup's
+    scale shape."""
+    from opensearch_spark.ml.dedup import url_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    url = F.concat(
+        F.lit("HTTP://WWW.SRC"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".EXAMPLE.COM:80/p/"), (F.col("doc_id") % 13).cast("string"),
+        F.lit("/?id="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&utm_source=feed"), (F.col("doc_id") % 2).cast("string"),
+        F.lit("#s"), F.col("doc_id").cast("string"))
+    return url_dedup(d.withColumn("url", url)).orderBy("canon_url")
+
+
 @q("text_token_stats", """
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
                   length(trim(text)) AS chars

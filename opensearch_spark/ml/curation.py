@@ -230,6 +230,37 @@ def source_mix(df: DataFrame, target_shares: dict[str, float],
                    & (u / F.lit(float(2 ** 32)) < F.col("keep_rate"))))
 
 
+def temperature_mix(df: DataFrame, alpha: float = 0.5,
+                    source_col: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual/data-recipe
+    smoothing used by LLaMA/PaLM-style pipelines): per-source sampling
+    weight ``w_i = t_i^α / Σ t_j^α`` over token counts, α ∈ (0, 1]
+    up-weights small sources (α=1 → natural mix, α→0 → uniform).
+    Emits per source: token count, natural share, temperature share, and
+    ``sample_factor`` = temp_share · grand / t_i — the relative over/
+    under-sampling each source needs (>1 = repeat epochs).
+
+    Scale shape: one token-count aggregate over the corpus (map-side
+    partial sums), then pure arithmetic on the |sources|-row frame —
+    the corpus itself is scanned exactly once, never shuffled."""
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    per = df.groupBy(source_col).agg(F.sum(n_tok).alias("tokens"))
+    tot = per.agg(
+        F.sum("tokens").alias("grand"),
+        F.sum(F.pow(F.col("tokens").cast("double"), F.lit(alpha))).alias("z"))
+    w = F.pow(F.col("tokens").cast("double"), F.lit(alpha)) / F.col("z")
+    return (per.crossJoin(F.broadcast(tot))
+            .select(
+                source_col, "tokens",
+                F.round(F.col("tokens") / F.col("grand"), 6)
+                 .alias("natural_share"),
+                F.round(w, 6).alias("temp_share"),
+                F.round(w * F.col("grand") / F.col("tokens"), 6)
+                 .alias("sample_factor"))
+            .orderBy(source_col))
+
+
 #: vocabulary size above which the probability table is joined by shuffle
 #: instead of broadcast (mirrors Searcher.PRELOAD_VOCAB_MAX's auto posture)
 LOGPPL_BROADCAST_VOCAB_MAX = 2_000_000

@@ -70,6 +70,39 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFra
     )
 
 
+def canonical_url(url) -> F.Column:
+    """URL canonicalization (the CommonCrawl/web-pipeline normal form):
+    drop the #fragment, strip ``utm_*`` tracking params, drop the default
+    ``:80`` port, lowercase scheme+host (path/query stay case-sensitive),
+    and collapse the ``/?`` empty-path-before-query form. Pure regexp /
+    string codegen — identical expressions run in the DuckDB oracle."""
+    x = F.regexp_replace(url, r"#.*$", "")
+    # utm strip, two rules so separators heal without backrefs: a utm
+    # param FOLLOWED by another param drops with its own trailing '&'
+    # (keeps the preceding ?/&); a trailing/lone utm drops with its
+    # preceding separator.
+    x = F.regexp_replace(x, r"utm_[a-z_]+=[^&#]*&", "")
+    x = F.regexp_replace(x, r"[?&]utm_[a-z_]+=[^&#]*", "")
+    x = F.replace(x, F.lit(":80/"), F.lit("/"))
+    x = F.regexp_replace(x, r":80$", "")
+    head = F.lower(F.regexp_extract(x, r"^([^/]*//[^/]+)", 1))
+    tail = F.regexp_replace(x, r"^[^/]*//[^/]+", "")
+    x = F.concat(head, tail)
+    return F.replace(x, F.lit("/?"), F.lit("?"))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-level dedup: canonicalize, keep the smallest id per canonical
+    URL. One hash-shuffle groupBy on the canonical key — the same scale
+    shape as exact_dedup (no joins, no windows over the corpus)."""
+    return (df.withColumn("canon_url", canonical_url(F.col(url_col)))
+            .groupBy("canon_url")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_dups"))
+            .select("canon_url", "keep_id", "n_dups"))
+
+
 def shingles(df: DataFrame, text_col: str, n: int = 3,
              id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per doc (whitespace tokens).

@@ -376,3 +376,28 @@ def test_chunk_documents_no_shuffle(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestTemperatureMix:
+    def _df(self, spark):
+        rows = ([("big", "w " * 90)] * 9) + [("small", "w " * 10)]
+        return spark.createDataFrame(rows, "source string, text string")
+
+    def test_alpha_one_is_natural_mix(self, spark):
+        out = {r["source"]: r for r in
+               CU.temperature_mix(self._df(spark), alpha=1.0).collect()}
+        for r in out.values():
+            assert abs(r["sample_factor"] - 1.0) < 1e-9
+            assert abs(r["temp_share"] - r["natural_share"]) < 1e-9
+
+    def test_low_alpha_upweights_minority(self, spark):
+        out = {r["source"]: r for r in
+               CU.temperature_mix(self._df(spark), alpha=0.3).collect()}
+        assert out["small"]["sample_factor"] > 1.0
+        assert out["big"]["sample_factor"] < 1.0
+        assert out["small"]["temp_share"] > out["small"]["natural_share"]
+
+    def test_shares_sum_to_one(self, spark):
+        out = CU.temperature_mix(self._df(spark), alpha=0.5).collect()
+        assert abs(sum(r["temp_share"] for r in out) - 1.0) < 1e-5
+        assert abs(sum(r["natural_share"] for r in out) - 1.0) < 1e-5

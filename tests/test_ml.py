@@ -579,3 +579,33 @@ def test_persist_rotating_releases_previous_generation(spark):
     assert not d1.storageLevel.useMemory and not d1.storageLevel.useDisk
     assert d1.count() == 10
     _PERSIST_LAST.pop("rot.test").unpersist(False)
+
+
+class TestUrlDedup:
+    CASES = [
+        # (raw, canonical)
+        ("HTTP://WWW.EX.COM:80/A/b?x=1&utm_source=t#frag",
+         "http://www.ex.com/A/b?x=1"),
+        ("https://Ex.Com/p/?id=2&utm_campaign=z", "https://ex.com/p?id=2"),
+        ("http://ex.com:80", "http://ex.com"),
+        ("http://ex.com/Path/Q?utm_medium=a&id=3", "http://ex.com/Path/Q?id=3"),
+    ]
+
+    def test_canonical_rules(self, spark):
+        from pyspark.sql import functions as F
+        from opensearch_spark.ml.dedup import canonical_url
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "url string")
+        got = [r["c"] for r in
+               df.select(canonical_url(F.col("url")).alias("c")).collect()]
+        assert got == [c for _, c in self.CASES]
+
+    def test_dedup_keeps_min_id(self, spark):
+        from opensearch_spark.ml.dedup import url_dedup
+        rows = [(1, "http://ex.com/a?utm_source=x"),
+                (2, "HTTP://EX.COM/a"),
+                (3, "http://ex.com/b")]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = {r["canon_url"]: (r["keep_id"], r["n_dups"])
+               for r in url_dedup(df).collect()}
+        assert out["http://ex.com/a"] == (1, 2)
+        assert out["http://ex.com/b"] == (3, 1)
