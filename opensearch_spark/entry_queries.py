@@ -7935,6 +7935,54 @@ def agg_cardinality_murmur3(spark, sf_dir):
             .orderBy("source"))
 
 
+# --------------------------------------------------------------------------
+# mapping-level field types: constant_keyword
+# --------------------------------------------------------------------------
+@q("search_constant_keyword", f"""
+WITH {O.TOK_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       WHERE term IN ('spark') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+          WHERE term IN ('spark') GROUP BY term),
+scored AS (SELECT tf.doc_id, sum({O.bm25_term()}) AS raw_score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY tf.doc_id)
+SELECT 'hot_filter' AS scenario, doc_id, round(raw_score, 4) AS score
+FROM scored ORDER BY round(raw_score, 4) DESC, doc_id LIMIT 10
+""")
+def search_constant_keyword(spark, sf_dir):
+    """constant_keyword field (ConstantKeywordFieldMapper.java:35-160,
+    ConstantFieldType.java:74-140): the per-index constant `tier: hot`
+    folds term/prefix/wildcard/exists leaves to MatchAll and the
+    mismatching `tier: cold` branch to MatchNone at rewrite time —
+    zero per-doc storage touched, exactly the reference's
+    Regex.simpleMatch fold. The hot branch's plan is the plain match
+    plan; the cold branch plans to an empty relation (no scan at all)."""
+    from opensearch_spark.index.mapping import resolve_constant_fields
+    from opensearch_spark.search import Exists
+
+    s = get_searcher(spark, sf_dir)
+    consts = {"tier": "hot"}
+    hot = resolve_constant_fields(
+        Bool(must=[Match(field="text", text="spark")],
+             filter=[Term(field="tier", value="hot"),
+                     Wildcard(field="tier", value="h*t"),
+                     Prefix(field="tier", value="ho"),
+                     Exists(field="tier")]),
+        consts)
+    cold = resolve_constant_fields(
+        Bool(must=[Match(field="text", text="spark")],
+             filter=[Term(field="tier", value="cold")]),
+        consts)
+    hot_df = (s.search(hot, k=10, mode="exhaustive", round_scores=4)
+              .select(F.lit("hot_filter").alias("scenario"),
+                      "doc_id", "score"))
+    cold_df = (s.search(cold, k=10, mode="exhaustive", round_scores=4)
+               .select(F.lit("cold_filter").alias("scenario"),
+                       "doc_id", "score"))
+    return hot_df.unionByName(cold_df)
+
+
 def _phonetic_oracle_sql() -> str:
     from opensearch_spark.analysis.phonetic import soundex_py, soundex_sql
 

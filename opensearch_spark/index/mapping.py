@@ -171,3 +171,95 @@ DERIVED_DOC_SQL = """CASE
   ELSE concat('{"tags": ["a", "b', CAST(event_id % 1000 AS STRING),
        '"], "count": ', CAST(event_id % 1000 AS STRING), '}')
   END"""
+
+
+# ---------------------------------------------------------------------------
+# Query-time mapping rewrites: field aliases + constant_keyword
+# (FieldAliasMapper.java:52-104, ConstantKeywordFieldMapper.java:35-160,
+# ConstantFieldType.java:74-140)
+# ---------------------------------------------------------------------------
+
+def simple_match(pattern: str, value: str, case_insensitive: bool = False) -> bool:
+    """Regex.simpleMatch semantics (org.opensearch.common.regex.Regex):
+    ``*`` is the only wildcard — ``?`` is a literal character (the
+    reference's ConstantFieldType routes wildcardQuery through
+    simpleMatch, so a ``?`` in a wildcard query on a constant_keyword
+    field matches only a literal '?', faithfully reproduced here)."""
+    if case_insensitive:
+        pattern, value = pattern.lower(), value.lower()
+    parts = pattern.split("*")
+    if len(parts) == 1:
+        return value == pattern
+    if not value.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    for mid in parts[1:-1]:
+        i = value.find(mid, pos)
+        if i < 0:
+            return False
+        pos = i + len(mid)
+    last = parts[-1]
+    return len(value) - pos >= len(last) and value.endswith(last)
+
+
+def resolve_constant_fields(q, constants: dict):
+    """constant_keyword query rewrite: a leaf on a constant_keyword field
+    folds to MatchAll/MatchNone at rewrite time, never touching per-doc
+    storage — exactly the reference's ConstantFieldType.termQuery /
+    wildcardQuery / prefixQuery (matches via Regex.simpleMatch; prefix
+    appends ``*``; exists is always MatchAll) with the leaf's boost
+    preserved on the fold. Pure dataclass surgery ahead of planning: the
+    matching branch plans byte-identically to the query without the
+    constant leaf, the mismatching branch to an empty relation — zero
+    run-time cost at any corpus size. (Alias indirection is the separate
+    pre-pass ``queries.resolve_field_aliases``.)
+    """
+    import dataclasses as _dc
+
+    from opensearch_spark.search import queries as Q
+
+    def fold(leaf, const_val: str):
+        boost = getattr(leaf, "boost", 1.0)
+        if isinstance(leaf, Q.Exists):
+            return Q.MatchAll(boost=boost)
+        if isinstance(leaf, Q.Term):
+            ok = simple_match(str(leaf.value), const_val,
+                              getattr(leaf, "case_insensitive", False)
+                              ) if "*" in str(leaf.value) else (
+                str(leaf.value).lower() == const_val.lower()
+                if getattr(leaf, "case_insensitive", False)
+                else str(leaf.value) == const_val)
+        elif isinstance(leaf, Q.Terms):
+            ok = any(str(v) == const_val for v in leaf.values)
+        elif isinstance(leaf, Q.Prefix):
+            ok = simple_match(str(leaf.value) + "*", const_val,
+                              getattr(leaf, "case_insensitive", False))
+        elif isinstance(leaf, Q.Wildcard):
+            ok = simple_match(str(leaf.value), const_val,
+                              getattr(leaf, "case_insensitive", False))
+        else:
+            raise ValueError(
+                f"{type(leaf).__name__} is not supported on a "
+                "constant_keyword field (ConstantFieldType implements "
+                "term/terms/prefix/wildcard/exists only)")
+        return Q.MatchAll(boost=boost) if ok else Q.MatchNone(boost=boost)
+
+    def walk(node):
+        if isinstance(node, list):
+            return [walk(n) for n in node]
+        if not _dc.is_dataclass(node) or isinstance(node, type):
+            return node
+        changes = {}
+        for f in _dc.fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, (list, Q.Query)) or _dc.is_dataclass(v):
+                w = walk(v)
+                if w is not v:
+                    changes[f.name] = w
+        out = _dc.replace(node, **changes) if changes else node
+        fld = getattr(out, "field", None)
+        if isinstance(fld, str) and fld in constants:
+            return fold(out, str(constants[fld]))
+        return out
+
+    return walk(q)

@@ -86,3 +86,61 @@ def test_derived_docs_cover_all_shapes(spark):
     assert out["nested"]["resolved_type"] == "object"
     assert out["tags"]["resolved_type"] == "array"
     assert out["name"]["resolved_type"] == "text"
+
+
+# ---------------------------------------------------------------------------
+# constant_keyword fold (ConstantKeywordFieldMapper / ConstantFieldType)
+# ---------------------------------------------------------------------------
+def test_simple_match_star_only_wildcard():
+    # Regex.simpleMatch: `*` wildcards, `?` is a LITERAL char
+    assert M.simple_match("h*t", "hot")
+    assert M.simple_match("*", "")
+    assert M.simple_match("a*b*c", "aXXbYYc")
+    assert not M.simple_match("a*b*c", "aXXbYYd")
+    assert not M.simple_match("h?t", "hot")
+    assert M.simple_match("h?t", "h?t")
+    assert M.simple_match("HOT", "hot", case_insensitive=True)
+    assert not M.simple_match("HOT", "hot")
+    # pattern tail must not re-consume mid-match characters
+    assert not M.simple_match("ab*b", "ab")
+    assert M.simple_match("ab*b", "abb")
+
+
+def test_constant_fold_each_leaf_kind():
+    from opensearch_spark.search import queries as Q
+
+    c = {"tier": "hot"}
+    fold = lambda leaf: M.resolve_constant_fields(leaf, c)
+    assert isinstance(fold(Q.Term(field="tier", value="hot")), Q.MatchAll)
+    assert isinstance(fold(Q.Term(field="tier", value="cold")), Q.MatchNone)
+    assert isinstance(
+        fold(Q.Term(field="tier", value="HOT", case_insensitive=True)),
+        Q.MatchAll)
+    assert isinstance(fold(Q.Terms(field="tier", values=["warm", "hot"])),
+                      Q.MatchAll)
+    assert isinstance(fold(Q.Prefix(field="tier", value="ho")), Q.MatchAll)
+    assert isinstance(fold(Q.Prefix(field="tier", value="co")), Q.MatchNone)
+    assert isinstance(fold(Q.Wildcard(field="tier", value="h*")), Q.MatchAll)
+    assert isinstance(fold(Q.Exists(field="tier")), Q.MatchAll)
+    # boost preserved on the fold
+    assert fold(Q.Term(field="tier", value="hot", boost=2.5)).boost == 2.5
+    # non-constant fields untouched
+    t = Q.Term(field="lang", value="en")
+    assert fold(t) is t
+    # unsupported leaf kinds raise like ConstantFieldType (no rangeQuery)
+    with pytest.raises(ValueError):
+        fold(Q.Range(field="tier", gte="a"))
+
+
+def test_constant_fold_recurses_and_preserves_plan_shape():
+    from opensearch_spark.search import queries as Q
+
+    q = Q.Bool(
+        must=[Q.Match(field="text", text="spark")],
+        filter=[Q.Term(field="tier", value="hot")],
+        must_not=[Q.Wildcard(field="tier", value="c*ld")],
+    )
+    r = M.resolve_constant_fields(q, {"tier": "hot"})
+    assert isinstance(r.filter[0], Q.MatchAll)
+    assert isinstance(r.must_not[0], Q.MatchNone)
+    assert r.must[0] is q.must[0]  # untouched subtree not copied
