@@ -5096,19 +5096,32 @@ WITH u AS (SELECT doc_id, {_URL_DERIVE_SQL} AS url FROM documents),
 s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS x FROM u),
 s2 AS (SELECT doc_id,
               regexp_replace(
-                  regexp_replace(x, 'utm_[a-z_]+=[^&#]*&', '', 'g'),
-                  '[?&]utm_[a-z_]+=[^&#]*', '', 'g') AS x
+                  regexp_replace(
+                      regexp_replace(x, '&utm_[a-z_]+=[^&#]*', '', 'g'),
+                      '\\?utm_[a-z_]+=[^&#]*&', '?'),
+                  '\\?utm_[a-z_]+=[^&#]*$', '') AS x
        FROM s1),
 s3 AS (SELECT doc_id,
-              regexp_replace(replace(x, ':80/', '/'), ':80$', '') AS x
+              lower(regexp_extract(x, '^([^/]*//[^/]+)', 1)) AS head,
+              regexp_replace(x, '^[^/]*//[^/]+', '') AS tail
        FROM s2),
 s4 AS (SELECT doc_id,
-              replace(lower(regexp_extract(x, '^([^/]*//[^/]+)', 1))
-                      || regexp_replace(x, '^[^/]*//[^/]+', ''),
-                      '/?', '?') AS canon_url
-       FROM s3)
+              CASE WHEN head LIKE 'http://%'
+                        THEN regexp_replace(head, ':80$', '')
+                   WHEN head LIKE 'https://%'
+                        THEN regexp_replace(head, ':443$', '')
+                   ELSE head END AS head,
+              regexp_extract(tail, '^[^?]*', 0) AS path,
+              substr(tail,
+                     length(regexp_extract(tail, '^[^?]*', 0)) + 1) AS qry
+       FROM s3),
+s5 AS (SELECT doc_id,
+              head || CASE WHEN length(qry) > 0
+                           THEN regexp_replace(path, '/$', '')
+                           ELSE path END || qry AS canon_url
+       FROM s4)
 SELECT canon_url, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
-FROM s4 GROUP BY canon_url
+FROM s5 GROUP BY canon_url
 ORDER BY canon_url
 """)
 def dedup_url(spark, sf_dir):
@@ -7698,7 +7711,9 @@ def ingest_community_id(spark, sf_dir):
     its shape in-plan (``cid_ok``); digest bytes themselves are pinned
     against an independent hashlib construction in
     tests/test_ingest_net.py. All codegen — no UDFs."""
-    from opensearch_spark.ingest.netflow import PROTO_TCP, community_id
+    from opensearch_spark.ingest.netflow import (
+        PROTO_TCP, canonical_endpoints, community_id,
+    )
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
     f = ev.select(
@@ -7710,15 +7725,14 @@ def ingest_community_id(spark, sf_dir):
         (F.lit(1024) + F.col("event_id") % 50000).cast("long").alias("sport"),
         F.lit(443).cast("long").alias("dport"),
     )
-    flip = ((F.col("src_num") > F.col("dst_num"))
-            | ((F.col("src_num") == F.col("dst_num"))
-               & (F.col("sport") > F.col("dport"))))
+    # displayed endpoints come from the SAME helper community_id hashes
+    # with, so the gate can't drift from the processor's ordering rule
+    a_num, b_num, a_port, b_port = canonical_endpoints(
+        F.col("src_num"), F.col("dst_num"), F.col("sport"), F.col("dport"))
     c = f.select(
         "event_id",
-        F.when(flip, F.col("dst_num")).otherwise(F.col("src_num")).alias("a_num"),
-        F.when(flip, F.col("src_num")).otherwise(F.col("dst_num")).alias("b_num"),
-        F.when(flip, F.col("dport")).otherwise(F.col("sport")).alias("a_port"),
-        F.when(flip, F.col("sport")).otherwise(F.col("dport")).alias("b_port"),
+        a_num.alias("a_num"), b_num.alias("b_num"),
+        a_port.alias("a_port"), b_port.alias("b_port"),
         community_id(F.col("src_num"), F.col("dst_num"),
                      F.col("sport"), F.col("dport"), PROTO_TCP).alias("cid"),
     )
@@ -8819,20 +8833,24 @@ def ingest_dissect(spark, sf_dir):
 def _frenchified(corpus: DataFrame) -> DataFrame:
     """Spark twin of O.FRENCHIFY_SQL: inject elided/plural French forms so
     the french chain (elision + stop + light stemmer) has real work. The
-    corpus is capped to doc_id < 3000 on BOTH sides (the oracle's src CTE
-    carries the same predicate and computes N/avgdl over the capped set):
-    the oracle's stemmer-step CTE holds several string columns per token
-    and must stay memory-bounded at every sf while sharing the process
-    with a large-heap Spark JVM."""
+    corpus is capped to doc_id < 1200 on BOTH sides (the oracle's src CTE
+    carries the same predicate and computes N/avgdl over the capped set),
+    and the oracle's src/tok2 CTEs are MATERIALIZED: DuckDB inlines CTEs
+    by default, so the six downstream references (tf/dfreq/dl + the stats
+    scalar subqueries) each re-ran the whole stemmer pipeline — ~6x the
+    work and a nondeterministic allocator failure under that concurrency
+    (reproduced: 20+ s / 2.2 GB / sporadic bad_alloc inlined vs 2 s /
+    0.4 GB / stable materialized)."""
     out = F.regexp_replace(F.col("text"), r"\bwindow\b", "d'fenêtres")
     out = F.regexp_replace(out, r"\bmerge\b", "les fusions")
     out = F.regexp_replace(out, r"\bsort\b", "qu'journaux")
-    return corpus.where(F.col("doc_id") < 3000).withColumn("text", out)
+    return corpus.where(F.col("doc_id") < 1200).withColumn("text", out)
 
 
 @q("search_match_french", f"""
-WITH src AS (SELECT doc_id, {O.FRENCHIFY_SQL} AS text2 FROM documents
-             WHERE doc_id < 3000),
+WITH src AS MATERIALIZED (
+    SELECT doc_id, {O.FRENCHIFY_SQL} AS text2 FROM documents
+    WHERE doc_id < 1200),
 rawtok AS (SELECT doc_id, unnest(string_split_regex(trim(text2), '\\s+')) AS rt
            FROM src),
 tok1 AS (SELECT doc_id, {O.french_elide_sql('rt')} AS t0
@@ -8840,7 +8858,7 @@ tok1 AS (SELECT doc_id, {O.french_elide_sql('rt')} AS t0
 tok1f AS (SELECT doc_id, t0 FROM tok1
           WHERE t0 <> '' AND t0 NOT IN {O.FRENCH_STOP_SQL}),
 st AS (SELECT doc_id, {O.french_stem_select('t0')} FROM tok1f),
-tok2 AS (SELECT doc_id, term FROM st),
+tok2 AS MATERIALIZED (SELECT doc_id, term FROM st),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
 stats AS (
     SELECT (SELECT count(*) FROM src) AS N,

@@ -223,14 +223,21 @@ def resolve_constant_fields(q, constants: dict):
         if isinstance(leaf, Q.Exists):
             return Q.MatchAll(boost=boost)
         if isinstance(leaf, Q.Term):
+            # termQuery routes through matches() -> Regex.simpleMatch
+            # unconditionally, so a '*' in a term VALUE is a wildcard on a
+            # constant field (reference quirk, reproduced)
             ok = simple_match(str(leaf.value), const_val,
-                              getattr(leaf, "case_insensitive", False)
-                              ) if "*" in str(leaf.value) else (
-                str(leaf.value).lower() == const_val.lower()
-                if getattr(leaf, "case_insensitive", False)
-                else str(leaf.value) == const_val)
+                              getattr(leaf, "case_insensitive", False))
+        elif isinstance(leaf, Q.Match):
+            # a match query on a keyword-family field delegates to the
+            # type's termQuery (this engine's executor does the same
+            # Match->Term degeneration on keyword columns)
+            ok = simple_match(str(leaf.text), const_val)
         elif isinstance(leaf, Q.Terms):
-            ok = any(str(v) == const_val for v in leaf.values)
+            # termsQuery is a disjunction of matches() calls
+            # (ConstantFieldType.java:104-113) — each value gets the same
+            # simpleMatch treatment, always case-sensitive
+            ok = any(simple_match(str(v), const_val) for v in leaf.values)
         elif isinstance(leaf, Q.Prefix):
             ok = simple_match(str(leaf.value) + "*", const_val,
                               getattr(leaf, "case_insensitive", False))
@@ -241,7 +248,7 @@ def resolve_constant_fields(q, constants: dict):
             raise ValueError(
                 f"{type(leaf).__name__} is not supported on a "
                 "constant_keyword field (ConstantFieldType implements "
-                "term/terms/prefix/wildcard/exists only)")
+                "term/terms/match/prefix/wildcard/exists only)")
         return Q.MatchAll(boost=boost) if ok else Q.MatchNone(boost=boost)
 
     def walk(node):

@@ -72,23 +72,36 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFra
 
 def canonical_url(url) -> F.Column:
     """URL canonicalization (the CommonCrawl/web-pipeline normal form):
-    drop the #fragment, strip ``utm_*`` tracking params, drop the default
-    ``:80`` port, lowercase scheme+host (path/query stay case-sensitive),
-    and collapse the ``/?`` empty-path-before-query form. Pure regexp /
-    string codegen — identical expressions run in the DuckDB oracle."""
+    drop the #fragment, strip ``utm_*`` tracking params, drop the scheme's
+    default port (http :80 / https :443 — from the authority only, never
+    from URLs embedded in query values), lowercase scheme+host (path/query
+    stay case-sensitive), and collapse the trailing-slash-before-query
+    form (``/p/?q`` → ``/p?q``, again only at the real path→query
+    boundary). Every rule is separator-anchored so parameter names that
+    merely CONTAIN ``utm_`` (e.g. ``xutm_source``) survive. Pure regexp /
+    string codegen, no backrefs (runs identically in the DuckDB twin)."""
     x = F.regexp_replace(url, r"#.*$", "")
-    # utm strip, two rules so separators heal without backrefs: a utm
-    # param FOLLOWED by another param drops with its own trailing '&'
-    # (keeps the preceding ?/&); a trailing/lone utm drops with its
-    # preceding separator.
-    x = F.regexp_replace(x, r"utm_[a-z_]+=[^&#]*&", "")
-    x = F.regexp_replace(x, r"[?&]utm_[a-z_]+=[^&#]*", "")
-    x = F.replace(x, F.lit(":80/"), F.lit("/"))
-    x = F.regexp_replace(x, r":80$", "")
+    # utm strip, three separator-anchored rules so no backref is needed:
+    # (A) a non-first utm param drops with its own leading '&';
+    # (B) a FIRST utm param followed by another drops, keeping the '?';
+    # (C) a lone first utm param drops with its '?'.
+    x = F.regexp_replace(x, r"&utm_[a-z_]+=[^&#]*", "")
+    x = F.regexp_replace(x, r"\?utm_[a-z_]+=[^&#]*&", "?")
+    x = F.regexp_replace(x, r"\?utm_[a-z_]+=[^&#]*$", "")
     head = F.lower(F.regexp_extract(x, r"^([^/]*//[^/]+)", 1))
     tail = F.regexp_replace(x, r"^[^/]*//[^/]+", "")
-    x = F.concat(head, tail)
-    return F.replace(x, F.lit("/?"), F.lit("?"))
+    head = (F.when(head.startswith("http://"),
+                   F.regexp_replace(head, r":80$", ""))
+            .when(head.startswith("https://"),
+                  F.regexp_replace(head, r":443$", ""))
+            .otherwise(head))
+    # split the tail at the first '?' so the collapse can't touch '/?'
+    # sequences inside query values
+    path = F.regexp_extract(tail, r"^[^?]*", 0)
+    query = F.substring(tail, F.length(path) + F.lit(1), F.length(tail))
+    path = F.when(F.length(query) > 0,
+                  F.regexp_replace(path, r"/$", "")).otherwise(path)
+    return F.concat(head, path, query)
 
 
 def url_dedup(df: DataFrame, url_col: str = "url",

@@ -71,10 +71,12 @@ class TestCommunityId:
     def test_icmp_port_mapping(self, spark):
         rows = [(8, 0), (0, 0), (13, 0), (3, 5), (11, 1)]
         df = spark.createDataFrame(rows, "t long, c long")
-        sp, dp = icmp_ports(F.col("t"), F.col("c"))
-        got = [(r["sp"], r["dp"]) for r in
-               df.select(sp.alias("sp"), dp.alias("dp")).collect()]
-        want = [(t, ICMP_EQUIVALENT.get(t, c)) for t, c in rows]
+        sp, dp, ow = icmp_ports(F.col("t"), F.col("c"))
+        got = [(r["sp"], r["dp"], r["ow"]) for r in
+               df.select(sp.alias("sp"), dp.alias("dp"),
+                         ow.alias("ow")).collect()]
+        want = [(t, ICMP_EQUIVALENT.get(t, c), t not in ICMP_EQUIVALENT)
+                for t, c in rows]
         assert got == want
 
     def test_icmp_echo_pair_collides(self, spark):
@@ -82,8 +84,41 @@ class TestCommunityId:
         df = spark.createDataFrame(
             [(0x01020304, 0x05060708, 8), (0x05060708, 0x01020304, 0)],
             "src long, dst long, t long")
-        sp, dp = icmp_ports(F.col("t"), F.lit(0))
+        sp, dp, ow = icmp_ports(F.col("t"), F.lit(0))
         cids = [r["c"] for r in df.select(
             community_id(F.col("src"), F.col("dst"), sp.cast("long"),
-                         dp.cast("long"), PROTO_ICMP).alias("c")).collect()]
+                         dp.cast("long"), PROTO_ICMP, ordered=ow)
+            .alias("c")).collect()]
         assert cids[0] == cids[1]
+
+    def test_icmp_one_way_keeps_src_dst_order(self, spark):
+        # dest-unreachable (type 3): no equivalence entry → one-way flow;
+        # the reference SKIPS the endpoint swap (`!isICMPProtocol ||
+        # !isOneway` at CommunityIdProcessor.java:216) even when
+        # src > dst, so the tuple hashes in src→dst order
+        src, dst, t, c = 0x05060708, 0x01020304, 3, 5
+        df = spark.createDataFrame([(src, dst, t, c)],
+                                   "src long, dst long, t long, c long")
+        sp, dp, ow = icmp_ports(F.col("t"), F.col("c"))
+        got = df.select(
+            community_id(F.col("src"), F.col("dst"), sp.cast("long"),
+                         dp.cast("long"), PROTO_ICMP, ordered=ow)
+            .alias("cid")).first()["cid"]
+        # unordered reference construction WOULD swap — must differ
+        assert got != _ref_cid(src, dst, t, c, PROTO_ICMP)
+        # ordered construction (no swap), same byte layout
+        data = (struct.pack(">H", 0) + struct.pack(">I", src)
+                + struct.pack(">I", dst) + struct.pack(">BB", PROTO_ICMP, 0)
+                + struct.pack(">HH", t, c))
+        want = "1:" + base64.b64encode(hashlib.sha1(data).digest()).decode()
+        assert got == want
+
+    def test_be_bytes_out_of_range_nulls_digest(self, spark):
+        # a port wider than 2 bytes must null the digest, not silently
+        # truncate the hex to a plausible-looking wrong hash
+        df = spark.createDataFrame([(1, 2, 70000, 80), (1, 2, -5, 80)],
+                                   "src long, dst long, sport long, dport long")
+        got = [r["c"] for r in df.select(
+            community_id(F.col("src"), F.col("dst"), F.col("sport"),
+                         F.col("dport")).alias("c")).collect()]
+        assert got == [None, None]

@@ -118,6 +118,17 @@ def test_constant_fold_each_leaf_kind():
         Q.MatchAll)
     assert isinstance(fold(Q.Terms(field="tier", values=["warm", "hot"])),
                       Q.MatchAll)
+    # termsQuery routes each value through Regex.simpleMatch, so a '*'
+    # in a terms VALUE is a wildcard (ConstantFieldType.java:104-113)
+    assert isinstance(fold(Q.Terms(field="tier", values=["h*t"])),
+                      Q.MatchAll)
+    assert isinstance(fold(Q.Terms(field="tier", values=["c*"])),
+                      Q.MatchNone)
+    # match on a keyword-family field degenerates to termQuery
+    assert isinstance(fold(Q.Match(field="tier", text="hot")), Q.MatchAll)
+    assert isinstance(fold(Q.Match(field="tier", text="cold")), Q.MatchNone)
+    # term values get the same simpleMatch treatment (reference quirk)
+    assert isinstance(fold(Q.Term(field="tier", value="h*")), Q.MatchAll)
     assert isinstance(fold(Q.Prefix(field="tier", value="ho")), Q.MatchAll)
     assert isinstance(fold(Q.Prefix(field="tier", value="co")), Q.MatchNone)
     assert isinstance(fold(Q.Wildcard(field="tier", value="h*")), Q.MatchAll)

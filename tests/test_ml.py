@@ -589,6 +589,24 @@ class TestUrlDedup:
         ("https://Ex.Com/p/?id=2&utm_campaign=z", "https://ex.com/p?id=2"),
         ("http://ex.com:80", "http://ex.com"),
         ("http://ex.com/Path/Q?utm_medium=a&id=3", "http://ex.com/Path/Q?id=3"),
+        # utm rules are separator-anchored: a param NAMED xutm_* survives
+        ("http://ex.com/a?xutm_source=1&id=2",
+         "http://ex.com/a?xutm_source=1&id=2"),
+        # consecutive utm params, first position
+        ("http://ex.com/a?utm_a=1&utm_b=2&id=3", "http://ex.com/a?id=3"),
+        ("http://ex.com/a?utm_a=1&utm_b=2", "http://ex.com/a"),
+        # default-port strip is per-scheme and authority-only: an embedded
+        # ':80' in a query value survives; https' default is :443, and
+        # an EXPLICIT :80 on https is a real non-default port
+        ("http://ex.com/a?next=http://b.com:80/x",
+         "http://ex.com/a?next=http://b.com:80/x"),
+        ("https://ex.com:443/x", "https://ex.com/x"),
+        ("https://ex.com:80/x", "https://ex.com:80/x"),
+        # '/?' collapse happens only at the real path->query boundary
+        ("http://ex.com/a?next=/search/?q=1",
+         "http://ex.com/a?next=/search/?q=1"),
+        # no query: trailing slash is NOT stripped
+        ("http://ex.com/p/", "http://ex.com/p/"),
     ]
 
     def test_canonical_rules(self, spark):
