@@ -86,7 +86,25 @@ def _lex(src: str) -> list[_Tok]:
 
 
 def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+    """Portable single-quoted SQL string. Spark's parser interprets
+    backslash escapes inside '...' while DuckDB does not, so a literal
+    backslash can't be spelled the same way in both — emit it via
+    ``chr(92)`` concat parts instead (identical semantics in both
+    engines, keeps the emitted SQL a valid DuckDB oracle verbatim)."""
+    def q(part: str) -> str:
+        return "'" + part.replace("'", "''") + "'"
+
+    if "\\" not in s:
+        return q(s)
+    parts: list[str] = []
+    for i, seg in enumerate(s.split("\\")):
+        if i:
+            parts.append("chr(92)")
+        if seg:
+            parts.append(q(seg))
+    if len(parts) == 1:
+        return parts[0]
+    return "concat(" + ", ".join(parts) + ")"
 
 
 def _lit(v) -> str:
@@ -258,11 +276,20 @@ class _Parser:
             self.eat(kind="num")
             if txt[-1] in "fFdDlL" and not txt[-1].isdigit():
                 txt = txt[:-1]
+            if "." in txt or "e" in txt or "E" in txt:
+                # same rule as _lit: a bare `0.1` parses as DECIMAL in
+                # Spark SQL, but Painless decimal literals are Java
+                # doubles — keep mixed arithmetic double-typed
+                return f"CAST({txt} AS DOUBLE)"
             return txt
         if t.kind == "str":
             self.eat(kind="str")
-            return _sql_str(t.text[1:-1].replace("\\'", "'")
-                            .replace('\\"', '"'))
+            raw = t.text[1:-1]
+            # unescape left-to-right so `\\'` is backslash+quote, not a
+            # double-processed escape
+            raw = (raw.replace("\\\\", "\x00").replace("\\'", "'")
+                   .replace('\\"', '"').replace("\x00", "\\"))
+            return _sql_str(raw)
         if t.kind != "name":
             raise ValueError(f"painless: unexpected token {t.text!r}")
         name = t.text

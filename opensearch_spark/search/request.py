@@ -80,9 +80,17 @@ def _compile_aggs(matching: DataFrame, docs: DataFrame, aggs: dict) -> DataFrame
     the bounded matching-ids frame, one groupBy."""
     scoped = docs.join(matching, "doc_id")
 
+    if len(aggs) != 1:
+        raise NotImplementedError(
+            "multiple sibling top-level aggregations: run one body per "
+            "aggregation (each composes the same matching-docs frame)")
     (name, spec), = aggs.items()
     sub = spec.get("aggs", spec.get("aggregations", {}))
     body = {k: v for k, v in spec.items() if k not in ("aggs", "aggregations")}
+    if len(body) != 1:
+        raise NotImplementedError(
+            f"aggregation [{name}] must name exactly one builder, "
+            f"got {sorted(body)}")
     (kind, conf), = body.items()
 
     def metric_cols(subaggs: dict) -> list:
@@ -120,7 +128,7 @@ def _compile_aggs(matching: DataFrame, docs: DataFrame, aggs: dict) -> DataFrame
         "dedicated gated operator")
 
 
-def execute_search_request(s, body: dict, *, field: str = "text",
+def execute_search_request(s, body: dict, *,
                            round_scores: int | None = 4,
                            request_cache: bool | None = None,
                            cache=None):
@@ -133,7 +141,7 @@ def execute_search_request(s, body: dict, *, field: str = "text",
     (IndicesRequestCache via RestSearchAction ``?request_cache=``):
     ``None`` = the reference default — cache exactly the ``size: 0``
     (aggregation/count) requests; True/False force. Cached entries are
-    keyed by (body, field, rounding) under the index generation
+    keyed by (body, rounding) under the index generation
     fingerprint (search/request_cache.py), so rebuilds and tombstone
     appends invalidate naturally; a PIT body stays correct because the
     pit id in the key pins its own liveDocs set. ``cache`` injects a
@@ -147,9 +155,9 @@ def execute_search_request(s, body: dict, *, field: str = "text",
         rc = cache if cache is not None else RequestCache(s.index)
         return rc.get_or_compute(
             s.spark,
-            {"body": body, "field": field, "round_scores": round_scores},
+            {"body": body, "round_scores": round_scores},
             lambda: execute_search_request(
-                s, body, field=field, round_scores=round_scores,
+                s, body, round_scores=round_scores,
                 request_cache=False))
 
     for key in body:
@@ -181,6 +189,15 @@ def execute_search_request(s, body: dict, *, field: str = "text",
     size = int(body.get("size", 10))
     offset = int(body.get("from", 0))
 
+    def _min_score_ids():
+        """matching ids AFTER the min_score filter (the reference applies
+        min_score in the collector chain, before counting/aggregating)."""
+        m = s.score(ast)
+        if round_scores is not None:
+            m = m.withColumn("score", F.round("score", round_scores))
+        return (m.where(F.col("score") >= float(body["min_score"]))
+                .select("doc_id"))
+
     total = None
     if "track_total_hits" in body:
         from opensearch_spark.search.apis import track_total_hits
@@ -189,8 +206,9 @@ def execute_search_request(s, body: dict, *, field: str = "text",
                 "track_total_hits with aggs: one frame can't carry both "
                 "shapes — run api_track_total_hits / the aggs body "
                 "separately")
-        total = track_total_hits(s.matching_docs(ast),
-                                 body["track_total_hits"])
+        base_ids = _min_score_ids() if "min_score" in body \
+            else s.matching_docs(ast)
+        total = track_total_hits(base_ids, body["track_total_hits"])
         if size == 0:  # count-only request: the total IS the response
             return s.spark.createDataFrame(
                 [total], "total_hits long, total_relation string")
@@ -202,34 +220,53 @@ def execute_search_request(s, body: dict, *, field: str = "text",
 
     aggs = body.get("aggs", body.get("aggregations"))
     if aggs:
-        if size not in (0, 10):  # explicit non-zero size with aggs: one
-            # frame can't carry both shapes — the REST layer returns both,
-            # a DataFrame API returns the aggregations (size: 0 posture)
+        if "size" in body and size != 0:
+            # explicit non-zero size with aggs: one frame can't carry both
+            # shapes — the REST layer returns both, a DataFrame API
+            # returns the aggregations (size: 0 posture)
             raise NotImplementedError(
                 "aggs with a non-zero size: run the hits request and the "
                 "aggs request as two bodies")
-        return _compile_aggs(s.matching_docs(ast), docs, aggs)
+        matching = _min_score_ids() if "min_score" in body \
+            else s.matching_docs(ast)
+        return _compile_aggs(matching, docs, aggs)
 
     sort = body.get("sort")
-    if sort and _sort_spec(sort)[0][0] != "_score":
-        spec = _sort_spec(sort)
-        if "min_score" in body:
-            raise NotImplementedError(
-                "min_score with a field sort needs the scored frame — "
-                "compose s.search + the sort join explicitly")
+    spec = _sort_spec(sort) if sort else [("_score", False)]
+    if spec != [("_score", False)]:
+        # generic sort path: any field order, _score at any position or
+        # direction (SortBuilder list semantics)
+        need_score = ("min_score" in body
+                      or any(f == "_score" for f, _ in spec))
         cols = [f for f, _ in spec if f != "_score"]
-        hits = (s.matching_docs(ast)
-                .join(docs.select("doc_id", *cols), "doc_id"))
+        if need_score:
+            base = s.score(ast).withColumnRenamed("score", "_score")
+            if round_scores is not None:
+                base = base.withColumn(
+                    "_score", F.round(F.col("_score"), round_scores))
+            if "min_score" in body:
+                base = base.where(
+                    F.col("_score") >= float(body["min_score"]))
+        else:
+            base = s.matching_docs(ast)
+        hits = base.join(docs.select("doc_id", *cols), "doc_id")
         order = [F.asc(f) if asc else F.desc(f) for f, asc in spec]
         order.append(F.asc("doc_id"))  # stable tiebreak (shard doc order)
         if "search_after" in body:
-            # keyset cursor: strictly-after predicate over (key, doc_id)
-            (f0, asc0), = spec[:1]
-            key_val, last_id = body["search_after"]
-            k = F.col(f0)
-            hits = hits.where(
-                (k > key_val if asc0 else k < key_val)
-                | ((k == key_val) & (F.col("doc_id") > last_id)))
+            # keyset cursor: lexicographic strictly-after predicate over
+            # every sort key (each honoring its direction) + the doc_id
+            # tiebreak — no deep from+size scan at any page depth
+            cursor = body["search_after"]
+            if len(cursor) != len(spec) + 1:
+                raise ValueError(
+                    f"search_after cursor needs {len(spec) + 1} values "
+                    f"({len(spec)} sort keys + the doc_id tiebreak), "
+                    f"got {len(cursor)}")
+            pred = F.col("doc_id") > cursor[-1]
+            for (f, asc), v in reversed(list(zip(spec, cursor[:-1]))):
+                k = F.col(f)
+                pred = ((k > v) if asc else (k < v)) | ((k == v) & pred)
+            hits = hits.where(pred)
         hits = hits.orderBy(*order)
     else:
         if "search_after" in body:

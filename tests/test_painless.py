@@ -115,8 +115,12 @@ def test_detection_heuristic():
 
 
 def test_typed_float_literals():
-    assert painless_to_sql("doc['v'].value * 2.5f", {}) == "(v * 2.5)"
-    assert painless_to_sql("0.1d + 3L", {}) == "(0.1 + 3)"
+    assert painless_to_sql("doc['v'].value * 2.5f", {}) \
+        == "(v * CAST(2.5 AS DOUBLE))"
+    # bare decimal literals must emit as DOUBLE, not Spark DECIMAL —
+    # Painless/Java decimal literals are doubles (10.0/3.0 must be
+    # 3.3333333333333335, not the scale-limited decimal quotient)
+    assert painless_to_sql("0.1d + 3L", {}) == "(CAST(0.1 AS DOUBLE) + 3)"
 
 
 def test_dsl_script_object_strictness():
@@ -167,8 +171,9 @@ def test_expression_lang_adapter():
     # exponent numeric literals are valid expressions DECIMAL syntax —
     # the 'e' must never scan as a variable
     assert expression_to_sql("_score * 1e-3", None, "score") \
-        == "(score * 1e-3)"
-    assert expression_to_sql("2E5 + doc['x']", None) == "(2E5 + x)"
+        == "(score * CAST(1e-3 AS DOUBLE))"
+    assert expression_to_sql("2E5 + doc['x']", None) \
+        == "(CAST(2E5 AS DOUBLE) + x)"
     # a bare variable that merely SHARES a marker name ('value', 'params',
     # 'doc', 'Math' not followed by a member chain) binds as a param...
     assert expression_to_sql("doc['a'].value * value", {"value": 2.0}) \
@@ -205,3 +210,33 @@ def test_put_stored_script_validates_expression_lang():
     with pytest.raises(ValueError):
         put_stored_script("__t_expr_bad", "sqrt(", lang="expression")
     assert "__t_expr_bad" not in _STORED_SCRIPTS
+
+
+def test_decimal_literals_are_double_typed(spark):
+    """Painless decimal literals are Java doubles: 10.0/3.0 must be the
+    double quotient, not Spark's scale-limited DECIMAL division."""
+    from pyspark.sql import functions as F
+
+    sql = painless_to_sql("10.0 / 3.0", {})
+    got = spark.range(1).select(F.expr(sql).alias("v")).first()["v"]
+    assert got == 10.0 / 3.0  # 3.3333333333333335
+    # params path and literal path agree
+    sql2 = painless_to_sql("params.a / params.b", {"a": 10.0, "b": 3.0})
+    got2 = spark.range(1).select(F.expr(sql2).alias("v")).first()["v"]
+    assert got2 == got
+
+
+def test_backslash_in_string_param_and_literal(spark):
+    """Backslashes survive both engines: emitted via chr(92) concat since
+    Spark interprets '\\t' inside quoted SQL strings and DuckDB does not."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    sql = painless_to_sql("params.p", {"p": "C:\\temp"})
+    got = spark.range(1).select(F.expr(sql).alias("v")).first()["v"]
+    assert got == "C:\\temp"
+    assert duckdb.sql(f"SELECT {sql} AS v").fetchone()[0] == "C:\\temp"
+    # painless string literal with an escaped backslash
+    sql2 = painless_to_sql('doc["lang"].value == "a\\\\b"', {})
+    dd = duckdb.sql(f"SELECT ('a' || chr(92) || 'b') = 'x' AS v").fetchone()
+    assert "chr(92)" in sql2

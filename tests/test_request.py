@@ -154,3 +154,93 @@ def test_track_total_hits_consumed(s):
     exact = execute_search_request(
         s, {**base, "size": 0, "track_total_hits": True}).collect()
     assert exact[0].total_relation == "eq" and exact[0].total_hits > 5
+
+
+def test_search_after_multi_field_keyset(s):
+    """Lexicographic keyset over TWO sort keys + doc_id tiebreak must
+    reproduce the from/size window exactly."""
+    body = {"query": {"match": {"text": "spark merge"}},
+            "sort": [{"lang": "asc"}, {"n_chars": {"order": "desc"}}],
+            "size": 4}
+    first = execute_search_request(s, body).collect()
+    last = first[-1]
+    nxt = execute_search_request(
+        s, {**body, "search_after": [last.lang, last.n_chars, last.doc_id]}
+    ).collect()
+    full = execute_search_request(s, {**body, "size": 12}).collect()
+    assert [r.doc_id for r in nxt] == [r.doc_id for r in full[4:8]]
+
+
+def test_search_after_cursor_arity_checked(s):
+    body = {"query": {"match": {"text": "spark"}},
+            "sort": [{"lang": "asc"}, {"n_chars": "desc"}],
+            "search_after": [1, 2]}  # needs 3 values (2 keys + doc_id)
+    with pytest.raises(ValueError, match="3 values"):
+        execute_search_request(s, body)
+
+
+def test_score_as_secondary_sort_key(s):
+    """_score in a non-first sort position joins the scored frame: rows
+    tie-broken by score descending within equal lang groups."""
+    out = execute_search_request(s, {
+        "query": {"match": {"text": "spark merge"}},
+        "sort": [{"lang": "asc"}, "_score"], "size": 8}).collect()
+    langs = [r.lang for r in out]
+    assert langs == sorted(langs)
+    for i in range(len(out) - 1):
+        if out[i].lang == out[i + 1].lang:
+            assert out[i]._score >= out[i + 1]._score
+
+
+def test_score_asc_sort_direction_honored(s):
+    body = {"query": {"match": {"text": "spark merge"}}, "size": 6}
+    asc = execute_search_request(
+        s, {**body, "sort": [{"_score": "asc"}]}).collect()
+    scores = [r._score for r in asc]
+    assert scores == sorted(scores)
+
+
+def test_min_score_with_field_sort(s):
+    """min_score now composes with a field sort (scored frame joined)."""
+    base = {"query": {"match": {"text": "spark merge"}}, "size": 20}
+    allr = execute_search_request(s, base).collect()
+    thr = allr[4].score
+    got = execute_search_request(s, {
+        **base, "min_score": thr,
+        "sort": [{"n_chars": "desc"}]}).collect()
+    assert got and all(r._score >= thr for r in got)
+    chars = [r.n_chars for r in got]
+    assert chars == sorted(chars, reverse=True)
+    assert len(got) == sum(1 for r in allr if r.score >= thr)
+
+
+def test_min_score_filters_aggs_and_total(s):
+    """The reference applies min_score in the collector chain BEFORE
+    counting and aggregating — both shapes must see the filtered set."""
+    base = {"query": {"match": {"text": "spark merge"}}, "size": 10}
+    allr = execute_search_request(s, {**base, "size": 30}).collect()
+    thr = allr[4].score
+    n_above = sum(1 for r in allr if r.score >= thr)
+    tot = execute_search_request(s, {
+        "query": {"match": {"text": "spark merge"}}, "size": 0,
+        "min_score": thr, "track_total_hits": True}).collect()[0]
+    assert tot.total_hits == n_above
+    agg = execute_search_request(s, {
+        "query": {"match": {"text": "spark merge"}}, "size": 0,
+        "min_score": thr,
+        "aggs": {"n": {"value_count": {"field": "doc_id"}}}}).collect()[0]
+    assert agg.n == n_above
+
+
+def test_aggs_with_explicit_default_size_still_raises(s):
+    with pytest.raises(NotImplementedError, match="non-zero size"):
+        execute_search_request(s, {
+            "query": {"match": {"text": "table"}}, "size": 10,
+            "aggs": {"n": {"value_count": {"field": "doc_id"}}}})
+
+
+def test_sibling_aggs_raise_with_pointer(s):
+    with pytest.raises(NotImplementedError, match="sibling"):
+        execute_search_request(s, {"size": 0, "aggs": {
+            "a": {"avg": {"field": "n_chars"}},
+            "b": {"max": {"field": "n_chars"}}}})
