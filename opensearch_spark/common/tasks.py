@@ -49,10 +49,25 @@ class Task:
 
 
 class TaskManager:
+    #: finished (done/failed/cancelled) tasks retained for `GET _tasks`
+    #: inspection; older ones are pruned on submit so a long-lived driver
+    #: never accumulates unbounded task records (the reference's
+    #: TaskManager unregisters on completion; we keep a bounded tail
+    #: because results/errors are part of this API's response surface)
+    KEEP_FINISHED = 1000
+
     def __init__(self, spark):
         self.spark = spark
         self._tasks: dict[int, Task] = {}
         self._lock = threading.Lock()
+
+    def _prune_locked(self) -> None:
+        finished = [t for t in self._tasks.values()
+                    if t.status not in ("running", "cancelling")]
+        excess = len(finished) - self.KEEP_FINISHED
+        if excess > 0:
+            for t in sorted(finished, key=lambda t: t.id)[:excess]:
+                del self._tasks[t.id]
 
     def submit(self, action: str, fn, description: str = "") -> Task:
         """Run ``fn()`` under its own cancellable job group."""
@@ -60,6 +75,7 @@ class TaskManager:
 
         task = Task(next(_ids), action, description)
         with self._lock:
+            self._prune_locked()
             self._tasks[task.id] = task
         gid = f"task-{task.id}"
         sc = self.spark.sparkContext
@@ -77,7 +93,11 @@ class TaskManager:
                     # cancelled (cancellation is cooperative/best-effort)
                     task.status = "done"
             except BaseException as e:  # noqa: BLE001 - recorded, not lost
-                if task.status == "cancelling" or "cancelled" in str(e).lower():
+                # only an exception observed AFTER cancel() flipped the
+                # status is a cancellation; matching on the message text
+                # would misreport a genuine failure that merely mentions
+                # 'cancelled' (e.g. a remote peer's error) as a user cancel
+                if task.status == "cancelling":
                     task.status = "cancelled"
                     task.error = TaskCancelledException(
                         f"task {task.id} cancelled")

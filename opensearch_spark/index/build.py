@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from dataclasses import asdict, dataclass, field as dc_field
 
 import pandas as pd
@@ -556,6 +557,10 @@ def build_index(
     meta["layout_version"] = LAYOUT_VERSION
     meta["order_cols"] = list(cfg.order_cols)
     meta["keyword_cols"] = list(cfg.keyword_cols)
+    # unique per build: the request cache's generation fingerprint (the
+    # reference's "reader cache key") must change on EVERY rebuild, even
+    # one that reproduces identical doc_count/config over edited data
+    meta["build_id"] = uuid.uuid4().hex
     _atomic_write_json(os.path.join(out_dir, "meta.json"), meta)
     return InvertedIndex(out_dir)
 
@@ -643,6 +648,7 @@ class InvertedIndex:
         8 bytes per tombstone until expunge-by-rebuild."""
         if getattr(self, "_tomb_loaded", False):
             return self._tomb
+        self._release_tomb_charge()
         self._tomb = None
         srcs = self._delete_sources()
         if srcs:
@@ -657,13 +663,26 @@ class InvertedIndex:
                 # breaker (HierarchyCircuitBreakerService posture) so a
                 # pathological tombstone count degrades into a clean
                 # CircuitBreakingException instead of a driver OOM that
-                # would poison every broadcast downstream
+                # would poison every broadcast downstream. The charge is
+                # tracked per reader and RELEASED on refresh (the next
+                # load re-charges the new, larger set) — otherwise every
+                # delete→refresh cycle leaks accounting until the breaker
+                # trips permanently with no real memory held.
                 fielddata_breaker.add_estimate(
                     8 * len(rows), f"tombstones[{self.path}]")
+                self._tomb_charged = 8 * len(rows)
                 self._tomb = _np.sort(
                     _np.array([r["doc_id"] for r in rows], dtype="int64"))
         self._tomb_loaded = True
         return self._tomb
+
+    def _release_tomb_charge(self) -> None:
+        from opensearch_spark.common.breaker import fielddata_breaker
+
+        charged = getattr(self, "_tomb_charged", 0)
+        if charged:
+            fielddata_breaker.release(charged)
+            self._tomb_charged = 0
 
     def tombstones_bcast(self, spark: SparkSession):
         """Spark Broadcast handle of the sorted tombstone array, or None
@@ -680,8 +699,11 @@ class InvertedIndex:
         return self._tomb_bcast
 
     def refresh_tombstones(self) -> None:
-        """Invalidate the cached delete set (call after delete_docs)."""
+        """Invalidate the cached delete set (call after delete_docs) —
+        releases the reader's breaker charge so accounting follows the
+        memory actually held."""
         self._tomb_loaded = False
+        self._release_tomb_charge()
         if getattr(self, "_tomb_bcast", None) is not None:
             self._tomb_bcast.unpersist()
             self._tomb_bcast = None

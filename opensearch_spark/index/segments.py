@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -197,6 +198,9 @@ def merge_segments(
     meta["layout_version"] = LAYOUT_VERSION
     meta["order_cols"] = list(cfg.order_cols)
     meta["keyword_cols"] = list(cfg.keyword_cols)
+    # same rebuild-uniqueness stamp as build.build_index — the request
+    # cache's generation fingerprint keys on it
+    meta["build_id"] = uuid.uuid4().hex
     _atomic_write_json(os.path.join(out_dir, "meta.json"), meta)
     return InvertedIndex(out_dir)
 

@@ -38,39 +38,62 @@ def _walk(root: str) -> list[str]:
     return sorted(out)
 
 
+def _safe_rel(rel: str, root: str) -> str:
+    """Join a manifest-supplied relpath under ``root``, refusing absolute
+    paths and any traversal outside root — a corrupt or hostile manifest
+    must never name a write location outside the restore target."""
+    if os.path.isabs(rel):
+        raise ValueError(f"manifest path is absolute: {rel!r}")
+    p = os.path.normpath(os.path.join(root, rel))
+    if os.path.commonpath([os.path.abspath(p), os.path.abspath(root)]) \
+            != os.path.abspath(root):
+        raise ValueError(f"manifest path escapes the restore target: {rel!r}")
+    return p
+
+
 def snapshot_index(index_path: str, snap_dir: str) -> dict:
     """Copy the immutable index tree into ``snap_dir`` and write an
     integrity manifest (relpath → size, md5). Fails if the source has no
-    meta.json (not a committed index)."""
+    meta.json (not a committed index); a mid-copy failure removes the
+    partial target so a retry isn't blocked by half a snapshot."""
     if not os.path.exists(os.path.join(index_path, "meta.json")):
         raise ValueError(f"not a committed index (no meta.json): {index_path}")
     if os.path.exists(snap_dir):
         raise ValueError(f"snapshot target exists: {snap_dir}")
-    shutil.copytree(index_path, snap_dir)
-    files = {}
-    for rel in _walk(snap_dir):
-        if rel == SNAP_MANIFEST:
-            continue
-        p = os.path.join(snap_dir, rel)
-        files[rel] = {"bytes": os.path.getsize(p), "md5": _file_md5(p)}
-    from opensearch_spark.index.build import _atomic_write_json
+    try:
+        shutil.copytree(index_path, snap_dir)
+        files = {}
+        for rel in _walk(snap_dir):
+            if rel == SNAP_MANIFEST:
+                continue
+            p = os.path.join(snap_dir, rel)
+            files[rel] = {"bytes": os.path.getsize(p), "md5": _file_md5(p)}
+        from opensearch_spark.index.build import _atomic_write_json
 
-    manifest = {"source": os.path.abspath(index_path), "files": files}
-    _atomic_write_json(os.path.join(snap_dir, SNAP_MANIFEST), manifest)
+        manifest = {"source": os.path.abspath(index_path), "files": files}
+        _atomic_write_json(os.path.join(snap_dir, SNAP_MANIFEST), manifest)
+    except Exception:
+        shutil.rmtree(snap_dir, ignore_errors=True)
+        raise
     return manifest
 
 
 def verify_snapshot(snap_dir: str) -> int:
-    """Return the number of corrupt/missing files vs the manifest (0 = ok)."""
+    """Return the number of corrupt/missing/UNLISTED files vs the manifest
+    (0 = ok). Corruption by addition counts too: a file present on disk
+    but absent from the manifest would otherwise ride into the restored
+    index 'fully verified'."""
     with open(os.path.join(snap_dir, SNAP_MANIFEST)) as f:
         manifest = json.load(f)
     bad = 0
     for rel, want in manifest["files"].items():
-        p = os.path.join(snap_dir, rel)
+        p = _safe_rel(rel, snap_dir)
         if (not os.path.exists(p)
                 or os.path.getsize(p) != want["bytes"]
                 or _file_md5(p) != want["md5"]):
             bad += 1
+    listed = set(manifest["files"]) | {SNAP_MANIFEST}
+    bad += sum(1 for rel in _walk(snap_dir) if rel not in listed)
     return bad
 
 
@@ -133,7 +156,9 @@ class UrlRepository:
         os.makedirs(dest)
         try:
             for rel, want in man["files"].items():
-                p = os.path.join(dest, rel)
+                # a remote manifest is untrusted input: refuse absolute /
+                # traversal paths instead of writing outside dest
+                p = _safe_rel(rel, dest)
                 os.makedirs(os.path.dirname(p), exist_ok=True)
                 h = hashlib.md5()
                 n = 0

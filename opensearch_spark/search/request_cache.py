@@ -26,6 +26,7 @@ import hashlib
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -55,7 +56,22 @@ class RequestCache:
             "analyzer": m.get("analyzer"),
             "with_positions": bool(m.get("with_positions")),
             "index_options": m.get("index_options", "freqs"),
+            # every rebuild stamps a fresh build_id (build.py), so a
+            # rebuild over EDITED data that reproduces identical
+            # doc_count/config still rolls the generation; scoring params
+            # are part of the answer too
+            "build_id": m.get("build_id"),
+            "k1": m.get("k1"), "b": m.get("b"),
+            "keyword_cols": list(m.get("keyword_cols") or []),
         }
+        if ident["build_id"] is None:
+            # pre-build_id tree: fall back to the meta file's identity —
+            # any rewrite of meta.json rolls the generation
+            try:
+                st = os.stat(os.path.join(self.index.path, "meta.json"))
+                ident["build_id"] = f"mtime:{st.st_mtime_ns}:{st.st_size}"
+            except OSError:
+                pass
         dels = []
         ddir = os.path.join(self.index.path, "deletes")
         if os.path.isdir(ddir):
@@ -83,24 +99,45 @@ class RequestCache:
         return os.path.join(self.root, self.key(request))
 
     # -- read-through ------------------------------------------------------
+    _OK_MARKER = "_CACHE_OK"
+
+    def _is_valid(self, path: str) -> bool:
+        # our own completeness marker, written into the tmp dir before
+        # publish — independent of Spark's _SUCCESS, which deployments
+        # commonly disable (mapreduce.fileoutputcommitter.marksuccessfuljobs)
+        return os.path.exists(os.path.join(path, self._OK_MARKER))
+
     def get_or_compute(self, spark: SparkSession, request: dict,
                        compute) -> DataFrame:
         """Serve ``request`` from cache, else run ``compute()`` and
         materialize its result. The parquet write is atomic-by-rename
-        (tmp dir + rename), so a concurrent reader never sees a partial
-        entry — it just misses and recomputes."""
+        (per-writer-UNIQUE tmp dir + rename), so a concurrent reader never
+        sees a partial entry and concurrent fillers of the same key never
+        touch each other's tmp output — whoever publishes second simply
+        discards its copy and serves the winner's entry."""
         path = self._entry_path(request)
-        if os.path.isdir(os.path.join(path, "")) and \
-                os.path.exists(os.path.join(path, "_SUCCESS")):
+        if self._is_valid(path):
             self.hits += 1
             return spark.read.parquet(path)
         self.misses += 1
         df = compute()
-        tmp = path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path, ignore_errors=True)
-        os.replace(tmp, path)
+        tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+        try:
+            df.write.mode("overwrite").parquet(tmp)
+            with open(os.path.join(tmp, self._OK_MARKER), "w") as f:
+                f.write("")
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.replace(tmp, path)
+            except OSError:
+                # a concurrent filler published between our rmtree and
+                # replace: their entry is complete — use it, drop ours
+                if not self._is_valid(path):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         return spark.read.parquet(path)
 
     # -- management (the `_cache/clear` API) --------------------------------
@@ -110,14 +147,23 @@ class RequestCache:
         self.misses = 0
 
     def stats(self) -> dict:
-        """RequestCacheStats shape: hit/miss counters + resident bytes."""
-        size = 0
+        """RequestCacheStats shape: hit/miss counters + resident bytes.
+        ``bytes`` counts LIVE entries only; orphaned tmp dirs (crashed
+        writers) are reported separately so they're visible as reclaimable
+        rather than inflating the live-cache number."""
+        size = tmp_size = 0
         entries = 0
         if os.path.isdir(self.root):
-            for dirpath, _, files in os.walk(self.root):
-                for fn in files:
-                    size += os.path.getsize(os.path.join(dirpath, fn))
-            entries = len([e for e in os.listdir(self.root)
-                           if not e.endswith(".tmp")])
+            for e in os.listdir(self.root):
+                p = os.path.join(self.root, e)
+                n = 0
+                for dirpath, _, files in os.walk(p):
+                    for fn in files:
+                        n += os.path.getsize(os.path.join(dirpath, fn))
+                if e.endswith(".tmp"):
+                    tmp_size += n
+                else:
+                    entries += 1
+                    size += n
         return {"hits": self.hits, "misses": self.misses,
-                "entries": entries, "bytes": size}
+                "entries": entries, "bytes": size, "tmp_bytes": tmp_size}

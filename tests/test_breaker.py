@@ -92,3 +92,29 @@ def test_tombstones_charge_fielddata(spark, tmp_path):
     finally:
         fielddata_breaker.limit = old
         reset_all()
+
+
+def test_tombstone_charge_released_on_refresh(spark, tmp_path):
+    """delete→refresh cycles must not leak breaker accounting: the charge
+    follows the cached array (released on refresh, re-charged on the next
+    load of the new set)."""
+    import shutil
+
+    from opensearch_spark.common.breaker import fielddata_breaker
+    from opensearch_spark.entry_queries import get_searcher
+    from opensearch_spark.index.build import InvertedIndex
+
+    s = get_searcher(spark, "/root/testdata/sf0.001")
+    tree = str(tmp_path / "idx2")
+    shutil.copytree(s.index.path, tree,
+                    ignore=shutil.ignore_patterns("deletes"))
+    spark.createDataFrame([(1,), (2,), (3,)], ["doc_id"]) \
+        .write.parquet(tree + "/deletes")
+    reset_all()
+    idx = InvertedIndex(tree)
+    for _ in range(5):
+        idx.tombstones(spark)
+        assert fielddata_breaker.used == 24  # never accumulates
+        idx.refresh_tombstones()
+        assert fielddata_breaker.used == 0   # released with the array
+    reset_all()

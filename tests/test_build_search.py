@@ -373,3 +373,77 @@ class TestResizeRouting:
                 .agg(F.countDistinct("parent_shard").alias("p"),
                      F.countDistinct("child_shard").alias("c"))
                 .where((F.col("p") > 1) | (F.col("c") > 1)).count()) == 0
+
+
+def test_snapshot_detects_unlisted_files_and_rejects_traversal(spark, tmp_path):
+    """Corruption by ADDITION counts as corruption; manifest relpaths that
+    escape the target are refused (hostile/corrupt manifest safety)."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from opensearch_spark.index.build import IndexConfig, build_index
+    from opensearch_spark.index.snapshot import (
+        SNAP_MANIFEST, UrlRepository, snapshot_index, verify_snapshot)
+
+    corpus = spark.createDataFrame(
+        [(i, f"gamma delta doc{i}") for i in range(10)],
+        "doc_id long, text string")
+    src = str(tmp_path / "idx_t")
+    build_index(spark, corpus, src,
+                IndexConfig(field="text", analyzer="standard",
+                            id_col="doc_id", n_parts=2))
+    snap = str(tmp_path / "snap_t")
+    snapshot_index(src, snap)
+    assert verify_snapshot(snap) == 0
+    # inject a file the manifest does not list
+    with open(os.path.join(snap, "postings_injected.bin"), "wb") as f:
+        f.write(b"evil")
+    assert verify_snapshot(snap) >= 1
+
+    # hostile manifest: traversal and absolute paths are refused by
+    # restore instead of writing outside dest
+    evil_dir = tmp_path / "evil_repo"
+    evil_dir.mkdir()
+    man = {"source": "x", "files": {
+        "../outside.txt": {"bytes": 4, "md5": "0" * 32}}}
+    (evil_dir / SNAP_MANIFEST).write_text(json.dumps(man))
+    repo = UrlRepository(f"file://{evil_dir}")
+    with _pytest.raises(ValueError, match="escapes|absolute"):
+        repo.restore(str(tmp_path / "rest_t"))
+    assert not (tmp_path / "outside.txt").exists()
+
+    man2 = {"source": "x", "files": {
+        "/etc/injected": {"bytes": 4, "md5": "0" * 32}}}
+    (evil_dir / SNAP_MANIFEST).write_text(json.dumps(man2))
+    with _pytest.raises(ValueError, match="absolute"):
+        UrlRepository(f"file://{evil_dir}").restore(str(tmp_path / "rest_u"))
+
+
+def test_snapshot_failure_cleans_partial_target(spark, tmp_path, monkeypatch):
+    import os
+
+    import pytest as _pytest
+
+    from opensearch_spark.index import snapshot as SN
+    from opensearch_spark.index.build import IndexConfig, build_index
+
+    corpus = spark.createDataFrame(
+        [(i, f"epsilon doc{i}") for i in range(5)],
+        "doc_id long, text string")
+    src = str(tmp_path / "idx_f")
+    build_index(spark, corpus, src,
+                IndexConfig(field="text", analyzer="standard",
+                            id_col="doc_id", n_parts=1))
+    snap = str(tmp_path / "snap_f")
+
+    def boom(path):
+        raise OSError("disk full")
+    monkeypatch.setattr(SN, "_file_md5", boom)
+    with _pytest.raises(OSError):
+        SN.snapshot_index(src, snap)
+    assert not os.path.exists(snap)  # partial target removed, retry unblocked
+    monkeypatch.undo()
+    SN.snapshot_index(src, snap)     # retry succeeds
+    assert SN.verify_snapshot(snap) == 0

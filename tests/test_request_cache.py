@@ -101,7 +101,8 @@ def test_clear_resets(spark, cache):
     compute, calls = _compute_counter(df)
     cache.get_or_compute(spark, {"q": 0}, compute)
     cache.clear()
-    assert cache.stats() == {"hits": 0, "misses": 0, "entries": 0, "bytes": 0}
+    assert cache.stats() == {"hits": 0, "misses": 0, "entries": 0,
+                             "bytes": 0, "tmp_bytes": 0}
     cache.get_or_compute(spark, {"q": 0}, compute)
     assert calls["n"] == 2
 
@@ -138,3 +139,42 @@ def test_request_executor_caches_size0(spark, searcher, tmp_path):
     execute_search_request(searcher, hits_body, cache=rc,
                            request_cache=True).collect()
     assert rc.stats()["misses"] == 2
+
+
+def test_rebuild_with_identical_meta_rolls_generation(spark, cache):
+    """A rebuild that reproduces identical doc_count/config over EDITED
+    data must still miss: the build_id stamped per build (or the meta
+    file identity fallback) is part of the generation fingerprint."""
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    compute, calls = _compute_counter(df)
+    req = {"q": "rebuild"}
+    cache.get_or_compute(spark, req, compute)
+    cache.get_or_compute(spark, req, compute)
+    assert calls["n"] == 1
+    old = dict(cache.index.meta)
+    try:
+        cache.index.meta = dict(old, build_id="different-build")
+        cache.get_or_compute(spark, req, compute)
+        assert calls["n"] == 2  # same doc_count/analyzer, new build → miss
+    finally:
+        cache.index.meta = old
+
+
+def test_entry_without_our_marker_is_not_served(spark, cache):
+    """Hit detection uses our own _CACHE_OK marker, not Spark's _SUCCESS
+    (deployments commonly disable success markers)."""
+    import os
+    import shutil
+
+    df = spark.range(2).select(F.col("id").alias("doc_id"))
+    compute, calls = _compute_counter(df)
+    req = {"q": "marker"}
+    cache.get_or_compute(spark, req, compute)
+    path = cache._entry_path(req)
+    assert os.path.exists(os.path.join(path, cache._OK_MARKER))
+    os.remove(os.path.join(path, cache._OK_MARKER))
+    cache.get_or_compute(spark, req, compute)  # invalid → recompute
+    assert calls["n"] == 2
+    # and the rewrite republished a valid entry
+    assert os.path.exists(os.path.join(path, cache._OK_MARKER))
+    shutil.rmtree(path, ignore_errors=True)

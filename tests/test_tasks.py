@@ -62,3 +62,32 @@ def test_failed_task_recorded(spark):
     assert task.wait(timeout=10)
     assert task.status == "failed"
     assert isinstance(task.error, ValueError)
+
+
+def test_failure_mentioning_cancelled_is_still_a_failure(spark):
+    """A genuine error whose MESSAGE contains 'cancelled' must be
+    recorded as failed with the real exception, not misclassified as a
+    user cancellation."""
+    from opensearch_spark.common.tasks import TaskManager
+
+    tm = TaskManager(spark)
+    def boom():
+        raise ValueError("upload cancelled by remote peer")
+    t = tm.submit("indices:data/write", boom)
+    assert t.wait(30)
+    assert t.status == "failed"
+    assert isinstance(t.error, ValueError)
+    assert "remote peer" in str(t.error)
+
+
+def test_finished_tasks_pruned_bounded(spark):
+    from opensearch_spark.common.tasks import TaskManager
+
+    tm = TaskManager(spark)
+    tm.KEEP_FINISHED = 5
+    tasks = [tm.submit("a", lambda: 1) for _ in range(12)]
+    for t in tasks:
+        assert t.wait(30)
+    tm.submit("a", lambda: 1).wait(30)
+    finished = [i for i in tm.list() if i["status"] == "done"]
+    assert len(finished) <= 6  # 5 retained + the one just submitted
