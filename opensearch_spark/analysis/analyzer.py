@@ -400,7 +400,10 @@ def make_filter_chain(base: str = "standard", *,
             i = 0
             n = len(out)
             while i < n:
-                for L in range(min(max_phrase, n - i), 1, -1):
+                # longest match first, down to single-token rules (a
+                # 1-token key in synonyms_multi is valid, same as the
+                # plain `synonyms` map)
+                for L in range(min(max_phrase, n - i), 0, -1):
                     canon = synonyms_multi.get(tuple(out[i:i + L]))
                     if canon is not None:
                         merged.append(canon)
@@ -412,14 +415,25 @@ def make_filter_chain(base: str = "standard", *,
             out = merged
         if synonyms:
             out = [synonyms.get(t, t) for t in out]
+        overridden: set[int] = set()
         if stemmer_override:
-            out = [stemmer_override.get(t, t) for t in out]
+            # StemmerOverrideFilter sets KeywordAttribute only on the
+            # token INSTANCES it rewrote — a natural token that merely
+            # equals some override VALUE still stems normally
+            new = []
+            for j, t in enumerate(out):
+                r = stemmer_override.get(t)
+                if r is not None:
+                    overridden.add(j)
+                    new.append(r)
+                else:
+                    new.append(t)
+            out = new
         if stem:
             protected = keyword_marker or frozenset()
-            if stemmer_override:
-                protected = protected | frozenset(stemmer_override.values())
-            out = [t if t in protected else stem_minimal_english(t)
-                   for t in out]
+            out = [t if (j in overridden or t in protected)
+                   else stem_minimal_english(t)
+                   for j, t in enumerate(out)]
         if edge_ngram:
             lo, hi = edge_ngram
             out = [t[:k] for t in out for k in range(lo, min(len(t), hi) + 1)]
@@ -625,17 +639,24 @@ def analyze_udf(analyzer: str = "standard"):
     return _analyze
 
 
+#: joined-token separator: ASCII record separator — never produced by any
+#: tokenizer, so SHINGLE analyzers (whose tokens contain spaces) round-trip
+#: through join/split losslessly where a space join would silently
+#: re-split them into unigrams
+TOKEN_SEP = "\x1e"
+
+
 def analyze_join_udf(analyzer: str = "standard"):
-    """content:string → space-joined token string. Cheaper than the array
-    UDF when the result is cached or shuffled: one compact string per row
-    crosses Arrow and sits in the block cache instead of an array<string>
-    (measured ~2× on the 600k-doc build); the JVM ``split`` that re-derives
-    the array is whole-stage-codegen. Tokens never contain whitespace."""
+    """content:string → TOKEN_SEP-joined token string. Cheaper than the
+    array UDF when the result is cached or shuffled: one compact string per
+    row crosses Arrow and sits in the block cache instead of an
+    array<string> (measured ~2× on the 600k-doc build); the JVM ``split``
+    that re-derives the array is whole-stage-codegen."""
     fn = ANALYZERS[analyzer]
 
     @F.pandas_udf(T.StringType())
     def _analyze(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: " ".join(fn(x)) if x is not None else "")
+        return s.map(lambda x: TOKEN_SEP.join(fn(x)) if x is not None else "")
 
     return _analyze
 
@@ -687,5 +708,5 @@ def termfreq_udf(analyzer: str = "standard", with_positions: bool = False):
 def tokens_col(tokstr_col: str):
     """array<string> tokens from a joined token string (empty-safe)."""
     return F.when(
-        F.length(F.col(tokstr_col)) > 0, F.split(F.col(tokstr_col), " ")
+        F.length(F.col(tokstr_col)) > 0, F.split(F.col(tokstr_col), TOKEN_SEP)
     ).otherwise(F.array().cast("array<string>"))

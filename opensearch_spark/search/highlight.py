@@ -21,6 +21,10 @@ from pyspark.sql import types as T
 def _term_pattern(terms: list[str]) -> str:
     alts = "|".join(re.escape(t)
                     for t in sorted(set(terms), key=lambda t: (-len(t), t)))
+    if not alts:
+        # \b()\b would match zero-width at EVERY word boundary, spraying
+        # empty tag pairs through the text — no terms means no highlights
+        return r"(?!)"  # never-matching pattern (valid in Java and re)
     return r"\b(" + alts + r")\b"
 
 
@@ -29,6 +33,8 @@ def highlight_field(hits: DataFrame, field: str, terms: list[str],
                     out_col: str = "highlight") -> DataFrame:
     """Whole-field tagging: wrap every term occurrence (case-sensitive over
     the analyzed lowercase field) in pre/post tags. Catalyst-native."""
+    if not terms:
+        return hits.withColumn(out_col, F.col(field))
     pat = _term_pattern(terms)
     return hits.withColumn(
         out_col, F.regexp_replace(F.col(field), pat, pre_tag + "$1" + post_tag))
@@ -60,9 +66,13 @@ def highlight_fragments(hits: DataFrame, field: str, terms: list[str],
                     continue
                 w0 = max(0, st - fragment_size // 2)
                 w1 = min(len(text), w0 + fragment_size)
-                n = sum(1 for a, _b in spans if w0 <= a < w1)
-                for a, _b in spans:
-                    if w0 <= a < w1:
+                # only matches FULLY inside the window count as covered: a
+                # term whose text extends past w1 would render truncated
+                # and untagged, yet consuming it would stop any later
+                # window from ever showing it whole
+                n = sum(1 for a, b in spans if w0 <= a and b <= w1)
+                for a, b in spans:
+                    if w0 <= a and b <= w1:
                         used.add(a)
                 windows.append((n, w0, w1))
             windows.sort(key=lambda x: (-x[0], x[1]))
@@ -92,13 +102,20 @@ def fvh_highlight(searcher, terms: list[str], doc_ids: list[int] | None = None,
 
     Returns (doc_id, n_matches, fragment).
     """
+    if doc_ids is None:
+        # this is a FETCH sub-phase: without the top-k id list the window
+        # self-join would run over every matching document in the corpus
+        # (O(Σ matches²) pairs for a hot term) — refuse rather than ship
+        # an accidental corpus scan under a "bounded" contract
+        raise ValueError(
+            "fvh_highlight requires the top-k doc_ids — highlighting is a "
+            "fetch sub-phase over the bounded hit page, never the corpus")
     analyzed = [t for w in terms for t in searcher.analyze(w)]
     searcher._require_positions("fvh_highlight")
     pos = searcher.index.positions(searcher.spark)
     m = (pos.where(F.col("term").isin(analyzed))
-         .select("doc_id", F.explode("positions").alias("p")))
-    if doc_ids is not None:
-        m = m.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
+         .select("doc_id", F.explode("positions").alias("p"))
+         .where(F.col("doc_id").isin([int(d) for d in doc_ids])))
     a = m.select("doc_id", F.col("p").alias("start"))
     b = m.select("doc_id", F.col("p").alias("pb"))
     w = (a.join(b, "doc_id")

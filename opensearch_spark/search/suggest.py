@@ -106,8 +106,10 @@ def completion_suggest(
     if contexts:
         if not context_col:
             raise ValueError("contexts given without a context_col")
-        specs = [(c, 1) if isinstance(c, str)
-                 else (c["value"], int(c.get("boost", 1))) for c in contexts]
+        # only dicts carry a boost; any plain value (str, int id, bool
+        # category) is a bare context with boost 1
+        specs = [(c["value"], int(c.get("boost", 1))) if isinstance(c, dict)
+                 else (c, 1) for c in contexts]
         boosts: dict = {}
         for v, b in specs:  # duplicate context values keep the max boost
             boosts[v] = max(b, boosts.get(v, b))
@@ -186,7 +188,12 @@ def phrase_suggest(
     n = len(terms)
 
     def cands(tok: str, name: str):
+        # length band BEFORE the per-row edit distance (same prune as
+        # term_suggest and the search_suggest_term oracle): |len diff| >
+        # max_edits implies distance > max_edits, so results are identical
+        # and the levenshtein runs on a sliver of the vocabulary
         c = (d.select(F.col("term").alias(name), F.col("cf").alias(f"{name}_cf"))
+             .where(F.abs(F.length(name) - F.lit(len(tok))) <= max_edits)
              .withColumn("_dist", F.levenshtein(F.col(name), F.lit(tok)))
              .where(F.col("_dist") <= max_edits))
         w2 = W.orderBy(F.asc("_dist"), F.desc(f"{name}_cf"), F.asc(name))

@@ -212,3 +212,37 @@ def test_keyword_marker_and_stemmer_override():
     chain2 = make_filter_chain(
         "standard", stem=True, stemmer_override={"gas": "gas"})
     assert chain2("gas") == ["gas"]
+
+
+def test_stemmer_override_protects_only_rewritten_instances():
+    """StemmerOverrideFilter sets KeywordAttribute on tokens it REWROTE;
+    a natural token equal to an override VALUE still stems normally."""
+    from opensearch_spark.analysis.analyzer import make_filter_chain
+
+    chain = make_filter_chain("standard", stem=True,
+                              stemmer_override={"ran": "runs"})
+    assert chain("runs ran") == ["run", "runs"]
+
+
+def test_synonyms_multi_single_token_rule_applies():
+    from opensearch_spark.analysis.analyzer import make_filter_chain
+
+    chain = make_filter_chain(
+        "standard", synonyms_multi={("ml",): "machine_learning",
+                                    ("ml", "ops"): "mlops"})
+    assert chain("ml pipeline") == ["machine_learning", "pipeline"]
+    assert chain("ml ops team") == ["mlops", "team"]  # longest still wins
+
+
+def test_join_udf_roundtrips_shingle_tokens(spark):
+    """Shingle tokens contain spaces — the join/split round-trip must use
+    a separator no tokenizer can emit, or shingles degrade to unigrams."""
+    from opensearch_spark.analysis import analyze_join_udf, tokens_col
+    from opensearch_spark.analysis.analyzer import ANALYZERS
+
+    df = spark.createDataFrame([("spark merge join",)], "content string")
+    joined = df.select(
+        analyze_join_udf("shingle_2")("content").alias("toks"))
+    got = joined.select(tokens_col("toks").alias("arr")).first()["arr"]
+    assert got == ANALYZERS["shingle_2"]("spark merge join")
+    assert got == ["spark merge", "merge join"]

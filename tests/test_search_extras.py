@@ -421,8 +421,15 @@ def test_fvh_fragment_tokens_align_with_analyzer_positions(spark, tmp_path):
         IndexConfig(field="content", analyzer="standard_code",
                     id_col="doc_id", with_positions=True, n_parts=2))
     s = Searcher(spark, idx)
+    # fvh is a fetch sub-phase: the top-k id page is required (corpus-wide
+    # highlighting without it raises)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="doc_ids"):
+        fvh_highlight(s, ["spark"], window_tokens=3)
     out = {r["doc_id"]: r["fragment"] for r in
-           fvh_highlight(s, ["spark", "merge"], window_tokens=3).collect()}
+           fvh_highlight(s, ["spark", "merge"], doc_ids=[0, 1],
+                         window_tokens=3).collect()}
     # analyzed stream: alpha beta gamma spark merge zz qq → best window
     # starts at 'spark' (pos 3) and must contain BOTH tagged terms
     assert out[0] == "<em>spark</em> <em>merge</em> zz"
@@ -825,3 +832,47 @@ def test_stored_scripts_registry():
     delete_stored_script("t-boost")
     with pytest.raises(KeyError):
         get_stored_script("t-boost")
+
+
+def test_completion_contexts_accept_non_string_plain_values(spark):
+    """A plain context value that isn't a string (int category id) is a
+    bare boost-1 context, not a subscript error."""
+    from opensearch_spark.search import completion_suggest
+
+    df = spark.createDataFrame(
+        [("spark shell", 5, 1), ("spark sql", 9, 2)],
+        "input string, weight int, cat int")
+    out = completion_suggest(df, "spark", size=5, weight_col="weight",
+                             context_col="cat", contexts=[1]).collect()
+    assert [(r["suggestion"], r["weight"]) for r in out] == [
+        ("spark shell", 5)]
+
+
+def test_highlight_empty_terms_is_a_noop(spark):
+    """No analyzed terms (e.g. all stopwords) → text unchanged, no
+    zero-width tag spray at every word boundary."""
+    from opensearch_spark.search import highlight_field
+    from opensearch_spark.search.highlight import highlight_fragments
+
+    df = spark.createDataFrame([("hello world",)], "text string")
+    r = highlight_field(df, "text", []).first()
+    assert r["highlight"] == "hello world"
+    r2 = highlight_fragments(df, "text", []).first()
+    assert r2["fragments"] == []
+
+
+def test_fragment_never_consumes_a_truncated_match(spark):
+    """A match whose text extends past the window end is not counted as
+    covered — a later window must still render it whole."""
+    from opensearch_spark.search.highlight import highlight_fragments
+
+    text = "x" * 90 + " abcdefghij rest of the tail here abcdefghij end"
+    df = spark.createDataFrame([(text,)], "text string")
+    out = df
+    rows = highlight_fragments(
+        out, "text", ["abcdefghij"], fragment_size=100,
+        number_of_fragments=3).first()["fragments"]
+    # every selected fragment that contains the term shows it TAGGED whole
+    assert any("<em>abcdefghij</em>" in f for f in rows)
+    for f in rows:
+        assert "abcdefghi" not in f.replace("<em>abcdefghij</em>", "")
