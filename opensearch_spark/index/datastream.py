@@ -55,9 +55,16 @@ def _canon_ts(s: str | None) -> str | None:
     for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
                 "%Y-%m-%d %H:%M", "%Y-%m-%d"):
         try:
-            return str(datetime.strptime(t, fmt))
+            out = str(datetime.strptime(t, fmt))
         except ValueError:
             continue
+        # Spark's timestamp->string cast TRIMS trailing fraction zeros
+        # ('00:00:00.5', never '00:00:00.500000'); the canonical form must
+        # match or a generation whose boundary equals the bound compares
+        # lexicographically smaller and gets wrongly pruned
+        if "." in out:
+            out = out.rstrip("0").rstrip(".")
+        return out
     raise ValueError(f"unrecognized timestamp string: {s!r}")
 
 
@@ -88,14 +95,30 @@ class DataStream:
 
         # local dense ids in arrival order (per-partition counts — the
         # same no-wide-shuffle discipline as assign_doc_ids mode=local).
-        # cache=False: the segment writer persists the derived analyzed
-        # frame itself; assign_doc_ids' internal persist would pin one
-        # copy of every batch ever appended with nothing releasing it
+        # cache=False defers the persist to HERE: append runs MULTIPLE
+        # actions over with_ids (the chunk-count agg + one write per
+        # chunk), and an unpersisted nondeterministically-partitioned
+        # batch (e.g. post-repartition round-robin) could assign a row
+        # different doc_ids per action — dropping it from every chunk or
+        # writing it into two generations. The persist is scoped to this
+        # append and released in the finally (assign_doc_ids' internal
+        # persist would pin one copy of every batch ever appended).
         from opensearch_spark.index.build import assign_doc_ids
         with_ids = assign_doc_ids(batch, list(cfg.order_cols) or [],
                                   mode="local", cache=False)
         with_ids = with_ids.withColumn(
             "_chunk", (F.col("doc_id") / F.lit(self.rollover_max_docs)).cast("int"))
+        with_ids = with_ids.persist()
+        try:
+            return self._append_chunks(spark, with_ids, next_gen, doc_base,
+                                       ts_col)
+        finally:
+            with_ids.unpersist()
+
+    def _append_chunks(self, spark: SparkSession, with_ids: DataFrame,
+                       next_gen: int, doc_base: int,
+                       ts_col: str | None) -> list[int]:
+        cfg = self.cfg
         n_chunks = with_ids.agg(F.max("_chunk")).collect()[0][0]
         n_chunks = int(n_chunks) + 1 if n_chunks is not None else 0
 
@@ -156,7 +179,9 @@ class DataStream:
         pruning from the manifests), and the range predicate is then
         applied row-level inside the surviving generations (whose ranges
         may straddle the bound). Pass ts_col=None to skip the row filter
-        (pruning only)."""
+        (pruning only). NOTE: an EMPTY stream (no generations yet) has no
+        document schema to borrow, so the frame returned carries only
+        doc_id — append at least one batch before selecting doc columns."""
         ts_min, ts_max = _canon_ts(ts_min), _canon_ts(ts_max)
         dirs = self._pruned_dirs(ts_min, ts_max)
         if not dirs:

@@ -26,6 +26,26 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 MANIFEST = "sort_manifest.json"
 
 
+def _canon_stat(v):
+    """JSON-storable, ORDER-PRESERVING form of a parquet column statistic
+    (and of query bounds, so manifest compares stay apples-to-apples):
+    datetimes/dates → ISO strings (lexicographic == chronological; a
+    bare-seconds string sorts before its .000001 sibling, correctly),
+    Decimal → float, binary → hex (lexicographic order preserved)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
 def write_sorted(df: DataFrame, out_dir: str, sort_col: str,
                  tiebreak_col: str, n_parts: int = 8) -> dict:
     """Write ``df`` as a sort-partitioned parquet table + manifest.
@@ -34,10 +54,29 @@ def write_sorted(df: DataFrame, out_dir: str, sort_col: str,
     (equal keys can only touch at boundaries); sortWithinPartitions makes
     each file internally sorted, so a reader of the selected file prefix
     sees fully sorted data after a cheap k-way merge (Spark's orderBy over
-    an already-clustered subset)."""
-    (df.repartitionByRange(n_parts, F.col(sort_col), F.col(tiebreak_col))
-       .sortWithinPartitions(sort_col, tiebreak_col)
-       .write.mode("overwrite").parquet(out_dir))
+    an already-clustered subset).
+
+    Timestamp sort columns: Spark's default parquet output type (INT96)
+    carries NO column statistics — which would silently void every prune
+    for the store's headline top-k-by-timestamp use. The write forces
+    TIMESTAMP_MICROS (stats-bearing) for the duration and restores the
+    session setting after."""
+    spark = df.sparkSession
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    is_ts = dict(df.dtypes).get(sort_col, "").startswith("timestamp")
+    prev = spark.conf.get(ts_key, None) if is_ts else None
+    if is_ts:
+        spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        (df.repartitionByRange(n_parts, F.col(sort_col), F.col(tiebreak_col))
+           .sortWithinPartitions(sort_col, tiebreak_col)
+           .write.mode("overwrite").parquet(out_dir))
+    finally:
+        if is_ts:
+            if prev is None:
+                spark.conf.unset(ts_key)
+            else:
+                spark.conf.set(ts_key, prev)
     import pyarrow.parquet as pq
 
     files = sorted(
@@ -59,7 +98,7 @@ def write_sorted(df: DataFrame, out_dir: str, sort_col: str,
                     mn = st.min if mn is None else min(mn, st.min)
                     mx = st.max if mx is None else max(mx, st.max)
         entries.append({"file": os.path.basename(path), "rows": rows,
-                        "min": mn, "max": mx})
+                        "min": _canon_stat(mn), "max": _canon_stat(mx)})
     from opensearch_spark.index.build import _atomic_write_json
 
     manifest = {"sort_col": sort_col, "tiebreak_col": tiebreak_col,
@@ -118,13 +157,19 @@ def prune_files_topk(manifest: dict, k: int, ascending: bool = True) -> list[str
 
 
 def prune_files_range(manifest: dict, lo=None, hi=None) -> list[str]:
-    """Files whose [min,max] intersects [lo,hi] (PointValues-style skip)."""
+    """Files whose [min,max] intersects [lo,hi] (PointValues-style skip).
+    Files with missing stats (all-NULL sort column) can't be skipped and
+    are always included — same posture as prune_files_topk. Bounds pass
+    through the same canonicalization the manifest stats were stored with
+    (datetime/date/Decimal/bytes → sortable JSON forms)."""
+    lo, hi = _canon_stat(lo), _canon_stat(hi)
     out = []
     for e in manifest["files"]:
-        if lo is not None and e["max"] < lo:
-            continue
-        if hi is not None and e["min"] > hi:
-            continue
+        if e.get("min") is not None and e.get("max") is not None:
+            if lo is not None and e["max"] < lo:
+                continue
+            if hi is not None and e["min"] > hi:
+                continue
         out.append(e["file"])
     return out
 
@@ -136,6 +181,9 @@ def topk_sorted(spark: SparkSession, path: str, k: int,
     pruned file prefix, then a bounded sort+limit on that subset."""
     m = _load_manifest(path)
     files = prune_files_topk(m, k, ascending)
+    if not files:  # empty table (manifest has no row-bearing files) / k<=0
+        out = spark.read.parquet(path).where(F.lit(False))
+        return out.select(*columns) if columns else out
     df = spark.read.parquet(*[os.path.join(path, f) for f in files])
     sc, tb = m["sort_col"], m["tiebreak_col"]
     order = ([F.asc(sc), F.asc(tb)] if ascending

@@ -34,10 +34,17 @@ def upsert_versioned(base: DataFrame, updates: DataFrame,
     tagged = (base.withColumn("_writer", F.lit(0))
               .unionByName(updates.withColumn("_writer", F.lit(1))))
     payload = [c for c in cols if c not in (id_col, version_col)]
-    pick = F.struct(F.col(version_col), F.col("_writer"),
-                    *[F.col(c) for c in payload])
+    # max_by on EXACTLY (version, _writer): payload columns must not
+    # influence the winner (LWW is decided by version + writer order
+    # alone) and must not need to be orderable (a map payload column
+    # would make a max-of-struct comparator fail outright). Duplicate
+    # (id, version) rows within ONE snapshot are a caller error — each
+    # side is a snapshot with one row per id.
+    key = F.struct(F.col(version_col), F.col("_writer"))
+    val = F.struct(F.col(version_col),
+                   *[F.col(c) for c in payload])
     won = (tagged.groupBy(id_col)
-           .agg(F.max(pick).alias("_w")))
+           .agg(F.max_by(val, key).alias("_w")))
     out_cols = ([F.col(id_col), F.col(f"_w.{version_col}").alias(version_col)]
                 + [F.col(f"_w.{c}").alias(c) for c in payload])
     return won.select(*out_cols)
@@ -45,13 +52,17 @@ def upsert_versioned(base: DataFrame, updates: DataFrame,
 
 def routing_partition(df: DataFrame, routing_col: str,
                       n_shards: int) -> DataFrame:
-    """Add a ``shard`` column: first-8-hex-of-md5(routing) % n_shards —
-    the deterministic doc→shard map (equal routing keys colocate; a
-    routed query prunes to one shard, ref OperationRouting.java:
-    ``shardId = hash(routing) % numPrimaryShards``)."""
-    h = F.conv(F.substring(F.md5(F.col(routing_col).cast("string")), 1, 8),
-               16, 10).cast("long")
-    return df.withColumn("shard", (h % n_shards).cast("int"))
+    """Add a ``shard`` column: the NON-RESIZABLE-index posture of the
+    reference's one routing formula (OperationRouting.java: shard =
+    hash % routingNumShards / routingFactor) with routingNumShards ==
+    n_shards, i.e. factor 1 — which reduces to hash % n_shards. Shares
+    the exact bucket/shard helpers the resize family uses, so the two
+    postures can never drift; an index that must support _split/_shrink
+    uses routing_bucket/shard_for with the 1024-bucket space instead."""
+    return df.withColumn(
+        "shard",
+        shard_for(routing_bucket(routing_col, routing_num_shards=n_shards),
+                  n_shards, routing_num_shards=n_shards))
 
 
 # --------------------------------------------------------------------------

@@ -447,3 +447,28 @@ def test_snapshot_failure_cleans_partial_target(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     SN.snapshot_index(src, snap)     # retry succeeds
     assert SN.verify_snapshot(snap) == 0
+
+
+def test_upsert_versioned_unorderable_payload_and_lww(spark):
+    """LWW is decided by (version, writer) ALONE: payload columns must
+    neither influence the winner nor need to be orderable (map payloads
+    break a max-of-struct comparator)."""
+    from opensearch_spark.index.versioning import upsert_versioned
+
+    base = spark.sql("""
+        SELECT id AS doc_id, 1 AS version,
+               map('k', concat('base', id)) AS attrs,
+               'zzz' AS payload
+        FROM range(4)""")
+    upd = spark.sql("""
+        SELECT id AS doc_id, CASE WHEN id < 2 THEN 2 ELSE 1 END AS version,
+               map('k', concat('upd', id)) AS attrs,
+               'aaa' AS payload
+        FROM range(4)""")
+    out = {r.doc_id: (r.version, r.attrs["k"], r.payload)
+           for r in upsert_versioned(base, upd).collect()}
+    # ids 0,1: update wins by version; ids 2,3: version tie → writer=1
+    # wins even though its payload 'aaa' sorts BELOW base's 'zzz'
+    assert out[0] == (2, "upd0", "aaa")
+    assert out[3] == (1, "upd3", "aaa")
+    assert len(out) == 4

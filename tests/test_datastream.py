@@ -102,3 +102,37 @@ def test_empty_stream_docs_view(spark, tmp_path):
     ds = DataStream(str(tmp_path / "empty_ds"), CFG)
     assert ds.docs_view(spark).count() == 0
     assert ds.generations() == []
+
+
+def test_canon_ts_matches_spark_trimmed_fractions():
+    """Spark's timestamp->string cast trims trailing fraction zeros; the
+    canonical bound form must match or boundary generations get wrongly
+    pruned."""
+    from opensearch_spark.index.datastream import _canon_ts
+
+    assert _canon_ts("2024-01-01T00:00:00.5") == "2024-01-01 00:00:00.5"
+    assert _canon_ts("2024-01-01 00:00:00.500000") == "2024-01-01 00:00:00.5"
+    assert _canon_ts("2024-01-01 00:00:00") == "2024-01-01 00:00:00"
+    assert _canon_ts("2024-01-01") == "2024-01-01 00:00:00"
+
+
+def test_append_nondeterministic_partitioning_is_exact(spark, tmp_path):
+    """A round-robin-repartitioned batch (nondeterministic on recompute)
+    must append EXACTLY once per row across rollover chunks."""
+    from opensearch_spark.index.build import IndexConfig
+    from opensearch_spark.index.datastream import DataStream
+
+    ds = DataStream(str(tmp_path / "nds"),
+                    IndexConfig(field="content", analyzer="standard",
+                                n_parts=2),
+                    rollover_max_docs=40)
+    batch = spark.sql("""
+        SELECT concat('doc ', id, ' words here') AS content,
+               id AS src_id FROM range(100)""").repartition(7)
+    gens = ds.append(spark, batch)
+    assert len(gens) == 3  # 100 docs / 40 per gen
+    view = ds.docs_view(spark, ts_col=None)
+    rows = view.select("src_id").collect()
+    ids = sorted(r.src_id for r in rows)
+    assert ids == list(range(100))  # no drops, no duplicates
+    assert ds.doc_count() == 100

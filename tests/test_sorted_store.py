@@ -93,3 +93,54 @@ def test_tie_bound_frozen_no_cascade(spark, tmp_path):
     want = [(r["doc_id"], r["n_chars"])
             for r in df.orderBy("n_chars", "doc_id").limit(10).collect()]
     assert got == want
+
+
+def test_timestamp_sort_column_manifest_and_topk(spark, tmp_path):
+    """Timestamp sort columns: parquet stats are datetime objects — the
+    manifest must store an order-preserving JSON form and prune with it."""
+    from opensearch_spark.index.sorted_store import (
+        range_scan_sorted, topk_sorted, write_sorted)
+
+    df = spark.sql("""
+        SELECT id AS doc_id,
+               timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)
+                   AS ts
+        FROM range(100)""")
+    d = str(tmp_path / "tsorted")
+    man = write_sorted(df, d, "ts", "doc_id", n_parts=4)
+    assert all(isinstance(e["min"], str) for e in man["files"])
+    top = topk_sorted(spark, d, 3).collect()
+    assert [r.doc_id for r in top] == [0, 1, 2]
+    import datetime
+    lo = datetime.datetime(2024, 1, 1, 0, 0, 50)
+    got = range_scan_sorted(spark, d, lo=lo).count()
+    assert got == 50  # ids 50..99
+
+
+def test_range_scan_tolerates_missing_stats(spark, tmp_path):
+    """A file with an all-NULL sort column (no stats) is always read,
+    never a TypeError in the pruner."""
+    from opensearch_spark.index.sorted_store import (
+        prune_files_range, range_scan_sorted, write_sorted)
+
+    df = spark.sql("""
+        SELECT id AS doc_id,
+               CASE WHEN id < 50 THEN NULL ELSE CAST(id AS LONG) END AS v
+        FROM range(100)""")
+    d = str(tmp_path / "nsorted")
+    man = write_sorted(df, d, "v", "doc_id", n_parts=4)
+    # at least one file carries null stats (the NULL half)
+    assert any(e["min"] is None for e in man["files"])
+    files = prune_files_range(man, lo=90)
+    assert files  # no crash, null-stat files included
+    assert range_scan_sorted(spark, d, lo=90).count() == 10
+
+
+def test_topk_on_empty_table(spark, tmp_path):
+    from opensearch_spark.index.sorted_store import topk_sorted, write_sorted
+
+    df = spark.range(0).selectExpr("id AS doc_id", "id AS v")
+    d = str(tmp_path / "esorted")
+    man = write_sorted(df, d, "v", "doc_id", n_parts=2)
+    assert man["files"] == []
+    assert topk_sorted(spark, d, 5).count() == 0
