@@ -4996,14 +4996,18 @@ g AS (SELECT doc_id, len(t) AS n,
                  i -> list_aggregate(t[i + 1:i + 2], 'string_agg', ' '))) AS gram
       FROM toks),
 c AS (SELECT doc_id, any_value(n) AS n, gram, count(*) AS cnt
-      FROM g GROUP BY doc_id, gram)
-SELECT doc_id, any_value(n) AS n_tokens,
-       round(least(CAST(1 AS DOUBLE), max(cnt) * 2.0 / any_value(n)), 6)
-           AS top2gram_frac,
-       round(least(CAST(1 AS DOUBLE),
-                   coalesce(sum(cnt) FILTER (cnt >= 2), 0) * 2.0 / any_value(n)),
-             6) AS dup2gram_frac
-FROM c GROUP BY doc_id ORDER BY doc_id
+      FROM g GROUP BY doc_id, gram),
+s AS (SELECT doc_id,
+             round(least(CAST(1 AS DOUBLE), max(cnt) * 2.0 / any_value(n)), 6)
+                 AS top2gram_frac,
+             round(least(CAST(1 AS DOUBLE),
+                         coalesce(sum(cnt) FILTER (cnt >= 2), 0) * 2.0
+                         / any_value(n)), 6) AS dup2gram_frac
+      FROM c GROUP BY doc_id)
+SELECT t.doc_id, len(t.t) AS n_tokens,
+       coalesce(s.top2gram_frac, 0.0) AS top2gram_frac,
+       coalesce(s.dup2gram_frac, 0.0) AS dup2gram_frac
+FROM toks t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id
 """)
 def curation_repetition(spark, sf_dir):
     """Gopher-style repetition signals at n=2 (the synthetic corpus has no
@@ -5145,12 +5149,12 @@ def dedup_url(spark, sf_dir):
 
 
 @q("text_token_stats", """
-WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
-                  length(trim(text)) AS chars
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
            FROM documents)
 SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_unique,
        round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS unique_ratio,
-       round((chars - (len(toks) - 1)) * 1.0 / len(toks), 6) AS mean_token_len
+       round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+             / len(toks), 6) AS mean_token_len
 FROM t ORDER BY doc_id
 """)
 def text_token_stats(spark, sf_dir):
@@ -5262,7 +5266,11 @@ def _langid_oracle() -> str:
         best = f"CASE WHEN h_{lang} > {best_n} THEN '{lang}' ELSE {best} END"
         best_n = f"greatest(h_{lang}, {best_n})"
     return f"""
-WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+WITH t AS (SELECT doc_id,
+                  list_transform(
+                      string_split_regex(trim(lower(text)), '\\s+'),
+                      t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$',
+                                          '', 'g')) AS toks
            FROM documents),
 x AS (SELECT doc_id, {', '.join(hit_cols)} FROM t)
 SELECT doc_id, ({best}) AS pred_lang FROM x ORDER BY doc_id

@@ -32,6 +32,8 @@ lexicographic (left, right) ascending so training is deterministic.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -193,11 +195,19 @@ def bpe_encode(df: DataFrame, text_col: str,
 
     out_schema = f"{id_col} long, tokens array<string>, n_tokens int"
 
+    # SAME tokenizer as training (Java regex \s+ is ASCII-only): Python's
+    # str.split() would split on unicode whitespace (e.g. \xa0) that
+    # training treated as part of a word, and a NULL row would encode the
+    # literal string 'None' — both silently diverge from word_counts
+    ws = re.compile(r"\s+", re.ASCII)
+
     def run(batches):
         cache: dict = {}
         for pdf in batches:
             toks = [
-                [t for w in str(x).split() for t in encode_word(w, cache)]
+                [] if x is None else
+                [t for w in ws.split(str(x).strip()) if w
+                 for t in encode_word(w, cache)]
                 for x in pdf[text_col]]
             yield pd.DataFrame({
                 id_col: pdf[id_col].astype("int64"),

@@ -74,13 +74,19 @@ def pack_sequences(df: DataFrame, max_tokens: int, text_col: str = "text",
     in and offset_in_seq is its start offset inside start_seq.
 
     Scale shape: a single global cumulative sum is a one-partition
-    bottleneck, so packing is windowed per ``part_col`` group (default:
-    the ``lang`` column if present, else one global group) — each group
-    is an independent tape with its own sequence numbering, exactly how a
-    1000-executor job packs per shard. Sequence ids are (group, seq)
-    pairs; downstream shuffles on them stay balanced.
+    bottleneck, so pass ``part_col`` (e.g. the lang column) to window the
+    packing per group — each group is an independent tape with its own
+    sequence numbering, exactly how a 1000-executor job packs per shard;
+    ``part_col=None`` (the default) is ONE global tape, fine for tests
+    and small corpora only. Sequence ids are (group, seq) pairs;
+    downstream shuffles on them stay balanced.
+
+    NULL text counts 0 tokens (Spark's size() of a null split is -1,
+    which would silently shift every later doc's tape position).
     """
-    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    n_tokens = F.when(
+        F.col(text_col).isNull(), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).cast("long")
     out = df.select(F.col(id_col), n_tokens.alias("n_tokens"),
                     *( [F.col(part_col)] if part_col else [] ))
     if part_col:
@@ -170,8 +176,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     counts = grams.groupBy(id_col, "gram").agg(
         F.first("n_tokens").alias("n_tokens"), F.count("*").alias("cnt"))
     one = F.lit(1.0)
-    return counts.groupBy(id_col).agg(
-        F.first("n_tokens").alias("n_tokens"),
+    stats = counts.groupBy(id_col).agg(
         F.round(F.least(one, F.max("cnt") * float(top_n) / F.first("n_tokens")),
                 6).alias(f"top{top_n}gram_frac"),
         F.round(F.least(one, F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))
@@ -179,6 +184,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                         * float(dup_n) / F.first("n_tokens")),
                 6).alias(f"dup{dup_n}gram_frac"),
     )
+    # docs SHORTER than the gram width emit zero shingles and would drop
+    # out of the explode entirely — report them with frac 0.0 so callers
+    # joining/filtering on these stats never lose short docs silently
+    base = df.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+    return (base.join(stats, id_col, "left")
+            .na.fill({f"top{top_n}gram_frac": 0.0,
+                      f"dup{dup_n}gram_frac": 0.0}))
 
 
 def sample_stratified(df: DataFrame, strata_col: str, n_per_stratum: int,

@@ -72,13 +72,16 @@ def png_features(df: DataFrame) -> DataFrame:
                     "sum_r": [], "sum_g": [], "sum_b": []}
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 img = decode_png(bytes(payload))
+                if img.ndim == 2:  # greyscale PNG decodes to H×W — treat
+                    img = img[:, :, None]  # the single plane as r=g=b
                 rows["doc_id"].append(int(did))
                 rows["height"].append(img.shape[0])
                 rows["width"].append(img.shape[1])
                 s = img.reshape(-1, img.shape[2]).sum(axis=0, dtype=np.int64)
-                rows["sum_r"].append(int(s[0]))
-                rows["sum_g"].append(int(s[1]))
-                rows["sum_b"].append(int(s[2]))
+                ch = [int(s[min(i, img.shape[2] - 1)]) for i in range(3)]
+                rows["sum_r"].append(ch[0])
+                rows["sum_g"].append(ch[1])
+                rows["sum_b"].append(ch[2])
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(
@@ -103,7 +106,10 @@ def wav_features(df: DataFrame) -> DataFrame:
                 rows["sample_rate"].append(int(rate))
                 rows["n_samples"].append(int(s.shape[0]))
                 rows["sum_abs"].append(int(np.abs(s64).sum()))
-                rows["max_abs"].append(int(np.abs(s64).max()))
+                # a spec-valid WAV may carry an EMPTY data chunk; max of a
+                # zero-size array raises, so degenerate audio reports 0
+                rows["max_abs"].append(
+                    int(np.abs(s64).max()) if s64.size else 0)
                 rows["n_sign_changes"].append(
                     int(((s64[:-1] * s64[1:]) < 0).sum()))
             yield pd.DataFrame(rows)
@@ -129,11 +135,18 @@ def extract_features(
             for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
                 img = decoder(bytes(payload), int(w), int(h))
                 gh, gw = max(1, img.shape[0] // grid), max(1, img.shape[1] // grid)
+                whole = img.reshape(-1, 3).mean(axis=0)
                 cells = []
                 for gy in range(grid):
                     for gx in range(grid):
                         cell = img[gy * gh:(gy + 1) * gh, gx * gw:(gx + 1) * gw]
-                        cells.extend(cell.reshape(-1, 3).mean(axis=0).tolist())
+                        # an image smaller than the grid leaves trailing
+                        # cells empty — mean of (0,3) is NaN, which would
+                        # silently poison downstream distances; fall back
+                        # to the whole-image mean for those cells
+                        m = (cell.reshape(-1, 3).mean(axis=0)
+                             if cell.size else whole)
+                        cells.extend(m.tolist())
                 feats.append([float(x) for x in cells])
                 nbytes.append(len(payload))
             yield pd.DataFrame({

@@ -23,18 +23,22 @@ def _toks(text_col: str):
 
 
 def token_stats(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
-    """token count / distinct count / unique ratio / mean token length."""
+    """token count / distinct count / unique ratio / mean token length.
+    mean_token_len is the TRUE mean of per-token lengths — the
+    chars-minus-separators shortcut assumes exactly one whitespace char
+    between tokens and arbitrarily inflates on multi-space/newline-
+    separated text (code, markdown), skewing any threshold on it."""
     toks = _toks(text_col)
     n = F.size(toks)
     nd = F.size(F.array_distinct(toks))
+    tok_chars = F.aggregate(F.transform(toks, F.length),
+                            F.lit(0), lambda a, x: a + x)
     return df.select(
         F.col(id_col),
         n.alias("n_tokens"),
         nd.alias("n_unique"),
         F.round(nd / n, 6).alias("unique_ratio"),
-        F.round(
-            (F.length(F.trim(F.col(text_col))) - (n - 1)) / n, 6
-        ).alias("mean_token_len"),
+        F.round(tok_chars / n, 6).alias("mean_token_len"),
     )
 
 
@@ -84,8 +88,12 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFra
 
 def lang_id(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
     """Marker-word language ID: argmax over per-language hit counts,
-    deterministic tie-break by language code; 'und' when nothing hits."""
-    toks = _toks(text_col)
+    deterministic tie-break by language code; 'und' when nothing hits.
+    Tokens are lowercased and stripped of edge punctuation before
+    matching — sentence-initial 'The' or 'et.' must hit their markers."""
+    toks = F.transform(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: F.regexp_replace(t, "^[^a-z0-9]+|[^a-z0-9]+$", ""))
     scores = []
     for lang in sorted(LANG_MARKERS):
         markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
@@ -114,8 +122,10 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str = "doc_id",
     """PII scrubbing (training-data hygiene): replace email / IPv4 /
     phone-like spans with a placeholder, reporting per-doc hit counts.
     Pure JVM regexp_replace chain — codegen, no UDF; the regex set is a
-    conservative public-pattern baseline, extensible per deployment."""
-    cleaned = F.col(text_col)
+    conservative public-pattern baseline, extensible per deployment.
+    NULL text counts 0 hits (size() of a null extract is -1, which would
+    otherwise report n_pii = -3 per null doc and corrupt hygiene sums)."""
+    cleaned = F.coalesce(F.col(text_col), F.lit(""))
     n_hits = F.lit(0)
     for _, pat in PII_PATTERNS:
         n_hits = n_hits + F.size(F.regexp_extract_all(cleaned, F.lit(pat), F.lit(0)))
@@ -123,5 +133,6 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str = "doc_id",
     return df.select(
         F.col(id_col),
         n_hits.cast("int").alias("n_pii"),
-        cleaned.alias("clean_text"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+         .otherwise(cleaned).alias("clean_text"),
     )

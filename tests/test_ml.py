@@ -627,3 +627,65 @@ class TestUrlDedup:
                for r in url_dedup(df).collect()}
         assert out["http://ex.com/a"] == (1, 2)
         assert out["http://ex.com/b"] == (3, 1)
+
+
+class TestReviewFixEdgeCases:
+    """Pins the review-fix semantics: NULL/short/degenerate inputs must
+    degrade explicitly (0 counts, empty arrays), never via sentinel
+    leakage (size(null)=-1) or silent row loss."""
+
+    def test_token_stats_true_mean_token_len(self, spark):
+        # "ab   cd" (multi-space): true mean token len is 2.0; the old
+        # chars-minus-separators shortcut would report (7-1)/2 = 3.0
+        from opensearch_spark.ml.textstats import token_stats
+        df = spark.createDataFrame([(1, "ab   cd")], "doc_id long, text string")
+        r = token_stats(df, "text").first()
+        assert r["n_tokens"] == 2 and r["mean_token_len"] == 2.0
+
+    def test_lang_id_case_and_punctuation_normalized(self, spark):
+        # sentence-initial capital + trailing punctuation must still hit
+        from opensearch_spark.ml.textstats import lang_id
+        df = spark.createDataFrame(
+            [(1, "The cat, of the mat; now then!")],
+            "doc_id long, text string")
+        assert lang_id(df, "text").first()["pred_lang"] == "en"
+
+    def test_pii_scrub_null_text(self, spark):
+        from opensearch_spark.ml.textstats import pii_scrub
+        df = spark.createDataFrame([(1, None), (2, "mail a@b.io now")],
+                                   "doc_id long, text string")
+        out = {r["doc_id"]: r for r in pii_scrub(df, "text").collect()}
+        assert out[1]["n_pii"] == 0 and out[1]["clean_text"] is None
+        assert out[2]["n_pii"] == 1
+
+    def test_repetition_stats_keeps_short_docs(self, spark):
+        # 1-token doc emits zero bigrams -> must still appear with 0.0
+        from opensearch_spark.ml import curation as CU
+        df = spark.createDataFrame([(1, "solo"), (2, "a b a b")],
+                                   "doc_id long, text string")
+        out = {r["doc_id"]: r for r in CU.repetition_stats(df).collect()}
+        assert set(out) == {1, 2}
+        assert out[1]["n_tokens"] == 1
+        assert out[1]["top2gram_frac"] == 0.0
+        assert out[1]["dup2gram_frac"] == 0.0
+
+    def test_pack_sequences_null_text_counts_zero(self, spark):
+        from opensearch_spark.ml import curation as CU
+        df = spark.createDataFrame([(1, "a b c"), (2, None), (3, "d e")],
+                                   "doc_id long, text string")
+        out = {r["doc_id"]: r for r in CU.pack_sequences(df, 5).collect()}
+        assert out[2]["n_tokens"] == 0
+        # doc 3 starts right after doc 1's 3 tokens (null contributed 0)
+        assert out[3]["start_seq"] == out[1]["start_seq"]
+        assert out[3]["offset_in_seq"] == 3
+
+    def test_bpe_encode_null_and_unicode_ws(self, spark):
+        from opensearch_spark.ml.bpe import bpe_train, bpe_encode
+        df = spark.createDataFrame(
+            [(1, "low low lower"), (2, None)], "doc_id long, text string")
+        merges = [(r["left"], r["right"]) for r in
+                  bpe_train(df, "text", n_merges=3).collect()]
+        out = {r["doc_id"]: r for r in
+               bpe_encode(df, "text", merges).collect()}
+        assert out[2]["tokens"] == [] and out[2]["n_tokens"] == 0
+        assert out[1]["n_tokens"] > 0
