@@ -3096,27 +3096,109 @@ def api_analyze_graph(spark, sf_dir):
     return parts[0].unionByName(parts[1]).orderBy("case_id", "position")
 
 
-@q("text_bpe_train")  # rows-only: merge loop is inherently sequential —
-# no SQL twin; semantics pinned against an independent in-test reference
-# implementation (tests/test_bpe.py), local ≡ distributed property-tested
+def _bpe_chain_sql(n_merges: int) -> str:
+    """Machine-generated DuckDB twin of the FULL BPE training loop
+    (ml/bpe.py conventions: ASCII \\s+ words, </w> end-of-word sentinel,
+    pair freq = every adjacent occurrence × word count, best = max freq
+    with (left, right) ASC tie-break, min_freq 2, greedy left-to-right
+    merge application). Each round k is one pair-count aggregation
+    (``p{k}``), one argmax (``b{k}``), and one RECURSIVE greedy merge
+    walk (``m{k}``: per word, a deterministic single-chain fold that
+    consumes two symbols on a pair hit, one otherwise — exactly
+    _merge_word). An empty ``b{k}`` (best freq < 2) degrades to the
+    identity walk, mirroring the engine's training break. Returns the
+    shared CTE chain ending at ``w{n_merges}`` (final symbol table) —
+    the train oracle unions the ``b{k}``; the encode oracle reuses the
+    final state, valid because applying merges in rank order reproduces
+    the training segmentation for every trained word (no later merge
+    can create a lower-rank pair: its tokens didn't exist earlier)."""
+    parts = [r"""
+wc_bpe AS MATERIALIZED (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+w0 AS MATERIALIZED (
+  SELECT word, cnt,
+         list_append(
+           list_transform(range(1, length(word)), i -> word[i]),
+           word[length(word)] || '</w>') AS syms
+  FROM wc_bpe
+)"""]
+    for k in range(1, n_merges + 1):
+        hit = (f"i < len(syms) AND syms[i] = (SELECT l FROM b{k}) "
+               f"AND syms[i+1] = (SELECT r FROM b{k})")
+        parts.append(f"""
+p{k} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS freq
+  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM w{k - 1})
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (SELECT l, r, freq FROM p{k} WHERE freq >= 2
+         ORDER BY freq DESC, l, r LIMIT 1),
+m{k} AS (
+  SELECT word, cnt, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM w{k - 1}
+  UNION ALL
+  SELECT word, cnt, syms,
+         CASE WHEN {hit} THEN i + 2 ELSE i + 1 END,
+         CASE WHEN {hit}
+              THEN list_append(acc, (SELECT l || r FROM b{k}))
+              ELSE list_append(acc, syms[i]) END
+  FROM m{k} WHERE i <= len(syms)
+),
+w{k} AS MATERIALIZED (SELECT word, cnt, acc AS syms FROM m{k} WHERE i > len(syms))""")
+    return "WITH RECURSIVE " + ",".join(parts)
+
+
+def _bpe_train_sql(n_merges: int = 16) -> str:
+    rows = " UNION ALL ".join(
+        f'SELECT CAST({k - 1} AS INT) AS rank, l AS "left", r AS "right", '
+        f"CAST(freq AS BIGINT) AS freq FROM b{k}"
+        for k in range(1, n_merges + 1))
+    return f"{_bpe_chain_sql(n_merges)} SELECT * FROM ({rows}) ORDER BY rank"
+
+
+def _bpe_encode_sql(n_merges: int = 16, max_doc: int = 200) -> str:
+    return f"""{_bpe_chain_sql(n_merges)},
+doc_words AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+    FROM documents WHERE doc_id < {max_doc})
+  WHERE word <> ''
+),
+per_doc AS (
+  SELECT d.doc_id, sum(len(w.syms)) AS n
+  FROM doc_words d JOIN w{n_merges} w USING (word) GROUP BY d.doc_id
+)
+SELECT base.doc_id, CAST(coalesce(per_doc.n, 0) AS INT) AS n_tokens
+FROM (SELECT doc_id FROM documents WHERE doc_id < {max_doc}) base
+LEFT JOIN per_doc USING (doc_id) ORDER BY base.doc_id
+"""
+
+
+@q("text_bpe_train", _bpe_train_sql())
 def text_bpe_train(spark, sf_dir):
     """BPE tokenizer training over the corpus (ml/bpe.py): ONE
     corpus-scale word-count shuffle, then the merge loop runs at
     vocabulary scale — collected locally under the auto threshold,
     distributed rounds with checkpoint discipline above it. Returns the
-    merge table (rank, left, right, freq) in training order."""
+    merge table (rank, left, right, freq) in training order. The oracle
+    is a from-scratch DuckDB BPE (recursive-CTE merge walks, no inlined
+    constants — see _bpe_chain_sql), so the gate is full-value-hash."""
     from opensearch_spark.ml.bpe import bpe_train
 
     d = _docs(spark, sf_dir)
     return bpe_train(d, "text", n_merges=16).orderBy("rank")
 
 
-@q("text_bpe_encode")  # rows-only: greedy rank-order encode is
-# sequential per word; round-trip + compression pinned in tests
+@q("text_bpe_encode", _bpe_encode_sql())
 def text_bpe_encode(spark, sf_dir):
     """Encode the corpus with the trained merges: Arrow-batched
     mapInPandas with a per-partition word cache; corpus scanned once,
-    merge table a closure broadcast."""
+    merge table a closure broadcast. Oracle: the training chain's final
+    symbol table IS the encoding of every trained word (rank-order
+    replay property), so per-doc n_tokens is a word-length join."""
     from opensearch_spark.ml.bpe import bpe_encode, bpe_train
 
     d = _docs(spark, sf_dir)
