@@ -6016,19 +6016,45 @@ def text_token_count_bpe(spark, sf_dir):
     return TS.token_count_bpe(_docs(spark, sf_dir), "text").orderBy("doc_id")
 
 
-@q("mm_feature_extract")  # rows-only: deterministic fake decode, tests pin values
+@q("mm_feature_extract", """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+grid AS (SELECT doc_id, x, y
+         FROM ids,
+              (SELECT unnest(generate_series(0, 15)) AS x),
+              (SELECT unnest(generate_series(0, 15)) AS y)),
+px AS (SELECT doc_id, x // 4 AS gx, y // 4 AS gy,
+              (doc_id + x) % 256 AS r, (doc_id * 3 + y) % 256 AS g,
+              (doc_id + x * y) % 256 AS b FROM grid),
+cells AS (SELECT doc_id, gy, gx,
+                 avg(r) AS mr, avg(g) AS mg, avg(b) AS mb
+          FROM px GROUP BY doc_id, gy, gx)
+SELECT doc_id, CAST((gy * 4 + gx) * 3 + ch.i AS INT) AS cell,
+       CAST(CASE ch.i WHEN 0 THEN mr WHEN 1 THEN mg ELSE mb END AS DOUBLE)
+           AS val
+FROM cells, (SELECT unnest([0, 1, 2]) AS i) ch
+ORDER BY doc_id, cell
+""")
 def mm_feature_extract(spark, sf_dir):
-    """Multimodal plumbing: binary payload column → mapInPandas feature
-    extraction (decode stubbed, Spark machinery real — ml/multimodal.py)."""
+    """Multimodal image pipeline END-TO-END REAL (upgrades the round-2
+    fake-decode stub): encode each derived 16×16 RGB image as a true PNG
+    (cycling row filters), DECODE it back (ml/codecs.py zlib inflate +
+    all five unfilters via real_decode), then extract 4×4-grid mean-RGB
+    feature cells (ml/multimodal.py extract_features). The oracle never
+    sees the bytes — it recomputes every cell mean closed-form from the
+    pixel formula, so the hash match certifies decoder + featurizer.
+    Cell means are multiples of 1/16 < 256, exactly representable in
+    float32 AND double, so the compare is exact, not rounded."""
     from opensearch_spark.ml import multimodal as MM
 
-    d = _docs(spark, sf_dir).limit(50).select(
-        "doc_id",
-        F.lit("image").alias("media_type"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.lit(4).alias("width"), F.lit(4).alias("height"))
-    feats = MM.extract_features(d, decoder=MM.fake_decode, grid=2)
-    return feats.select("doc_id", "media_type", "n_bytes").orderBy("doc_id")
+    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") < 48)
+    media = _png_media(d).select(
+        "doc_id", F.lit("image").alias("media_type"), "payload",
+        F.lit(16).alias("width"), F.lit(16).alias("height"))
+    feats = MM.extract_features(media, decoder=MM.real_decode, grid=4)
+    return (feats.select("doc_id", F.posexplode("feat").alias("cell", "val"))
+            .select("doc_id", F.col("cell").cast("int").alias("cell"),
+                    F.col("val").cast("double").alias("val"))
+            .orderBy("doc_id", "cell"))
 
 
 # --------------------------------------------------------------------------
