@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import time as _time
 import uuid
 from dataclasses import asdict
 
@@ -44,6 +45,29 @@ from opensearch_spark.index.build import (
 
 def _manifest_path(out_dir: str, seg: int) -> str:
     return os.path.join(out_dir, "manifest", f"seg_{seg}.json")
+
+
+def _parquet_rows(path: str) -> int | None:
+    """Row count from parquet footers only — metadata reads, no scan."""
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path) if f.endswith(".parquet"))
+    except (OSError, ValueError):
+        return None
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
 
 
 def read_manifest(out_dir: str) -> dict[int, dict]:
@@ -126,6 +150,7 @@ def build_segments(
     for seg in segs:
         if seg in committed:
             continue
+        t0 = _time.perf_counter()
         part = with_seg.where(F.col("segment_id") == seg)
         seg_dir = os.path.join(out_dir, "segments", f"seg_{seg}")
         analyzed, docs = write_segment_tables(
@@ -142,12 +167,23 @@ def build_segments(
         if os.path.exists(mp):
             with open(mp) as fh:
                 prev_attempt = json.load(fh).get("attempt", 0)
+        wall = _time.perf_counter() - t0
+        rows = int(sig["rows"])
         _atomic_write_json(mp, {
             "segment_id": seg,
-            "rows": int(sig["rows"]),
+            "rows": rows,
             "sha256_xor_sig": int(sig["sig"]) if sig["sig"] is not None else 0,
             "status": "committed",
             "attempt": prev_attempt + 1,
+            # per-partition metrics (north-rule: lineage + METRICS): wall
+            # seconds, throughput, posting rows (parquet footer counts —
+            # no extra Spark job), and on-disk bytes for capacity planning
+            "metrics": {
+                "build_wall_s": round(wall, 4),
+                "docs_per_sec": round(rows / wall, 2) if wall > 0 else None,
+                "n_postings": _parquet_rows(os.path.join(seg_dir, "postings")),
+                "bytes_on_disk": _dir_bytes(seg_dir),
+            },
         })
         analyzed.unpersist()
         done_now += 1
@@ -164,6 +200,7 @@ def merge_segments(
     """Merge all committed segments into the global index tables
     (docs/postings/dictionary/stats/meta) — the global merge-sort step."""
     cfg = config
+    t0 = _time.perf_counter()
     committed = read_manifest(out_dir)
     if not committed:
         raise ValueError("no committed segments to merge")
@@ -202,6 +239,24 @@ def merge_segments(
     # cache's generation fingerprint keys on it
     meta["build_id"] = uuid.uuid4().hex
     _atomic_write_json(os.path.join(out_dir, "meta.json"), meta)
+    # build-metrics rollup (north-rule: per-partition lineage + metrics):
+    # every segment's manifest metrics plus the global merge cost, so a
+    # cluster operator reads one file for throughput/capacity per build
+    merge_wall = _time.perf_counter() - t0
+    _atomic_write_json(os.path.join(out_dir, "metrics.json"), {
+        "doc_count": doc_count,
+        "merge_wall_s": round(merge_wall, 4),
+        "merge_docs_per_sec": round(doc_count / merge_wall, 2)
+            if merge_wall > 0 else None,
+        "postings_bytes": _dir_bytes(os.path.join(out_dir, "postings")),
+        "segments": {
+            str(s): committed[s].get("metrics", {}) | {
+                "rows": committed[s]["rows"],
+                "attempt": committed[s].get("attempt"),
+            }
+            for s in sorted(committed)
+        },
+    })
     return InvertedIndex(out_dir)
 
 

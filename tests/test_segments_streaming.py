@@ -53,6 +53,40 @@ def test_crash_resume_merge_equals_direct_build(spark, tmp_path):
     assert pa == pb
 
 
+def test_manifest_and_rollup_metrics(spark, tmp_path):
+    """North-rule 'per-partition lineage + metrics': every segment
+    manifest carries wall/throughput/posting-row/bytes metrics (posting
+    rows cross-checked against the actual written parquet), and
+    merge_segments writes a metrics.json rollup covering every segment
+    plus the global merge cost."""
+    import json
+
+    corpus = spark.read.parquet(DOCS).limit(80)
+    seg_dir = str(tmp_path / "metrics_idx")
+    build_segments(spark, corpus, seg_dir, CFG, n_segments=2)
+    m = read_manifest(seg_dir)
+    assert len(m) == 2
+    for s, entry in m.items():
+        mt = entry["metrics"]
+        assert mt["build_wall_s"] > 0
+        assert mt["docs_per_sec"] > 0
+        assert mt["bytes_on_disk"] > 0
+        got = spark.read.parquet(
+            os.path.join(seg_dir, "segments", f"seg_{s}", "postings")).count()
+        assert mt["n_postings"] == got > 0
+
+    merge_segments(spark, seg_dir, CFG)
+    with open(os.path.join(seg_dir, "metrics.json")) as fh:
+        roll = json.load(fh)
+    assert roll["doc_count"] == 80
+    assert roll["merge_wall_s"] > 0 and roll["postings_bytes"] > 0
+    assert set(roll["segments"]) == {str(s) for s in m}
+    for s, entry in m.items():
+        assert roll["segments"][str(s)]["rows"] == entry["rows"]
+        assert roll["segments"][str(s)]["n_postings"] == \
+            entry["metrics"]["n_postings"]
+
+
 def test_rerun_is_idempotent(spark, tmp_path):
     corpus = spark.read.parquet(DOCS).limit(50)
     seg_dir = str(tmp_path / "idem")
