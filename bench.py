@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "search_suggest_completion_context",
     # round-3 sixth-session additions
     "sim_hnsw_topk",
+    # round-3 close: real multimodal decode pipelines (PNG encode→decode)
+    "mm_png_features",
+    "mm_feature_extract",
 ]
 
 

@@ -96,3 +96,13 @@ def test_rotation_reads_correctness_files(tmp_path, monkeypatch):
     n_unverified = sum(1 for k in ks if k not in v)
     assert all(k not in v for k in ks[:n_unverified])
     assert all(k in v for k in ks[n_unverified:])
+
+
+def test_bench_queries_exist():
+    """Every bench.py headline op must be a real queries() gate — a
+    renamed/removed gate must fail here, not in the driver's bench run."""
+    import bench
+
+    qs = entry_mod.queries()
+    missing = [q for q in bench.BENCH_QUERIES if q not in qs]
+    assert not missing, missing
