@@ -123,15 +123,27 @@ def main() -> None:
         build_sec["train"] = round(time.perf_counter() - t0, 3)
     if need_pq:
         t0 = time.perf_counter()
-        S.PqIndex.build(emb, pq_dir, books)
+        S.PqIndex.build(emb, pq_dir, books, store_vec=True)
         build_sec["pq"] = round(time.perf_counter() - t0, 3)
     if need_ivfpq:
         t0 = time.perf_counter()
-        S.IvfPqIndex.build(emb, ivfpq_dir, cents, books)
+        S.IvfPqIndex.build(emb, ivfpq_dir, cents, books, store_vec=True)
         build_sec["ivfpq"] = round(time.perf_counter() - t0, 3)
+    # per-segment HNSW graphs (ml/hnsw.py): 64 segments keep each
+    # python-side graph build ~8k vectors; build is one applyInPandas
+    # wave, cached like the other indexes
+    from opensearch_spark.ml.hnsw import HnswIndex
+
+    hnsw_dir = os.path.join(root, "hnsw")
+    if not os.path.exists(os.path.join(hnsw_dir, "meta.json")):
+        t0 = time.perf_counter()
+        HnswIndex.build(emb, hnsw_dir, m=8, ef_construction=64,
+                        n_segments=64)
+        build_sec["hnsw"] = round(time.perf_counter() - t0, 3)
     ann = S.AnnIndex(ann_dir)
     pq = S.PqIndex(pq_dir)
     ivfpq = S.IvfPqIndex(ivfpq_dir)
+    hnsw = HnswIndex(hnsw_dir)
 
     # 3 query vectors drawn from the corpus (doc 0 / mid / last cluster)
     qids = [0, n_vecs // 2, n_vecs - 1]
@@ -169,11 +181,28 @@ def main() -> None:
             "ivf": lambda: ids(ann.ivf_topk(spark, qv, k=K, nprobe=4,
                                             exclude_id=qi)),
             "pq_adc": lambda: ids(pq.topk(spark, qv, k=K, exclude_id=qi)),
+            # rerank=100: the faiss IndexRefineFlat serving config — ADC
+            # (or coarse-pruned ADC) shortlists 100, exact distances on
+            # the stored vectors rank the final 10. Raw ADC recall on
+            # THIS workload is ~0 by construction (64 dense clusters,
+            # sigma 0.15: within-cluster ranking is below PQ8x64's
+            # quantization floor), which is exactly why the refine path
+            # exists — report both so the floor stays visible.
+            "pq_rerank100": lambda: ids(pq.topk(spark, qv, k=K,
+                                                exclude_id=qi, rerank=100)),
             "ivfpq": lambda: ids(ivfpq.topk(spark, qv, k=K, nprobe=4,
                                             exclude_id=qi)),
+            "ivfpq_rerank100": lambda: ids(ivfpq.topk(spark, qv, k=K,
+                                                      nprobe=4,
+                                                      exclude_id=qi,
+                                                      rerank=100)),
+            "hnsw": lambda: ids(hnsw.topk(spark, qv, k=K, ef_search=100,
+                                          exclude_id=qi)),
         }
         truth = {"exact_cosine": exact_cos, "lsh": exact_cos,
-                 "ivf": exact_cos, "pq_adc": exact_l2, "ivfpq": exact_l2}
+                 "ivf": exact_cos, "pq_adc": exact_l2, "ivfpq": exact_l2,
+                 "pq_rerank100": exact_l2, "ivfpq_rerank100": exact_l2,
+                 "hnsw": exact_cos}
         for name, fn in ops.items():
             got = fn()  # warm + recall measurement
             r = len(set(got) & set(truth[name])) / float(K)
