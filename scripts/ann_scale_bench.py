@@ -154,6 +154,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     recall: dict[str, float] = {}
+    cprec: dict[str, float] = {}
     K = 10
 
     def ids(df):
@@ -207,6 +208,13 @@ def main() -> None:
             got = fn()  # warm + recall measurement
             r = len(set(got) & set(truth[name])) / float(K)
             recall[name] = recall.get(name, 0.0) + r / len(qids)
+            # cluster-precision@10: fraction of returns from the query's
+            # true generative cluster (vec_id % N_CLUSTERS) — separates
+            # "captures the coarse structure" from exact-rank recall,
+            # which the quantized paths cannot express on this workload
+            cp = sum(1 for g in got if g % N_CLUSTERS == qi % N_CLUSTERS) \
+                / float(max(len(got), 1))
+            cprec[name] = cprec.get(name, 0.0) + cp / len(qids)
             t = best_of(fn, n_reps)
             timings[name] = max(timings.get(name, 0.0), t)  # worst query
 
@@ -218,6 +226,8 @@ def main() -> None:
         "build_sec": build_sec,
         "latency_sec_worst_query_best_of_reps": timings,
         "recall_at_10_mean": {k: round(v, 2) for k, v in recall.items()},
+        "cluster_precision_at_10_mean": {k: round(v, 2)
+                                         for k, v in cprec.items()},
     }
     print(json.dumps(out))
 
