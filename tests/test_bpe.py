@@ -111,3 +111,70 @@ def test_eow_prevents_cross_word_merges(spark):
               bpe_train(df, "text", n_merges=2).collect()]
     for left, right in merges:
         assert not (left.endswith(EOW))  # never merge past a word end
+
+
+# --- the DuckDB SQL-oracle twin vs the independent reference -------------
+# (no Spark: validates the generated recursive-CTE SQL in entry_queries
+# against ref_train / a test-local encode on adversarial corpora)
+
+ORACLE_CASES = [
+    ["low low low low low", "lower lower newest newest newest"],
+    # ties in pair frequency -> (left, right) ASC must break them
+    ["ab ab", "cd cd", "ef ef"],
+    # runs of one char: greedy left-to-right overlap semantics
+    ["aaaa aaaa aaa", "aaaaa"],
+    # single-char words (no pairs from them) + min_freq cutoff tail
+    ["a b c d", "a a b b", "xyz"],
+    # multi-space / tab separators; trailing whitespace
+    ["one  two\tthree  ", "  one one\ttwo"],
+    # words where a merged token could prefix another pair
+    ["abc abc bcd bcd abcd abcd"],
+]
+
+
+def _duck_with_docs(texts):
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    con.register("documents", pdf)
+    return con
+
+
+@pytest.mark.parametrize("texts", ORACLE_CASES)
+def test_train_sql_oracle_matches_reference(texts):
+    from opensearch_spark.entry_queries import _bpe_train_sql
+
+    con = _duck_with_docs(texts)
+    got = [tuple(r) for r in con.sql(_bpe_train_sql()).fetchall()]
+    want = ref_train(texts, 16)
+    assert got == want
+
+
+@pytest.mark.parametrize("texts", ORACLE_CASES)
+def test_encode_sql_oracle_matches_reference(texts):
+    from opensearch_spark.entry_queries import _bpe_encode_sql
+
+    merges = [(l, r) for _, l, r, _ in ref_train(texts, 16)]
+
+    def enc_len(word):  # rank-order replay, greedy left-to-right
+        syms = list(word[:-1]) + [word[-1] + EOW]
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    con = _duck_with_docs(texts)
+    got = {r[0]: r[1]
+           for r in con.sql(_bpe_encode_sql(max_doc=len(texts))).fetchall()}
+    want = {i: sum(enc_len(w) for w in t.split() if w)
+            for i, t in enumerate(texts)}
+    assert got == want
