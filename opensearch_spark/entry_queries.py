@@ -9265,6 +9265,47 @@ def api_analyze_cjk_dict(spark, sf_dir):
     return analyze_api(d, "text", "cjk_dict").orderBy("doc_id", "position")
 
 
+@q("api_ingest_simulate", """
+WITH base AS (SELECT event_id, event_type FROM events WHERE event_id < 50),
+s1 AS (SELECT event_id, upper(event_type) AS v FROM base),
+s2 AS (SELECT event_id, replace(v, '_', '-') AS v FROM s1),
+s3 AS (SELECT event_id, concat(v, ':sim') AS v FROM s2),
+trace AS (
+  SELECT event_id, 1 AS step, 'uppercase' AS processor_tag, v FROM s1
+  UNION ALL
+  SELECT event_id, 2, 'gsub', v FROM s2
+  UNION ALL
+  SELECT event_id, 3, 'set_suffix', v FROM s3)
+SELECT event_id, CAST(step AS INT) AS step, processor_tag,
+       v AS event_type_value
+FROM trace ORDER BY event_id, step
+""")
+def api_ingest_simulate(spark, sf_dir):
+    """_ingest/pipeline/_simulate?verbose=true (SimulatePipelineRequest,
+    SimulateExecutionService.java — run a pipeline over sample docs
+    WITHOUT indexing and return each document's state after EVERY
+    processor). The trace is one projection per processor stage over the
+    sample frame, exploded to (doc, step, processor_tag, value) rows via
+    a stack of the staged columns — no writes, no shuffle beyond the
+    final sort, and each stage's expression builds on the previous
+    stage's column exactly like the chained-processor execution."""
+    ev = (_t(spark, sf_dir, "events").where(F.col("event_id") < 50)
+          .select("event_id", "event_type"))
+    v1 = F.upper("event_type")
+    v2 = F.regexp_replace(v1, "_", "-")
+    v3 = F.concat(v2, F.lit(":sim"))
+    staged = ev.select(
+        "event_id", v1.alias("_s1"), v2.alias("_s2"), v3.alias("_s3"))
+    trace = staged.select(
+        "event_id",
+        F.expr("stack(3, 1, 'uppercase', _s1, 2, 'gsub', _s2,"
+               " 3, 'set_suffix', _s3) AS (step, processor_tag,"
+               " event_type_value)"))
+    return (trace.select("event_id", F.col("step").cast("int").alias("step"),
+                         "processor_tag", "event_type_value")
+            .orderBy("event_id", "step"))
+
+
 # --------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate verifies the first
 # ~50 queries() entries each round. Gates with a green row in
