@@ -9306,6 +9306,50 @@ def api_ingest_simulate(spark, sf_dir):
             .orderBy("event_id", "step"))
 
 
+@q("api_cat_segments", """
+WITH n AS (SELECT count(*) AS cnt FROM documents),
+spans AS (SELECT CAST(ceil(cnt * 1.0 / 4) AS BIGINT) AS span FROM n)
+SELECT CAST(doc_id // span AS INT) AS segment_id,
+       count(*) AS docs,
+       CAST(1 AS INT) AS attempt,
+       'committed' AS status
+FROM documents, spans GROUP BY 1 ORDER BY 1
+""")
+def api_cat_segments(spark, sf_dir):
+    """_segments / _cat/segments (RestIndicesSegmentsAction,
+    RestSegmentsAction — per-segment shard rows): reported FROM THE
+    RESUMABLE BUILD'S LINEAGE MANIFESTS (index/segments.py), which puts
+    the north-rule checkpoint path itself behind a value-hash oracle:
+    the oracle recomputes each segment's doc population from the
+    doc_id-range partitioning contract, so a segment that lost or
+    double-committed rows — or re-ran when it should have resumed
+    (attempt > 1) — hash-mismatches. The build runs once per sf dir and
+    is reused via the manifests' own freshness information."""
+    import shutil
+
+    from opensearch_spark.index.build import IndexConfig
+    from opensearch_spark.index.segments import build_segments, read_manifest
+
+    out = os.path.join(
+        INDEX_ROOT,
+        hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+        + "_segcat")
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    n = corpus.count()
+    m = read_manifest(out)
+    if len(m) != 4 or sum(v["rows"] for v in m.values()) != n:
+        shutil.rmtree(out, ignore_errors=True)
+        build_segments(
+            spark, corpus, out,
+            IndexConfig(field="text", analyzer="standard", id_col="doc_id",
+                        n_parts=4, bucket_span=1 << 12), n_segments=4)
+        m = read_manifest(out)
+    rows = [(int(s), int(v["rows"]), int(v.get("attempt", 1)), v["status"])
+            for s, v in sorted(m.items())]
+    return spark.createDataFrame(
+        rows, "segment_id int, docs long, attempt int, status string")
+
+
 # --------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate verifies the first
 # ~50 queries() entries each round. Gates with a green row in
