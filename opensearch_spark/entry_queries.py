@@ -9350,6 +9350,93 @@ def api_cat_segments(spark, sf_dir):
         rows, "segment_id int, docs long, attempt int, status string")
 
 
+@q("agg_terms_unsigned_long", """
+WITH u AS (
+  SELECT CAST(9223372036854775308 AS DECIMAL(20,0))
+         + CAST(o_custkey AS DECIMAL(20,0)) * 7 AS ukey
+  FROM orders
+),
+g AS (SELECT ukey, count(*) AS doc_count FROM u GROUP BY ukey)
+SELECT CAST(ukey AS VARCHAR) AS key, doc_count
+FROM g ORDER BY ukey DESC LIMIT 10
+""")
+def agg_terms_unsigned_long(spark, sf_dir):
+    """unsigned_long field type + UnsignedLongTerms agg
+    (NumberFieldMapper.java:980 UNSIGNED_LONG, UnsignedLongTerms.java:32,
+    DocValueFormat.java:564 UNSIGNED_LONG_SHIFTED): 64-bit unsigned values
+    are STORED as their raw two's-complement bits in a signed long column
+    (values above 2^63-1 wrap negative) and decoded back to the unsigned
+    domain at reduce time, exactly the reference's shifted-docvalue
+    contract. The derived key straddles 2^63 (2^63-500 + o_custkey*7), so
+    a signed-ordered engine returns a DIFFERENT key-descending top-10 —
+    the gate pins the unsigned decode + ordering, not just the grouping.
+    Keys are reported as strings (they exceed BIGINT range)."""
+    TWO63 = "9223372036854775807"
+    TWO64 = "18446744073709551616"
+    orders = _t(spark, sf_dir, "orders")
+    u = orders.select(
+        F.expr("CAST(9223372036854775308 AS DECIMAL(20,0))"
+               " + CAST(o_custkey AS DECIMAL(20,0)) * 7").alias("ukey"))
+    # index-time storage: raw unsigned bits in a signed 64-bit column
+    stored = u.select(
+        F.expr(f"CASE WHEN ukey > {TWO63}"
+               f" THEN CAST(ukey - {TWO64} AS BIGINT)"
+               " ELSE CAST(ukey AS BIGINT) END").alias("bits"))
+    g = stored.groupBy("bits").agg(F.count("*").alias("doc_count"))
+    # reduce-time decode: negative bits are the large unsigned values
+    dec = g.withColumn(
+        "_u", F.expr(f"CASE WHEN bits < 0"
+                     f" THEN CAST(bits AS DECIMAL(20,0)) + {TWO64}"
+                     " ELSE CAST(bits AS DECIMAL(20,0)) END"))
+    return (dec.orderBy(F.desc("_u")).limit(10)
+            .select(F.col("_u").cast("string").alias("key"), "doc_count"))
+
+
+@q("search_highlight_matched_fields", f"""
+WITH src AS (SELECT doc_id, {O.PLURALIZE_SQL} AS text2 FROM documents),
+toks AS (SELECT doc_id, string_split_regex(trim(text2), '\\s+') AS t
+         FROM src),
+m AS (SELECT doc_id,
+             length(list_filter(t, x -> x = 'tables'
+                 OR {O.stem_minimal_sql('x')} = 'query')) AS n_matches,
+             array_to_string(list_transform(t,
+                 x -> CASE WHEN x = 'tables'
+                            OR {O.stem_minimal_sql('x')} = 'query'
+                      THEN '<em>' || x || '</em>' ELSE x END), ' ')
+                 AS highlight
+      FROM toks)
+SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches, highlight
+FROM m WHERE n_matches > 0
+ORDER BY n_matches DESC, doc_id LIMIT 10
+""")
+def search_highlight_matched_fields(spark, sf_dir):
+    """highlight matched_fields (AbstractHighlighterBuilder.java:96
+    MATCHED_FIELDS_FIELD; FastVectorHighlighter.java:181-187 blends each
+    matched field's FieldPhraseList onto the base field's offsets): query
+    terms matched under DIFFERENT analyzers — the exact base field
+    ('tables') and its stemmed subfield (query 'query' matching both
+    'query' and 'queries' tokens) — combine into ONE match-position set,
+    rendered token-wise on the base field's content. Tokenizations align
+    position-for-position (the stemmer is token-local), which is the
+    reference's requirement that matched_fields share the base field's
+    offsets. Pluralized corpus twin of O.PLURALIZE_SQL; all-Catalyst
+    (split/filter/transform), runs on the bounded hit page ordering."""
+    stem = O.stem_minimal_sql("x")
+    cond = f"x = 'tables' OR {stem} = 'query'"
+    d = _pluralized(_docs(spark, sf_dir).select("doc_id", "text"))
+    toks = d.select(
+        "doc_id", F.expr(r"split(trim(text), '\\s+')").alias("t"))
+    m = toks.select(
+        "doc_id",
+        F.expr(f"CAST(size(filter(t, x -> {cond})) AS BIGINT)")
+         .alias("n_matches"),
+        F.expr(f"array_join(transform(t, x -> CASE WHEN {cond}"
+               " THEN concat('<em>', x, '</em>') ELSE x END), ' ')")
+         .alias("highlight"))
+    return (m.where(F.col("n_matches") > 0)
+            .orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(10))
+
+
 # --------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate verifies the first
 # ~50 queries() entries each round. Gates with a green row in
