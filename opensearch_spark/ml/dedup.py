@@ -252,11 +252,45 @@ def banded_signatures(sh: DataFrame, id_col: str = "doc_id",
 #: all-pairs to star expansion (bucket-min ↔ member); mirrored in oracles
 LSH_MAX_BUCKET = 64
 
+#: corpora above this row count get the forced scale posture (sort-merge
+#: joins + DISK_ONLY persists); at or below it the plan is left to
+#: Catalyst/AQE (broadcast where cheap) with on-heap persists — measured
+#: 3x faster at gate scale (12.2 s -> 4.2 s on the sf0.1 minhash gate)
+#: where every forced shuffle is pure overhead
+SCALE_POSTURE_MIN_DOCS = 100_000
+
+
+def _scale_posture(df: DataFrame, override: bool | None) -> bool:
+    """Join/persist posture for corpus-scaled dedup pipelines.
+
+    True -> forced sort-merge joins + DISK_ONLY persists: the only
+    posture that survives real size (a mis-estimated auto-broadcast of a
+    corpus-scaled intermediate OOMed the 8g driver at 600k docs; on-heap
+    caching of the shingle frame starved the executors — GCLocker thrash).
+    False -> no join hints (AQE localizes / broadcasts small sides) +
+    MEMORY_AND_DISK persists, the fast path for gate-scale inputs.
+
+    ``override`` pins the posture without a count; ``None`` auto-decides
+    with one count() job (metadata-cheap on parquet sources) against
+    SCALE_POSTURE_MIN_DOCS — the same auto-posture pattern as Searcher's
+    vocab preload and unigram_logppl's broadcast threshold. Output is
+    identical either way; only plan shape switches.
+    """
+    if override is not None:
+        return bool(override)
+    return df.count() > SCALE_POSTURE_MIN_DOCS
+
+
+def _mj(df: DataFrame, scale: bool) -> DataFrame:
+    """Apply the merge-join hint under the scale posture, else pass through."""
+    return df.hint("merge") if scale else df
+
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
                       n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS,
                       threshold: float = 0.5, id_col: str = "doc_id",
-                      max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
+                      max_bucket: int | None = LSH_MAX_BUCKET,
+                      scale_posture: bool | None = None) -> DataFrame:
     """MinHash + LSH banding → candidate pairs → exact-jaccard verify.
 
     Hot-bucket guard: a band bucket with m members contributes m²/2
@@ -273,39 +307,40 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
     it anyway). ``None`` disables the guard.
 
     Every frame in this pipeline (band keys, candidate pairs, shingle
-    hashes, per-doc sizes) scales with the CORPUS, so every join carries
-    an explicit merge (sort-merge) hint: Catalyst's size estimates for
-    multi-shuffle intermediates are unreliable, and a mis-estimated
-    auto-broadcast of the candidate or size side OOMs the driver at real
-    size (observed at 600k docs / 8g driver). Shuffle joins are the only
-    posture that survives any scale; AQE still localizes the small cases
-    at runtime.
-
-    The shared shingle frame is persisted DISK_ONLY, not on-heap: it
-    scales with the corpus (≈100 shingle rows per doc), and deserialized
-    heap caching of it starved the executor heap at 600k docs (GCLocker
-    thrash → OOM). Disk materialization is the posture that holds at any
-    scale — one shingling pass, three sequential re-reads."""
+    hashes, per-doc sizes) scales with the CORPUS, so under the scale
+    posture every join carries an explicit merge (sort-merge) hint:
+    Catalyst's size estimates for multi-shuffle intermediates are
+    unreliable, and a mis-estimated auto-broadcast of the candidate or
+    size side OOMs the driver at real size (observed at 600k docs / 8g
+    driver). The shared shingle frame is then persisted DISK_ONLY, not
+    on-heap: it scales with the corpus (≈100 shingle rows per doc), and
+    deserialized heap caching of it starved the executor heap at 600k
+    docs (GCLocker thrash → OOM). ``scale_posture`` (None = auto by
+    corpus count, see :func:`_scale_posture`) keeps that at-scale plan
+    while letting gate-scale inputs skip the forced shuffles — 3x
+    measured on the sf0.1 gate, byte-identical output."""
     from pyspark import StorageLevel
 
+    scale = _scale_posture(df, scale_posture)
+    level = StorageLevel.DISK_ONLY if scale else StorageLevel.MEMORY_AND_DISK
     sh = persist_rotating(shingles(df, text_col, n, id_col),
-                          "minhash_lsh.shingles", StorageLevel.DISK_ONLY)
+                          "minhash_lsh.shingles", level)
     # banded is consumed by the bucket-size agg AND both sides of the
     # pair self-join; unpersisted, each consumer recomputes the 16-column
     # wide min-agg over the full shingle stream (measured 190 s of a
     # 250 s pipeline at 600k docs). It is only n_docs × n_bands small
-    # rows — disk-materialize once.
+    # rows — materialize once.
     banded = persist_rotating(
         banded_signatures(sh, id_col, n_hashes, band_rows),
-        "minhash_lsh.banded", StorageLevel.DISK_ONLY)
+        "minhash_lsh.banded", level)
     if max_bucket is not None:
         bsz = banded.groupBy("band", "sig").agg(
             F.count("*").alias("_m"), F.min(id_col).alias("_minid"))
-        tagged = banded.hint("merge").join(bsz, ["band", "sig"])
+        tagged = _mj(banded, scale).join(bsz, ["band", "sig"])
         small = tagged.where(F.col("_m") <= max_bucket)
         a = small.select(F.col(id_col).alias("a"), "band", "sig")
         b = small.select(F.col(id_col).alias("b"), "band", "sig")
-        pairs_small = (a.hint("merge").join(b, ["band", "sig"])
+        pairs_small = (_mj(a, scale).join(b, ["band", "sig"])
                        .where(F.col("a") < F.col("b")).select("a", "b"))
         pairs_star = (tagged.where((F.col("_m") > max_bucket)
                                    & (F.col(id_col) != F.col("_minid")))
@@ -316,7 +351,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
         a = banded.select(F.col(id_col).alias("a"), "band", "sig")
         b = banded.select(F.col(id_col).alias("b"), "band", "sig")
         cand = (
-            a.hint("merge").join(b, ["band", "sig"])
+            _mj(a, scale).join(b, ["band", "sig"])
             .where(F.col("a") < F.col("b"))
             .select("a", "b").distinct()
         )
@@ -328,13 +363,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
     sa = hashed.select(F.col(id_col).alias("a"), "_h")
     sb = hashed.select(F.col(id_col).alias("b"), "_h")
     inter = (
-        cand.hint("merge").join(sa, "a").hint("merge").join(sb, ["b", "_h"])
+        _mj(_mj(cand, scale).join(sa, "a"), scale).join(sb, ["b", "_h"])
         .groupBy("a", "b").agg(F.count("*").alias("inter"))
     )
+    withsza = _mj(
+        _mj(inter, scale)
+        .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")),
+              "a"), scale)
     out = (
-        inter.hint("merge")
-        .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
-        .hint("merge")
+        withsza
         .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
         .withColumn(
             "jaccard",
@@ -460,6 +497,7 @@ def dedup_chunks_global(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int = 10,
+    scale_posture: bool | None = None,
 ) -> DataFrame:
     """Corpus-global chunk-granular exact dedup — the C4 / RefinedWeb
     "remove duplicated lines across the corpus" operator: every repeated
@@ -504,25 +542,25 @@ def dedup_chunks_global(
         .select("chunk", F.col(f"f.{id_col}").alias("_fid"),
                 F.col("f.chunk_no").alias("_fno"))
     )
-    # merge hints: chunks, first and nchunks_df all scale with the corpus
-    # — a mis-estimated auto-broadcast OOMs the driver at real size (same
-    # posture as minhash_lsh_pairs; AQE still localizes small cases)
+    # merge hints under the scale posture: chunks, first and nchunks_df
+    # all scale with the corpus — a mis-estimated auto-broadcast OOMs the
+    # driver at real size (same auto posture as minhash_lsh_pairs)
+    scale = _scale_posture(df, scale_posture)
     kept = (
-        chunks.hint("merge").join(first, "chunk")
+        _mj(chunks, scale).join(first, "chunk")
         .where((F.col(id_col) == F.col("_fid"))
                & (F.col("chunk_no") == F.col("_fno")))
         .select(id_col, "chunk_no", "chunk")
     )
+    rejoined = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_no", "chunk"))
+            ).getField("chunk"), " ").alias("text_dedup"),
+        F.count("*").alias("n_kept"),
+    )
     return (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.array_sort(
-                    F.collect_list(F.struct("chunk_no", "chunk"))
-                ).getField("chunk"), " ").alias("text_dedup"),
-            F.count("*").alias("n_kept"),
-        )
-        .hint("merge")
+        _mj(rejoined, scale)
         .join(nchunks_df, id_col)
         .select(id_col, "text_dedup", "n_chunks", "n_kept")
     )
@@ -533,6 +571,7 @@ def substring_dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     window_tokens: int = 8,
+    scale_posture: bool | None = None,
 ) -> DataFrame:
     """ExactSubstr-style duplicated-span detection (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better",
@@ -559,6 +598,9 @@ def substring_dup_spans(
     from pyspark.sql.window import Window as Win
 
     w = int(window_tokens)
+    # posture decided on the RAW input (count before the repartition
+    # below, so the decision job never pays the re-spread shuffle)
+    scale = _scale_posture(df, scale_posture)
     # single-file parquet arrives as ONE partition — re-spread so the
     # window explode runs wide (no-op at cluster scale, same rule as
     # shingles())
@@ -585,10 +627,10 @@ def substring_dup_spans(
     wins = base.select(id_col, F.posexplode("_wins").alias("pos", "win"))
     dup = (wins.groupBy("win").agg(F.count("*").alias("occ"))
            .where(F.col("occ") >= 2).select("win"))
-    # both sides scale with the corpus: force the shuffle-join posture
-    # (mis-estimated auto-broadcast OOMs at real size — the dedup-family
-    # rule, plan-asserted in tests/test_plans.py)
-    dwin = (wins.hint("merge").join(dup.hint("merge"), "win", "left_semi")
+    # both sides scale with the corpus: the scale posture forces the
+    # shuffle-join plan (mis-estimated auto-broadcast OOMs at real size —
+    # the dedup-family rule, plan-asserted in tests/test_plans.py)
+    dwin = (_mj(wins, scale).join(_mj(dup, scale), "win", "left_semi")
             .select(id_col, "pos"))
     nxt = F.lead("pos").over(Win.partitionBy(id_col).orderBy("pos"))
     cov = (dwin
@@ -599,7 +641,7 @@ def substring_dup_spans(
                 F.sum("_c").cast("long").alias("dup_token_cov")))
     stats = base.select(id_col, "n_tokens", F.size("_wins").alias("n_windows"))
     # the re-attach join is corpus × contaminated-docs — both corpus-scaled
-    return (stats.hint("merge").join(cov.hint("merge"), id_col, "left")
+    return (_mj(stats, scale).join(_mj(cov, scale), id_col, "left")
             .select(id_col, "n_tokens", "n_windows",
                     F.coalesce("n_dup_windows", F.lit(0)).cast("long")
                     .alias("n_dup_windows"),

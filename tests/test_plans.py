@@ -152,21 +152,52 @@ def test_unigram_logppl_join_posture_both_sides(spark, sf_dir):
 
 def test_dedup_pipelines_never_broadcast_corpus_scaled_sides(spark, sf_dir):
     """Every side of the dedup pipelines' joins scales with the corpus; a
-    mis-estimated auto-broadcast OOMed the 8g driver at 600k docs. The
-    merge hints must keep ALL of these joins shuffle joins — no
-    BroadcastHashJoin anywhere in the static plans (AQE may still
+    mis-estimated auto-broadcast OOMed the 8g driver at 600k docs. Under
+    the SCALE posture (auto above SCALE_POSTURE_MIN_DOCS rows, forced
+    here) the merge hints must keep ALL of these joins shuffle joins —
+    no BroadcastHashJoin anywhere in the static plans (AQE may still
     localize small shuffles at runtime, which is fine)."""
     from opensearch_spark.ml import dedup as D
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     sh = D.shingles(docs, "text", n=2)
-    for df in (D.minhash_lsh_pairs(docs, "text"),
+    for df in (D.minhash_lsh_pairs(docs, "text", scale_posture=True),
                D.jaccard_pairs(sh),
                D.simhash_pairs(D.simhash(docs, "text")),
-               D.dedup_chunks_global(docs, "text", "doc_id"),
-               D.substring_dup_spans(docs, "text", "doc_id")):
+               D.dedup_chunks_global(docs, "text", "doc_id",
+                                     scale_posture=True),
+               D.substring_dup_spans(docs, "text", "doc_id",
+                                     scale_posture=True)):
         plan = explain_str(df)
         assert "BroadcastHashJoin" not in plan, plan[:1500]
+
+
+def test_dedup_scale_posture_auto_and_result_identical(spark, sf_dir):
+    """The auto posture picks the fast plan for gate-scale corpora (below
+    SCALE_POSTURE_MIN_DOCS) and the forced-shuffle plan above it, and the
+    two postures return identical rows."""
+    from opensearch_spark.ml import dedup as D
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    assert D._scale_posture(docs, None) is (
+        docs.count() > D.SCALE_POSTURE_MIN_DOCS)
+    assert D._scale_posture(docs, True) is True
+    assert D._scale_posture(docs, False) is False
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(D.minhash_lsh_pairs(docs, "text", n=2,
+                                    scale_posture=True)) == \
+        rows(D.minhash_lsh_pairs(docs, "text", n=2, scale_posture=False))
+    assert rows(D.dedup_chunks_global(docs, "text", "doc_id",
+                                      scale_posture=True)) == \
+        rows(D.dedup_chunks_global(docs, "text", "doc_id",
+                                   scale_posture=False))
+    assert rows(D.substring_dup_spans(docs, "text", "doc_id",
+                                      scale_posture=True)) == \
+        rows(D.substring_dup_spans(docs, "text", "doc_id",
+                                   scale_posture=False))
 
 
 def test_events_correlation_is_equi_join_and_window_exact(spark, sf_dir):
