@@ -4564,6 +4564,13 @@ def _event_stream(spark, sf_dir):
                   .orderBy("event_id"), ts_col="ts")
         ds.append(spark, e.where(F.col("ts") >= "2024-01-15")
                   .orderBy("event_id"), ts_col="ts")
+        # a rebuild that still doesn't account for every event would
+        # otherwise be rebuilt (and served partial) on EVERY call —
+        # fail loudly instead (caught a lossy append path once)
+        if ds.doc_count() != n_events:
+            raise RuntimeError(
+                f"datastream rebuild lost rows: {ds.doc_count()} != "
+                f"{n_events}")
     _DS_CACHE[key] = ds
     return ds
 
@@ -9435,6 +9442,51 @@ def search_highlight_matched_fields(spark, sf_dir):
          .alias("highlight"))
     return (m.where(F.col("n_matches") > 0)
             .orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(10))
+
+
+@q("api_resolve_index", """
+WITH n AS (SELECT count(*) AS c FROM documents),
+en AS (SELECT count(*) AS c FROM documents WHERE lang = 'en'),
+g1 AS (SELECT count(*) AS c FROM events WHERE ts < '2024-01-15'),
+g2 AS (SELECT count(*) AS c FROM events WHERE ts >= '2024-01-15')
+SELECT * FROM (
+  SELECT '.ds-events_ds-000001' AS name, 'backing_index' AS kind,
+         'events_ds' AS detail, (SELECT c FROM g1) AS docs
+  UNION ALL SELECT '.ds-events_ds-000002', 'backing_index', 'events_ds',
+         (SELECT c FROM g2)
+  UNION ALL SELECT 'docs', 'concrete_index', 'open', (SELECT c FROM n)
+  UNION ALL SELECT 'docs_en', 'alias', 'docs', (SELECT c FROM en)
+  UNION ALL SELECT 'docs_title', 'concrete_index', 'open', (SELECT c FROM n)
+  UNION ALL SELECT 'events_ds', 'data_stream', 'ts:2',
+         (SELECT c FROM g1) + (SELECT c FROM g2)
+) ORDER BY name
+""")
+def api_resolve_index(spark, sf_dir):
+    """indices.resolve_index (ResolveIndexAction.java: resolves name
+    expressions to concrete indices with status, aliases with their
+    target, and data streams with timestamp field + backing generations):
+    expressions ['docs*', 'events_ds'] against the engine catalog. Every
+    row carries the ENGINE'S OWN doc accounting — index meta doc_count,
+    datastream generation manifests, the indexed keyword-term count for
+    the filtered alias — which the oracle recomputes from the raw
+    tables, so a stale meta, a lost generation row, or a wrong alias
+    filter hash-mismatches rather than passing on names alone."""
+    s = get_searcher(spark, sf_dir)
+    ds = _event_stream(spark, sf_dir)
+    gens = ds.generations()
+    rows = [(f".ds-events_ds-{i + 1:06d}", "backing_index", "events_ds",
+             int(m["rows"])) for i, m in enumerate(gens)]
+    n_docs = int(s.index.meta["doc_count"])
+    n_title = int(s.extra_fields["title"].index.meta["doc_count"])
+    n_en = s.score(Term(field="lang", value="en")).count()
+    rows += [("docs", "concrete_index", "open", n_docs),
+             ("docs_en", "alias", "docs", int(n_en)),
+             ("docs_title", "concrete_index", "open", n_title),
+             ("events_ds", "data_stream", f"ts:{len(gens)}",
+              int(ds.doc_count()))]
+    return spark.createDataFrame(
+        rows, "name string, kind string, detail string, docs long"
+    ).orderBy("name")
 
 
 # --------------------------------------------------------------------------

@@ -108,11 +108,29 @@ def assign_doc_ids(df: DataFrame, order_cols: list[str], n_parts: int = 32,
                       .sortWithinPartitions(*order_cols)
     else:
         sorted_df = df.sortWithinPartitions(*order_cols) if order_cols else df
-    # cache=False for repeated-append callers (datastream) that persist a
-    # derived frame themselves — the internal persist would otherwise
-    # accumulate one pinned copy per call with no owner to release it
+    # cache=False for repeated-append callers (datastream) that persist
+    # the INPUT themselves — the internal persist would otherwise
+    # accumulate one pinned copy per call with no owner to release it.
+    # The input MUST then already be pinned: the partition-count job
+    # below and the id-assignment job later are SEPARATE actions, and
+    # over an unpinned frame with a shuffle in its lineage AQE may lay
+    # the partitions out differently per job — the inner _pid join then
+    # silently drops every row whose runtime pid the count job never saw
+    # (observed: a 4668-row orderBy'd batch shrank to 607 rows). Refuse
+    # loudly instead of losing rows.
     if cache:
         sorted_df = sorted_df.persist()
+    else:
+        from pyspark import StorageLevel
+
+        if df.storageLevel == StorageLevel.NONE:
+            raise ValueError(
+                "assign_doc_ids(cache=False) requires the input frame to "
+                "be persisted first: the per-partition count and the id "
+                "assignment are separate jobs, and an unpinned shuffled "
+                "input can change partition layout between them (AQE), "
+                "silently dropping rows at the _pid join. persist() the "
+                "batch before calling, or pass cache=True.")
     counts = (
         sorted_df.select(F.spark_partition_id().alias("pid"))
         .groupBy("pid")

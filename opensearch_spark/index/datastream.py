@@ -95,25 +95,35 @@ class DataStream:
 
         # local dense ids in arrival order (per-partition counts — the
         # same no-wide-shuffle discipline as assign_doc_ids mode=local).
-        # cache=False defers the persist to HERE: append runs MULTIPLE
-        # actions over with_ids (the chunk-count agg + one write per
-        # chunk), and an unpersisted nondeterministically-partitioned
-        # batch (e.g. post-repartition round-robin) could assign a row
-        # different doc_ids per action — dropping it from every chunk or
-        # writing it into two generations. The persist is scoped to this
-        # append and released in the finally (assign_doc_ids' internal
-        # persist would pin one copy of every batch ever appended).
+        # The batch is persisted BEFORE the id pass: assign_doc_ids runs
+        # its partition-count job and the id-assignment job as separate
+        # actions, and over an unpinned batch with a shuffle in its
+        # lineage (a caller's orderBy/repartition) AQE may lay partitions
+        # out differently per job — rows then silently vanish at the _pid
+        # join (observed: a 4668-row batch shrank to 607). Pinning the
+        # batch fixes the layout for every downstream action; cache=False
+        # keeps assign_doc_ids from pinning a second copy with no owner
+        # to release it. Both pins are scoped to this append and released
+        # in the finally.
         from opensearch_spark.index.build import assign_doc_ids
+        batch = batch.persist()
         with_ids = assign_doc_ids(batch, list(cfg.order_cols) or [],
                                   mode="local", cache=False)
         with_ids = with_ids.withColumn(
             "_chunk", (F.col("doc_id") / F.lit(self.rollover_max_docs)).cast("int"))
         with_ids = with_ids.persist()
         try:
+            n_in, n_ids = batch.count(), with_ids.count()
+            if n_ids != n_in:  # loud invariant — never write a lossy gen
+                raise RuntimeError(
+                    f"datastream append lost rows: batch={n_in} "
+                    f"with_ids={n_ids} — partition layout changed "
+                    "between id-assignment jobs")
             return self._append_chunks(spark, with_ids, next_gen, doc_base,
                                        ts_col)
         finally:
             with_ids.unpersist()
+            batch.unpersist()
 
     def _append_chunks(self, spark: SparkSession, with_ids: DataFrame,
                        next_gen: int, doc_base: int,

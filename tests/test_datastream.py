@@ -136,3 +136,46 @@ def test_append_nondeterministic_partitioning_is_exact(spark, tmp_path):
     ids = sorted(r.src_id for r in rows)
     assert ids == list(range(100))  # no drops, no duplicates
     assert ds.doc_count() == 100
+
+
+def test_append_shuffled_batch_is_exact(spark, tmp_path):
+    """A batch with a shuffle in its lineage (orderBy) must append exactly
+    once per row. Regression: AQE laid the range-shuffle partitions out
+    differently between assign_doc_ids' count job and the id-assignment
+    job over the then-unpinned batch, and the inner _pid join silently
+    dropped 7/8 of the rows (4668 -> 607 observed at sf0.01). append()
+    now pins the batch first and asserts row conservation."""
+    from opensearch_spark.index.build import IndexConfig
+    from opensearch_spark.index.datastream import DataStream
+
+    ds = DataStream(str(tmp_path / "sds"),
+                    IndexConfig(field="content", analyzer="standard",
+                                n_parts=2),
+                    rollover_max_docs=1 << 30)
+    batch = spark.sql("""
+        SELECT concat('doc ', id, ' words here') AS content,
+               id AS src_id FROM range(5000)""").orderBy("src_id")
+    ds.append(spark, batch)
+    assert ds.doc_count() == 5000
+    ids = sorted(r.src_id for r in
+                 ds.docs_view(spark, ts_col=None).select("src_id").collect())
+    assert ids == list(range(5000))
+
+
+def test_assign_doc_ids_uncached_unpinned_refuses(spark):
+    """assign_doc_ids(cache=False) over an unpinned frame is the silent
+    row-loss hazard — it must raise instead."""
+    import pytest
+
+    from opensearch_spark.index.build import assign_doc_ids
+
+    df = spark.range(100).orderBy("id")
+    with pytest.raises(ValueError, match="persist"):
+        assign_doc_ids(df, [], cache=False)
+    pinned = df.persist()
+    try:
+        out = assign_doc_ids(pinned, [], cache=False)
+        assert out.count() == 100
+        assert out.select("doc_id").distinct().count() == 100
+    finally:
+        pinned.unpersist()
