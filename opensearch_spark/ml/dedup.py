@@ -588,10 +588,13 @@ def substring_dup_spans(
     duplicated set back → per-doc interval-union coverage with one
     lead() window function over ONLY the duplicated windows (bounded per
     doc by doc length, never corpus-wide). Same explode/agg/join shape
-    as ``dedup_chunks_global``; no driver state. Window strings ride the
-    shuffle at test scale — at 10^12 docs pre-hash them to 8-byte
-    xxhash64 keys exactly like ``minhash_lsh_pairs``' verify path (same
-    plan, collision-checked on the survivors).
+    as ``dedup_chunks_global``; no driver state. Windows are pre-hashed
+    to 8-byte xxhash64 keys INSIDE the window lambda (the ~100-byte
+    window string exists only transiently per row, never in the exploded
+    frame or the shuffles) — the same discipline as
+    ``minhash_lsh_pairs``' verify path; collision odds are ~n²/2⁶⁴
+    (8e-5 at 54M windows) and a collision merely over-marks one span.
+    Measured 67 s → 23 s at 600k docs (local[32]).
 
     Returns (doc_id, n_tokens, n_windows, n_dup_windows, dup_token_cov).
     """
@@ -618,12 +621,23 @@ def substring_dup_spans(
         f"flatten(transform(array({split_sql}), t -> "
         f"CASE WHEN size(t) >= {w} THEN "
         f"transform(sequence(1, size(t) - {w} + 1), "
-        f"i -> concat_ws(' ', slice(t, i, {w}))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END))")
-    base = df.select(
-        id_col,
-        F.expr(f"size({split_sql})").alias("n_tokens"),
-        F.expr(wins_sql).alias("_wins"))
+        f"i -> xxhash64(concat_ws(' ', slice(t, i, {w})))) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END))")
+    # persist the PER-DOC frame (id, n_tokens, hashed-window array —
+    # ~8 B/window): the tokenize+hash lambda is the expensive pass and
+    # feeds three consumers (occurrence count, semi-join side, per-doc
+    # stats); unpersisted it re-runs per consumer (measured 67 s → 30 s
+    # at 600k docs from this persist alone). The explode itself re-runs
+    # per consumer but reads the cached arrays — cheap.
+    from pyspark import StorageLevel
+
+    base = persist_rotating(
+        df.select(
+            id_col,
+            F.expr(f"size({split_sql})").alias("n_tokens"),
+            F.expr(wins_sql).alias("_wins")),
+        "substring_dup.base",
+        StorageLevel.DISK_ONLY if scale else StorageLevel.MEMORY_AND_DISK)
     wins = base.select(id_col, F.posexplode("_wins").alias("pos", "win"))
     dup = (wins.groupBy("win").agg(F.count("*").alias("occ"))
            .where(F.col("occ") >= 2).select("win"))

@@ -102,12 +102,20 @@ def main() -> None:
         "phrase_slop": lambda: s.search(
             MatchPhrase(field="content", text="def parse reader", slop=1),
             k=10).collect(),
+        # checksum aggregates, not count(): a bare count lets Catalyst
+        # prune the computed columns and (for the left-joined coverage
+        # frame) eliminate the join entirely — substring_dup_spans
+        # "measured" 0.37 s at 600k under count() because nothing ran.
+        # Summing the computed columns forces the full pipeline.
         "dedup_minhash_lsh": lambda: D.minhash_lsh_pairs(
-            docs, "content").count(),
+            docs, "content").agg(F.sum("jaccard")).collect(),
         "dedup_chunks_global": lambda: D.dedup_chunks_global(
-            docs, "content", "doc_id", chunk_tokens=16).count(),
+            docs, "content", "doc_id", chunk_tokens=16)
+            .agg(F.sum(F.length("text_dedup") + F.col("n_kept"))).collect(),
         "dedup_substring_spans": lambda: D.substring_dup_spans(
-            docs, "content", "doc_id", window_tokens=16).count(),
+            docs, "content", "doc_id", window_tokens=16)
+            .agg(F.sum(F.col("dup_token_cov") + F.col("n_dup_windows")
+                       + F.col("n_windows"))).collect(),
         "percolate": lambda: percolate(
             spark, perc_queries, docs, analyzer="standard_code").count(),
     }
