@@ -225,9 +225,14 @@ def banded_signatures(sh: DataFrame, id_col: str = "doc_id",
     """(doc, band, sig) LSH band keys. One wide min-agg computes all
     n_hashes signatures in a single pass — no perm cross-join (16× row
     blowup) and no second (doc, band) shuffle: partial map-side mins make
-    this one light shuffle of n_docs rows regardless of shingle count."""
+    this one light shuffle of n_docs rows regardless of shingle count.
+
+    Accepts either a raw (id, shingle) frame or one that already carries
+    the 32-bit base hash as ``x`` (minhash_lsh_pairs persists hashes, not
+    strings — the md5 then runs once per shingle, not once per consumer)."""
     perms = perm_constants(n_hashes)
-    x = sh.withColumn("x", str_hash32(F.col("shingle")) % MOD_X)
+    x = sh if "x" in sh.columns else \
+        sh.withColumn("x", str_hash32(F.col("shingle")) % MOD_X)
     sig_wide = x.groupBy(id_col).agg(
         *[F.min((F.lit(a) * F.col("x") + F.lit(b)) % MOD_H).alias(f"mh{j}")
           for j, a, b in perms]
@@ -323,8 +328,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
 
     scale = _scale_posture(df, scale_posture)
     level = StorageLevel.DISK_ONLY if scale else StorageLevel.MEMORY_AND_DISK
-    sh = persist_rotating(shingles(df, text_col, n, id_col),
-                          "minhash_lsh.shingles", level)
+    # persist HASHES, not strings: every consumer needs only the 32-bit
+    # minhash base (banded) or the 64-bit verify key (intersection) — the
+    # shingle string exists in-flight inside the materialization stage
+    # only, the persisted frame is 3 numeric columns (measured 46.4M
+    # shingle rows at 600k docs: 28.9 s → materialization drops with the
+    # payload, and the md5 runs once instead of per consumer)
+    sh = persist_rotating(
+        shingles(df, text_col, n, id_col).select(
+            id_col,
+            (str_hash32(F.col("shingle")) % MOD_X).alias("x"),
+            F.xxhash64("shingle").alias("_h")),
+        "minhash_lsh.shingles", level)
     # banded is consumed by the bucket-size agg AND both sides of the
     # pair self-join; unpersisted, each consumer recomputes the 16-column
     # wide min-agg over the full shingle stream (measured 190 s of a
@@ -355,11 +370,34 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
             .where(F.col("a") < F.col("b"))
             .select("a", "b").distinct()
         )
+    # under the scale posture cand feeds the candidate-id semi-filter AND
+    # the intersection join — unpersisted, the band self-join would run
+    # twice (small posture keeps cand lazy: AQE localizes it cheaply)
+    if scale:
+        cand = persist_rotating(cand, "minhash_lsh.cand", level)
     # verify candidates with exact jaccard; the intersection join runs on
     # 64-bit shingle hashes, not strings — same multiset semantics
-    # (collision odds ~n²/2⁶⁴) with a far smaller shuffle payload
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    hashed = sh.select(id_col, F.xxhash64("shingle").alias("_h"))
+    # (collision odds ~n²/2⁶⁴) with a far smaller shuffle payload.
+    # The shingle stream is first semi-filtered to CANDIDATE docs and
+    # persisted once: the verify stage consumes the shingles three times
+    # (two join sides + the size agg), and each consumer previously
+    # sorted the FULL corpus-scale frame. The filtered frame is bounded
+    # by min(corpus, candidate docs) — on a real corpus with a sparse
+    # dup rate that is a small fraction and the win is ~3 sorts → 1 semi
+    # pass; on the synthetic 600k bench corpus most docs ARE candidates
+    # (543k pairs) so it measures as a wash there — the bound, not the
+    # bench, is the design point
+    if scale:
+        cand_ids = (cand.select(F.col("a").alias(id_col))
+                    .unionByName(cand.select(F.col("b").alias(id_col)))
+                    .distinct())
+        shc = persist_rotating(
+            _mj(sh, scale).join(_mj(cand_ids, scale), id_col, "left_semi"),
+            "minhash_lsh.cand_shingles", level)
+    else:
+        shc = sh  # gate scale: the three consumers are already cheap
+    sizes = shc.groupBy(id_col).agg(F.count("*").alias("sz"))
+    hashed = shc.select(id_col, "_h")
     sa = hashed.select(F.col(id_col).alias("a"), "_h")
     sb = hashed.select(F.col(id_col).alias("b"), "_h")
     inter = (
