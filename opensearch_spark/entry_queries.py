@@ -9489,6 +9489,57 @@ def api_resolve_index(spark, sf_dir):
     ).orderBy("name")
 
 
+@q("api_datastream_rollover", """
+WITH ranked AS (
+  SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS rn
+  FROM events WHERE ts < '2024-01-15'
+)
+SELECT CAST(rn // 2500 AS INT) AS generation,
+       count(*) AS docs,
+       CAST(min(rn) AS BIGINT) AS doc_base
+FROM ranked GROUP BY 1 ORDER BY generation
+""")
+def api_datastream_rollover(spark, sf_dir):
+    """Data-stream rollover split (RolloverAction / the reference's
+    max_docs rollover condition; index/datastream.py `_append_chunks`):
+    ONE append whose batch exceeds rollover_max_docs=2500 must split
+    into ceil(n/2500) generations of exactly 2500 docs each (last one
+    partial), with contiguous docBase offsets — the Lucene docBase
+    discipline. The gate reports each generation's (docs, doc_base) FROM
+    THE MANIFESTS; the oracle recomputes the split from the raw events
+    by global event_id rank, so a generation that lost rows, split at
+    the wrong boundary, or mis-assigned its base hash-mismatches. Also
+    pins the append row-conservation invariant end-to-end (the AQE
+    row-loss regression this round surfaced)."""
+    import math
+    import shutil
+
+    from opensearch_spark.index.datastream import DataStream
+
+    key = os.path.abspath(sf_dir)
+    out = os.path.join(INDEX_ROOT,
+                       hashlib.sha256(key.encode()).hexdigest()[:16]
+                       + "_dsroll")
+    e = _docs(spark, sf_dir, "events").where(F.col("ts") < "2024-01-15")
+    n = e.count()
+    want_gens = math.ceil(n / 2500)
+    cfg = IndexConfig(field="event_type", analyzer="standard", n_parts=2)
+    ds = DataStream(out, cfg, rollover_max_docs=2500)
+    gens = ds.generations()
+    if len(gens) != want_gens or ds.doc_count() != n:
+        shutil.rmtree(out, ignore_errors=True)
+        ds = DataStream(out, cfg, rollover_max_docs=2500)
+        ds.append(spark, e.orderBy("event_id"), ts_col="ts")
+        gens = ds.generations()
+        if ds.doc_count() != n:
+            raise RuntimeError("rollover append lost rows")
+    rows = [(int(m["segment_id"]), int(m["rows"]), int(m["doc_base"]))
+            for m in gens]
+    return spark.createDataFrame(
+        rows, "generation int, docs long, doc_base long"
+    ).orderBy("generation")
+
+
 # --------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate verifies the first
 # ~50 queries() entries each round. Gates with a green row in
