@@ -123,6 +123,16 @@ def assign_doc_ids(df: DataFrame, order_cols: list[str], n_parts: int = 32,
     else:
         from pyspark import StorageLevel
 
+        if mode == "range":
+            # repartitionByRange introduces a fresh shuffle ABOVE any
+            # caller-side pin, so the layout hazard below cannot be
+            # closed by persisting the input — only the internal persist
+            # (cache=True) pins the shuffled frame itself
+            raise ValueError(
+                "assign_doc_ids(mode='range') requires cache=True: the "
+                "range shuffle sits above any caller-side persist, so "
+                "only the internal pin fixes its partition layout "
+                "across the count and id-assignment jobs.")
         if df.storageLevel == StorageLevel.NONE:
             raise ValueError(
                 "assign_doc_ids(cache=False) requires the input frame to "

@@ -105,14 +105,24 @@ class DataStream:
         # keeps assign_doc_ids from pinning a second copy with no owner
         # to release it. Both pins are scoped to this append and released
         # in the finally.
+        from pyspark import StorageLevel
+
         from opensearch_spark.index.build import assign_doc_ids
-        batch = batch.persist()
-        with_ids = assign_doc_ids(batch, list(cfg.order_cols) or [],
-                                  mode="local", cache=False)
-        with_ids = with_ids.withColumn(
-            "_chunk", (F.col("doc_id") / F.lit(self.rollover_max_docs)).cast("int"))
-        with_ids = with_ids.persist()
+
+        # respect a caller-owned pin: persist only if the batch is not
+        # already cached (re-persisting would either throw on a level
+        # mismatch or let the finally below drop the CALLER's cache)
+        own_pin = batch.storageLevel == StorageLevel.NONE
+        with_ids = None
         try:
+            if own_pin:
+                batch = batch.persist()
+            with_ids = assign_doc_ids(batch, list(cfg.order_cols) or [],
+                                      mode="local", cache=False)
+            with_ids = with_ids.withColumn(
+                "_chunk",
+                (F.col("doc_id") / F.lit(self.rollover_max_docs))
+                .cast("int")).persist()
             n_in, n_ids = batch.count(), with_ids.count()
             if n_ids != n_in:  # loud invariant — never write a lossy gen
                 raise RuntimeError(
@@ -122,8 +132,10 @@ class DataStream:
             return self._append_chunks(spark, with_ids, next_gen, doc_base,
                                        ts_col)
         finally:
-            with_ids.unpersist()
-            batch.unpersist()
+            if with_ids is not None:
+                with_ids.unpersist()
+            if own_pin:
+                batch.unpersist()
 
     def _append_chunks(self, spark: SparkSession, with_ids: DataFrame,
                        next_gen: int, doc_base: int,

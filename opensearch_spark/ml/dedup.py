@@ -228,10 +228,13 @@ def banded_signatures(sh: DataFrame, id_col: str = "doc_id",
     this one light shuffle of n_docs rows regardless of shingle count.
 
     Accepts either a raw (id, shingle) frame or one that already carries
-    the 32-bit base hash as ``x`` (minhash_lsh_pairs persists hashes, not
-    strings — the md5 then runs once per shingle, not once per consumer)."""
+    the 32-bit base hash under the sentinel name ``_mh_x``
+    (minhash_lsh_pairs persists hashes, not strings — the md5 then runs
+    once per shingle, not once per consumer). The sentinel is
+    underscore-namespaced so a user frame with an ordinary column can
+    never trip the pre-hashed path by accident."""
     perms = perm_constants(n_hashes)
-    x = sh if "x" in sh.columns else \
+    x = sh.withColumn("x", F.col("_mh_x")) if "_mh_x" in sh.columns else \
         sh.withColumn("x", str_hash32(F.col("shingle")) % MOD_X)
     sig_wide = x.groupBy(id_col).agg(
         *[F.min((F.lit(a) * F.col("x") + F.lit(b)) % MOD_H).alias(f"mh{j}")
@@ -279,7 +282,11 @@ def _scale_posture(df: DataFrame, override: bool | None) -> bool:
     with one count() job (metadata-cheap on parquet sources) against
     SCALE_POSTURE_MIN_DOCS — the same auto-posture pattern as Searcher's
     vocab preload and unigram_logppl's broadcast threshold. Output is
-    identical either way; only plan shape switches.
+    identical either way; only plan shape switches. The auto count runs
+    EAGERLY at pipeline-construction time; for a computed (non-source)
+    input lineage that count materializes the lineage once uncached —
+    pass an explicit ``scale_posture`` (or persist the input first) in
+    that case.
     """
     if override is not None:
         return bool(override)
@@ -327,7 +334,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
     from pyspark import StorageLevel
 
     scale = _scale_posture(df, scale_posture)
-    level = StorageLevel.DISK_ONLY if scale else StorageLevel.MEMORY_AND_DISK
+    level = StorageLevel.DISK_ONLY if scale else StorageLevel.MEMORY_AND_DISK_DESER
     # persist HASHES, not strings: every consumer needs only the 32-bit
     # minhash base (banded) or the 64-bit verify key (intersection) — the
     # shingle string exists in-flight inside the materialization stage
@@ -337,7 +344,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, n: int = 3,
     sh = persist_rotating(
         shingles(df, text_col, n, id_col).select(
             id_col,
-            (str_hash32(F.col("shingle")) % MOD_X).alias("x"),
+            (str_hash32(F.col("shingle")) % MOD_X).alias("_mh_x"),
             F.xxhash64("shingle").alias("_h")),
         "minhash_lsh.shingles", level)
     # banded is consumed by the bucket-size agg AND both sides of the
@@ -632,7 +639,7 @@ def substring_dup_spans(
     frame or the shuffles) — the same discipline as
     ``minhash_lsh_pairs``' verify path; collision odds are ~n²/2⁶⁴
     (8e-5 at 54M windows) and a collision merely over-marks one span.
-    Measured 67 s → 23 s at 600k docs (local[32]).
+    Measured 67 s → 18-26 s at 600k docs (local[32]).
 
     Returns (doc_id, n_tokens, n_windows, n_dup_windows, dup_token_cov).
     """
@@ -675,7 +682,7 @@ def substring_dup_spans(
             F.expr(f"size({split_sql})").alias("n_tokens"),
             F.expr(wins_sql).alias("_wins")),
         "substring_dup.base",
-        StorageLevel.DISK_ONLY if scale else StorageLevel.MEMORY_AND_DISK)
+        StorageLevel.DISK_ONLY if scale else StorageLevel.MEMORY_AND_DISK_DESER)
     wins = base.select(id_col, F.posexplode("_wins").alias("pos", "win"))
     dup = (wins.groupBy("win").agg(F.count("*").alias("occ"))
            .where(F.col("occ") >= 2).select("win"))
