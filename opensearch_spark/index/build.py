@@ -81,6 +81,10 @@ def _storage_level(name: str):
             "disk": StorageLevel.DISK_ONLY}[name]
 
 
+#: assign_doc_ids' last internal (cache=True) pin — rotated per call
+_ASSIGN_PIN = None
+
+
 def assign_doc_ids(df: DataFrame, order_cols: list[str], n_parts: int = 32,
                    mode: str = "local", cache: bool = True) -> DataFrame:
     """Deterministic dense doc_id without a single-partition global window —
@@ -103,6 +107,15 @@ def assign_doc_ids(df: DataFrame, order_cols: list[str], n_parts: int = 32,
     zipWithIndex, entirely JVM-side. Ties in order_cols within a partition
     would make ids nondeterministic, so order_cols must be a unique key.
     """
+    reserved = {"_pid", "_seq", "_off", "doc_id"} & set(df.columns)
+    reserved.discard("doc_id")  # overwritten deliberately (re-id paths)
+    if reserved:
+        # withColumn would silently REPLACE a same-named user column and
+        # the working-column drop() would then delete the user's data —
+        # fail loudly instead (same collision class as dedup's _mh_x fix)
+        raise ValueError(
+            f"assign_doc_ids: input columns {sorted(reserved)} collide "
+            "with internal working columns — rename them first")
     if mode == "range":
         sorted_df = df.repartitionByRange(n_parts, *order_cols) \
                       .sortWithinPartitions(*order_cols)
@@ -119,7 +132,19 @@ def assign_doc_ids(df: DataFrame, order_cols: list[str], n_parts: int = 32,
     # (observed: a 4668-row orderBy'd batch shrank to 607 rows). Refuse
     # loudly instead of losing rows.
     if cache:
+        # rotate the internal pin: it has no owner to release it, so
+        # without rotation every batch-path call in a long-lived session
+        # pins another full-corpus copy until executor memory pressure —
+        # one generation is the bound (the dedup persist_rotating rule)
+        global _ASSIGN_PIN
+        old = _ASSIGN_PIN
+        if old is not None:
+            try:
+                old.unpersist(False)
+            except Exception:
+                pass  # its SparkSession may already be gone
         sorted_df = sorted_df.persist()
+        _ASSIGN_PIN = sorted_df
     else:
         from pyspark import StorageLevel
 
@@ -446,6 +471,11 @@ def build_index(
 ) -> "InvertedIndex":
     """Full batch build. Writes the §1.3 tables under ``out_dir``."""
     cfg = config
+    bad = {"_tf", "_pid", "_seq", "_off"} & set(corpus.columns)
+    if bad:
+        raise ValueError(
+            f"build_index: corpus columns {sorted(bad)} collide with "
+            "internal working columns — rename them first")
     # analysis + per-doc tf aggregation in ONE python pass (map-side
     # combine inside the tokenizer, see termfreq_udf): the cached frame
     # holds per-doc parallel arrays, and the former (term, doc_id) groupBy
@@ -823,11 +853,13 @@ def expunge_deletes(spark: SparkSession, index_path: str,
     cfg = IndexConfig(
         field=m["field"], analyzer=m["analyzer"], id_col="doc_id",
         keyword_cols=tuple(m.get("keyword_cols", ())),
+        order_cols=tuple(m.get("order_cols", ())),
         n_parts=int(m["n_parts"]),
         bucket_span=int(m.get("bucket_span", 1 << 15)),
         k1=float(m["k1"]), b=float(m["b"]),
         with_positions=bool(m.get("with_positions")),
-        index_options=m.get("index_options", "freqs"))
+        index_options=m.get("index_options", "freqs"),
+        cache_level=m.get("cache_level", "memory"))
     live = idx.docs(spark)  # accessor already excludes tombstones
     drop = [c for c in ("dl", "content_sha256") if c in live.columns]
     return build_index(spark, live.drop(*drop), out_dir, cfg)

@@ -154,25 +154,28 @@ class DataStream:
             seg_dir = os.path.join(self.out_dir, "segments", f"seg_{gen}")
             analyzed, docs = write_segment_tables(
                 part, list(part.columns), seg_dir, cfg)
-            agg_cols = [F.count("*").alias("rows"),
-                        F.min("doc_id").alias("base"),
-                        F.max("doc_id").alias("top")]
-            if ts_col is not None:
-                agg_cols += [F.min(ts_col).cast("string").alias("ts_min"),
-                             F.max(ts_col).cast("string").alias("ts_max")]
-            srow = docs.agg(*agg_cols).collect()[0]
-            man = {
-                "segment_id": gen,
-                "rows": int(srow["rows"]),
-                "doc_base": int(srow["base"]) if srow["base"] is not None else doc_base,
-                "status": "committed",
-                "attempt": 1,
-            }
-            if ts_col is not None:
-                man["ts_min"], man["ts_max"] = srow["ts_min"], srow["ts_max"]
-            _atomic_write_json(
-                os.path.join(self.out_dir, "manifest", f"seg_{gen}.json"), man)
-            analyzed.unpersist()
+            try:  # release the chunk's cache on error paths too
+                agg_cols = [F.count("*").alias("rows"),
+                            F.min("doc_id").alias("base"),
+                            F.max("doc_id").alias("top")]
+                if ts_col is not None:
+                    agg_cols += [F.min(ts_col).cast("string").alias("ts_min"),
+                                 F.max(ts_col).cast("string").alias("ts_max")]
+                srow = docs.agg(*agg_cols).collect()[0]
+                man = {
+                    "segment_id": gen,
+                    "rows": int(srow["rows"]),
+                    "doc_base": int(srow["base"]) if srow["base"] is not None else doc_base,
+                    "status": "committed",
+                    "attempt": 1,
+                }
+                if ts_col is not None:
+                    man["ts_min"], man["ts_max"] = srow["ts_min"], srow["ts_max"]
+                _atomic_write_json(
+                    os.path.join(self.out_dir, "manifest", f"seg_{gen}.json"),
+                    man)
+            finally:
+                analyzed.unpersist()
             doc_base += int(srow["rows"])
             new_gens.append(gen)
         return new_gens
@@ -206,6 +209,23 @@ class DataStream:
         doc_id — append at least one batch before selecting doc columns."""
         ts_min, ts_max = _canon_ts(ts_min), _canon_ts(ts_max)
         dirs = self._pruned_dirs(ts_min, ts_max)
+        gens0 = self.generations()
+        if dirs and ts_col is not None and gens0 and (
+                ts_min is not None or ts_max is not None):
+            # manifest ts strings for an LTZ column are rendered in the
+            # WRITER session's timezone; comparing them against bounds the
+            # reader interprets in ITS timezone can prune a generation
+            # whose rows the row filter would keep. Directory pruning is
+            # only sound for session-tz-invariant types (NTZ/date/string)
+            # — probe the schema (driver-side footer read) and fall back
+            # to row-filter-only for LTZ.
+            probe = spark.read.parquet(os.path.join(
+                self.out_dir, "segments",
+                f"seg_{gens0[0]['segment_id']}", "docs"))
+            if dict(probe.dtypes).get(ts_col) == "timestamp":
+                dirs = [os.path.join(self.out_dir, "segments",
+                                     f"seg_{m['segment_id']}")
+                        for m in gens0]
         if not dirs:
             gens = self.generations()
             if not gens:  # empty stream: no segment exists to borrow a schema

@@ -93,8 +93,19 @@ def write_segment_tables(part: DataFrame, keep_cols: list[str],
     is persisted for the span of the two writes + the stats agg the
     caller runs, and returned so the caller can unpersist after its
     manifest commit."""
+    if cfg.index_options == "docs" and cfg.with_positions:
+        raise ValueError(
+            "index_options='docs' (match_only_text) cannot store positions")
     analyzed = part.withColumn(
-        "_tf", termfreq_udf(cfg.analyzer)(F.col(cfg.field)))
+        "_tf", termfreq_udf(cfg.analyzer, cfg.with_positions)(F.col(cfg.field)))
+    if cfg.index_options == "docs":
+        # match_only_text: tf ≡ 1 before any downstream consumer — the
+        # same transform build_index applies, so the merged dictionary's
+        # cf and the encoded postings agree with the batch build
+        analyzed = analyzed.withColumn(
+            "_tf",
+            F.col("_tf").withField(
+                "tfs", F.transform("_tf.tfs", lambda t: F.lit(1))))
     analyzed = analyzed.persist()
     docs = analyzed.select(
         "doc_id",
@@ -103,12 +114,15 @@ def write_segment_tables(part: DataFrame, keep_cols: list[str],
         F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
     )
     docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+    zip_expr = ("arrays_zip(_tf.terms, _tf.tfs, _tf.poss)"
+                if cfg.with_positions else "arrays_zip(_tf.terms, _tf.tfs)")
     flat = analyzed.select(
         "doc_id", F.col("_tf.dl").alias("dl"),
-        F.explode(F.expr("arrays_zip(_tf.terms, _tf.tfs)")).alias("z"),
+        F.explode(F.expr(zip_expr)).alias("z"),
     ).select(
         F.col("z.terms").alias("term"), "doc_id",
         F.col("z.tfs").cast("long").alias("tf"), "dl",
+        *([F.col("z.poss").alias("positions")] if cfg.with_positions else []),
     )
     (flat.repartition(max(2, cfg.n_parts), "term")
          .sortWithinPartitions("term", "doc_id")
@@ -208,6 +222,15 @@ def merge_segments(
     docs = spark.read.parquet(*[os.path.join(d, "docs") for d in seg_dirs])
     flat = spark.read.parquet(*[os.path.join(d, "postings") for d in seg_dirs])
     docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+
+    if cfg.with_positions:
+        # segment postings carry the per-(term, doc) position arrays;
+        # doc ids are already global (assigned/rebased before the segment
+        # write), so the global positions table is a plain concat — the
+        # same (term, doc_id, positions) layout build_index writes
+        (flat.select("term", "doc_id", "positions").write.mode("overwrite")
+             .parquet(os.path.join(out_dir, "positions")))
+        flat = flat.drop("positions")
 
     stats = docs.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
     doc_count, sum_dl = int(stats["n"]), int(stats["s"] or 0)

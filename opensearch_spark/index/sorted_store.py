@@ -23,7 +23,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-MANIFEST = "sort_manifest.json"
+#: underscore-prefixed so Spark's parquet reader treats it as a hidden
+#: file: a bare name inside the data dir breaks spark.read.parquet(path)
+#: whenever Spark tries to parse it as a footer (the empty-table
+#: fallback, or any session with parquet.mergeSchema=true)
+MANIFEST = "_sort_manifest.json"
+_MANIFEST_LEGACY = "sort_manifest.json"
 
 
 def _canon_stat(v):
@@ -108,7 +113,10 @@ def write_sorted(df: DataFrame, out_dir: str, sort_col: str,
 
 
 def _load_manifest(path: str) -> dict:
-    with open(os.path.join(path, MANIFEST)) as f:
+    p = os.path.join(path, MANIFEST)
+    if not os.path.exists(p):  # tree written before the underscore rename
+        p = os.path.join(path, _MANIFEST_LEGACY)
+    with open(p) as f:
         return json.load(f)
 
 

@@ -130,3 +130,48 @@ def test_streaming_microbatch_ingest(spark, tmp_path):
     s = Searcher(spark, idx)
     hits = s.search(Match(field="text", text="spark"), k=5).collect()
     assert len(hits) > 0
+
+
+def test_segmented_build_with_positions_matches_batch(spark, tmp_path):
+    """The segmented path must honor cfg.with_positions (it previously
+    ignored the flag but stamped it into meta.json — a positional query
+    against the merged index then crashed on the missing table). Phrase
+    search over the segment-built index must equal the batch build."""
+    from opensearch_spark.search import MatchPhrase
+
+    corpus = spark.read.parquet(DOCS)
+    cfg = IndexConfig(field="text", analyzer="standard", id_col="doc_id",
+                      n_parts=4, bucket_span=64, with_positions=True)
+    seg_dir, direct_dir = str(tmp_path / "segp"), str(tmp_path / "dirp")
+    build_segments(spark, corpus, seg_dir, cfg, n_segments=3)
+    idx = merge_segments(spark, seg_dir, cfg)
+    assert idx.meta["with_positions"] is True
+    assert os.path.isdir(os.path.join(seg_dir, "positions"))
+    direct = build_index(spark, corpus, direct_dir, cfg)
+    q = MatchPhrase(field="text", text="spark table")
+    a = sorted(map(tuple, Searcher(spark, idx)
+                   .search(q, k=20, round_scores=4).collect()))
+    b = sorted(map(tuple, Searcher(spark, direct)
+                   .search(q, k=20, round_scores=4).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_segmented_build_docs_mode_matches_batch(spark, tmp_path):
+    """index_options='docs' (match_only_text) through the segmented path:
+    tf must be 1 everywhere (cf == df in the dictionary) and scores must
+    equal the batch docs-mode build."""
+    corpus = spark.read.parquet(DOCS)
+    cfg = IndexConfig(field="text", analyzer="standard", id_col="doc_id",
+                      n_parts=4, bucket_span=64, index_options="docs")
+    seg_dir, direct_dir = str(tmp_path / "segd"), str(tmp_path / "dird")
+    build_segments(spark, corpus, seg_dir, cfg, n_segments=3)
+    idx = merge_segments(spark, seg_dir, cfg)
+    d = idx.dictionary(spark).select("df", "cf").collect()
+    assert all(r["df"] == r["cf"] for r in d)
+    direct = build_index(spark, corpus, direct_dir, cfg)
+    q = Match(field="text", text="spark table merge")
+    a = sorted(map(tuple, Searcher(spark, idx)
+                   .search(q, k=20, round_scores=4).collect()))
+    b = sorted(map(tuple, Searcher(spark, direct)
+                   .search(q, k=20, round_scores=4).collect()))
+    assert a == b and len(a) > 0
