@@ -79,7 +79,14 @@ def render_search_template(source: str, params: dict) -> dict:
         if name not in params:
             raise ValueError(f"search template: missing param {name!r}")
         v = params[name]
-        return str(v) if not isinstance(v, str) else v
+        if isinstance(v, str):
+            # JSON-escape the string BODY (no surrounding quotes — the
+            # template supplies those): a raw quote/backslash/newline
+            # would otherwise break the JSON or inject structure
+            return json.dumps(v)[1:-1]
+        # non-strings render as JSON literals (true, 3.5, [..]), never
+        # Python reprs (True / single-quoted dicts are invalid JSON)
+        return json.dumps(v)
 
     return json.loads(_PARAM.sub(sub, source))
 

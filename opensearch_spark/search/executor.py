@@ -304,11 +304,7 @@ class Searcher:
         )
         scored = flat.join(F.broadcast(stats), "term").withColumn(
             "tscore",
-            F.expr(
-                f"{q.boost} * ln(1.0 + ({self.N} - df + 0.5) / (df + 0.5)) "
-                f"* ({self.k1} + 1.0) * tf "
-                f"/ (tf + {self.k1} * (1.0 - {self.b} + {self.b} * dl / {self.avgdl}))"
-            ),
+            F.expr(self._bm25_sql(f"{q.boost}")),
         )
         agg = scored.groupBy("doc_id").agg(
             F.sum("tscore").alias("score"), F.count("*").alias("_nt")
@@ -358,6 +354,17 @@ class Searcher:
         ).mapInPandas(fn, "doc_id long, score double")
         return part_topk
 
+
+    def _bm25_sql(self, boost="1.0") -> str:
+        """The exact BM25 formula over the (tf, dl, df) posting columns,
+        shared with the DuckDB oracle via scoring.bm25.bm25_sql_expr —
+        ONE authoring site so engine and oracle can never diverge.
+        ``boost`` is a SQL prefix: a literal or a column name."""
+        from opensearch_spark.scoring.bm25 import bm25_sql_expr
+
+        return f"{boost} * " + bm25_sql_expr(
+            "tf", "dl", "df", f"{self.N}", f"{self.avgdl}", self.k1, self.b)
+
     def _empty_scores(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id long, score double")
 
@@ -365,6 +372,13 @@ class Searcher:
     def _docs_predicate(self, q) -> F.Column | None:
         """Catalyst predicate over the docs table for keyword/range/etc —
         pushed to the parquet scan (PushedFilters)."""
+        if isinstance(q, (Q.Term, Q.Terms)) and (
+                q.field == self.field or q.field in self.extra_fields):
+            # ANALYZED text field: equality against the raw stored column
+            # would match only documents whose entire text equals the
+            # value — route to the postings lookup (score fallback)
+            # instead, the same doc set query context produces
+            return None
         if isinstance(q, Q.Term):
             if getattr(q, "case_insensitive", False):
                 # keyword lowercase-normalizer path: fold BOTH sides (the
@@ -402,7 +416,11 @@ class Searcher:
         if isinstance(q, Q.Prefix) and q.field != self.field:
             return F.col(q.field).startswith(q.value)
         if isinstance(q, Q.Wildcard) and q.field != self.field:
-            return F.col(q.field).like(q.value.replace("*", "%").replace("?", "_"))
+            # escape LIKE metacharacters first: a literal % or _ in the
+            # wildcard value is a plain character in Lucene syntax
+            pat = (q.value.replace("\\", "\\\\").replace("%", r"\%")
+                   .replace("_", r"\_").replace("*", "%").replace("?", "_"))
+            return F.col(q.field).like(pat)
         if isinstance(q, Q.Regexp) and q.field != self.field:
             return F.col(q.field).rlike("^(" + q.value + ")$")
         return None
@@ -594,9 +612,29 @@ class Searcher:
                  / (F.lit(float(q.pivot)) + dist)).alias("score"))
         if isinstance(q, Q.Intervals):
             return self._intervals(q)
+        if isinstance(q, Q.Term) and q.field in self.extra_fields:
+            return self.extra_fields[q.field].score(q)
         if isinstance(q, Q.Term) and q.field == self.field:
-            return self._match_exhaustive(
-                Q.Match(field=q.field, text=q.value, boost=q.boost))
+            # reference TermQuery (TermQueryBuilder.java): the value is
+            # NOT analyzed — one literal dictionary lookup. A cased or
+            # multi-word value matches nothing against the lowercased
+            # token stream (the reference's own text-field term-query
+            # gotcha); the previous Match rewrite analyzed the value,
+            # silently OR-ing multi-token values.
+            ts = self._term_scores([str(q.value)], boost=q.boost)
+            return ts.groupBy("doc_id").agg(F.sum("tscore").alias("score"))
+        if isinstance(q, Q.Terms) and (q.field == self.field
+                                       or q.field in self.extra_fields):
+            # TermsQuery on a text field: constant score over the union
+            # of the LITERAL values' postings (no analysis)
+            s = self._searcher_for(q.field)
+            dfs = s.term_dfs([str(v) for v in q.values])
+            live = [t for t in dict.fromkeys(str(v) for v in q.values)
+                    if t in dfs]
+            if not live:
+                return self._empty_scores()
+            docs = s._flat_postings(live).select("doc_id").distinct()
+            return docs.select("doc_id", F.lit(float(q.boost)).alias("score"))
         if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regexp, Q.Fuzzy,
                           Q.Phonetic)) and q.field == self.field:
             terms = self.expand_terms(q)
@@ -707,13 +745,31 @@ class Searcher:
         doc columns onto the (already small) scored frame."""
         sub = self.score(q.query)
         if not q.functions:
-            new = F.expr(q.script)
-            if q.boost_mode == "multiply":
-                new = F.col("score") * new
-            elif q.boost_mode == "sum":
-                new = F.col("score") + new
-            return sub.withColumn("score", new.cast("double")) \
-                      .select("doc_id", "score")
+            # the script-only form combines under the SAME boost_mode
+            # algebra and q.boost multiplier as the functions branch —
+            # previously avg/max/min silently degraded to replace and
+            # q.boost was dropped entirely
+            fx = F.expr(q.script)
+            sc = F.col("score")
+            bm = q.boost_mode
+            if bm == "replace":
+                new = fx
+            elif bm == "multiply":
+                new = sc * fx
+            elif bm == "sum":
+                new = sc + fx
+            elif bm == "avg":
+                new = (sc + fx) / F.lit(2.0)
+            elif bm == "max":
+                new = F.greatest(sc, fx)
+            elif bm == "min":
+                new = F.least(sc, fx)
+            else:
+                raise ValueError(f"unsupported boost_mode {bm!r}")
+            return sub.withColumn(
+                "score",
+                new.cast("double") * F.lit(float(q.boost))) \
+                .select("doc_id", "score")
         fields = sorted({fn.field for fn in q.functions if fn.field})
         frame = sub
         if fields:
@@ -813,11 +869,7 @@ class Searcher:
             [(t, dfs[t]) for t in live], "term string, df long")
         return flat.join(F.broadcast(stats), "term").select(
             "doc_id", "term",
-            F.expr(
-                f"{boost} * ln(1.0 + ({self.N} - df + 0.5) / (df + 0.5)) "
-                f"* ({self.k1} + 1.0) * tf "
-                f"/ (tf + {self.k1} * (1.0 - {self.b} + {self.b} * dl / {self.avgdl}))"
-            ).alias("tscore"))
+            F.expr(self._bm25_sql(f"{boost}")).alias("tscore"))
 
     def _cross_fields(self, q: Q.MultiMatch) -> DataFrame:
         """cross_fields (MultiMatchQueryBuilder.java:74): term-centric —
@@ -919,7 +971,6 @@ class Searcher:
             return self._phrase_sloppy(q, terms)
         self._require_positions("match_phrase")
         pos = self.index.positions(self.spark)
-        parts = None
         frames = []
         for i, t in enumerate(terms):
             frames.append(
@@ -1356,11 +1407,7 @@ class Searcher:
         flat = self._flat_postings(sorted(live_union))
         scored = flat.join(F.broadcast(w), "term").withColumn(
             "tscore",
-            F.expr(
-                f"boost * ln(1.0 + ({self.N} - df + 0.5) / (df + 0.5)) "
-                f"* ({self.k1} + 1.0) * tf "
-                f"/ (tf + {self.k1} * (1.0 - {self.b} + {self.b} * dl / {self.avgdl}))"
-            ),
+            F.expr(self._bm25_sql("boost")),
         )
         agg = (scored.groupBy("query_id", "doc_id")
                .agg(F.sum("tscore").alias("score"),
@@ -1557,10 +1604,7 @@ class Searcher:
             .withColumn("idf", F.expr(f"ln(1.0 + ({self.N} - df + 0.5) / (df + 0.5))"))
             .withColumn(
                 "tscore",
-                F.expr(
-                    f"ln(1.0 + ({self.N} - df + 0.5) / (df + 0.5)) * ({self.k1} + 1.0) * tf "
-                    f"/ (tf + {self.k1} * (1.0 - {self.b} + {self.b} * dl / {self.avgdl}))"
-                ),
+                F.expr(self._bm25_sql()),
             )
             .select("doc_id", "term", "idf", "tf", "dl", "tscore")
         )

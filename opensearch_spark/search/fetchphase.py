@@ -122,13 +122,24 @@ def fetch_fields(docs: DataFrame, hits: DataFrame, specs: list,
     # doc_id is the join key; any column already on the hit frame (a
     # prior _source phase, a sort key) must not be emitted twice
     seen: set[str] = set(hits.columns)
+    overrides: list[tuple[str, str]] = []
     for pat, fmt in _norm_specs(specs):
         for f in resolve_patterns([pat], docvalues=docvalues):
-            if f in seen or f == "doc_id":
+            if f == "doc_id":
+                continue
+            if f in seen:
+                # already on the hit frame (a sort key, a prior phase):
+                # don't emit twice, but DO honor a requested date format
+                # by re-rendering the existing column in place
+                if fmt is not None:
+                    overrides.append((f, fmt))
                 continue
             seen.add(f)
             cols.append(_format_col(f, fmt).alias(f))
-    return F.broadcast(hits).join(docs.select("doc_id", *cols), "doc_id")
+    out = F.broadcast(hits).join(docs.select("doc_id", *cols), "doc_id")
+    for f, fmt in overrides:
+        out = out.withColumn(f, _format_col(f, fmt))
+    return out
 
 
 def source_filter(docs: DataFrame, hits: DataFrame,

@@ -707,6 +707,7 @@ def from_dsl(d: dict) -> Query:
             fields=body["fields"], text=body["query"],
             type=body.get("type", "best_fields"),
             tie_breaker=body.get("tie_breaker", 0.0), boost=body.get("boost", 1.0),
+            slop=int(body.get("slop", 0)),
         )
     if kind == "term":
         f, spec = next(iter(body.items()))
@@ -749,6 +750,8 @@ def from_dsl(d: dict) -> Query:
             fz = spec.get("fuzziness", "AUTO")
             return Fuzzy(field=f, value=spec["value"],
                          fuzziness=None if fz == "AUTO" else int(fz),
+                         max_expansions=spec.get("max_expansions"),
+                         boost=spec.get("boost", 1.0),
                          transpositions=bool(
                              spec.get("transpositions", True)))
         return Fuzzy(field=f, value=spec)

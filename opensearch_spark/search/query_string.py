@@ -201,7 +201,10 @@ class _Parser:
                 fuzz = int(tval[1:]) if tval[1:] else None  # None → AUTO
                 return self._boost_suffix(
                     Q.Fuzzy(field=field, value=val, fuzziness=fuzz))
-            if val.endswith("*") and len(val) > 1 and "*" not in val[:-1]:
+            if val.endswith("*") and len(val) > 1 and "*" not in val[:-1] \
+                    and "?" not in val[:-1]:
+                # a '?' in the body means single-char wildcard (te?t* is
+                # a Wildcard, not a Prefix with a literal '?')
                 return self._boost_suffix(Q.Prefix(field=field, value=val[:-1]))
             if "*" in val or "?" in val:
                 return self._boost_suffix(Q.Wildcard(field=field, value=val))

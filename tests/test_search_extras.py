@@ -876,3 +876,63 @@ def test_fragment_never_consumes_a_truncated_match(spark):
     assert any("<em>abcdefghij</em>" in f for f in rows)
     for f in rows:
         assert "abcdefghi" not in f.replace("<em>abcdefghij</em>", "")
+
+
+def test_term_on_text_field_is_literal_unanalyzed(spark, sf_dir):
+    """Reference TermQuery semantics on an analyzed field: the value is
+    NOT analyzed — a single literal dictionary lookup. Regression: the
+    old Term->Match rewrite analyzed the value (multi-token values
+    silently became an OR; query and filter context disagreed because
+    the filter path compared whole-document equality)."""
+    from opensearch_spark.entry_queries import get_searcher
+    from opensearch_spark.search import Term, Terms
+
+    s = get_searcher(spark, sf_dir)
+    one = s.score(Term(field="text", value="spark")).count()
+    assert one > 0
+    # literal semantics: multi-word and cased values match nothing
+    assert s.score(Term(field="text", value="spark table")).count() == 0
+    assert s.score(Term(field="text", value="Spark")).count() == 0
+    # filter context routes to the same postings lookup
+    assert s.matching_docs(Term(field="text", value="spark")).count() == one
+    # terms = constant-score union of literal postings
+    t = s.matching_docs(Terms(field="text", values=["spark", "merge"]))
+    assert t.count() >= one
+
+
+def test_render_search_template_json_escapes(spark):
+    """String params are JSON-escaped (quotes/backslashes can't break or
+    inject structure); non-strings render as JSON literals, not Python
+    reprs."""
+    from opensearch_spark.search.apis import render_search_template
+
+    body = render_search_template(
+        '{"match": {"text": "{{q}}"}, "flag": {{b}}, "n": {{n}}}',
+        {"q": 'say "hi" \\ there', "b": True, "n": 2.5})
+    assert body["match"]["text"] == 'say "hi" \\ there'
+    assert body["flag"] is True and body["n"] == 2.5
+
+
+def test_query_string_question_mark_body_is_wildcard(spark):
+    """te?t* must parse as a Wildcard ('?' = single-char wildcard), not a
+    Prefix with a literal question mark."""
+    from opensearch_spark.search.query_string import parse_query_string
+
+    assert type(parse_query_string("te?t*")).__name__ == "Wildcard"
+
+
+def test_function_score_script_only_honors_boost_modes(spark, sf_dir):
+    """The script-only function_score branch applies q.boost and the full
+    boost_mode algebra (max previously degraded silently to replace)."""
+    from opensearch_spark.entry_queries import get_searcher
+    from opensearch_spark.search import FunctionScore, Match
+
+    s = get_searcher(spark, sf_dir)
+    base = {r["doc_id"]: r["score"]
+            for r in s.score(Match(field="text", text="spark")).collect()}
+    fs = FunctionScore(query=Match(field="text", text="spark"),
+                       script="0.0", boost_mode="max", boost=2.0)
+    out = {r["doc_id"]: r["score"] for r in s.score(fs).collect()}
+    assert out.keys() == base.keys()
+    for d, v in out.items():
+        assert abs(v - 2.0 * max(base[d], 0.0)) < 1e-9
