@@ -4821,9 +4821,10 @@ rebuilt AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_no) AS text_dedu
                    count(*) AS n_kept
             FROM kept GROUP BY doc_id),
 nc AS (SELECT doc_id, CAST(ceil(len(t)/10.0) AS INT) AS n_chunks FROM toks)
-SELECT r.doc_id, r.text_dedup, nc.n_chunks, CAST(r.n_kept AS BIGINT) AS n_kept
-FROM rebuilt r JOIN nc ON r.doc_id = nc.doc_id
-ORDER BY r.doc_id LIMIT 50
+SELECT nc.doc_id, coalesce(r.text_dedup, '') AS text_dedup, nc.n_chunks,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+FROM nc LEFT JOIN rebuilt r ON r.doc_id = nc.doc_id
+ORDER BY nc.doc_id LIMIT 50
 """)
 def dedup_chunks_global(spark, sf_dir):
     """Corpus-global chunk dedup (C4/RefinedWeb line-dedup shape): drop

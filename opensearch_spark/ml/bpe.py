@@ -206,7 +206,7 @@ def bpe_encode(df: DataFrame, text_col: str,
         for pdf in batches:
             toks = [
                 [] if x is None else
-                [t for w in ws.split(str(x).strip()) if w
+                [t for w in ws.split(str(x).strip(" \t\n\r\x0b\x0c")) if w
                  for t in encode_word(w, cache)]
                 for x in pdf[text_col]]
             yield pd.DataFrame({

@@ -85,7 +85,9 @@ def pack_sequences(df: DataFrame, max_tokens: int, text_col: str = "text",
     which would silently shift every later doc's tape position).
     """
     n_tokens = F.when(
-        F.col(text_col).isNull(), F.lit(0)
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+        F.lit(0)  # blank text would otherwise count split('')=[''] as 1
+                  # token and shift every later doc's tape position
     ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).cast("long")
     out = df.select(F.col(id_col), n_tokens.alias("n_tokens"),
                     *( [F.col(part_col)] if part_col else [] ))

@@ -604,10 +604,16 @@ def dedup_chunks_global(
             ).getField("chunk"), " ").alias("text_dedup"),
         F.count("*").alias("n_kept"),
     )
+    # LEFT join from the per-doc side: a doc whose EVERY chunk is a
+    # duplicate has no kept rows — it must still report (n_kept=0,
+    # text_dedup='') rather than silently vanish from the per-doc output
     return (
-        _mj(rejoined, scale)
-        .join(nchunks_df, id_col)
-        .select(id_col, "text_dedup", "n_chunks", "n_kept")
+        _mj(nchunks_df, scale)
+        .join(_mj(rejoined, scale), id_col, "left")
+        .select(id_col,
+                F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                "n_chunks",
+                F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"))
     )
 
 

@@ -120,17 +120,37 @@ class HnswGraph:
         return cur
 
     def _search_layer(self, q: np.ndarray, eps: list[int], ef: int,
-                      level: int) -> list[tuple[float, int]]:
-        """Algorithm 2: beam search, returns (dist, ordinal) sorted asc."""
+                      level: int,
+                      accept: np.ndarray | None = None
+                      ) -> list[tuple[float, int]]:
+        """Algorithm 2: beam search, returns (dist, ordinal) sorted asc.
+
+        ``accept`` (layer-0 filtered kNN): the BEAM (navigation) stays
+        unfiltered — pruning rejected nodes from the walk would strand it
+        in accepted islands — but the COLLECTED results are only accepted
+        ordinals, gathered during traversal (Lucene's acceptOrds /
+        FilteredKnnCollector posture). Filtering after beam truncation
+        instead would return fewer than ef (often zero) accepted hits for
+        selective filters even though matches exist."""
         import heapq
 
         visited = set(eps)
         cand: list[tuple[float, int]] = []   # min-heap by dist
         best: list[tuple[float, int]] = []   # max-heap via negated dist
+        res: list[tuple[float, int]] = []    # accepted-only, max-heap
+
+        def collect(d: float, o: int) -> None:
+            if accept is not None and not accept[o]:
+                return
+            heapq.heappush(res, (-d, o))
+            if len(res) > ef:
+                heapq.heappop(res)
+
         for e in eps:
             d = 1.0 - float(self.vecs[e] @ q)
             heapq.heappush(cand, (d, e))
             heapq.heappush(best, (-d, e))
+            collect(d, e)
         while cand:
             d, c = heapq.heappop(cand)
             if d > -best[0][0]:
@@ -143,12 +163,19 @@ class HnswGraph:
             ds = 1.0 - self.vecs[np.asarray(frontier)] @ q
             for nb, dn in zip(frontier, ds):
                 dn = float(dn)
+                # collection is independent of beam admission (Lucene
+                # collects every VISITED accepted node): an accepted node
+                # beyond the ef-th unfiltered distance can still be among
+                # the best accepted ones under a selective filter
+                collect(dn, nb)
                 if len(best) < ef or dn < -best[0][0]:
                     heapq.heappush(cand, (dn, nb))
                     heapq.heappush(best, (-dn, nb))
                     if len(best) > ef:
                         heapq.heappop(best)
-        return sorted((-nd, o) for nd, o in best)
+        if accept is None:
+            return sorted((-nd, o) for nd, o in best)
+        return sorted((-nd, o) for nd, o in res)
 
     def search(self, q: np.ndarray, k: int, ef: int,
                accept: np.ndarray | None = None) -> list[tuple[int, float]]:
@@ -160,15 +187,8 @@ class HnswGraph:
         ep = self.entry
         for level in range(self.max_level, 0, -1):
             ep = self._greedy_layer(qn, ep, level)
-        found = self._search_layer(qn, [ep], max(ef, k), 0)
-        out = []
-        for d, o in found:
-            if accept is not None and not accept[o]:
-                continue
-            out.append((int(self.ids[o]), 1.0 - d))
-            if len(out) >= k:
-                break
-        return out
+        found = self._search_layer(qn, [ep], max(ef, k), 0, accept=accept)
+        return [(int(self.ids[o]), 1.0 - d) for d, o in found[:k]]
 
 
 def _select_neighbors(cands: list[tuple[float, int]],

@@ -55,7 +55,14 @@ def real_decode(payload: bytes, width: int, height: int) -> np.ndarray:
             " decode_avi_mjpg); other formats need PIL/av — pass"
             " decoder=fake_decode or your own"
         )
-    return img[:, :, None].repeat(3, axis=2) if img.ndim == 2 else img
+    if img.ndim == 2:  # greyscale → 3 channels
+        return img[:, :, None].repeat(3, axis=2)
+    if img.shape[2] == 4:
+        # RGBA (PNG color type 6): drop alpha — downstream feature
+        # extractors reshape(-1, 3) and a 4th channel either crashes the
+        # reshape or silently misaligns R/G/B across pixels
+        return img[:, :, :3]
+    return img
 
 
 def png_features(df: DataFrame) -> DataFrame:

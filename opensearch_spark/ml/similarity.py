@@ -70,6 +70,31 @@ def _bucket_expr(vec_col: str, planes: list[list[float]]):
     return bucket.cast("int")
 
 
+
+def sign_bucket(vec, planes: list[list[float]]) -> int:
+    """Driver-side sign-pattern bucket of one vector — the Python twin of
+    ``_bucket_expr`` (strictly ``> 0``, bit j = plane j). ONE authoring
+    site: lsh_topk and AnnIndex probe with this; a drifted copy would
+    silently probe the wrong buckets (recall -> 0)."""
+    b = 0
+    for j, p in enumerate(planes):
+        if sum(x * y for x, y in zip(vec, p)) > 0:
+            b |= 1 << j
+    return b
+
+
+def probe_buckets(qb: int, n_planes: int, multiprobe: int) -> list[int]:
+    """Multiprobe set: the query bucket plus all 1-bit (and, at
+    multiprobe >= 2, 2-bit) flips, sorted."""
+    probes = {qb}
+    if multiprobe >= 1:
+        probes |= {qb ^ (1 << j) for j in range(n_planes)}
+    if multiprobe >= 2:
+        probes |= {qb ^ (1 << i) ^ (1 << j)
+                   for i in range(n_planes) for j in range(i + 1, n_planes)}
+    return sorted(probes)
+
+
 def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              n_planes: int = 8, vec_col: str = "embedding",
              id_col: str = "vec_id", multiprobe: int = 1,
@@ -78,23 +103,10 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     exact cosine re-rank inside. Recall measured in tests vs cosine_topk."""
     dim = len(query_vec)
     planes = hyperplanes(n_planes, dim)
-
-    def sign_bucket(vec):
-        b = 0
-        for j, p in enumerate(planes):
-            if sum(x * y for x, y in zip(vec, p)) > 0:
-                b |= 1 << j
-        return b
-
-    qb = sign_bucket(query_vec)
-    probes = {qb}
-    if multiprobe >= 1:
-        probes |= {qb ^ (1 << j) for j in range(n_planes)}
-    if multiprobe >= 2:
-        probes |= {qb ^ (1 << i) ^ (1 << j)
-                   for i in range(n_planes) for j in range(i + 1, n_planes)}
+    probes = probe_buckets(sign_bucket(query_vec, planes), n_planes,
+                           multiprobe)
     bucketed = df.withColumn("_bkt", _bucket_expr(vec_col, planes))
-    cand = bucketed.where(F.col("_bkt").isin(sorted(probes)))
+    cand = bucketed.where(F.col("_bkt").isin(probes))
     return cosine_topk(cand, query_vec, k, vec_col, id_col, exclude_id)
 
 
@@ -265,18 +277,8 @@ class AnnIndex:
         return AnnIndex(out_dir)
 
     def _probes_lsh(self, query_vec: list[float], multiprobe: int) -> list[int]:
-        n_planes = len(self.planes)
-        b = 0
-        for j, p in enumerate(self.planes):
-            if sum(x * y for x, y in zip(query_vec, p)) > 0:
-                b |= 1 << j
-        probes = {b}
-        if multiprobe >= 1:
-            probes |= {b ^ (1 << j) for j in range(n_planes)}
-        if multiprobe >= 2:
-            probes |= {b ^ (1 << i) ^ (1 << j)
-                       for i in range(n_planes) for j in range(i + 1, n_planes)}
-        return sorted(probes)
+        return probe_buckets(sign_bucket(query_vec, self.planes),
+                             len(self.planes), multiprobe)
 
     def lsh_topk(self, spark, query_vec: list[float], k: int = 10,
                  multiprobe: int = 1, exclude_id: int | None = None) -> DataFrame:
@@ -301,12 +303,19 @@ class AnnIndex:
 
 
 def knn_join_exact(queries: DataFrame, corpus: DataFrame, k: int = 5,
-                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   exclude_self: bool = True) -> DataFrame:
     """Batch kNN join: for EVERY query vector, its top-k cosine neighbors
     from the corpus — (query_id, neighbor_id, cosine, rank). Exact
     baseline: blocked cross join with the JVM zip_with/aggregate fold and
     a per-query window top-k. O(|Q|·|C|) — the correctness oracle;
-    ``knn_join_lsh`` is the bucketed scale path."""
+    ``knn_join_lsh`` is the bucketed scale path.
+
+    ``exclude_self`` drops neighbor rows whose id EQUALS the query id —
+    correct when queries and corpus are the same table (the self-join
+    case). Pass False when the two frames are independent tables whose
+    id spaces merely overlap: a corpus row sharing an id value with a
+    query is a legitimate neighbor there."""
     from pyspark.sql import Window as W
 
     qa = queries.select(F.col(id_col).alias("query_id"),
@@ -316,10 +325,11 @@ def knn_join_exact(queries: DataFrame, corpus: DataFrame, k: int = 5,
     dot = _dot(F.col("_qv"), F.col("_cv"))
     nq = F.sqrt(_dot(F.col("_qv"), F.col("_qv")))
     nc = F.sqrt(_dot(F.col("_cv"), F.col("_cv")))
-    scored = (qa.crossJoin(ca)
-              .where(F.col("query_id") != F.col("neighbor_id"))
-              .select("query_id", "neighbor_id",
-                      F.round(dot / (nq * nc), 4).alias("cosine")))
+    scored = qa.crossJoin(ca)
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select("query_id", "neighbor_id",
+                           F.round(dot / (nq * nc), 4).alias("cosine"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k)
@@ -494,7 +504,8 @@ def _sq8_dequant_col(vec_col, mn: float, scale: float):
     return F.transform(
         vec_col,
         lambda x: F.lit(mn)
-        + F.round((x.cast("double") - F.lit(mn)) / F.lit(scale)).cast("double")
+        + F.least(F.lit(255.0), F.greatest(F.lit(0.0), F.round(
+            (x.cast("double") - F.lit(mn)) / F.lit(scale)).cast("double")))
         * F.lit(scale),
     )
 
@@ -515,8 +526,12 @@ def sq8_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     scale = (mx - mn) / 255.0
     if scale == 0.0:
         raise ValueError("sq8: constant corpus (max == min), nothing to quantize")
-    # floor(v+0.5) == HALF_UP for the non-negative (x-mn)/scale
-    dq = [mn + math.floor((float(x) - mn) / scale + 0.5) * scale
+    # floor(v+0.5) == HALF_UP for the non-negative (x-mn)/scale; the code
+    # is CLAMPED to [0, 255] — a query component outside the corpus
+    # [mn, mx] range would otherwise dequantize to a value no int8 index
+    # can store, breaking the byte-vector-index score contract
+    dq = [mn + min(255, max(0, math.floor((float(x) - mn) / scale + 0.5)))
+          * scale
           for x in query_vec]
     deq = _sq8_dequant_col(F.col(vec_col), mn, scale)
     qarr = F.array(*[F.lit(float(v)) for v in dq])
@@ -741,6 +756,41 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     return df.select(F.col(id_col), *cols)
 
 
+
+def pq_distance_tables(query_vec: list[float],
+                       codebooks: list[list[list[float]]]
+                       ) -> list[list[float]]:
+    """Driver-side M x ksub squared-L2 distance tables for ADC — the
+    query-scale precompute shared by every PQ path."""
+    subdim = len(codebooks[0][0])
+    out = []
+    for m, book in enumerate(codebooks):
+        qsub = query_vec[m * subdim:(m + 1) * subdim]
+        dists = []
+        for c in book:
+            s = 0.0
+            for x, y in zip(qsub, c):
+                s += (float(x) - float(y)) ** 2
+            dists.append(s)
+        out.append(dists)
+    return out
+
+
+def adc_lookup_sum(tables_m: list[list[float]]):
+    """Sum_m element_at(literal table_m, code_m + 1): the ADC
+    lookup-chain over the code columns. The distance-table literals and
+    the LEFT-TO-RIGHT subspace sum order are load-bearing — they mirror
+    the SQL twin so engine and oracle add identical doubles in identical
+    order (hash-stable). ONE authoring site for all three PQ paths
+    (pq_adc_topk, PqIndex.topk, IvfPqIndex.topk)."""
+    s = None
+    for m, dists in enumerate(tables_m):
+        lookup = F.element_at(F.array(*[F.lit(float(d)) for d in dists]),
+                              F.col(f"code_{m}") + 1)
+        s = lookup if s is None else s + lookup
+    return s
+
+
 def pq_adc_topk(df: DataFrame, query_vec: list[float],
                 codebooks: list[list[list[float]]], k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id",
@@ -756,20 +806,8 @@ def pq_adc_topk(df: DataFrame, query_vec: list[float],
     Distance-table terms sum left-to-right per subspace, mirroring the
     SQL twin's literal order, so engine and oracle add identical doubles
     in identical order (hash-stable)."""
-    subdim = len(codebooks[0][0])
     codes = pq_encode(df, codebooks, vec_col, id_col)
-    adc = None
-    for m, book in enumerate(codebooks):
-        qsub = query_vec[m * subdim:(m + 1) * subdim]
-        dists = []
-        for c in book:
-            s = 0.0
-            for x, y in zip(qsub, c):
-                s += (float(x) - float(y)) ** 2
-            dists.append(s)
-        lookup = F.element_at(F.array(*[F.lit(d) for d in dists]),
-                              F.col(f"code_{m}") + 1)
-        adc = lookup if adc is None else adc + lookup
+    adc = adc_lookup_sum(pq_distance_tables(query_vec, codebooks))
     out = codes.select(F.col(id_col), F.round(adc, 6).alias("adc"))
     if exclude_id is not None:
         out = out.where(F.col(id_col) != exclude_id)
@@ -841,19 +879,8 @@ class PqIndex:
         With ``rerank=R`` (R ≥ k; R < k raises): exact-distance refine of
         the ADC top-R (requires ``store_vec`` at build); returns (id, d2)
         exact. ``rerank=k`` refines exactly the top-k."""
-        subdim = len(self.codebooks[0][0])
-        adc = None
-        for m, book in enumerate(self.codebooks):
-            qsub = query_vec[m * subdim:(m + 1) * subdim]
-            dists = []
-            for c in book:
-                s = 0.0
-                for x, y in zip(qsub, c):
-                    s += (float(x) - float(y)) ** 2
-                dists.append(s)
-            lookup = F.element_at(F.array(*[F.lit(d) for d in dists]),
-                                  F.col(f"code_{m}") + 1)
-            adc = lookup if adc is None else adc + lookup
+        adc = adc_lookup_sum(
+            pq_distance_tables(query_vec, self.codebooks))
         out = self.codes(spark).select(
             F.col(self.id_col), F.round(adc, 6).alias("adc"))
         if exclude_id is not None:
@@ -1038,18 +1065,10 @@ class IvfPqIndex:
         tables = ivfpq_adc_tables(query_vec, self.centroids,
                                   self.codebooks, probes)
 
-        def probe_sum(p: int):
-            s = None
-            for m, dists in enumerate(tables[p]):
-                lookup = F.element_at(
-                    F.array(*[F.lit(float(d)) for d in dists]),
-                    F.col(f"code_{m}") + 1)
-                s = lookup if s is None else s + lookup
-            return s
-
-        adc = probe_sum(probes[-1])
+        adc = adc_lookup_sum(tables[probes[-1]])
         for p in probes[:-1][::-1]:
-            adc = F.when(F.col("_c") == p, probe_sum(p)).otherwise(adc)
+            adc = F.when(F.col("_c") == p,
+                         adc_lookup_sum(tables[p])).otherwise(adc)
         out = (self.codes(spark).where(F.col("_c").isin(probes))
                .select(F.col(self.id_col), F.round(adc, 6).alias("adc")))
         if exclude_id is not None:

@@ -19,7 +19,13 @@ LANG_MARKERS = {
 
 
 def _toks(text_col: str):
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    """Whitespace tokens; NULL and blank text yield an EMPTY array — an
+    unguarded split would emit [''] (1 phantom token) for blank text and
+    NULL for NULL text, which size() then reports as the -1 sentinel
+    that silently corrupts downstream sums/thresholds."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    return F.when(t == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(t, r"\s+"))
 
 
 def token_stats(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
@@ -37,8 +43,8 @@ def token_stats(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFra
         F.col(id_col),
         n.alias("n_tokens"),
         nd.alias("n_unique"),
-        F.round(nd / n, 6).alias("unique_ratio"),
-        F.round(tok_chars / n, 6).alias("mean_token_len"),
+        F.round(F.when(n > 0, nd / n), 6).alias("unique_ratio"),
+        F.round(F.when(n > 0, tok_chars / n), 6).alias("mean_token_len"),
     )
 
 
@@ -52,7 +58,9 @@ def token_count_bpe(df: DataFrame, text_col: str, id_col: str = "doc_id") -> Dat
     regexp_extract_all, no Python."""
     return df.select(
         id_col,
-        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH), 0))
+        F.size(F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(BPE_ISH), 0))
         .alias("n_bpe_tokens"),
     )
 
@@ -67,7 +75,7 @@ def quality_score(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataF
     n_stop = F.size(F.array_intersect(toks, sw))
     score = (
         F.when((n >= 10) & (n <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.round(0.3 * nd / n, 6)
+        + F.round(F.when(n > 0, 0.3 * nd / n).otherwise(0.0), 6)
         + F.when(n_stop >= 1, F.lit(0.3)).otherwise(F.lit(0.0))
     )
     return df.select(

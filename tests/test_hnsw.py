@@ -143,3 +143,22 @@ def test_spark_index_plan_and_merge(spark, sf_dir, tmp_path):
     assert len(rows) == 10 and all(r["vec_id"] != 0 for r in rows)
     cosines = [r["cosine"] for r in rows]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_selective_filter_still_returns_k():
+    """Regression: accept was applied AFTER beam truncation, so a 1%-
+    selective filter returned []/under-k despite matches existing. The
+    collector must gather accepted nodes during traversal."""
+    vecs = _rand(3000, 16, seed=11)
+    ids = np.arange(3000, dtype=np.int64)
+    g = build_graph(ids, vecs, m=8, ef_construction=48)
+    rng = np.random.RandomState(3)
+    accept = rng.rand(3000) < 0.02  # ~60 accepted of 3000
+    q = _rand(1, 16, seed=5)[0]
+    got = g.search(q, k=10, ef=100, accept=accept)
+    assert len(got) == 10
+    ids_got = [i for i, _ in got]
+    assert all(accept[i] for i in ids_got)
+    # quality: decent overlap with the brute-force accepted top-10
+    want = _brute_topk(vecs, q, 10, accept=accept)
+    assert len(set(ids_got) & set(want)) >= 5
