@@ -71,9 +71,14 @@ class CircuitBreaker:
     def release(self, n_bytes: int) -> None:
         n = int(n_bytes)
         with self._lock:
-            self.used = max(0, self.used - n)
-        if self.parent is not None:
-            self.parent.release(n)
+            # propagate only what was ACTUALLY deducted: a double-release
+            # clamps at zero here, and passing the full amount up would
+            # under-count the parent while sibling children still hold
+            # their reservations — the hierarchy then fails to trip
+            freed = min(n, self.used)
+            self.used -= freed
+        if self.parent is not None and freed > 0:
+            self.parent.release(freed)
 
     def reserve(self, n_bytes: int, label: str = "<unknown>"):
         """Context manager: charge on enter, release on exit — for

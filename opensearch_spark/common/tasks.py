@@ -37,6 +37,11 @@ class Task:
         self.result = None
         self.error: BaseException | None = None
         self._done = threading.Event()
+        #: guards status TRANSITIONS — without it cancel() can observe
+        #: 'running', lose the race to the completing worker, and then
+        #: stamp 'cancelling' over 'done' permanently (the task is never
+        #: pruned and a second cancel returns False)
+        self._slock = threading.Lock()
 
     def info(self) -> dict:
         return {"id": self.id, "action": self.action,
@@ -85,25 +90,24 @@ class TaskManager:
                            interruptOnCancel=True)
             try:
                 task.result = fn()
-                if task.status == "running":
-                    task.status = "done"
-                elif task.status == "cancelling":
-                    # the work completed before cancellation landed — the
-                    # reference reports such tasks as completed, not
-                    # cancelled (cancellation is cooperative/best-effort)
+                with task._slock:
+                    # 'running' OR 'cancelling': the work completed
+                    # before cancellation landed — the reference reports
+                    # such tasks as completed, not cancelled
                     task.status = "done"
             except BaseException as e:  # noqa: BLE001 - recorded, not lost
                 # only an exception observed AFTER cancel() flipped the
                 # status is a cancellation; matching on the message text
                 # would misreport a genuine failure that merely mentions
                 # 'cancelled' (e.g. a remote peer's error) as a user cancel
-                if task.status == "cancelling":
-                    task.status = "cancelled"
-                    task.error = TaskCancelledException(
-                        f"task {task.id} cancelled")
-                else:
-                    task.status = "failed"
-                    task.error = e
+                with task._slock:
+                    if task.status == "cancelling":
+                        task.status = "cancelled"
+                        task.error = TaskCancelledException(
+                            f"task {task.id} cancelled")
+                    else:
+                        task.status = "failed"
+                        task.error = e
             finally:
                 task._done.set()
 
@@ -135,9 +139,12 @@ class TaskManager:
         the submit/cancel race). Returns False for finished tasks (the
         reference responds 'task is not cancellable / completed')."""
         task = self._tasks.get(task_id)
-        if task is None or task.status not in ("running",):
+        if task is None:
             return False
-        task.status = "cancelling"
+        with task._slock:  # atomic check-and-flip vs the worker's finish
+            if task.status != "running":
+                return False
+            task.status = "cancelling"
         sc = self.spark.sparkContext
         gid = f"task-{task.id}"
 

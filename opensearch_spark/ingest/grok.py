@@ -181,7 +181,7 @@ def grok_extract(df: DataFrame, col: str, expr: str,
 _DISSECT_KEY = re.compile(r"%\{([^}]*)\}")
 
 
-def compile_dissect(pattern: str, append_separator: str = "") \
+def compile_dissect(pattern: str) \
         -> tuple[str, list[tuple[str, int | None]], list[str]]:
     """Parse a dissect pattern into ``(regex, slots, field_order)``.
 
@@ -189,7 +189,8 @@ def compile_dissect(pattern: str, append_separator: str = "") \
     regex group; ``None`` name = skip key (``%{}`` / ``%{?name}``,
     DissectKey.java NAMED_SKIP). Append keys (``%{+name}`` /
     ``%{+name/n}``) share a field whose final value is the order-sorted
-    (else pattern-ordered) concatenation with ``append_separator`` —
+    (else pattern-ordered) concatenation (dissect_columns applies the
+    append separator at projection time) —
     DissectParser.java's APPEND / APPEND_WITH_ORDER semantics. A trailing
     ``->`` on any key makes the following literal separator greedy
     (right padding skip)."""
@@ -232,6 +233,13 @@ def compile_dissect(pattern: str, append_separator: str = "") \
         nxt = matches[i + 1].start() if i + 1 < len(matches) else len(pattern)
         sep = pattern[m.end():nxt]
         last = i + 1 == len(matches)
+        if not last and sep == "" and not pad:
+            # two keys with NO separator: the lazy first group would
+            # always match empty — DissectParser.java rejects the
+            # pattern at compile time, so do we
+            raise GrokError(
+                f"dissect: keys %{{{key}}} and the next key have no "
+                "separator between them")
         if last and sep == "":
             regex_parts.append("(.*)")
         else:
@@ -251,8 +259,13 @@ def compile_dissect(pattern: str, append_separator: str = "") \
 def dissect_columns(col: Column | str, pattern: str,
                     append_separator: str = "") -> dict[str, Column]:
     """Per-field string columns for a dissect pattern (DissectProcessor)."""
-    regex, slots, fields = compile_dissect(pattern, append_separator)
+    regex, slots, fields = compile_dissect(pattern)
     c = F.col(col) if isinstance(col, str) else col
+    # extraction uses the SAME anchored pattern as the match guard: an
+    # unanchored regexp_extract can return groups from a shorter first
+    # match than the whole-string parse the guard validated ('1:2;3;'
+    # under '%{a}:%{b};' validated with b='2;3' but extracted b='2')
+    anchored = f"^(?:{regex})$"
     by_field: dict[str, list[tuple[int, int]]] = {}
     for gi, (name, order) in enumerate(slots):
         if name is not None:
@@ -260,10 +273,10 @@ def dissect_columns(col: Column | str, pattern: str,
     out: dict[str, Column] = {}
     for name in fields:
         parts = sorted(by_field[name])
-        cols = [F.regexp_extract(c, regex, g) for _, g in parts]
+        cols = [F.regexp_extract(c, anchored, g) for _, g in parts]
         v = cols[0] if len(cols) == 1 else \
             F.concat_ws(append_separator, *cols)
-        out[name] = F.when(c.rlike(f"^(?:{regex})$"), v)
+        out[name] = F.when(c.rlike(anchored), v)
     return out
 
 

@@ -14,41 +14,63 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from opensearch_spark.analysis import analyze_udf
 from opensearch_spark.index.build import IndexConfig, _atomic_write_json
 
 
 def index_microbatch(batch_df: DataFrame, epoch_id: int, out_dir: str,
                      config: IndexConfig) -> None:
-    """foreachBatch sink: one write-once segment per micro-batch epoch."""
+    """foreachBatch sink: one write-once segment per micro-batch epoch.
+
+    Uses ``write_segment_tables`` — the SAME single author as the batch
+    and datastream paths — so the streaming segment layout can never
+    drift from what ``merge_segments`` expects (a hand-rolled copy here
+    previously ignored with_positions/index_options, crashed on the
+    default id_col=None config, faked the sha256_xor_sig integrity
+    signature, and re-ran the analyze UDF once per consumer)."""
     cfg = config
-    if batch_df.rdd.isEmpty():
+    if batch_df.isEmpty():
         return
-    analyzed = batch_df.withColumn(
-        "_tokens", analyze_udf(cfg.analyzer)(F.col(cfg.field)))
+    from opensearch_spark.index.segments import (read_manifest,
+                                                 write_segment_tables)
+
     seg_dir = os.path.join(out_dir, "segments", f"seg_{epoch_id}")
-    docs = analyzed.select(
-        F.col(cfg.id_col).cast("long").alias("doc_id"),
-        *[c for c in batch_df.columns if c != cfg.id_col],
-        F.size("_tokens").alias("dl"),
-        F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
-    )
-    docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
-    flat = (
-        analyzed.select(F.col(cfg.id_col).cast("long").alias("doc_id"),
-                        F.posexplode("_tokens").alias("pos", "term"))
-        .groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
-        .join(analyzed.select(F.col(cfg.id_col).cast("long").alias("doc_id"),
-                              F.size("_tokens").alias("dl")), "doc_id")
-    )
-    flat.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
-    n = docs.count()
-    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
-    _atomic_write_json(
-        os.path.join(out_dir, "manifest", f"seg_{epoch_id}.json"),
-        {"segment_id": int(epoch_id), "rows": int(n), "status": "committed",
-         "attempt": 1, "sha256_xor_sig": 0},
-    )
+    own_pin = False
+    if cfg.id_col is not None:
+        part = batch_df.withColumn("doc_id", F.col(cfg.id_col).cast("long"))
+        keep = ["doc_id"] + [c for c in batch_df.columns if c != cfg.id_col]
+    else:
+        # dense local ids offset by the stream's committed doc count
+        # (docBase discipline; Structured Streaming runs epochs serially)
+        from opensearch_spark.index.build import assign_doc_ids
+
+        doc_base = sum(int(m["rows"])
+                       for m in read_manifest(out_dir).values())
+        batch_df = batch_df.persist()
+        own_pin = True
+        part = (assign_doc_ids(batch_df, list(cfg.order_cols) or [],
+                               mode="local", cache=False)
+                .withColumn("doc_id", F.col("doc_id") + F.lit(doc_base)))
+        keep = list(part.columns)
+    try:
+        analyzed, docs = write_segment_tables(part, keep, seg_dir, cfg)
+        try:
+            sig = docs.agg(
+                F.expr("bit_xor(cast(conv(substr(content_sha256, 1, 15),"
+                       " 16, 10) as bigint))").alias("sig"),
+                F.count("*").alias("rows")).collect()[0]
+            os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+            _atomic_write_json(
+                os.path.join(out_dir, "manifest", f"seg_{epoch_id}.json"),
+                {"segment_id": int(epoch_id), "rows": int(sig["rows"]),
+                 "sha256_xor_sig": int(sig["sig"])
+                 if sig["sig"] is not None else 0,
+                 "status": "committed", "attempt": 1},
+            )
+        finally:
+            analyzed.unpersist()
+    finally:
+        if own_pin:
+            batch_df.unpersist()
 
 
 def start_streaming_index(

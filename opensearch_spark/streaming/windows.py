@@ -26,12 +26,15 @@ def windowed_event_counts(
     window: str = "10 minutes",
     slide: str | None = None,
     watermark: str = "20 minutes",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Event-time windowed counts + value sum with late-data policy.
 
     Works on streaming AND batch frames (the batch plan is the identical
     groupBy — handy for backfill jobs sharing the streaming code path).
     Returns (window_start, window_end, *keys, n_events, value_sum).
+    ``value_col=None`` skips the sum (value_sum NULL) so streams without
+    a value column still get windowed counts.
     """
     keys = keys if keys is not None else ["event_type"]
     df = stream_df
@@ -39,9 +42,11 @@ def windowed_event_counts(
         df = df.withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), window, slide) if slide \
         else F.window(F.col(ts_col), window)
+    vsum = (F.sum(value_col) if value_col is not None
+            else F.lit(None).cast("double"))
     agg = (df.groupBy(win.alias("w"), *keys)
            .agg(F.count("*").alias("n_events"),
-                F.sum("value").alias("value_sum")))
+                vsum.alias("value_sum")))
     return agg.select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
@@ -55,6 +60,7 @@ def session_event_counts(
     keys: list[str] | None = None,
     gap: str = "5 minutes",
     watermark: str = "20 minutes",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Session windows (``F.session_window``): per-key activity sessions
     that close after ``gap`` of inactivity — dynamic-length windows the
@@ -72,10 +78,12 @@ def session_event_counts(
     df = stream_df
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
+    vsum = (F.sum(value_col) if value_col is not None
+            else F.lit(None).cast("double"))
     agg = (df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
                       *keys)
            .agg(F.count("*").alias("n_events"),
-                F.sum("value").alias("value_sum")))
+                vsum.alias("value_sum")))
     return agg.select(
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),
