@@ -9603,10 +9603,27 @@ def _driver_verified() -> frozenset:
     return frozenset(seen)
 
 
+# The LLM-training-data operator families (dedup/sim/text/curation/mm/
+# pipeline + corpus_stats) are the engine's north-star additions; after
+# three rounds of newest-first rotation, 50 of their 54 gates had never
+# been inside a driver window (VERDICT r3, Next round #1).  Front-load
+# them among the unverified gates so the round-4 window drains that debt
+# first; remaining unverified gates follow in catalogue order.
+_ML_FAMILY_PREFIXES = (
+    "dedup_", "sim_", "text_", "curation_", "mm_", "pipeline_", "mjpg_",
+)
+
+
+def _is_ml_family(name: str) -> bool:
+    return name.startswith(_ML_FAMILY_PREFIXES) or name == "corpus_stats"
+
+
 def _rotate_verified_to_back() -> None:
     global QUERIES, ORACLES
     verified = _driver_verified()
-    order = ([k for k in QUERIES if k not in verified]
+    unverified = [k for k in QUERIES if k not in verified]
+    order = ([k for k in unverified if _is_ml_family(k)]
+             + [k for k in unverified if not _is_ml_family(k)]
              + [k for k in QUERIES if k in verified])
     QUERIES = {k: QUERIES[k] for k in order}
     ORACLES = {k: ORACLES[k] for k in order if k in ORACLES}

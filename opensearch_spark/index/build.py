@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 from dataclasses import asdict, dataclass, field as dc_field
 
@@ -82,7 +83,14 @@ def _storage_level(name: str):
 
 
 #: assign_doc_ids' last internal (cache=True) pin — rotated per call
-_ASSIGN_PIN = None
+# doc-id assignment pins, keyed by caller thread (TaskManager runs builds
+# on background threads: one global slot would let interleaved builds
+# unpersist each other's IN-FLIGHT pinned frame, recomputing the lineage
+# unpinned — the exact AQE layout hazard the pin exists to close). Each
+# thread's calls are sequential, so per-thread rotation keeps the
+# one-generation memory bound without cross-thread races.
+_ASSIGN_PINS: dict = {}
+_ASSIGN_PIN_LOCK = threading.Lock()
 
 
 def assign_doc_ids(df: DataFrame, order_cols: list[str], n_parts: int = 32,
@@ -135,16 +143,10 @@ def assign_doc_ids(df: DataFrame, order_cols: list[str], n_parts: int = 32,
         # rotate the internal pin: it has no owner to release it, so
         # without rotation every batch-path call in a long-lived session
         # pins another full-corpus copy until executor memory pressure —
-        # one generation is the bound (the dedup persist_rotating rule)
-        global _ASSIGN_PIN
-        old = _ASSIGN_PIN
-        if old is not None:
-            try:
-                old.unpersist(False)
-            except Exception:
-                pass  # its SparkSession may already be gone
+        # one generation per THREAD is the bound (the dedup
+        # persist_rotating rule). The old pin is unpersisted only after
+        # the new one is materialized by the count job below.
         sorted_df = sorted_df.persist()
-        _ASSIGN_PIN = sorted_df
     else:
         from pyspark import StorageLevel
 
@@ -172,6 +174,20 @@ def assign_doc_ids(df: DataFrame, order_cols: list[str], n_parts: int = 32,
         .count()
         .collect()
     )
+    if cache:
+        # the count job above materialized the new pin; only now retire
+        # this thread's previous one (under the lock — other threads'
+        # pins are never touched, so interleaved builds can't drop each
+        # other's in-flight cached frames)
+        tid = threading.get_ident()
+        with _ASSIGN_PIN_LOCK:
+            old = _ASSIGN_PINS.get(tid)
+            _ASSIGN_PINS[tid] = sorted_df
+        if old is not None:
+            try:
+                old.unpersist(False)
+            except Exception:
+                pass  # its SparkSession may already be gone
     by_pid = {r["pid"]: r["count"] for r in counts}
     offsets, acc = {}, 0
     for pid in sorted(by_pid):

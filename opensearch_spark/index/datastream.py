@@ -210,8 +210,12 @@ class DataStream:
         ts_min, ts_max = _canon_ts(ts_min), _canon_ts(ts_max)
         dirs = self._pruned_dirs(ts_min, ts_max)
         gens0 = self.generations()
-        if dirs and ts_col is not None and gens0 and (
+        if ts_col is not None and gens0 and (
                 ts_min is not None or ts_max is not None):
+            # NOTE: run this probe even when pruning returned NO dirs —
+            # tz skew can prune every generation, and skipping the guard
+            # there would silently return the empty frame (the total-loss
+            # form of the hazard this guard closes).
             # manifest ts strings for an LTZ column are rendered in the
             # WRITER session's timezone; comparing them against bounds the
             # reader interprets in ITS timezone can prune a generation

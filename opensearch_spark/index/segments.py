@@ -227,7 +227,22 @@ def merge_segments(
         # segment postings carry the per-(term, doc) position arrays;
         # doc ids are already global (assigned/rebased before the segment
         # write), so the global positions table is a plain concat — the
-        # same (term, doc_id, positions) layout build_index writes
+        # same (term, doc_id, positions) layout build_index writes.
+        # Segments written under an older cfg (with_positions=False) have
+        # no such column, and a mixed tree read without mergeSchema fails
+        # (or silently drops the column, depending on which footer wins)
+        # — probe each segment's footer and fail with a clear rebuild
+        # instruction instead.
+        missing = [
+            d for d in seg_dirs
+            if "positions" not in spark.read.parquet(
+                os.path.join(d, "postings")).columns]
+        if missing:
+            raise ValueError(
+                "merge_segments(with_positions=True): segment(s) "
+                f"{sorted(os.path.basename(d) for d in missing)} lack a "
+                "positions column (written by an older config) — rebuild "
+                "those segments with with_positions=True before merging.")
         (flat.select("term", "doc_id", "positions").write.mode("overwrite")
              .parquet(os.path.join(out_dir, "positions")))
         flat = flat.drop("positions")

@@ -14,11 +14,23 @@ vocabulary-scale (10^5–10^8 rows), not corpus-scale (10^12 rows):
   the driver and run the classic pair-merge loop locally; this is what
   SentencePiece/HF tokenizers do after their own corpus pass, and it
   avoids n_merges Spark job rounds.
-- above the threshold the merge loop stays distributed: each round is one
-  adjacent-pair aggregation over the symbol-sequence table + one
-  Arrow-batched merge application, with ``localCheckpoint`` every few
+- above the threshold, the word-count table is first PRUNED by
+  ``min_freq`` (drop words rarer than the merge threshold — the standard
+  tokenizer-training cut; HF tokenizers and SentencePiece apply the same
+  word-level frequency floor before training). Even web-scale corpora
+  have driver-sized distinct-word tables after that cut, so the pruned
+  table almost always re-enters the local path.
+- only if the PRUNED table still exceeds the threshold does the merge
+  loop stay distributed — and it batches: each round is one
+  adjacent-pair aggregation + a top-``BPE_BATCH_SCAN`` collect, from
+  which a provably non-interacting PREFIX of merges (symbol-disjoint,
+  each strictly more frequent than every pair that an earlier batch
+  member could create or change — see ``_train_distributed``) is applied
+  in a single Arrow-batched pass, with ``localCheckpoint`` every few
   rounds to stop plan growth (same discipline as ml/dedup.py's
-  connected-components loop).
+  connected-components loop). Round bound: ``n_merges`` worst-case (flat
+  frequency ties), but typically n_merges / batch-size rounds — a 50k
+  vocabulary trains in hundreds of rounds, not 50k.
 
 The two paths are byte-identical on the same input (property-tested), so
 the auto posture — one cheap count over the already-needed word-count
@@ -39,6 +51,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 #: distinct-word count above which the merge loop stays distributed
 BPE_COLLECT_THRESHOLD = 1_000_000
+
+#: pair-stats window collected per distributed round (freq desc, lex asc);
+#: bounds the driver transfer AND supplies the frequency floor that makes
+#: the merge batch exact (any unseen pair has freq <= the window's last)
+BPE_BATCH_SCAN = 256
 
 #: end-of-word sentinel (Sennrich's `</w>`): keeps word-final symbols
 #: distinct from word-internal ones, so merges can't cross word bounds
@@ -102,11 +119,52 @@ def _train_local(wc: list[tuple[str, int]], n_merges: int,
     return merges
 
 
-def _train_distributed(wc: DataFrame, n_merges: int,
-                       min_freq: int) -> list[tuple[int, str, str, int]]:
+def _exact_merge_batch(
+    top: list, min_freq: int, window: int,
+) -> list[tuple[str, str, int]]:
+    """Largest PREFIX of the (freq desc, l, r)-ordered pair window that
+    sequential BPE is guaranteed to merge in exactly this order.
+
+    Why it is exact: applying merge (l,r)→j only changes the frequencies
+    of pairs that contain l, r, or j. Scanning candidates in the true
+    selection order and stopping at the FIRST one that shares a symbol
+    with an accepted merge means every pair that an accepted merge could
+    create or change has old frequency ≤ ``f_stop`` (the stopper's
+    frequency, or the window floor when no stopper was seen — any pair
+    outside the window is ≤ the floor by sort order). A created pair
+    (x, j) inherits ≤ the old frequency of (x, l) / (r, y), so after
+    trimming accepted members to freq STRICTLY > f_stop, no changed or
+    created pair can outrank or tie any batch member — the sequential
+    algorithm picks precisely this prefix, in this order."""
+    f_floor = int(top[-1]["freq"]) if len(top) >= window else 0
+    batch: list[tuple[str, str, int]] = []
+    used: set = set()
+    f_stop = f_floor
+    for r in top:
+        l, rr, f = r["l"], r["r"], int(r["freq"])
+        if l in used or rr in used or (l + rr) in used:
+            f_stop = max(f_stop, f)
+            break
+        batch.append((l, rr, f))
+        used.update((l, rr, l + rr))
+    return [(l, rr, f) for l, rr, f in batch
+            if f > f_stop and f >= min_freq]
+
+
+def _train_distributed(wc: DataFrame, n_merges: int, min_freq: int,
+                       stats_out: dict | None = None,
+                       ) -> list[tuple[int, str, str, int]]:
     """Merge loop over the symbol-sequence table in Spark: per round one
     adjacent-pair aggregation (explode zip of the array with its shift) +
-    one Arrow-batched merge application; checkpoint every 4 rounds."""
+    one top-``BPE_BATCH_SCAN`` collect, then a provably non-interacting
+    merge batch (``_exact_merge_batch``) applied in a single
+    Arrow-batched pass; checkpoint every 4 rounds.
+
+    Output is byte-identical to ``_train_local`` (property-tested).
+    Round bound: worst case one round per merge (flat same-frequency
+    interference — the batch falls back to the single sequential merge to
+    guarantee progress); typical corpora batch tens of merges per round.
+    ``stats_out['rounds']`` records the actual round count."""
     words = wc.select(
         "count",
         F.concat(
@@ -115,52 +173,89 @@ def _train_distributed(wc: DataFrame, n_merges: int,
             F.array(F.concat(F.substring(F.col("word"), -1, 1), F.lit(EOW))),
         ).alias("syms")).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
         pairs = (words.where(F.size("syms") >= 2)
                  .select("count", F.explode(F.arrays_zip(
                      F.slice("syms", 1, F.size("syms") - 1),
                      F.slice("syms", 2, F.size("syms") - 1))).alias("p"))
                  .groupBy(F.col("p.0").alias("l"), F.col("p.1").alias("r"))
                  .agg(F.sum("count").alias("freq")))
-        top = pairs.orderBy(F.desc("freq"), "l", "r").limit(1).collect()
-        if not top or top[0]["freq"] < min_freq:
+        top = (pairs.orderBy(F.desc("freq"), "l", "r")
+               .limit(BPE_BATCH_SCAN).collect())
+        rounds += 1
+        if not top or int(top[0]["freq"]) < min_freq:
             break
-        left, right, freq = top[0]["l"], top[0]["r"], int(top[0]["freq"])
-        merges.append((rank, left, right, freq))
-        joined = left + right
+        batch = _exact_merge_batch(top, min_freq, BPE_BATCH_SCAN)
+        if not batch:
+            # same-tier interference right at the top: apply the single
+            # sequential merge (max freq, lex-min tie break) — progress
+            # is guaranteed and exactness is trivial
+            batch = [(top[0]["l"], top[0]["r"], int(top[0]["freq"]))]
+        batch = batch[: n_merges - len(merges)]
+        for left, right, freq in batch:
+            merges.append((len(merges), left, right, freq))
+        todo = [(left, right, left + right) for left, right, _ in batch]
 
-        def apply_merge(batches, _l=left, _r=right, _j=joined):
+        def apply_merges(batches, _todo=todo):
             for pdf in batches:
-                pdf["syms"] = [
-                    list(_merge_word(tuple(s), (_l, _r), _j))
-                    for s in pdf["syms"]]
+                out = []
+                for s in pdf["syms"]:
+                    t = tuple(s)
+                    for _l, _r, _j in _todo:
+                        t = _merge_word(t, (_l, _r), _j)
+                    out.append(list(t))
+                pdf["syms"] = out
                 yield pdf
 
-        words = words.mapInPandas(apply_merge, words.schema)
-        if (rank + 1) % 4 == 0:
+        words = words.mapInPandas(apply_merges, words.schema)
+        if rounds % 4 == 0:
             words = words.localCheckpoint()
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
+        stats_out["n_merges"] = len(merges)
     return merges
 
 
 def bpe_train(df: DataFrame, text_col: str, n_merges: int = 32,
               min_freq: int = 2,
-              collect_threshold: int = BPE_COLLECT_THRESHOLD) -> DataFrame:
+              collect_threshold: int = BPE_COLLECT_THRESHOLD,
+              stats_out: dict | None = None) -> DataFrame:
     """Train BPE merges over ``df[text_col]``; returns a DataFrame
     (rank int, left string, right string, freq long) in merge order.
 
     Posture decided by the data: distinct-word count ≤
     ``collect_threshold`` → driver-local loop over the collected word
-    counts; above → fully distributed rounds. Identical output either
-    way (tested)."""
+    counts; above → the word table is pruned to words with count ≥
+    ``min_freq`` (the standard HF/SentencePiece word-frequency floor —
+    the documented approximation of the over-threshold postures) and, if
+    the pruned table fits, trained locally; only a pruned table that
+    STILL exceeds the threshold runs the distributed batched rounds.
+    Local and distributed loops are byte-identical on the same word
+    table (property-tested). ``stats_out`` (optional dict) records the
+    chosen posture and, for distributed runs, the round count."""
     spark = df.sparkSession
     wc = word_counts(df, text_col)
     wc.cache()
     n_distinct = wc.count()
     if n_distinct <= collect_threshold:
+        if stats_out is not None:
+            stats_out.update(posture="local", n_words=n_distinct)
         rows = [(r["word"], int(r["count"])) for r in wc.collect()]
         merges = _train_local(rows, n_merges, min_freq)
     else:
-        merges = _train_distributed(wc, n_merges, min_freq)
+        pruned = wc.where(F.col("count") >= min_freq) if min_freq > 1 else wc
+        n_pruned = pruned.count() if min_freq > 1 else n_distinct
+        if n_pruned <= collect_threshold:
+            if stats_out is not None:
+                stats_out.update(posture="local_pruned", n_words=n_pruned)
+            rows = [(r["word"], int(r["count"])) for r in pruned.collect()]
+            merges = _train_local(rows, n_merges, min_freq)
+        else:
+            if stats_out is not None:
+                stats_out.update(posture="distributed", n_words=n_pruned)
+            merges = _train_distributed(pruned, n_merges, min_freq,
+                                        stats_out=stats_out)
     wc.unpersist()
     return spark.createDataFrame(
         merges or [], "rank int, left string, right string, freq long")

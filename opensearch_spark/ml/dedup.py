@@ -205,20 +205,6 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
     return out
 
 
-def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES,
-                       id_col: str = "doc_id") -> DataFrame:
-    """(doc, j) → min over shingles of (a_j·x + b_j) mod MOD_H."""
-    spark = sh.sparkSession
-    perms = spark.createDataFrame(perm_constants(n_hashes), "j int, a long, b long")
-    x = sh.withColumn("x", str_hash32(F.col("shingle")) % MOD_X)
-    return (
-        x.crossJoin(F.broadcast(perms))
-        .withColumn("h", (F.col("a") * F.col("x") + F.col("b")) % MOD_H)
-        .groupBy(id_col, "j")
-        .agg(F.min("h").alias("mh"))
-    )
-
-
 def banded_signatures(sh: DataFrame, id_col: str = "doc_id",
                       n_hashes: int = N_HASHES,
                       band_rows: int = BAND_ROWS) -> DataFrame:

@@ -621,6 +621,26 @@ class Searcher:
             # token stream (the reference's own text-field term-query
             # gotcha); the previous Match rewrite analyzed the value,
             # silently OR-ing multi-token values.
+            if getattr(q, "case_insensitive", False):
+                # case_insensitive=true → the reference compiles a
+                # case-insensitive automaton (AutomatonQueries.
+                # caseInsensitiveTermQuery, constant-score rewrite like
+                # every multi-term query): expand via a CI dictionary
+                # scan rather than assuming the analyzer lowercased.
+                lv = str(q.value).lower()
+                if self._dict_pd is not None:
+                    terms = [t for t in self._dict_pd.index.tolist()
+                             if str(t).lower() == lv]
+                else:
+                    d = self.index.dictionary(self.spark)
+                    terms = [r["term"] for r in
+                             d.where(F.lower(F.col("term")) == F.lit(lv))
+                              .select("term").collect()]
+                if not terms:
+                    return self._empty_scores()
+                docs = self._flat_postings(terms).select("doc_id").distinct()
+                return docs.select(
+                    "doc_id", F.lit(float(q.boost)).alias("score"))
             ts = self._term_scores([str(q.value)], boost=q.boost)
             return ts.groupBy("doc_id").agg(F.sum("tscore").alias("score"))
         if isinstance(q, Q.Terms) and (q.field == self.field

@@ -79,6 +79,12 @@ def _queries_df(spark: SparkSession, queries: list[PercQuery]) -> DataFrame:
 #: that the equality joins flip to shuffle-on-term, same plan shape)
 PERC_BROADCAST_MAX_QUERIES = 2_000_000
 
+#: grid-bucketed range legs: max value-grid buckets a single stored range
+#: query may explode into; wider (or unbounded) ranges stay on the
+#: broadcast theta-join leg — they are the residual minority by the p90
+#: width grid choice, and each matches many docs anyway
+PERC_RANGE_MAX_BUCKETS = 256
+
 
 def percolate(
     spark: SparkSession,
@@ -94,10 +100,12 @@ def percolate(
     analyze pass). Stored queries broadcast while the set is under
     ``broadcast_max_queries``; above it the match/term equality joins flip
     to shuffle-hash on the join key (pinned by hint so a mis-estimate
-    can't OOM an executor). Range queries keep the broadcast theta-join —
-    standing RANGE query sets beyond broadcast size would need a
-    grid-bucketed interval join (documented bound, not reached by any
-    real alerting workload we know of)."""
+    can't OOM an executor), and bounded RANGE queries flip to a
+    grid-bucketed interval join (value-axis buckets at the p90 range
+    width, shuffle-hash equi-join on bucket + exact bound check — no
+    BroadcastNestedLoop at any query count). Only the wide/unbounded
+    range minority keeps the broadcast theta-join (documented residual
+    bound; such queries match large doc fractions regardless)."""
     # a small single-file corpus arrives as ONE partition — the analyze
     # UDF pass (the dominant cost) would run on one core and one Python
     # worker; re-spread to the session's parallelism (no-op at cluster
@@ -166,18 +174,60 @@ def percolate(
             docs.join(qk, docs[kw_field] == qk["_v"]).select(id_col, "query_id")
         )
 
-    # --- range queries: broadcast theta join ------------------------------
+    # --- range queries ----------------------------------------------------
+    # Under broadcast size: one broadcast theta join (map-side, exact).
+    # ABOVE broadcast size the theta join would be a BroadcastNestedLoop
+    # over millions of standing ranges — instead bucket the VALUE AXIS
+    # onto a grid (the ingest_geoip /8 trick): each bounded range query
+    # explodes into its covered grid buckets, each doc value lands in
+    # exactly ONE bucket, and the candidate join becomes a shuffle-hash
+    # EQUI-join on bucket followed by the exact bound check. A doc/query
+    # pair can meet in at most one bucket, so no dedup pass is needed.
+    # Grid step = the p90 bounded-range width, so ≥90% of queries explode
+    # into ≤2 buckets (hard cap PERC_RANGE_MAX_BUCKETS); the residual
+    # wide/unbounded minority keeps the broadcast theta-join.
     range_qs = [q for q in queries if q.kind == "range"]
     for num_field in sorted({q.field for q in range_qs}):
-        qr = F.broadcast(
-            qdf.where((F.col("kind") == "range") & (F.col("field") == num_field))
-               .select("query_id", "lo", "hi")
-        )
-        cond = (
+        fq = [q for q in range_qs if q.field == num_field]
+        base = (qdf.where((F.col("kind") == "range")
+                          & (F.col("field") == num_field))
+                   .select("query_id", "lo", "hi"))
+        theta_cond = lambda qr: (  # noqa: E731 — shared by both legs
             (qr["lo"].isNull() | (docs[num_field] >= qr["lo"]))
-            & (qr["hi"].isNull() | (docs[num_field] <= qr["hi"]))
-        )
-        parts.append(docs.join(qr, cond).select(id_col, "query_id"))
+            & (qr["hi"].isNull() | (docs[num_field] <= qr["hi"])))
+        widths = sorted(q.hi - q.lo for q in fq
+                        if q.lo is not None and q.hi is not None)
+        if use_bcast or len(fq) <= broadcast_max_queries or not widths:
+            qr = F.broadcast(base)
+            parts.append(docs.join(qr, theta_cond(qr))
+                         .select(id_col, "query_id"))
+            continue
+        step = max(float(widths[int(0.9 * (len(widths) - 1))]), 1e-12)
+        max_w = PERC_RANGE_MAX_BUCKETS * step
+        narrow_pred = (F.col("lo").isNotNull() & F.col("hi").isNotNull()
+                       & ((F.col("hi") - F.col("lo")) <= F.lit(max_w)))
+        narrow = (base.where(narrow_pred)
+                  .select("query_id", "lo", "hi",
+                          F.explode(F.sequence(
+                              F.floor(F.col("lo") / F.lit(step)),
+                              F.floor(F.col("hi") / F.lit(step)),
+                          )).alias("_bkt"))
+                  .hint("shuffle_hash"))
+        doc_side = docs.withColumn(
+            "_bkt", F.floor(F.col(num_field) / F.lit(step)))
+        parts.append(
+            doc_side.join(narrow, "_bkt")
+            .where((F.col(num_field) >= F.col("lo"))
+                   & (F.col(num_field) <= F.col("hi")))
+            .select(id_col, "query_id"))
+        # wide/unbounded leg only when such queries EXIST (driver-known):
+        # an empty theta frame would still plant a BroadcastNestedLoop in
+        # the plan, defeating the no-BNLJ guarantee for all-narrow sets
+        if any(q.lo is None or q.hi is None or (q.hi - q.lo) > max_w
+               for q in fq):
+            qr = F.broadcast(base.where(~narrow_pred))
+            parts.append(docs.join(qr, theta_cond(qr))
+                         .select(id_col, "query_id"))
 
     if not parts:
         return spark.createDataFrame([], f"{id_col} long, query_id long")

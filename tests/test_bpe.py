@@ -68,10 +68,65 @@ def test_train_matches_independent_reference(spark):
 
 
 def test_distributed_path_identical_to_local(spark):
+    # the core property: on the SAME word table, the batched distributed
+    # loop is byte-identical to the local loop (min_freq=1 disables the
+    # over-threshold prune so both postures see identical input)
     df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
-    local = bpe_train(df, "text", n_merges=8).collect()
-    dist = bpe_train(df, "text", n_merges=8, collect_threshold=0).collect()
+    local = bpe_train(df, "text", n_merges=8, min_freq=1).collect()
+    stats: dict = {}
+    dist = bpe_train(df, "text", n_merges=8, min_freq=1,
+                     collect_threshold=0, stats_out=stats).collect()
     assert [tuple(r) for r in local] == [tuple(r) for r in dist]
+    assert stats["posture"] == "distributed"
+    # batching must beat one-round-per-merge on this corpus
+    assert stats["rounds"] <= stats["n_merges"]
+
+
+ADVERSARIAL_BATCH_CASES = [
+    # flat frequency ties everywhere: every pair freq 2, maximal
+    # same-tier interference -> batches collapse to the sequential
+    # fallback; output must still equal the reference exactly
+    ["ab ab cd cd ad ad db db", "ba ba dc dc"],
+    # chained interference: merging (a,b) creates ab, whose pairs
+    # compete with the next-ranked candidates
+    ["aab aab aab abb abb ab ab ab", "aabb aabb"],
+    # single-char runs (overlap counting) + merged-symbol collision:
+    # 'aa' produced by rank-0 merge also pre-exists as a pair context
+    ["aaaa aaaa aaa aa aa aa", "a aa aaa"],
+    # distinct tiers, fully disjoint pairs: the whole vocabulary should
+    # batch in very few rounds
+    ["xy " * 9 + "uv " * 8 + "pq " * 7 + "mn " * 6 + "jk " * 5],
+]
+
+
+@pytest.mark.parametrize("texts", ADVERSARIAL_BATCH_CASES)
+def test_distributed_batching_exact_on_adversarial_corpora(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    stats: dict = {}
+    dist = [(r["rank"], r["left"], r["right"], r["freq"])
+            for r in bpe_train(df, "text", n_merges=12, min_freq=1,
+                               collect_threshold=0,
+                               stats_out=stats).collect()]
+    assert dist == ref_train(texts, 12, min_freq=1)
+
+
+def test_over_threshold_posture_prunes_then_trains_locally(spark):
+    # above collect_threshold with min_freq>1, the word table is pruned
+    # to words with count >= min_freq (the HF/SentencePiece floor) and —
+    # pruned table fitting — trained LOCALLY, never one-job-per-merge
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    stats: dict = {}
+    got = [(r["rank"], r["left"], r["right"], r["freq"])
+           for r in bpe_train(df, "text", n_merges=8, min_freq=2,
+                              collect_threshold=4,
+                              stats_out=stats).collect()]
+    assert stats["posture"] == "local_pruned"
+    from collections import Counter
+    wc = Counter(w for t in TEXTS for w in t.split() if w)
+    kept = [w for t in TEXTS for w in t.split() if w and wc[w] >= 2]
+    # reference trained over the pruned corpus (each kept word repeated
+    # its original number of times)
+    assert got == ref_train([" ".join(kept)], 8, min_freq=2)
 
 
 def test_min_freq_stops_training(spark):

@@ -78,6 +78,31 @@ def test_docs_and_dictionary_consistent(spark, index, duck):
     assert got["df"] == row[1]
 
 
+def test_term_case_insensitive_on_text_field(searcher, duck):
+    """case_insensitive=true on the ANALYZED text field: the reference
+    compiles a case-insensitive automaton (AutomatonQueries.
+    caseInsensitiveTermQuery), so 'SPARK' must match every doc holding
+    the token 'spark' with constant score — while the plain (cased)
+    literal lookup matches nothing (ADVICE r3 fix)."""
+    from opensearch_spark.search import queries as Q
+
+    want = {r[0] for r in duck.sql("""
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+          FROM documents) WHERE term = 'spark'
+    """).fetchall()}
+    assert want, "corpus must contain the token"
+    ci = searcher.search(Q.Term(field="text", value="SPARK",
+                                case_insensitive=True),
+                         k=len(want) + 10)
+    rows = ci.collect()
+    assert {r["doc_id"] for r in rows} <= want
+    assert len(rows) == min(len(want), len(want) + 10)
+    assert all(r["score"] == 1.0 for r in rows)
+    cased = searcher.search(Q.Term(field="text", value="SPARK"), k=10)
+    assert cased.count() == 0
+
+
 @pytest.mark.parametrize(
     "text,op,msm",
     [

@@ -179,3 +179,13 @@ def test_assign_doc_ids_uncached_unpinned_refuses(spark):
         assert out.select("doc_id").distinct().count() == 100
     finally:
         pinned.unpersist()
+
+
+def test_ltz_guard_survives_total_prune(stream, spark, monkeypatch):
+    """Writer/reader tz skew can prune EVERY generation; for LTZ ts
+    columns docs_view must fall back to row-filter-only instead of
+    returning the empty frame (ADVICE r3 #1: the schema probe runs even
+    when pruning returned no dirs)."""
+    monkeypatch.setattr(stream, "_pruned_dirs", lambda *a, **k: [])
+    v = stream.docs_view(spark, "2024-01-02", "2024-01-02 23:59:59")
+    assert v.count() == 90

@@ -149,6 +149,49 @@ def test_percolate_over_threshold_flips_to_shuffle(spark):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_percolate_range_grid_join_above_threshold(spark):
+    """Bounded range legs above broadcast_max_queries flip to the
+    grid-bucketed interval join: equi-join on the value-grid bucket —
+    NO BroadcastNestedLoop at any standing-query count (VERDICT r3 #6)
+    — with pairs identical to the broadcast theta-join."""
+    qs = [
+        PercQuery(1, "range", "n_chars", lo=15.0, hi=20.0),
+        PercQuery(2, "range", "n_chars", lo=10.0, hi=13.0),
+        PercQuery(3, "range", "n_chars", lo=250.0, hi=400.0),
+        PercQuery(4, "range", "n_chars", lo=17.0, hi=17.0),
+    ]
+    docs = _tiny_docs(spark)
+    want = {(r["doc_id"], r["query_id"])
+            for r in percolate(spark, qs, docs).collect()}
+    assert want == {(1, 1), (2, 1), (3, 2), (4, 3), (2, 4)}
+    grid = percolate(spark, qs, docs, broadcast_max_queries=0)
+    got = {(r["doc_id"], r["query_id"]) for r in grid.collect()}
+    assert got == want
+    plan = grid._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_percolate_range_grid_keeps_wide_leg_exact(spark):
+    """Unbounded / wider-than-cap ranges stay on the (exact) broadcast
+    theta leg while narrow ones grid-join — union must equal the
+    all-broadcast result."""
+    qs = [
+        PercQuery(1, "range", "n_chars", lo=15.0, hi=20.0),
+        PercQuery(2, "range", "n_chars", hi=12.0),          # unbounded lo
+        PercQuery(3, "range", "n_chars", lo=11.0, hi=10000.0),  # wide: width
+        # 9989 > 256 * step(=p90 width 5) -> stays on the theta leg
+        PercQuery(4, "range", "n_chars", lo=16.0, hi=17.0),
+    ]
+    docs = _tiny_docs(spark)
+    want = {(r["doc_id"], r["query_id"])
+            for r in percolate(spark, qs, docs).collect()}
+    got = {(r["doc_id"], r["query_id"])
+           for r in percolate(spark, qs, docs,
+                              broadcast_max_queries=0).collect()}
+    assert got == want
+
+
 def test_percolate_empty_query_set(spark):
     out = percolate(spark, [], _tiny_docs(spark))
     assert out.count() == 0 and out.columns == ["doc_id", "query_id"]

@@ -175,3 +175,18 @@ def test_segmented_build_docs_mode_matches_batch(spark, tmp_path):
     b = sorted(map(tuple, Searcher(spark, direct)
                    .search(q, k=20, round_scores=4).collect()))
     assert a == b and len(a) > 0
+
+
+def test_merge_with_positions_rejects_positionless_segments(spark, tmp_path):
+    """Segments written under with_positions=False must make a
+    with_positions=True merge fail LOUDLY (clear rebuild instruction),
+    not with an AnalysisException or footer-dependent silent drop
+    (ADVICE r3 #3)."""
+    corpus = spark.read.parquet(DOCS).limit(40)
+    seg_dir = str(tmp_path / "seg_nopos")
+    build_segments(spark, corpus, seg_dir, CFG, n_segments=2)
+    pos_cfg = IndexConfig(field="text", analyzer="standard",
+                          id_col="doc_id", n_parts=4, bucket_span=64,
+                          with_positions=True)
+    with pytest.raises(ValueError, match="positions"):
+        merge_segments(spark, seg_dir, pos_cfg)
