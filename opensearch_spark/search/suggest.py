@@ -182,6 +182,16 @@ def phrase_suggest(
     out_schema = "suggestion string, score double, rank int"
     if len(terms) < 2:
         raise ValueError("phrase_suggest: at least two input tokens required")
+    # the candidate lattice is num_candidates^n combinations and
+    # n·num_candidates driver-collected strings — tiny at the defaults,
+    # but charge the request breaker (expand_terms posture, 64 B/entry
+    # estimate) so a caller raising num_candidates or feeding a long
+    # phrase trips cleanly instead of accumulating driver memory / an
+    # exploding crossJoin
+    from opensearch_spark.common.breaker import request_breaker
+
+    lattice_bytes = 64 * (len(terms) * num_candidates
+                          + num_candidates ** len(terms))
     d = searcher.index.dictionary(spark)
     V = int(searcher.index.meta.get("vocab_size") or d.count())
     T = searcher.sum_dl
@@ -201,8 +211,11 @@ def phrase_suggest(
                 .where(F.col("_rn") <= num_candidates).drop("_dist", "_rn"))
 
     frames = [cands(t, f"t{i + 1}") for i, t in enumerate(terms)]
-    term_lists = [[r[f"t{i + 1}"] for r in cf.select(f"t{i + 1}").collect()]
-                  for i, cf in enumerate(frames)]
+    with request_breaker.reserve(lattice_bytes,
+                                 "phrase_suggest candidate lattice"):
+        term_lists = [[r[f"t{i + 1}"]
+                       for r in cf.select(f"t{i + 1}").collect()]
+                      for i, cf in enumerate(frames)]
     if any(not tl for tl in term_lists):
         return spark.createDataFrame([], out_schema)
     all_terms = sorted({t for tl in term_lists for t in tl})

@@ -129,6 +129,31 @@ def test_over_threshold_posture_prunes_then_trains_locally(spark):
     assert got == ref_train([" ".join(kept)], 8, min_freq=2)
 
 
+def test_incremental_local_trainer_matches_reference_property():
+    """_train_local's incremental pair-stats + lazy-heap selection must
+    be byte-identical to the textbook rebuild loop on random corpora
+    (overlap counting, lex tie-breaks, min_freq stop — all of it)."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from opensearch_spark.ml.bpe import _train_local
+
+    words = st.text(alphabet="abc", min_size=1, max_size=6)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(words, min_size=1, max_size=30),
+           st.integers(min_value=1, max_value=12),
+           st.integers(min_value=1, max_value=3))
+    def run(ws, n_merges, min_freq):
+        wc = sorted(Counter(ws).items())
+        got = _train_local(wc, n_merges, min_freq)
+        want = ref_train([" ".join(ws)], n_merges, min_freq)
+        assert got == want
+
+    run()
+
+
 def test_min_freq_stops_training(spark):
     df = spark.createDataFrame([("a b c",)], "text string")
     # every pair occurs once -> nothing reaches min_freq=2

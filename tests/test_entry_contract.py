@@ -96,6 +96,10 @@ def test_rotation_reads_correctness_files(tmp_path, monkeypatch):
     n_unverified = sum(1 for k in ks if k not in v)
     assert all(k not in v for k in ks[:n_unverified])
     assert all(k in v for k in ks[n_unverified:])
+    # r4 policy: the never-verified ML-pipeline families (the gates the
+    # r1-r3 newest-first rotation kept displacing) lead the window
+    n_ml_unv = sum(1 for k in ks[:n_unverified] if eq._is_ml_family(k))
+    assert all(eq._is_ml_family(k) for k in ks[:n_ml_unv])
 
 
 def test_bench_queries_exist():

@@ -316,6 +316,18 @@ def test_phrase_suggest_requires_two_tokens(searcher):
         phrase_suggest(searcher, "only", size=3)
 
 
+def test_phrase_suggest_lattice_charges_breaker(searcher):
+    """The num_candidates^n combination lattice must trip the request
+    circuit breaker when a caller blows up the defaults, instead of
+    accumulating driver memory (VERDICT r3 cosmetic #4, now enforced)."""
+    from opensearch_spark.common.breaker import CircuitBreakingException
+    from opensearch_spark.search import phrase_suggest
+
+    with pytest.raises(CircuitBreakingException):
+        phrase_suggest(searcher, "sparc tabl merge sort windo batc",
+                       num_candidates=5000)
+
+
 # ---------------- materialized ANN index ----------------
 @pytest.fixture(scope="module")
 def ann_index(spark, sf_dir, tmp_path_factory):
