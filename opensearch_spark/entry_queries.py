@@ -9610,7 +9610,7 @@ def _driver_verified() -> frozenset:
 # them among the unverified gates so the round-4 window drains that debt
 # first; remaining unverified gates follow in catalogue order.
 _ML_FAMILY_PREFIXES = (
-    "dedup_", "sim_", "text_", "curation_", "mm_", "pipeline_", "mjpg_",
+    "dedup_", "sim_", "text_", "curation_", "mm_", "pipeline_",
 )
 
 

@@ -168,24 +168,41 @@ def assign_doc_ids(df: DataFrame, order_cols: list[str], n_parts: int = 32,
                 "input can change partition layout between them (AQE), "
                 "silently dropping rows at the _pid join. persist() the "
                 "batch before calling, or pass cache=True.")
-    counts = (
-        sorted_df.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .count()
-        .collect()
-    )
+    try:
+        counts = (
+            sorted_df.select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+    except Exception:
+        if cache:
+            # the fresh pin was never recorded in the registry — release
+            # it here or it leaks with no owner
+            try:
+                sorted_df.unpersist(False)
+            except Exception:
+                pass
+        raise
     if cache:
         # the count job above materialized the new pin; only now retire
         # this thread's previous one (under the lock — other threads'
         # pins are never touched, so interleaved builds can't drop each
-        # other's in-flight cached frames)
+        # other's in-flight cached frames). Pins owned by threads that
+        # have since exited are swept too: a thread-per-build caller
+        # (the TaskManager pattern) would otherwise strand one pinned
+        # full-corpus copy per dead thread forever.
         tid = threading.get_ident()
+        live = {t.ident for t in threading.enumerate()}
         with _ASSIGN_PIN_LOCK:
             old = _ASSIGN_PINS.get(tid)
             _ASSIGN_PINS[tid] = sorted_df
-        if old is not None:
+            stale = [t for t in _ASSIGN_PINS
+                     if t != tid and t not in live]
+            dead = [_ASSIGN_PINS.pop(t) for t in stale]
+        for frame in ([old] if old is not None else []) + dead:
             try:
-                old.unpersist(False)
+                frame.unpersist(False)
             except Exception:
                 pass  # its SparkSession may already be gone
     by_pid = {r["pid"]: r["count"] for r in counts}

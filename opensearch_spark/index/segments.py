@@ -229,20 +229,26 @@ def merge_segments(
         # write), so the global positions table is a plain concat — the
         # same (term, doc_id, positions) layout build_index writes.
         # Segments written under an older cfg (with_positions=False) have
-        # no such column, and a mixed tree read without mergeSchema fails
-        # (or silently drops the column, depending on which footer wins)
-        # — probe each segment's footer and fail with a clear rebuild
-        # instruction instead.
+        # no such column, and a mixed tree read without mergeSchema
+        # either fails on the select or silently NULL-fills rows,
+        # depending on which footer wins the multi-path schema pick —
+        # probe each segment's own footer and fail with a clear rebuild
+        # instruction naming the stale segments instead. Cost: one
+        # driver-side footer read per segment (~ms local, bounded by
+        # segment count, no executor scan) — noise next to the full
+        # postings rewrite this merge performs, and the only check that
+        # catches the MIXED tree (a union-schema read cannot tell
+        # "some segments lack it" from "all have it").
         missing = [
-            d for d in seg_dirs
+            os.path.basename(d) for d in seg_dirs
             if "positions" not in spark.read.parquet(
                 os.path.join(d, "postings")).columns]
         if missing:
             raise ValueError(
                 "merge_segments(with_positions=True): segment(s) "
-                f"{sorted(os.path.basename(d) for d in missing)} lack a "
-                "positions column (written by an older config) — rebuild "
-                "those segments with with_positions=True before merging.")
+                f"{sorted(missing)} lack a positions column (written by "
+                "an older config) — rebuild those segments with "
+                "with_positions=True before merging.")
         (flat.select("term", "doc_id", "positions").write.mode("overwrite")
              .parquet(os.path.join(out_dir, "positions")))
         flat = flat.drop("positions")

@@ -74,15 +74,6 @@ def _syms(word: str) -> tuple:
     return tuple(word[:-1]) + (word[-1] + EOW,) if word else ()
 
 
-def _pair_stats(vocab: dict) -> dict:
-    stats: dict = {}
-    for syms, cnt in vocab.items():
-        for i in range(len(syms) - 1):
-            p = (syms[i], syms[i + 1])
-            stats[p] = stats.get(p, 0) + cnt
-    return stats
-
-
 def _merge_word(syms: tuple, pair: tuple, joined: str) -> tuple:
     out = []
     i = 0

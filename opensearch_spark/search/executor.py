@@ -629,8 +629,8 @@ class Searcher:
                 # scan rather than assuming the analyzer lowercased.
                 lv = str(q.value).lower()
                 if self._dict_pd is not None:
-                    terms = [t for t in self._dict_pd.index.tolist()
-                             if str(t).lower() == lv]
+                    vocab = self._dict_pd.index
+                    terms = vocab[vocab.str.lower() == lv].tolist()
                 else:
                     d = self.index.dictionary(self.spark)
                     terms = [r["term"] for r in

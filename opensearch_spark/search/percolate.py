@@ -204,10 +204,22 @@ def percolate(
             continue
         step = max(float(widths[int(0.9 * (len(widths) - 1))]), 1e-12)
         max_w = PERC_RANGE_MAX_BUCKETS * step
+        # working columns are underscore-namespaced so a docs frame with
+        # ordinary lo/hi/query_id columns keeps percolating; a frame
+        # that USES the sentinels themselves is rejected loudly (the
+        # assign_doc_ids reserved-column posture) rather than silently
+        # shadowed by withColumn
+        reserved = {"_bkt", "_q_lo", "_q_hi"} & set(docs.columns)
+        if reserved:
+            raise ValueError(
+                f"percolate: input columns {sorted(reserved)} collide "
+                "with internal working columns — rename them first")
         narrow_pred = (F.col("lo").isNotNull() & F.col("hi").isNotNull()
                        & ((F.col("hi") - F.col("lo")) <= F.lit(max_w)))
         narrow = (base.where(narrow_pred)
-                  .select("query_id", "lo", "hi",
+                  .select("query_id",
+                          F.col("lo").alias("_q_lo"),
+                          F.col("hi").alias("_q_hi"),
                           F.explode(F.sequence(
                               F.floor(F.col("lo") / F.lit(step)),
                               F.floor(F.col("hi") / F.lit(step)),
@@ -217,8 +229,8 @@ def percolate(
             "_bkt", F.floor(F.col(num_field) / F.lit(step)))
         parts.append(
             doc_side.join(narrow, "_bkt")
-            .where((F.col(num_field) >= F.col("lo"))
-                   & (F.col(num_field) <= F.col("hi")))
+            .where((F.col(num_field) >= F.col("_q_lo"))
+                   & (F.col(num_field) <= F.col("_q_hi")))
             .select(id_col, "query_id"))
         # wide/unbounded leg only when such queries EXIST (driver-known):
         # an empty theta frame would still plant a BroadcastNestedLoop in

@@ -186,8 +186,12 @@ def phrase_suggest(
     # n·num_candidates driver-collected strings — tiny at the defaults,
     # but charge the request breaker (expand_terms posture, 64 B/entry
     # estimate) so a caller raising num_candidates or feeding a long
-    # phrase trips cleanly instead of accumulating driver memory / an
-    # exploding crossJoin
+    # phrase TRIPS cleanly before any Spark work. Scope note: the
+    # reservation spans the candidate collect below and is released
+    # before the caller materializes the (lazy) lattice crossJoin — it
+    # is a per-request size gate, not an accounting of concurrently
+    # executing lattices (the reference's request breaker has the same
+    # estimate-at-construction character for multi-term expansions)
     from opensearch_spark.common.breaker import request_breaker
 
     lattice_bytes = 64 * (len(terms) * num_candidates

@@ -189,3 +189,33 @@ def test_ltz_guard_survives_total_prune(stream, spark, monkeypatch):
     monkeypatch.setattr(stream, "_pruned_dirs", lambda *a, **k: [])
     v = stream.docs_view(spark, "2024-01-02", "2024-01-02 23:59:59")
     assert v.count() == 90
+
+
+def test_assign_doc_ids_pins_are_per_thread_and_swept(spark):
+    """Pins are keyed per caller thread (interleaved builds can't drop
+    each other's in-flight frames) and a dead thread's pin is swept on
+    the next rotation — no unbounded per-thread accumulation."""
+    import threading
+
+    from opensearch_spark.index import build as B
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    err = []
+
+    def worker():
+        try:
+            out = B.assign_doc_ids(df, ["k"], cache=True)
+            assert out.count() == 100
+        except Exception as e:  # surface in the main thread
+            err.append(e)
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    assert not err
+    dead_tid = t.ident
+    assert dead_tid in B._ASSIGN_PINS
+    out = B.assign_doc_ids(df, ["k"], cache=True)
+    assert out.count() == 100
+    assert dead_tid not in B._ASSIGN_PINS          # swept
+    assert threading.get_ident() in B._ASSIGN_PINS  # current pin kept

@@ -192,6 +192,28 @@ def test_percolate_range_grid_keeps_wide_leg_exact(spark):
     assert got == want
 
 
+def test_percolate_grid_join_tolerates_user_lo_hi_columns(spark):
+    """A docs frame with ordinary columns named lo/hi must percolate
+    identically through the grid path (working columns are
+    underscore-namespaced); the sentinels themselves are rejected
+    loudly rather than silently shadowed."""
+    docs = _tiny_docs(spark).withColumn("lo", F.lit(1.0)) \
+                            .withColumn("hi", F.lit(2.0))
+    qs = [
+        PercQuery(1, "range", "n_chars", lo=15.0, hi=20.0),
+        PercQuery(2, "range", "n_chars", lo=10.0, hi=13.0),
+    ]
+    want = {(r["doc_id"], r["query_id"])
+            for r in percolate(spark, qs, docs).collect()}
+    got = {(r["doc_id"], r["query_id"])
+           for r in percolate(spark, qs, docs,
+                              broadcast_max_queries=0).collect()}
+    assert got == want == {(1, 1), (2, 1), (3, 2)}
+    with pytest.raises(ValueError, match="_bkt"):
+        percolate(spark, qs, docs.withColumn("_bkt", F.lit(0)),
+                  broadcast_max_queries=0)
+
+
 def test_percolate_empty_query_set(spark):
     out = percolate(spark, [], _tiny_docs(spark))
     assert out.count() == 0 and out.columns == ["doc_id", "query_id"]
