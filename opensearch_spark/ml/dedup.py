@@ -465,45 +465,74 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 12) -> DataFrame:
 
 def simhash(df: DataFrame, text_col: str, bits: int = 32,
             id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash over whitespace tokens (md5-derived bit vectors);
-    bit i of the fingerprint = sign of Σ_tokens (2·bit_i(h(token)) − 1)."""
+    """SimHash over whitespace tokens; bit i of the fingerprint = sign of
+    Σ_tokens (2·bit_i(h(token)) − 1).
+
+    ``bits=32`` (md5-derived token hash — mirrors the DuckDB oracle
+    constant-for-constant) is the GATE-SCALE default; its 4-band keys
+    are only 8 bits wide, so banding buckets saturate once the corpus
+    outgrows ~10k docs and candidate enumeration goes quadratic (the
+    LSH hot-bucket failure class). At real corpus size use ``bits=64``
+    (xxhash64 token hash, 16-bit band keys at k=3 — 65,536 keys/band
+    keeps buckets sparse at millions of docs; measured at 600k in
+    BENCH.md). Pass the same ``bits`` to ``simhash_pairs``."""
+    if bits not in (32, 64):
+        raise ValueError("simhash: bits must be 32 or 64")
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
-    h = toks.withColumn("h", str_hash32(F.col("tok")))
+    hash_fn = str_hash32 if bits == 32 else (lambda c: F.xxhash64(c))
+    h = toks.withColumn("h", hash_fn(F.col("tok")))
     aggs = [
         F.sum(
-            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            (F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))
+             * 2 - 1)
         ).alias(f"s{i}")
         for i in range(bits)
     ]
     sums = h.groupBy(id_col).agg(*aggs)
-    fp = None
-    for i in range(bits):
+    # assemble via two 32-bit halves: 2**63 would overflow the signed
+    # long literal under ANSI, shiftleft is modular and safe
+    lo = None
+    for i in range(min(bits, 32)):
         bit = F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
-        fp = bit if fp is None else (fp + bit)
-    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+        lo = bit if lo is None else (lo + bit)
+    fp = lo.cast("long")
+    if bits == 64:
+        hi = None
+        for i in range(32, 64):
+            bit = (F.when(F.col(f"s{i}") > 0, F.lit(2 ** (i - 32)))
+                   .otherwise(F.lit(0)))
+            hi = bit if hi is None else (hi + bit)
+        fp = F.shiftleft(hi.cast("long"), 32).bitwiseOR(lo.cast("long"))
+    return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_pairs(fp: DataFrame, max_hamming: int = 3,
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ k via pigeonhole banding:
-    split 32 bits into k+1 bands — equal in ≥1 band guaranteed — then verify.
-    (Never an O(n²) cross join; this is the scale path.)"""
+    split the fingerprint into k+1 bands — equal in ≥1 band guaranteed —
+    then verify. (Never an O(n²) cross join.) ``bits`` MUST match the
+    ``simhash`` call that produced ``fp``: 32 is the gate-scale default,
+    64 is the real-corpus posture (see ``simhash``'s docstring for the
+    band-key-width arithmetic that makes 32 quadratic beyond ~10k docs)."""
+    if bits not in (32, 64):
+        raise ValueError("simhash_pairs: bits must be 32 or 64")
     n_bands = max_hamming + 1
-    width = 32 // n_bands
+    width = bits // n_bands
     bands = []
     for bidx in range(n_bands):
         shift = bidx * width
-        w = width + (32 - n_bands * width if bidx == n_bands - 1 else 0)
+        w = width + (bits - n_bands * width if bidx == n_bands - 1 else 0)
         mask = (1 << w) - 1
         bands.append(
             fp.select(
                 F.col(id_col),
                 "simhash",
                 F.lit(bidx).alias("band"),
-                F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit(mask)).alias("key"),
+                F.shiftrightunsigned(F.col("simhash"), shift)
+                 .bitwiseAND(F.lit(mask)).alias("key"),
             )
         )
     allb = bands[0]

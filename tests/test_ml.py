@@ -36,6 +36,28 @@ def test_simhash_banded_pairs_equal_bruteforce(spark, docs):
     assert banded == brute
 
 
+def test_simhash64_banded_pairs_equal_bruteforce(spark, docs):
+    """The 64-bit real-corpus posture (16-bit band keys at k=3 — the
+    non-quadratic banding; round-4 scale fix): banded pairs must equal
+    the brute-force hamming enumeration, including negative-long
+    fingerprints (xxhash64 sign bit)."""
+    fp = D.simhash(docs.limit(120), "text", bits=64).persist()
+    banded = {(r["a"], r["b"])
+              for r in D.simhash_pairs(fp, max_hamming=3,
+                                       bits=64).collect()}
+    rows = fp.collect()
+    assert any(r["simhash"] < 0 for r in rows), \
+        "need sign-bit coverage for the unsigned-shift path"
+    brute = set()
+    for i, ra in enumerate(rows):
+        for rb in rows[i + 1:]:
+            a, b = sorted((ra["doc_id"], rb["doc_id"]))
+            x = (ra["simhash"] ^ rb["simhash"]) & ((1 << 64) - 1)
+            if bin(x).count("1") <= 3:
+                brute.add((a, b))
+    assert banded == brute
+
+
 def test_minhash_candidates_are_true_jaccard(spark, docs):
     pairs = D.minhash_lsh_pairs(docs, "text", n=2, threshold=0.5).collect()
     # verified jaccard really >= threshold, and LSH pairs ⊆ exact pairs
