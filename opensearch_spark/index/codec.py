@@ -29,23 +29,27 @@ _THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
 
 
 def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized LEB128-style varbyte encode of a uint64 array."""
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # bytes needed per value: 1 + #thresholds <= v
-    nbytes = 1 + (v[:, None] >= _THRESHOLDS[None, :]).sum(axis=1)
-    total = int(nbytes.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    maxb = int(nbytes.max())
-    for j in range(maxb):
-        mask = nbytes > j
-        idx = offsets[mask] + j
-        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
-        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
-        out[idx] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    """Vectorized LEB128-style varbyte encode of a uint64 array.
+
+    One authoring site: delegates to ``varbyte_encode_offsets`` (the
+    batch building block) so the two encoders can never drift."""
+    buf, _ = varbyte_encode_offsets(values)
+    return buf.tobytes()
+
+
+def gaps_to_doc_ids(first_doc: int, gaps: np.ndarray, n: int) -> np.ndarray:
+    """Reconstruct a block's doc ids from ``first_doc`` + n-1 decoded
+    gaps (the first gap is elided by the block layout). The single
+    authoring site for the cumsum recipe — used by ``decode_block``,
+    the WAND scorer, and the postings-flattening path."""
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    doc_ids = np.empty(n, dtype=np.int64)
+    doc_ids[0] = first_doc
+    if n > 1:
+        np.cumsum(gaps.astype(np.int64), out=doc_ids[1:])
+        doc_ids[1:] += first_doc
+    return doc_ids
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:
@@ -161,12 +165,7 @@ def encode_block(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
 
 def decode_block(first_doc: int, docs_vb: bytes, tfs_vb: bytes, n: int):
     """Decode one block → (doc_ids int64[n], tfs int64[n])."""
-    gaps = varbyte_decode(docs_vb)
-    doc_ids = np.empty(n, dtype=np.int64)
-    doc_ids[0] = first_doc
-    if n > 1:
-        np.cumsum(gaps.astype(np.int64), out=doc_ids[1:])
-        doc_ids[1:] += first_doc
+    doc_ids = gaps_to_doc_ids(first_doc, varbyte_decode(docs_vb), n)
     tfs = varbyte_decode(tfs_vb).astype(np.int64)
     return doc_ids, tfs
 

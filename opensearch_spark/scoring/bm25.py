@@ -49,15 +49,21 @@ def bm25_idf(N: int, df, params: BM25Params = BM25Params()):
 
 
 def norm_cache(avgdl: float, params: BM25Params = BM25Params()) -> np.ndarray:
-    """Lucene-style 256-entry cache: cache[b] = k1*(1 - b + b*decode(b)/avgdl).
+    """Lucene's 256-entry INVERSE-norm cache (BM25Similarity.java,
+    Lucene 8+ BM25Scorer):
 
-    (reference behavior: BM25Similarity precomputes this per segment so the
-    per-doc work is one table lookup + one fma)
-    """
+        cache[i] = 1f / (k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl))
+
+    so the per-doc work is one table lookup + the ``weight - weight /
+    (1 + freq * normInverse)`` evaluation. (Before round 4 this stored
+    the non-inverted denominator with a different operation
+    association — float32-faithful to nothing; the cache now mirrors
+    the reference expression term-for-term.)"""
     tbl = NORM_TABLE.astype(np.float32)
-    return (params.k1 * (1.0 - params.b + params.b * tbl / np.float32(avgdl))).astype(
-        np.float32
-    )
+    denom = (np.float32(params.k1)
+             * (np.float32(1.0 - params.b)
+                + np.float32(params.b) * tbl / np.float32(avgdl)))
+    return (np.float32(1.0) / denom).astype(np.float32)
 
 
 def bm25_score(
@@ -73,15 +79,19 @@ def bm25_score(
     tf = np.asarray(tf)
     dl = np.asarray(dl)
     if params.mode == "lucene":
+        # reference float32 order-of-operations, expression-for-
+        # expression (LegacyBM25Similarity.scorer folds (k1+1) into
+        # boost, then BM25Similarity's BM25Scorer computes
+        # weight = boost * idf and score = weight - weight /
+        # (1 + freq * normInverse) against the inverse-norm cache)
         cache = norm_cache(avgdl, params)
-        norm_b = encode_norms(dl)
-        denom_add = cache[norm_b]
+        norm_inv = cache[encode_norms(dl)]
         idf = bm25_idf(N, df, params)
-        weight = (
-            np.float32(boost) * idf * np.float32(params.k1 + 1.0)
-        ).astype(np.float32)
+        boost_legacy = np.float32(boost) * np.float32(params.k1 + 1.0)
+        weight = (boost_legacy * idf).astype(np.float32)
         tf32 = tf.astype(np.float32)
-        return (weight * (tf32 / (tf32 + denom_add))).astype(np.float32)
+        one = np.float32(1.0)
+        return (weight - weight / (one + tf32 * norm_inv)).astype(np.float32)
     tf64 = tf.astype(np.float64)
     dl64 = dl.astype(np.float64)
     idf = bm25_idf(N, df, params)

@@ -220,7 +220,8 @@ class Searcher:
         tomb_bc = self.index.tombstones_bcast(self.spark)
 
         def decode(batches):
-            from opensearch_spark.index.codec import varbyte_decode
+            from opensearch_spark.index.codec import (gaps_to_doc_ids,
+                                                      varbyte_decode)
 
             tomb = tomb_bc.value if tomb_bc is not None else None
             for pdf in batches:
@@ -229,12 +230,7 @@ class Searcher:
                     pdf["term"], pdf["first_doc"], pdf["n"],
                     pdf["docs_vb"], pdf["tfs_vb"], pdf["dls_vb"],
                 ):
-                    gaps = varbyte_decode(dvb).astype(np.int64)
-                    docs = np.empty(n, dtype=np.int64)
-                    docs[0] = first_doc
-                    if n > 1:
-                        np.cumsum(gaps, out=docs[1:])
-                        docs[1:] += first_doc
+                    docs = gaps_to_doc_ids(first_doc, varbyte_decode(dvb), n)
                     tf = varbyte_decode(tvb).astype(np.int64)
                     dl = varbyte_decode(lvb).astype(np.int64)
                     if tomb is not None and docs.size:
@@ -330,6 +326,13 @@ class Searcher:
         weights = _bm25_weight(
             self.N, np.array([dfs[t] for t in live]), self.k1, q.boost
         )
+        if not (weights > 0).any():
+            # boost=0 zeroes every upper bound, which WAND's presence
+            # test (term_ub > 0) cannot distinguish from an absent term
+            # — it would return empty while exhaustive returns matching
+            # docs with score 0. Zero-signal bounds mean zero pruning
+            # anyway: route to the exhaustive twin (identical results).
+            return self._match_exhaustive(q)
         term_idx = self.spark.createDataFrame(
             [(t, i) for i, t in enumerate(live)], "term string, term_idx int"
         )

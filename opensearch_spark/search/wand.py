@@ -31,7 +31,18 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from opensearch_spark.index.codec import varbyte_decode
+from opensearch_spark.index.codec import gaps_to_doc_ids, varbyte_decode
+
+#: multiplicative slack on every skip bound. The bounds are sums of
+#: per-term float64 upper bounds; numpy's pairwise summation of the
+#: BOUNDS can round 1-2 ulp BELOW the sequentially-reduceat-summed
+#: realized score of a doc that attains every bound (measured: ~3% of
+#: random cases undershoot), which would let an ulp-close θ skip a doc
+#: that belongs in the top-k. Relative summation error is ≤ n_terms·ε ≈
+#: 1e-14 for 50 terms; 1e-12 is a 100× margin with no measurable
+#: pruning-power cost. Bounds stay strict-in-the-math, conservative in
+#: floats — exactness (WAND ≡ exhaustive) is preserved, not weakened.
+UB_SLACK = 1.0 + 1e-12
 
 
 class _TopK:
@@ -44,6 +55,12 @@ class _TopK:
 
     @property
     def threshold(self) -> float:
+        if self.k <= 0:
+            # size=0 searches are legal (aggregation-only requests):
+            # nothing can enter the top-k, so every bucket is prunable
+            # (was: scores[-1] on an empty array -> task-crashing
+            # IndexError)
+            return np.inf
         if self.scores.size < self.k:
             return -np.inf
         return float(self.scores[-1])
@@ -79,10 +96,10 @@ def _score_bucket(
     if int(present.sum()) < n_required:
         return None  # bucket cannot satisfy AND/msm
     bucket_ub = float(term_ub.sum())
-    if bucket_ub < theta:
+    if bucket_ub * UB_SLACK < theta:
         return None
     # block skip: ub(block) + (bucket_ub - term_ub[t]) < theta
-    keep = ub_rows + (bucket_ub - term_ub[tidx]) >= theta
+    keep = (ub_rows + (bucket_ub - term_ub[tidx])) * UB_SLACK >= theta
     if not keep.any():
         return None
     g = group.loc[keep]
@@ -95,12 +112,7 @@ def _score_bucket(
         g["tfs_vb"].to_numpy(),
         g["dls_vb"].to_numpy(),
     ):
-        gaps = varbyte_decode(dvb).astype(np.int64)
-        docs = np.empty(n, dtype=np.int64)
-        docs[0] = first_doc
-        if n > 1:
-            np.cumsum(gaps, out=docs[1:])
-            docs[1:] += first_doc
+        docs = gaps_to_doc_ids(first_doc, varbyte_decode(dvb), n)
         tf = varbyte_decode(tvb).astype(np.float64)
         dl = varbyte_decode(lvb).astype(np.float64)
         score_parts.append(w_t * (tf / (tf + k1 * (1.0 - b + b * dl / avgdl))))
@@ -171,13 +183,19 @@ def wand_partition_fn(
         starts = np.flatnonzero(
             np.concatenate(([True], buckets[1:] != buckets[:-1])))
         ends = np.concatenate((starts[1:], [len(pdf)]))
-        n_terms = w.size
-        bucket_ubs = np.empty(starts.size)
-        for i in range(starts.size):
-            s, e = starts[i], ends[i]
-            tu = np.zeros(n_terms)
-            np.maximum.at(tu, tidx[s:e], ub_rows[s:e])
-            bucket_ubs[i] = tu.sum()
+        # rows arrive sorted by (bucket, term_idx) — executor.py pins
+        # sortWithinPartitions before the mapInPandas — so per-(bucket,
+        # term) maxima are one maximum.reduceat at the segment starts
+        # and bucket UBs one add.reduceat over those maxima (was: a
+        # Python loop allocating an n_terms array + maximum.at per
+        # bucket, the task hot path at 10^4+ buckets/partition)
+        seg_starts = np.flatnonzero(np.concatenate(
+            ([True], (buckets[1:] != buckets[:-1])
+             | (tidx[1:] != tidx[:-1]))))
+        seg_max = np.maximum.reduceat(ub_rows, seg_starts)
+        seg_bucket_starts = np.flatnonzero(np.concatenate(
+            ([True], buckets[seg_starts][1:] != buckets[seg_starts][:-1])))
+        bucket_ubs = np.add.reduceat(seg_max, seg_bucket_starts) * UB_SLACK
         order = np.argsort(-bucket_ubs, kind="stable") if ordered \
             else np.arange(starts.size)
         for i in order:

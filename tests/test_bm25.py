@@ -68,7 +68,28 @@ def test_lucene_mode_quantizes_norms():
 def test_norm_cache_shape_and_monotone():
     c = norm_cache(AVGDL)
     assert c.shape == (256,)
-    assert np.all(np.diff(c) >= 0)  # longer doc -> bigger denominator
+    # Lucene's cache stores the INVERSE norm: longer doc -> bigger
+    # denominator -> smaller normInverse
+    assert np.all(np.diff(c) <= 0)
+
+
+def test_lucene_mode_matches_reference_expression_shape():
+    """score must equal weight - weight/(1 + tf*normInverse) evaluated
+    in float32 — the exact BM25Scorer.score expression (Lucene 8+),
+    with LegacyBM25Similarity's (k1+1) folded into boost."""
+    p = BM25Params(mode="lucene")
+    tf, dl, df = np.array([3]), np.array([7]), np.array([2])
+    got = bm25_score(tf, dl, df, N, AVGDL, boost=1.5, params=p)[0]
+    idf = np.float32(np.log(1.0 + (N - 2 + 0.5) / (2 + 0.5)))
+    weight = np.float32(np.float32(1.5) * np.float32(p.k1 + 1.0) * idf)
+    from opensearch_spark.scoring.smallfloat import NORM_TABLE, int_to_byte4
+    norm_inv = np.float32(1.0) / np.float32(
+        np.float32(p.k1) * (np.float32(1.0 - p.b)
+                            + np.float32(p.b)
+                            * np.float32(NORM_TABLE[int_to_byte4(7)])
+                            / np.float32(AVGDL)))
+    want = weight - weight / (np.float32(1.0) + np.float32(3) * norm_inv)
+    assert got == want
 
 
 def test_score_monotone_in_tf_decreasing_in_dl():

@@ -78,6 +78,31 @@ def test_docs_and_dictionary_consistent(spark, index, duck):
     assert got["df"] == row[1]
 
 
+def test_wand_k0_returns_empty_not_crash(searcher):
+    """size=0 is a legal request (aggregation-only searches): WAND must
+    return an empty frame, not crash a task on an empty top-k heap
+    (round-4 review finding — _TopK.threshold IndexError)."""
+    out = searcher.search(Match(field="text", text="spark table"),
+                          k=0, mode="wand")
+    assert out.count() == 0
+    exh = searcher.search(Match(field="text", text="spark table"),
+                          k=0, mode="exhaustive")
+    assert exh.count() == 0
+
+
+def test_wand_boost_zero_matches_exhaustive(searcher):
+    """boost=0 zeroes every WAND upper bound; the engine must fall back
+    to the exhaustive twin so both modes return the same score-0 docs
+    (round-4 review finding — WAND returned empty)."""
+    q = Match(field="text", text="spark", boost=0.0)
+    wand = {(r["doc_id"], r["score"]) for r in
+            searcher.search(q, k=10, mode="wand").collect()}
+    exh = {(r["doc_id"], r["score"]) for r in
+           searcher.search(q, k=10, mode="exhaustive").collect()}
+    assert wand == exh
+    assert wand and all(s == 0.0 for _, s in wand)
+
+
 def test_term_case_insensitive_on_text_field(searcher, duck):
     """case_insensitive=true on the ANALYZED text field: the reference
     compiles a case-insensitive automaton (AutomatonQueries.
