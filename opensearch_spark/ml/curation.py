@@ -16,6 +16,19 @@ from pyspark.sql import DataFrame, Window, functions as F
 from opensearch_spark.ml.dedup import str_hash32 as _md5_u32
 
 
+def _ntokens_expr(text_col: str):
+    """Whitespace token count with the NULL/blank guard: Spark's
+    ``size(split(NULL))`` is the -1 sentinel and blank text tokenizes as
+    ``['']`` (one phantom token) — unguarded counts corrupt every
+    token-total downstream (tape positions, mix shares, keep rates).
+    One authoring site for the guard (round-4 review)."""
+    return F.when(
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+        F.lit(0),
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))) \
+     .cast("long")
+
+
 def _shingle_expr(text_col: str, n: int):
     """Word n-gram shingles as an array expression (NOT distinct, NOT
     exploded) — per-row, fully codegen."""
@@ -84,12 +97,7 @@ def pack_sequences(df: DataFrame, max_tokens: int, text_col: str = "text",
     NULL text counts 0 tokens (Spark's size() of a null split is -1,
     which would silently shift every later doc's tape position).
     """
-    n_tokens = F.when(
-        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
-        F.lit(0)  # blank text would otherwise count split('')=[''] as 1
-                  # token and shift every later doc's tape position
-    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).cast("long")
-    out = df.select(F.col(id_col), n_tokens.alias("n_tokens"),
+    out = df.select(F.col(id_col), _ntokens_expr(text_col).alias("n_tokens"),
                     *( [F.col(part_col)] if part_col else [] ))
     if part_col:
         w = Window.partitionBy(part_col).orderBy(id_col)
@@ -97,12 +105,18 @@ def pack_sequences(df: DataFrame, max_tokens: int, text_col: str = "text",
         w = Window.orderBy(id_col)
     end = F.sum("n_tokens").over(w)
     start = end - F.col("n_tokens")
+    start_seq = F.floor(start / max_tokens).cast("long")
+    # a zero-token doc occupies no tape cells: floor((end-1)/max) would
+    # report end_seq < start_seq (even -1 at tape position 0) — pin it
+    # to start_seq so first<=last always holds (round-4 review)
+    end_seq = F.when(F.col("n_tokens") == 0, start_seq) \
+        .otherwise(F.floor((end - 1) / max_tokens).cast("long"))
     return out.select(
         id_col,
         *( [part_col] if part_col else [] ),
         F.col("n_tokens"),
-        F.floor(start / max_tokens).cast("long").alias("start_seq"),
-        F.floor((end - 1) / max_tokens).cast("long").alias("end_seq"),
+        start_seq.alias("start_seq"),
+        end_seq.alias("end_seq"),
         (start % max_tokens).cast("long").alias("offset_in_seq"),
     )
 
@@ -170,11 +184,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     if top_n != dup_n:
         raise ValueError("repetition_stats: top_n != dup_n requires two "
                          "passes; call twice and join")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # guarded count (NULL → 0, blank → 0 — not -1 / 1 phantom) and gram
+    # counting restricted to docs that can emit a real gram: blank docs
+    # would otherwise contribute a phantom '' 1-gram (top1gram_frac=1.0)
+    # and NULL docs a -1 n_tokens (round-4 review)
     grams = df.select(
-        F.col(id_col), F.size(toks).cast("long").alias("n_tokens"),
+        F.col(id_col), _ntokens_expr(text_col).alias("n_tokens"),
         F.explode(_shingle_expr(text_col, top_n)).alias("gram"),
-    )
+    ).where(F.col("n_tokens") >= top_n)
     counts = grams.groupBy(id_col, "gram").agg(
         F.first("n_tokens").alias("n_tokens"), F.count("*").alias("cnt"))
     one = F.lit(1.0)
@@ -189,7 +206,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     # docs SHORTER than the gram width emit zero shingles and would drop
     # out of the explode entirely — report them with frac 0.0 so callers
     # joining/filtering on these stats never lose short docs silently
-    base = df.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+    base = df.select(F.col(id_col), _ntokens_expr(text_col).alias("n_tokens"))
     return (base.join(stats, id_col, "left")
             .na.fill({f"top{top_n}gram_frac": 0.0,
                       f"dup{dup_n}gram_frac": 0.0}))
@@ -227,9 +244,9 @@ def source_mix(df: DataFrame, target_shares: dict[str, float],
     the driver (|sources| rows), re-broadcast as a literal map; the big
     side is a single filter scan — no shuffle of the corpus.
     """
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
     totals = {r[source_col]: r["tok"]
-              for r in df.groupBy(source_col).agg(F.sum(n_tok).alias("tok"))
+              for r in df.groupBy(source_col)
+              .agg(F.sum(_ntokens_expr(text_col)).alias("tok"))
               .collect()}
     grand = sum(totals.get(s, 0) for s in target_shares)
     rates = {s: min(1.0, (share * grand) / totals[s])
@@ -258,8 +275,8 @@ def temperature_mix(df: DataFrame, alpha: float = 0.5,
     Scale shape: one token-count aggregate over the corpus (map-side
     partial sums), then pure arithmetic on the |sources|-row frame —
     the corpus itself is scanned exactly once, never shuffled."""
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
-    per = df.groupBy(source_col).agg(F.sum(n_tok).alias("tokens"))
+    per = df.groupBy(source_col).agg(
+        F.sum(_ntokens_expr(text_col)).alias("tokens"))
     tot = per.agg(
         F.sum("tokens").alias("grand"),
         F.sum(F.pow(F.col("tokens").cast("double"), F.lit(alpha))).alias("z"))
@@ -326,10 +343,15 @@ def unigram_logppl(df: DataFrame, text_col: str = "text",
         # auto-broadcast can't OOM the driver (same posture discipline
         # as ml/dedup.py's corpus-scaled joins)
         p = p.hint("merge")
-    return (toks.join(p, "term")
-            .groupBy(id_col)
-            .agg((-F.avg(F.log("p"))).alias("logppl"),
-                 F.count("*").alias("n_tokens")))
+    scored = (toks.join(p, "term")
+              .groupBy(id_col)
+              .agg((-F.avg(F.log("p"))).alias("logppl"),
+                   F.count("*").alias("n_tokens")))
+    # token-less (NULL/blank) docs emit no token rows and would vanish
+    # from the output — report them (logppl 0.0, n_tokens 0) instead of
+    # silently dropping (the repetition_stats no-dropout discipline)
+    return (df.select(id_col).join(scored, id_col, "left")
+            .na.fill({"logppl": 0.0, "n_tokens": 0}))
 
 
 def quality_classifier(
@@ -392,6 +414,11 @@ def quality_classifier(
               .groupBy(id_col)
               .agg(F.count("*").alias("n_features"),
                    F.avg("w").alias("_mean_w")))
+    # token-less docs produce zero feature rows and would vanish from
+    # the output — report them with n_features=0 and the bias-only logit
+    # (mean pool over no features = 0) instead of silently dropping
+    scored = (df.select(id_col).join(scored, id_col, "left")
+              .na.fill({"n_features": 0, "_mean_w": 0.0}))
     z = F.col("_mean_w") + F.lit(float(bias))
     return scored.select(
         id_col, "n_features",
@@ -463,6 +490,10 @@ def dsir_log_importance(
               .groupBy(id_col)
               .agg(F.count("*").cast("long").alias("n_tokens"),
                    F.sum("w").alias("log_importance")))
+    # token-less docs emit no bucket rows — report (0, 0.0, keep=false)
+    # instead of silently dropping them from the selection output
+    scored = (df.select(id_col).join(scored, id_col, "left")
+              .na.fill({"n_tokens": 0, "log_importance": 0.0}))
     return scored.select(
         id_col, "n_tokens", "log_importance",
         (F.col("log_importance") > 0).alias("keep"))

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from opensearch_spark.ml.dedup import MOD_H
-
 
 def _dot(a, b):
     return F.aggregate(
@@ -343,17 +341,25 @@ def knn_join_lsh(df: DataFrame, k: int = 5, n_planes: int = 8,
     sign-bucket (candidates only, never |D|²), exact cosine re-rank per
     query inside its candidate set. ``multiprobe=1`` additionally probes
     every 1-bit-flip bucket on the query side (n_planes+1 probes per
-    query, linear candidate cost). Recall vs ``knn_join_exact`` asserted
+    query, linear candidate cost); ``multiprobe>=2`` adds the 2-bit
+    flips (the ``probe_buckets`` semantics). Recall vs ``knn_join_exact`` asserted
     in tests."""
     from pyspark.sql import Window as W
 
     first = df.select(F.size(vec_col).alias("d"))
     planes = hyperplanes(n_planes, int(first.first()["d"]))
     b = df.withColumn("_bkt", _bucket_expr(vec_col, planes))
+    # same probe semantics as probe_buckets/lsh_topk: 1-bit flips at
+    # multiprobe>=1, 2-bit flips added at multiprobe>=2 (was: >=2
+    # silently behaved like 1 — round-4 review)
     probe_cols = [F.col("_bkt")]
     if multiprobe >= 1:
         probe_cols += [F.col("_bkt").bitwiseXOR(F.lit(1 << j))
                        for j in range(n_planes)]
+    if multiprobe >= 2:
+        probe_cols += [F.col("_bkt").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                       for i in range(n_planes)
+                       for j in range(i + 1, n_planes)]
     qa = (b.select(F.col(id_col).alias("query_id"),
                    F.col(vec_col).alias("_qv"),
                    F.explode(F.array(*probe_cols)).alias("_bkt")))
@@ -362,11 +368,15 @@ def knn_join_lsh(df: DataFrame, k: int = 5, n_planes: int = 8,
     dot = _dot(F.col("_qv"), F.col("_cv"))
     nq = F.sqrt(_dot(F.col("_qv"), F.col("_qv")))
     nc = F.sqrt(_dot(F.col("_cv"), F.col("_cv")))
+    # no dedup pass needed: the probe values are pairwise DISTINCT
+    # (qb, qb^2^j, qb^2^i^2^j) and each neighbor carries exactly one
+    # bucket, so a (query, neighbor) pair joins at most once — the old
+    # .distinct() here was a full shuffle of the largest intermediate
+    # for nothing (round-4 review)
     scored = (qa.join(ca, "_bkt")
               .where(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
-                      F.round(dot / (nq * nc), 4).alias("cosine"))
-              .distinct())  # a pair can meet in several probe buckets
+                      F.round(dot / (nq * nc), 4).alias("cosine")))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k)
@@ -706,7 +716,11 @@ def pq_encode_batched(df: DataFrame, codebooks: list[list[list[float]]],
     C = np.asarray(cents, dtype=np.float64) if cents is not None else None
     cnorm = (C * C).sum(axis=1) if C is not None else None
 
-    fields = [f"{id_col} long"]
+    # preserve the input id column's actual type (was: hardcoded 'long',
+    # which made a string-id build crash at Arrow conversion — the
+    # expression path pq_encode never had that restriction)
+    id_type = dict(df.dtypes)[id_col]
+    fields = [f"{id_col} {id_type}"]
     if C is not None:
         fields.append("_c int")
     fields += [f"code_{m} int" for m in range(n_sub)]

@@ -192,7 +192,9 @@ class TestPackSequences:
 
 
 _WORDS = st.sampled_from(["a", "b", "c", "d", "e"])
-_DOC = st.lists(_WORDS, min_size=1, max_size=12).map(" ".join)
+#: may be EMPTY (zero tokens) — pack_sequences supports 0-token docs and
+#: must pin end_seq = start_seq for them (round-4 fix)
+_DOC = st.lists(_WORDS, min_size=0, max_size=12).map(" ".join)
 
 
 class TestCurationProperties:
@@ -209,8 +211,9 @@ class TestCurationProperties:
         pos = 0
         for i, t in enumerate(docs):
             n = len(t.split())
-            want = (n, pos // max_tokens, (pos + n - 1) // max_tokens,
-                    pos % max_tokens)
+            end_seq = (pos // max_tokens if n == 0
+                       else (pos + n - 1) // max_tokens)
+            want = (n, pos // max_tokens, end_seq, pos % max_tokens)
             assert got[i] == want, (i, got[i], want)
             pos += n
 
@@ -401,3 +404,63 @@ class TestTemperatureMix:
         out = CU.temperature_mix(self._df(spark), alpha=0.5).collect()
         assert abs(sum(r["temp_share"] for r in out) - 1.0) < 1e-5
         assert abs(sum(r["natural_share"] for r in out) - 1.0) < 1e-5
+
+
+class TestNullBlankTokenGuards:
+    """Round-4 review: every token-total op must treat NULL text as 0
+    tokens (size(split(NULL)) is -1) and blank text as 0 (split('') is
+    ['']), and score-emitting ops must not silently drop token-less
+    docs."""
+
+    def _mixed(self, spark):
+        return _docs(spark, [
+            {"doc_id": 1, "text": "a b c d", "source": "wiki"},
+            {"doc_id": 2, "text": None, "source": "wiki"},
+            {"doc_id": 3, "text": "   ", "source": "wiki"},
+            {"doc_id": 4, "text": "x y", "source": "code"},
+        ])
+
+    def test_source_mix_token_totals_guarded(self, spark):
+        df = self._mixed(spark)
+        out = CU.source_mix(df, {"wiki": 0.5, "code": 0.5}, salt="s")
+        # wiki totals 4 (not 4 - 1 + 1): with equal shares and grand=6,
+        # wiki rate = min(1, 3/4) — a corrupted total would change it
+        rates = {r["source"]: r["keep_rate"] for r in out.collect()}
+        if "wiki" in rates:
+            assert rates["wiki"] == 0.75
+        if "code" in rates:
+            assert rates["code"] == 1.0
+
+    def test_temperature_mix_guarded_no_nan(self, spark):
+        import math
+
+        df = self._mixed(spark)
+        rows = {r["source"]: r for r in
+                CU.temperature_mix(df, alpha=0.5).collect()}
+        assert rows["wiki"]["tokens"] == 4 and rows["code"]["tokens"] == 2
+        for r in rows.values():
+            assert not math.isnan(r["temp_share"])
+
+    def test_repetition_stats_guarded(self, spark):
+        df = self._mixed(spark)
+        rows = {r["doc_id"]: r for r in
+                CU.repetition_stats(df, top_n=1, dup_n=1).collect()}
+        assert rows[2]["n_tokens"] == 0 and rows[3]["n_tokens"] == 0
+        # blank doc must NOT get top1gram_frac=1.0 from the phantom ''
+        assert rows[3]["top1gram_frac"] == 0.0
+        assert rows[2]["top1gram_frac"] == 0.0
+
+    def test_score_ops_keep_tokenless_docs(self, spark):
+        df = self._mixed(spark)
+        ql = {r["doc_id"]: r for r in CU.unigram_logppl(df).collect()}
+        assert set(ql) == {1, 2, 3, 4}
+        assert ql[2]["n_tokens"] == 0 and ql[2]["logppl"] == 0.0
+        qc = {r["doc_id"]: r for r in
+              CU.quality_classifier(df, "text").collect()}
+        assert set(qc) == {1, 2, 3, 4}
+        assert qc[3]["n_features"] == 0
+        target = _docs(spark, [{"doc_id": 9, "text": "a b"}])
+        ds = {r["doc_id"]: r for r in
+              CU.dsir_log_importance(df, target).collect()}
+        assert set(ds) == {1, 2, 3, 4}
+        assert ds[2]["n_tokens"] == 0 and ds[2]["keep"] is False

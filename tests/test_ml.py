@@ -711,3 +711,38 @@ class TestReviewFixEdgeCases:
                bpe_encode(df, "text", merges).collect()}
         assert out[2]["tokens"] == [] and out[2]["n_tokens"] == 0
         assert out[1]["n_tokens"] > 0
+
+
+def test_knn_join_lsh_no_duplicate_pairs_and_multiprobe2(spark, emb):
+    """Round-4 review: the probe values are pairwise distinct so a
+    (query, neighbor) pair joins at most once (no dedup shuffle needed),
+    and multiprobe=2 must actually add the 2-bit-flip probes (it was
+    silently identical to 1)."""
+    sub = emb.limit(60)
+    out1 = S.knn_join_lsh(sub, k=3, multiprobe=1)
+    rows1 = out1.collect()
+    pairs1 = [(r["query_id"], r["neighbor_id"]) for r in rows1]
+    assert len(pairs1) == len(set(pairs1))
+    plan = out1._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" not in plan  # the no-op distinct is gone
+    out2 = S.knn_join_lsh(sub, k=3, multiprobe=2).collect()
+    # wider probes can only find equal-or-better neighbors per query
+    best1 = {r["query_id"]: r["cosine"] for r in rows1 if r["rank"] == 1}
+    best2 = {r["query_id"]: r["cosine"] for r in out2 if r["rank"] == 1}
+    assert set(best1) <= set(best2)
+    assert all(best2[q] >= best1[q] for q in best1)
+
+
+def test_pq_encode_batched_preserves_id_type(spark, emb):
+    """Round-4 review: the batched encoder hardcoded 'long' ids; a
+    string-id build must encode, matching the expression path."""
+    sub = emb.limit(40).withColumn(
+        "sid", F.concat(F.lit("v"), F.col("vec_id").cast("string")))
+    books = S.pq_train(sub, n_sub=2, ksub=4, vec_col="embedding")
+    got = {r["sid"]: (r["code_0"], r["code_1"])
+           for r in S.pq_encode_batched(
+               sub, books, vec_col="embedding", id_col="sid").collect()}
+    want = {r["sid"]: (r["code_0"], r["code_1"])
+            for r in S.pq_encode(
+                sub, books, vec_col="embedding", id_col="sid").collect()}
+    assert got == want and len(got) == 40
