@@ -5188,13 +5188,18 @@ _URL_DERIVE_SQL = (
 @q("dedup_url", f"""
 WITH u AS (SELECT doc_id, {_URL_DERIVE_SQL} AS url FROM documents),
 s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS x FROM u),
+-- utm rules run on the QUERY part only: '&' is a legal unencoded PATH
+-- character (mirrors ml/dedup.canonical_url exactly)
+s1b AS (SELECT doc_id, regexp_extract(x, '^[^?]*', 0) AS pre,
+               substr(x, length(regexp_extract(x, '^[^?]*', 0)) + 1) AS qp
+        FROM s1),
 s2 AS (SELECT doc_id,
-              regexp_replace(
+              pre || regexp_replace(
                   regexp_replace(
-                      regexp_replace(x, '&utm_[a-z_]+=[^&#]*', '', 'g'),
+                      regexp_replace(qp, '&utm_[a-z_]+=[^&#]*', '', 'g'),
                       '\\?utm_[a-z_]+=[^&#]*&', '?'),
                   '\\?utm_[a-z_]+=[^&#]*$', '') AS x
-       FROM s1),
+       FROM s1b),
 s3 AS (SELECT doc_id,
               lower(regexp_extract(x, '^([^/]*//[^/]+)', 1)) AS head,
               regexp_replace(x, '^[^/]*//[^/]+', '') AS tail
@@ -5874,9 +5879,15 @@ def _hnsw_index(spark, sf_dir):
         return _HNSW_CACHE[key]
     out = os.path.join(INDEX_ROOT,
                        hashlib.sha256(key.encode()).hexdigest()[:16] + "_hnsw")
-    if os.path.exists(os.path.join(out, "meta.json")):
+    import shutil
+
+    # freshness: pre-round-4 caches hold pickle-format blobs the safe
+    # npz reader refuses — rebuild on format mismatch
+    if os.path.exists(os.path.join(out, "meta.json")) and \
+            HnswIndex(out).meta.get("blob_format") == 2:
         idx = HnswIndex(out)
     else:
+        shutil.rmtree(out, ignore_errors=True)
         idx = HnswIndex.build(_t(spark, sf_dir, "embeddings"), out,
                               m=8, ef_construction=64, n_segments=4)
     _HNSW_CACHE[key] = idx

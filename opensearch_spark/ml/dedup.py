@@ -81,13 +81,19 @@ def canonical_url(url) -> F.Column:
     merely CONTAIN ``utm_`` (e.g. ``xutm_source``) survive. Pure regexp /
     string codegen, no backrefs (runs identically in the DuckDB twin)."""
     x = F.regexp_replace(url, r"#.*$", "")
-    # utm strip, three separator-anchored rules so no backref is needed:
+    # utm strip, applied to the QUERY part only ('&' is a legal unencoded
+    # PATH character per RFC 3986 — rule A unanchored would rewrite
+    # '/a&utm_source=x' paths and merge distinct URLs; round-4 review).
+    # Three separator-anchored rules so no backref is needed:
     # (A) a non-first utm param drops with its own leading '&';
     # (B) a FIRST utm param followed by another drops, keeping the '?';
     # (C) a lone first utm param drops with its '?'.
-    x = F.regexp_replace(x, r"&utm_[a-z_]+=[^&#]*", "")
-    x = F.regexp_replace(x, r"\?utm_[a-z_]+=[^&#]*&", "?")
-    x = F.regexp_replace(x, r"\?utm_[a-z_]+=[^&#]*$", "")
+    pre_q = F.regexp_extract(x, r"^[^?]*", 0)
+    qp = F.substring(x, F.length(pre_q) + F.lit(1), F.length(x))
+    qp = F.regexp_replace(qp, r"&utm_[a-z_]+=[^&#]*", "")
+    qp = F.regexp_replace(qp, r"\?utm_[a-z_]+=[^&#]*&", "?")
+    qp = F.regexp_replace(qp, r"\?utm_[a-z_]+=[^&#]*$", "")
+    x = F.concat(pre_q, qp)
     head = F.lower(F.regexp_extract(x, r"^([^/]*//[^/]+)", 1))
     tail = F.regexp_replace(x, r"^[^/]*//[^/]+", "")
     head = (F.when(head.startswith("http://"),
@@ -160,7 +166,8 @@ JACCARD_DF_CAP = 10_000
 
 def jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
                   id_col: str = "doc_id",
-                  max_shingle_df: int | None = JACCARD_DF_CAP) -> DataFrame:
+                  max_shingle_df: int | None = JACCARD_DF_CAP,
+                  scale_posture: bool | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs among docs sharing ≥1 shingle.
 
     candidates via shingle-bucket self-join (never n²); |∪| from per-doc
@@ -174,26 +181,36 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
     ``None`` disables the guard. MinHash-LSH (``lsh_candidates``) remains
     the documented scale route; this makes the exact operator safe too.
     """
-    # merge hints throughout: every side (shingle sets, df filter, sizes)
-    # scales with the corpus — a mis-estimated auto-broadcast OOMs the
-    # driver at real size (same posture as minhash_lsh_pairs)
+    # posture-switched like minhash_lsh_pairs: under SCALE every side
+    # (shingle sets, df filter, sizes) is corpus-scaled so the joins are
+    # pinned sort-merge (a mis-estimated auto-broadcast OOMs the driver
+    # at real size) and the shingle frame persists DISK_ONLY; at gate
+    # scale AQE keeps its freedom. The shingle lineage (split/explode/
+    # distinct — the dominant cost) is persisted ONCE and fanned out to
+    # the df-cap aggregate, the sizes aggregate, and both self-join
+    # sides (round-4 review: it was recomputed ~4x).
+    from pyspark import StorageLevel
+
+    scale = _scale_posture(sh, scale_posture)
+    sh = persist_rotating(sh, "jaccard.shingles",
+                          StorageLevel.DISK_ONLY if scale else None)
     if max_shingle_df is not None:
         dfc = (sh.groupBy("shingle").agg(F.count("*").alias("_sdf"))
                .where(F.col("_sdf") <= max_shingle_df).drop("_sdf"))
-        sh = sh.hint("merge").join(dfc, "shingle")
+        sh = _mj(sh, scale).join(dfc, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
     inter = (
-        a.hint("merge").join(b, "shingle")
+        _mj(a, scale).join(b, "shingle")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
+    with_a = _mj(inter, scale).join(
+        sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
     out = (
-        inter.hint("merge")
-        .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
-        .hint("merge")
+        _mj(with_a, scale)
         .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
         .withColumn(
             "jaccard",
@@ -425,7 +442,11 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 12) -> DataFrame:
     connected components): each round every node takes the min label in
     its neighborhood, then labels chase their own labels (path halving),
     so convergence is O(log diameter) rounds — each round two hash joins,
-    no driver-side graph. Stops early when a round changes nothing."""
+    no driver-side graph. Stops early when a round changes nothing;
+    RAISES if ``max_iters`` rounds pass without convergence (returning
+    the intermediate labels would silently split true components —
+    round-4 review; a path-shaped component of diameter d needs ~log2(d)
+    rounds, so raise ``max_iters`` for extreme chain graphs)."""
     edges = pairs.select(F.col("a").cast("long").alias("a"),
                          F.col("b").cast("long").alias("b"))
     adj = edges.unionByName(
@@ -458,6 +479,12 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 12) -> DataFrame:
         labels = jumped
         if changed == 0:
             break
+    else:
+        adj.unpersist()
+        raise RuntimeError(
+            f"dup_clusters: not converged after {max_iters} rounds — "
+            "labels would split true components; raise max_iters "
+            "(~log2(graph diameter) rounds are needed)")
     adj.unpersist()
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
@@ -510,13 +537,17 @@ def simhash(df: DataFrame, text_col: str, bits: int = 32,
 
 
 def simhash_pairs(fp: DataFrame, max_hamming: int = 3,
-                  id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+                  id_col: str = "doc_id", bits: int = 32,
+                  scale_posture: bool | None = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ k via pigeonhole banding:
     split the fingerprint into k+1 bands — equal in ≥1 band guaranteed —
     then verify. (Never an O(n²) cross join.) ``bits`` MUST match the
     ``simhash`` call that produced ``fp``: 32 is the gate-scale default,
     64 is the real-corpus posture (see ``simhash``'s docstring for the
-    band-key-width arithmetic that makes 32 quadratic beyond ~10k docs)."""
+    band-key-width arithmetic that makes 32 quadratic beyond ~10k docs).
+    ``scale_posture`` as in :func:`_scale_posture`: forced sort-merge
+    for the corpus-scaled band self-join above the doc threshold, AQE
+    freedom at gate scale."""
     if bits not in (32, 64):
         raise ValueError("simhash_pairs: bits must be 32 or 64")
     n_bands = max_hamming + 1
@@ -525,14 +556,16 @@ def simhash_pairs(fp: DataFrame, max_hamming: int = 3,
     for bidx in range(n_bands):
         shift = bidx * width
         w = width + (bits - n_bands * width if bidx == n_bands - 1 else 0)
-        mask = (1 << w) - 1
+        shifted = F.shiftrightunsigned(F.col("simhash"), shift)
+        # w=64 (bits=64, max_hamming=0): (1<<64)-1 does not fit a long
+        # literal — and no mask is needed, the shifted value IS the key
+        key = shifted if w >= 64 else shifted.bitwiseAND(F.lit((1 << w) - 1))
         bands.append(
             fp.select(
                 F.col(id_col),
                 "simhash",
                 F.lit(bidx).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), shift)
-                 .bitwiseAND(F.lit(mask)).alias("key"),
+                key.alias("key"),
             )
         )
     allb = bands[0]
@@ -540,9 +573,11 @@ def simhash_pairs(fp: DataFrame, max_hamming: int = 3,
         allb = allb.unionByName(x)
     a = allb.select(F.col(id_col).alias("a"), F.col("simhash").alias("fa"), "band", "key")
     b = allb.select(F.col(id_col).alias("b"), F.col("simhash").alias("fb"), "band", "key")
+    scale = _scale_posture(fp, scale_posture)
     cand = (
-        # merge hint: both sides are corpus-scaled (see minhash_lsh_pairs)
-        a.hint("merge").join(b, ["band", "key"]).where(F.col("a") < F.col("b"))
+        # posture-pinned: both sides are corpus-scaled (minhash_lsh_pairs)
+        _mj(a, scale).join(b, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
         .select("a", "b", "fa", "fb").distinct()
     )
     return (

@@ -41,11 +41,10 @@ returned are cosine similarity, rounded by the caller's convention.
 from __future__ import annotations
 
 import hashlib
+import io
 import json
 import math
 import os
-import pickle
-import zlib
 
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
@@ -82,28 +81,63 @@ class HnswGraph:
         self.max_level = max_level
 
     # -- serialization ----------------------------------------------------
+    # npz (raw numpy buffers + a scalar header array), NOT pickle: the
+    # blob is read back with allow_pickle=False, so a tampered index
+    # directory can yield at worst a decode error — never code execution
+    # on the executors (round-4 review; pickle.loads of
+    # attacker-writable bytes is an arbitrary-code-execution sink).
+    # Per-level adjacency is flattened as (sorted keys, counts, flat
+    # neighbor stream) — neighbor ORDER inside each list is preserved
+    # bit-for-bit, keeping the graph and every query reproducible.
     def to_blob(self) -> bytes:
-        payload = {
-            "ids": self.ids.astype(np.int64).tobytes(),
-            "n": int(self.ids.shape[0]),
-            "dim": int(self.vecs.shape[1]),
-            "vecs": self.vecs.astype(np.float32).tobytes(),
-            "m": self.m,
-            "levels": self.levels,
-            "nbrs": self.nbrs,
-            "entry": self.entry,
-            "max_level": self.max_level,
+        arrays = {
+            "header": np.asarray(
+                [2, int(self.ids.shape[0]), int(self.vecs.shape[1]),
+                 int(self.m), int(self.entry), int(self.max_level),
+                 len(self.nbrs)], dtype=np.int64),
+            "ids": self.ids.astype(np.int64),
+            "vecs": self.vecs.astype(np.float32).reshape(-1),
+            "levels": np.asarray(self.levels, dtype=np.int32),
         }
-        return zlib.compress(pickle.dumps(payload, protocol=4))
+        for lvl, table in enumerate(self.nbrs):
+            keys = sorted(table)
+            arrays[f"k{lvl}"] = np.asarray(keys, dtype=np.int32)
+            arrays[f"c{lvl}"] = np.asarray(
+                [len(table[k]) for k in keys], dtype=np.int32)
+            flat = [o for k in keys for o in table[k]]
+            arrays[f"f{lvl}"] = np.asarray(flat, dtype=np.int32)
+        buf = io.BytesIO()
+        np.savez_compressed(buf, **arrays)
+        return buf.getvalue()
 
     @staticmethod
     def from_blob(blob: bytes) -> "HnswGraph":
-        p = pickle.loads(zlib.decompress(bytes(blob)))
-        ids = np.frombuffer(p["ids"], dtype=np.int64)
-        vecs = np.frombuffer(p["vecs"], dtype=np.float32).reshape(
-            p["n"], p["dim"]).astype(np.float64)
-        return HnswGraph(ids, vecs, p["m"], p["levels"], p["nbrs"],
-                         p["entry"], p["max_level"])
+        raw = bytes(blob)
+        if not raw.startswith(b"PK"):
+            raise ValueError(
+                "HnswGraph.from_blob: not an npz blob — this index was "
+                "written by a pre-round-4 (pickle-format) build; rebuild "
+                "the index directory")
+        z = np.load(io.BytesIO(raw), allow_pickle=False)
+        hdr = z["header"]
+        n, dim = int(hdr[1]), int(hdr[2])
+        m, entry, max_level, n_levels = (int(hdr[3]), int(hdr[4]),
+                                         int(hdr[5]), int(hdr[6]))
+        ids = z["ids"].astype(np.int64)
+        vecs = z["vecs"].astype(np.float64).reshape(n, dim)
+        levels = z["levels"].astype(int).tolist()
+        nbrs: list[dict[int, list[int]]] = []
+        for lvl in range(n_levels):
+            keys = z[f"k{lvl}"]
+            counts = z[f"c{lvl}"]
+            flat = z[f"f{lvl}"]
+            table: dict[int, list[int]] = {}
+            pos = 0
+            for k, c in zip(keys.tolist(), counts.tolist()):
+                table[k] = flat[pos:pos + c].tolist()
+                pos += c
+            nbrs.append(table)
+        return HnswGraph(ids, vecs, m, levels, nbrs, entry, max_level)
 
     # -- search ------------------------------------------------------------
     def _greedy_layer(self, q: np.ndarray, ep: int, level: int) -> int:
@@ -216,6 +250,10 @@ def _select_neighbors(cands: list[tuple[float, int]],
 def build_graph(ids: np.ndarray, vecs: np.ndarray, m: int = 8,
                 ef_construction: int = 64) -> HnswGraph:
     """Algorithm 1 over one segment: id-sorted deterministic inserts."""
+    if m < 2:
+        # ml = 1/ln(m) → ZeroDivisionError at m=1, degenerate graph at
+        # m=0; fail with a comprehensible message instead
+        raise ValueError("build_graph: m must be >= 2")
     order = np.argsort(ids, kind="stable")
     ids = np.asarray(ids, dtype=np.int64)[order]
     vecs = np.asarray(vecs, dtype=np.float64)[order]
@@ -290,7 +328,20 @@ class HnswIndex:
     def build(df: DataFrame, out_dir: str, m: int = 8,
               ef_construction: int = 64, n_segments: int = 4,
               vec_col: str = "embedding", id_col: str = "vec_id") -> "HnswIndex":
-        dim = int(df.select(F.size(vec_col).alias("d")).first()["d"])
+        if "://" in out_dir:
+            # graphs/ goes through Spark's filesystem layer but meta.json
+            # is a driver-local open() — a remote out_dir would silently
+            # split the index across filesystems (round-4 review)
+            raise ValueError(
+                "HnswIndex.build: out_dir must be a local path — the "
+                "metadata write is driver-local; copy the finished index "
+                "directory to remote storage as a unit")
+        row = df.select(F.max(F.size(vec_col)).alias("d")).first()
+        if row is None or row["d"] is None or int(row["d"]) <= 0:
+            raise ValueError(
+                "HnswIndex.build: input has no rows with a non-empty "
+                f"{vec_col!r} vector — nothing to index")
+        dim = int(row["d"])
 
         def _build(pdf):
             import pandas as pd
@@ -312,7 +363,8 @@ class HnswIndex:
         with open(os.path.join(out_dir, "meta.json"), "w") as f:
             json.dump({"m": m, "ef_construction": ef_construction,
                        "n_segments": n_segments, "dim": dim,
-                       "vec_col": vec_col, "id_col": id_col}, f)
+                       "vec_col": vec_col, "id_col": id_col,
+                       "blob_format": 2}, f)
         return HnswIndex(out_dir)
 
     def topk(self, spark, query_vec: list[float], k: int = 10,

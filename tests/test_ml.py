@@ -746,3 +746,77 @@ def test_pq_encode_batched_preserves_id_type(spark, emb):
             for r in S.pq_encode(
                 sub, books, vec_col="embedding", id_col="sid").collect()}
     assert got == want and len(got) == 40
+
+
+def test_dup_clusters_raises_on_non_convergence(spark):
+    """Round-4 review: exhausting max_iters must RAISE, not silently
+    return labels that split a true component."""
+    # a 64-node path needs ~log2(64)=6 pointer-jump rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a long, b long")
+    with pytest.raises(RuntimeError, match="not converged"):
+        D.dup_clusters(pairs, max_iters=1)
+    # and with enough rounds it converges to one component
+    out = D.dup_clusters(pairs, max_iters=12)
+    assert {r["cluster_id"] for r in out.collect()} == {0}
+
+
+def test_simhash_pairs_64bit_exact_duplicates(spark):
+    """Round-4 review: bits=64 with max_hamming=0 (exact-fingerprint
+    dedup) must not overflow the band-mask literal."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")],
+        "doc_id long, text string")
+    fp = D.simhash(df, "text", bits=64)
+    got = {(r["a"], r["b"]) for r in
+           D.simhash_pairs(fp, max_hamming=0, bits=64).collect()}
+    assert got == {(1, 2)}
+
+
+def test_canonical_url_preserves_ampersand_paths(spark):
+    """Round-4 review: '&' is a legal unencoded PATH character — utm
+    stripping must only touch the query string."""
+    df = spark.createDataFrame(
+        [(1, "http://x.com/a&utm_source=feed"),      # utm text in PATH
+         (2, "http://x.com/a"),
+         (3, "http://x.com/a?utm_source=feed"),      # utm in query
+         (4, "http://x.com/a?id=1&utm_source=f")],
+        "doc_id long, url string")
+    canon = {r["doc_id"]: r["c"] for r in
+             df.select("doc_id",
+                       D.canonical_url(F.col("url")).alias("c")).collect()}
+    assert canon[1] == "http://x.com/a&utm_source=feed"  # path untouched
+    assert canon[1] != canon[2]
+    assert canon[3] == "http://x.com/a"
+    assert canon[4] == "http://x.com/a?id=1"
+
+
+def test_hnsw_build_guards_and_safe_blob(spark, emb, tmp_path):
+    """Round-4 review: empty input and m<2 fail loudly; blobs are npz
+    (allow_pickle=False) so tampered bytes raise instead of executing."""
+    from opensearch_spark.ml.hnsw import HnswGraph, HnswIndex, build_graph
+
+    empty = emb.limit(0)
+    with pytest.raises(ValueError, match="no rows"):
+        HnswIndex.build(empty, str(tmp_path / "idx0"))
+    with pytest.raises(ValueError, match="m must be"):
+        build_graph(np.array([1, 2]), np.eye(2), m=1)
+    with pytest.raises(ValueError, match="local path"):
+        HnswIndex.build(emb.limit(5), "s3a://bucket/idx")
+    # round-trip determinism through the npz format
+    sub = emb.limit(50).collect()
+    ids = np.array([r["vec_id"] for r in sub], dtype=np.int64)
+    vecs = np.array([r["embedding"] for r in sub], dtype=np.float64)
+    g = build_graph(ids, vecs, m=4)
+    # vectors quantize to float32 in the blob (as before the format
+    # change), so compare two round-tripped graphs, not g itself
+    g2 = HnswGraph.from_blob(g.to_blob())
+    g3 = HnswGraph.from_blob(g2.to_blob())
+    q = vecs[0]
+    assert g2.search(q, 5, 32) == g3.search(q, 5, 32)
+    assert g2.search(q, 5, 32)[0][0] == int(ids[0])  # self is top hit
+    assert g2.to_blob() == g3.to_blob()  # bit-reproducible
+    # a pickle payload is REFUSED, never loaded
+    import pickle as _p
+    with pytest.raises(ValueError, match="npz"):
+        HnswGraph.from_blob(__import__("zlib").compress(_p.dumps({"x": 1})))

@@ -162,8 +162,9 @@ def test_dedup_pipelines_never_broadcast_corpus_scaled_sides(spark, sf_dir):
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     sh = D.shingles(docs, "text", n=2)
     for df in (D.minhash_lsh_pairs(docs, "text", scale_posture=True),
-               D.jaccard_pairs(sh),
-               D.simhash_pairs(D.simhash(docs, "text")),
+               D.jaccard_pairs(sh, scale_posture=True),
+               D.simhash_pairs(D.simhash(docs, "text"),
+                               scale_posture=True),
                D.dedup_chunks_global(docs, "text", "doc_id",
                                      scale_posture=True),
                D.substring_dup_spans(docs, "text", "doc_id",
