@@ -17,6 +17,7 @@ the same analyzer in ``TransportAnalyzeAction`` and the index write path).
 from __future__ import annotations
 
 import re
+import unicodedata
 from typing import Iterator
 
 import pandas as pd
@@ -147,8 +148,6 @@ def stem_minimal_english(t: str) -> str:
 
 def ascii_fold(t: str) -> str:
     """asciifolding filter: strip combining marks (NFKD), e.g. café→cafe."""
-    import unicodedata
-
     return "".join(
         ch for ch in unicodedata.normalize("NFKD", t)
         if not unicodedata.combining(ch)
@@ -219,7 +218,7 @@ def tokenize_french(text: str) -> list[str]:
     """`french` analyzer: elision char filter + standard + french stop +
     light stemmer."""
     return [stem_french_light(t)
-            for t in tokenize_standard(elide_french_text(text))
+            for t in tokenize_standard(elide_french_text(text or ""))
             if t not in FRENCH_STOP_WORDS]
 
 
@@ -478,9 +477,7 @@ def icu_normalize_nfkc_cf(text: str) -> str:
     flatten (²→2), case folds (ß→ss). Applied BEFORE tokenization, as the
     char-filter form is, so compatibility characters can't skew the word
     break."""
-    import unicodedata
-
-    return unicodedata.normalize("NFKC", text).casefold()
+    return unicodedata.normalize("NFKC", text or "").casefold()
 
 
 def tokenize_icu(text: str) -> list[str]:
@@ -506,7 +503,6 @@ def icu_collation_key_udf():
     """Arrow-vectorized icu_collation_key for DataFrame sort expressions
     (the field mapper stores the collation key at index time; computing
     it in the sort projection is the query-time equivalent)."""
-    import pandas as pd
 
     @F.pandas_udf("string")
     def _key(s: pd.Series) -> pd.Series:
@@ -537,6 +533,28 @@ _CJK_RUN_RE = re.compile(f"[{_CJK_RANGE}]+|[^{_CJK_RANGE}]+")
 _CJK_CHAR_RE = re.compile(f"[{_CJK_RANGE}]")
 
 
+def _tokenize_cjk(text: str, run_handler) -> list[str]:
+    """Shared CJK scaffold (word scan → lowercase → run partition →
+    per-run dispatch): both CJK analyzers differ ONLY in how an
+    ideographic run becomes tokens — one authoring site so the run
+    handling can never silently diverge (round-4 review)."""
+    out: list[str] = []
+    for m in _WORD_RE.finditer(text or ""):
+        w = m.group(0).lower()
+        for run in _CJK_RUN_RE.findall(w):
+            if _CJK_CHAR_RE.match(run):
+                out.extend(run_handler(run))
+            else:
+                out.extend(_chunk255(run))
+    return out
+
+
+def _cjk_bigrams(run: str) -> list[str]:
+    if len(run) == 1:
+        return [run]
+    return [run[i:i + 2] for i in range(len(run) - 1)]
+
+
 def tokenize_cjk_bigram(text: str) -> list[str]:
     """cjk_bigram token filter (analysis-common
     CommonAnalysisModulePlugin.java registration; Lucene CJKBigramFilter
@@ -545,18 +563,7 @@ def tokenize_cjk_bigram(text: str) -> list[str]:
     tokens, adjacent ones combine into overlapping bigrams, a lone
     ideogram stays a unigram, non-CJK tokens pass through the standard
     chain unchanged."""
-    out: list[str] = []
-    for m in _WORD_RE.finditer(text or ""):
-        w = m.group(0).lower()
-        for run in _CJK_RUN_RE.findall(w):
-            if _CJK_CHAR_RE.match(run):
-                if len(run) == 1:
-                    out.append(run)
-                else:
-                    out.extend(run[i:i + 2] for i in range(len(run) - 1))
-            else:
-                out.extend(_chunk255(run))
-    return out
+    return _tokenize_cjk(text, _cjk_bigrams)
 
 
 register_analyzer("cjk_bigram", tokenize_cjk_bigram)
@@ -610,15 +617,8 @@ def tokenize_cjk_dict(text: str) -> list[str]:
     """`cjk_dict` analyzer: dictionary segmentation of CJK runs (greedy
     longest match over CJK_DEMO_LEXICON, OOV unigram fallback), standard
     analysis for everything else."""
-    out: list[str] = []
-    for m in _WORD_RE.finditer(text or ""):
-        w = m.group(0).lower()
-        for run in _CJK_RUN_RE.findall(w):
-            if _CJK_CHAR_RE.match(run):
-                out.extend(segment_cjk_dict(run, _CJK_DEMO_SET))
-            else:
-                out.extend(_chunk255(run))
-    return out
+    return _tokenize_cjk(
+        text, lambda run: segment_cjk_dict(run, _CJK_DEMO_SET))
 
 
 register_analyzer("cjk_dict", tokenize_cjk_dict)

@@ -55,12 +55,15 @@ def soundex_sql(col: str, dialect: str = "spark") -> str:
             f"rpad(substr({digits}, 1, 3), 3, '0'))")
 
 
+_SOUNDEX_TRANS = str.maketrans(ALPHA, CODES)
+
+
 def soundex_py(token: str) -> str:
     """Driver-side twin of ``soundex_sql`` (query-token coding and the
     preloaded-dictionary fast path). Bit-equality with the SQL spelling
     is property-tested in tests/test_phonetic.py."""
     clean = "".join(ch for ch in token.upper() if "A" <= ch <= "Z")
-    t = clean.translate(str.maketrans(ALPHA, CODES))
+    t = clean.translate(_SOUNDEX_TRANS)
     collapsed = []
     for ch in t:
         if not collapsed or collapsed[-1] != ch:

@@ -95,6 +95,27 @@ def _neutralize_groups(seg: str) -> str:
     return "".join(out)
 
 
+_BACKREF = re.compile(r"\\[1-9]")
+
+
+def _reject_backrefs(seg: str) -> None:
+    """User backreferences cannot survive group neutralization: a ``\\N``
+    would silently re-target a named capture group (wrong matching) or
+    dangle (PatternSyntaxException inside the Spark job) — reject at
+    compile time with a clear error (round-4 review)."""
+    i, n = 0, len(seg)
+    while i < n:
+        if seg[i] == "\\" and i + 1 < n:
+            if seg[i + 1].isdigit() and seg[i + 1] != "0":
+                raise GrokError(
+                    "grok: backreferences (\\N) are not supported in "
+                    "literal pattern text — capture groups are "
+                    "renumbered during compilation")
+            i += 2
+            continue
+        i += 1
+
+
 def compile_grok(expr: str, bank: dict[str, str] | None = None,
                  _depth: int = 0) -> tuple[str, list[tuple[str, str]]]:
     """Expand ``%{SYNTAX[:name[:type]]}`` references into one Java regex.
@@ -113,6 +134,7 @@ def compile_grok(expr: str, bank: dict[str, str] | None = None,
     out: list[str] = []
     pos = 0
     for m in _GROK_REF.finditer(expr):
+        _reject_backrefs(expr[pos:m.start()])
         out.append(_neutralize_groups(expr[pos:m.start()]))
         pos = m.end()
         syntax, name, typ = m.group(1), m.group(2), m.group(3)
@@ -127,6 +149,7 @@ def compile_grok(expr: str, bank: dict[str, str] | None = None,
             out.append(f"({sub})")
         else:
             out.append(f"(?:{sub})")
+    _reject_backrefs(expr[pos:])
     out.append(_neutralize_groups(expr[pos:]))
     regex = "".join(out)
     if _depth == 0 and "%{" in regex:
@@ -134,6 +157,15 @@ def compile_grok(expr: str, bank: dict[str, str] | None = None,
         # name chars) would otherwise pass through as literal regex text —
         # the reference's bank validation raises, so do we
         raise GrokError(f"malformed grok reference left in pattern: {expr!r}")
+    if _depth == 0:
+        names = [n for n, _ in captures]
+        dups = {n for n in names if names.count(n) > 1}
+        if dups:
+            # a duplicate capture name would silently keep only the LAST
+            # group's column (dict assignment) — raise like the duplicate
+            # dissect-key check (round-4 review)
+            raise GrokError(
+                f"duplicate grok capture name(s): {sorted(dups)}")
     return regex, captures
 
 
@@ -165,7 +197,9 @@ def grok_matches(col: Column | str, expr: str,
     expressions do not match field value" check)."""
     regex, _ = compile_grok(expr, bank)
     c = F.col(col) if isinstance(col, str) else col
-    return c.rlike(f"^(?:{regex})$")
+    # \A/\z, not ^/$: Java '$' matches BEFORE a final line terminator, so
+    # 'GET\n' would pass a whole-string HTTPMETHOD check (round-4 review)
+    return c.rlike(f"\\A(?:{regex})\\z")
 
 
 def grok_extract(df: DataFrame, col: str, expr: str,
@@ -217,7 +251,15 @@ def compile_dissect(pattern: str) \
             body = key[1:]
             if "/" in body:
                 body, o = body.rsplit("/", 1)
-                order = int(o)
+                try:
+                    order = int(o)
+                except ValueError:
+                    raise GrokError(
+                        f"dissect: bad append order in %{{+{body}/{o}}}")
+                if order < 0:
+                    raise GrokError(
+                        f"dissect: negative append order in "
+                        f"%{{+{body}/{o}}}")
             else:
                 order_seen[body] = order_seen.get(body, -1) + 1
                 order = order_seen[body]
@@ -241,14 +283,22 @@ def compile_dissect(pattern: str) \
                 f"dissect: keys %{{{key}}} and the next key have no "
                 "separator between them")
         if last and sep == "":
-            regex_parts.append("(.*)")
+            if pad:
+                # trailing '->' on the LAST key: strip right padding —
+                # the lazy group + \s* hands all trailing whitespace to
+                # the pad, so b in '%{a} %{b->}' excludes it (this
+                # branch was previously dead and the pad silently
+                # retained; round-4 review)
+                regex_parts.append(r"(.*?)\s*")
+            else:
+                regex_parts.append("(.*)")
         else:
             regex_parts.append("(.*?)")
             if sep:
                 esc = re.escape(sep)
                 regex_parts.append(f"(?:{esc})+" if pad else esc)
             elif pad:
-                regex_parts.append(r"\s*" if last else r"\s+")
+                regex_parts.append(r"\s+")
     fields: list[str] = []
     for name, _ in slots:
         if name is not None and name not in fields:
@@ -264,8 +314,12 @@ def dissect_columns(col: Column | str, pattern: str,
     # extraction uses the SAME anchored pattern as the match guard: an
     # unanchored regexp_extract can return groups from a shorter first
     # match than the whole-string parse the guard validated ('1:2;3;'
-    # under '%{a}:%{b};' validated with b='2;3' but extracted b='2')
-    anchored = f"^(?:{regex})$"
+    # under '%{a}:%{b};' validated with b='2;3' but extracted b='2').
+    # (?s) + \A/\z, not ^/$: dissect is SUBSTRING parsing in the
+    # reference (DissectParser.java) — field values may contain
+    # newlines, and Java '$' would silently drop a final terminator
+    # while reporting the row matched (round-4 review)
+    anchored = f"(?s)\\A(?:{regex})\\z"
     by_field: dict[str, list[tuple[int, int]]] = {}
     for gi, (name, order) in enumerate(slots):
         if name is not None:

@@ -6,6 +6,7 @@ order / skip / right padding)."""
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from opensearch_spark.ingest.grok import (
     GrokError, compile_dissect, compile_grok,
@@ -128,3 +129,54 @@ def test_grok_columns_empty_capture_vs_no_match(spark):
            for r in df.withColumns(cols).collect()}
     assert out["xabc"] == ("", "abc")     # matching row, empty capture kept
     assert out["zzz"] == (None, None)     # no match → NULLs
+
+
+class TestRound4ReviewFixes:
+    def test_dissect_handles_newlines_in_values(self, spark):
+        from opensearch_spark.ingest.grok import dissect_columns
+
+        df = spark.createDataFrame(
+            [(1, "app|error\ncaused by: x"), (2, "app|clean")],
+            "id long, line string")
+        cols = dissect_columns(F.col("line"), "%{svc}|%{msg}")
+        rows = {r["id"]: (r["svc"], r["msg"]) for r in
+                df.select("id", *[c.alias(n)
+                                  for n, c in cols.items()]).collect()}
+        assert rows[1] == ("app", "error\ncaused by: x")
+        assert rows[2] == ("app", "clean")
+
+    def test_grok_matches_rejects_trailing_newline(self, spark):
+        from opensearch_spark.ingest.grok import grok_matches
+
+        df = spark.createDataFrame([(1, "GET"), (2, "GET\n")],
+                                   "id long, v string")
+        out = {r["id"]: r["ok"] for r in df.select(
+            "id", grok_matches(F.col("v"),
+                               "%{HTTPMETHOD:m}").alias("ok")).collect()}
+        assert out == {1: True, 2: False}
+
+    def test_grok_rejects_backrefs_and_duplicate_names(self):
+        from opensearch_spark.ingest.grok import GrokError, compile_grok
+
+        with pytest.raises(GrokError, match="backreference"):
+            compile_grok(r"%{WORD:w} (.)\1")
+        with pytest.raises(GrokError, match="duplicate grok capture"):
+            compile_grok("%{INT:x} %{WORD:x}")
+
+    def test_dissect_trailing_pad_strips_and_bad_orders_raise(self, spark):
+        from opensearch_spark.ingest.grok import (GrokError, compile_dissect,
+                                                  dissect_columns)
+
+        df = spark.createDataFrame([(1, "x y   ")], "id long, line string")
+        cols = dissect_columns(F.col("line"), "%{a} %{b->}")
+        row = df.select(*[c.alias(n) for n, c in cols.items()]).first()
+        assert (row["a"], row["b"]) == ("x", "y")  # padding stripped
+        for bad in ("%{+a/x}|%{b}", "%{+a/}|%{b}", "%{+a/-1}|%{b}"):
+            with pytest.raises(GrokError):
+                compile_dissect(bad)
+
+    def test_analyzers_tolerate_none(self):
+        from opensearch_spark.analysis.analyzer import tokenize
+
+        for an in ("standard", "french", "icu", "cjk_bigram", "cjk_dict"):
+            assert tokenize(None, an) == []
