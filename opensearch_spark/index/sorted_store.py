@@ -41,6 +41,13 @@ def _canon_stat(v):
     import decimal
 
     if isinstance(v, datetime.datetime):
+        # TIMESTAMP_MICROS stats come back TZ-AWARE from pyarrow while
+        # query bounds are usually naive; an aware isoformat's '+00:00'
+        # suffix sorts AFTER the naive form of the same instant, wrongly
+        # pruning boundary files (round-4 review). Normalize to naive
+        # UTC — the engine's session-invariant convention.
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
         return v.isoformat()
@@ -100,8 +107,13 @@ def write_sorted(df: DataFrame, out_dir: str, sort_col: str,
                 col = grp.column(ci)
                 if col.path_in_schema == sort_col and col.statistics:
                     st = col.statistics
-                    mn = st.min if mn is None else min(mn, st.min)
-                    mx = st.max if mx is None else max(mx, st.max)
+                    # a row group whose sort-column chunk is all-NULL
+                    # reports None min/max — min(value, None) would
+                    # TypeError after the data is already written
+                    if st.min is not None:
+                        mn = st.min if mn is None else min(mn, st.min)
+                    if st.max is not None:
+                        mx = st.max if mx is None else max(mx, st.max)
         entries.append({"file": os.path.basename(path), "rows": rows,
                         "min": _canon_stat(mn), "max": _canon_stat(mx)})
     from opensearch_spark.index.build import _atomic_write_json
@@ -117,7 +129,16 @@ def _load_manifest(path: str) -> dict:
     if not os.path.exists(p):  # tree written before the underscore rename
         p = os.path.join(path, _MANIFEST_LEGACY)
     with open(p) as f:
-        return json.load(f)
+        m = json.load(f)
+    # manifests written before the aware→naive-UTC canonicalization
+    # carry '+00:00' suffixes that sort after naive bound strings —
+    # normalize on load so old trees keep pruning correctly
+    for e in m.get("files", []):
+        for k in ("min", "max"):
+            v = e.get(k)
+            if isinstance(v, str) and v.endswith("+00:00"):
+                e[k] = v[:-6]
+    return m
 
 
 def prune_files_topk(manifest: dict, k: int, ascending: bool = True) -> list[str]:

@@ -31,6 +31,12 @@ def upsert_versioned(base: DataFrame, updates: DataFrame,
     cols = base.columns
     if set(cols) != set(updates.columns):
         raise ValueError("upsert_versioned: base/updates schemas differ")
+    if "_writer" in cols:
+        # withColumn would silently replace the user's column with the
+        # internal winner tag (the assign_doc_ids reserved-column rule)
+        raise ValueError(
+            "upsert_versioned: input column '_writer' collides with the "
+            "internal writer tag — rename it first")
     tagged = (base.withColumn("_writer", F.lit(0))
               .unionByName(updates.withColumn("_writer", F.lit(1))))
     payload = [c for c in cols if c not in (id_col, version_col)]
@@ -86,11 +92,27 @@ ROUTING_NUM_SHARDS = 1024
 
 
 def routing_bucket(routing_col: str,
-                   routing_num_shards: int = ROUTING_NUM_SHARDS) -> F.Column:
+                   routing_num_shards: int = ROUTING_NUM_SHARDS,
+                   id_col: str | None = None) -> F.Column:
     """The doc's permanent hash bucket (md5-derived like
-    routing_partition, so the DuckDB oracle reproduces it bit-for-bit)."""
-    h = F.conv(F.substring(F.md5(F.col(routing_col).cast("string")), 1, 8),
-               16, 10).cast("long")
+    routing_partition, so the DuckDB oracle reproduces it bit-for-bit).
+
+    A NULL routing value would hash to a NULL bucket and the row would
+    silently land in a NULL shard (unreachable by any shard-equality
+    lookup — round-4 review). Pass ``id_col`` to mirror the reference's
+    fallback (OperationRouting: missing _routing routes by _id); with
+    no fallback a NULL routing value raises at assignment time via the
+    raise_error branch."""
+    routing = F.col(routing_col).cast("string")
+    if id_col is not None:
+        routing = F.coalesce(routing, F.col(id_col).cast("string"))
+    routing = F.when(routing.isNull(),
+                     F.raise_error(F.lit(
+                         f"routing_bucket: NULL {routing_col} value — "
+                         "provide id_col for the _id fallback or clean "
+                         "the routing column"))
+                     ).otherwise(routing)
+    h = F.conv(F.substring(F.md5(routing), 1, 8), 16, 10).cast("long")
     return (h % routing_num_shards).cast("int")
 
 

@@ -12,7 +12,9 @@ ingest (``streaming/ingest.py``).
 
 At scale: the stored-query broadcast is per-batch O(queries) bytes; each
 micro-batch pays one scan. State is external (the sink), so the stream
-is stateless and trivially resumable from the source checkpoint.
+is stateless and resumable from the source checkpoint — WHEN the caller
+passes ``checkpoint_dir`` (otherwise Spark's temporary checkpoint dies
+with the stream and a restart re-alerts on all historical data).
 """
 
 from __future__ import annotations
@@ -52,15 +54,25 @@ def start_streaming_percolate(
     id_col: str = "doc_id",
     analyzer: str = "standard",
     trigger_once: bool = True,
+    checkpoint_dir: str | None = None,
 ):
     """Wire a streaming DataFrame into the percolator. ``trigger_once``
     processes the currently-available data and stops (test/NRT-batch
-    mode); pass False for a continuous micro-batch trigger."""
+    mode); pass False for a continuous micro-batch trigger.
+
+    ``checkpoint_dir`` makes the alert stream RESUMABLE: without it
+    Spark uses a temporary checkpoint deleted on stop, and a restarted
+    stream re-reads the source from the beginning — every historical
+    (doc, query) match alerts AGAIN with reused epoch ids (round-4
+    review). Pass a durable path for any production alerting flow; the
+    default stays None for the ephemeral test/demo shape."""
     writer = (stream_df.writeStream
               .foreachBatch(percolate_microbatch(
                   spark, queries, on_matches, id_col=id_col,
                   analyzer=analyzer))
               .outputMode("append"))
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -30,27 +30,53 @@ def index_microbatch(batch_df: DataFrame, epoch_id: int, out_dir: str,
     cfg = config
     if batch_df.isEmpty():
         return
+    import json
+
     from opensearch_spark.index.segments import (read_manifest,
                                                  write_segment_tables)
 
-    seg_dir = os.path.join(out_dir, "segments", f"seg_{epoch_id}")
+    # stream segment ids live at a PERSISTED offset above any segments
+    # that already existed when the stream first wrote (epoch 0 would
+    # otherwise overwrite a batch-built seg_0 — round-4 review). The
+    # base is recorded once so crash/replay maps each epoch to the SAME
+    # segment id.
+    base_path = os.path.join(out_dir, "manifest", "_stream_base.json")
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            seg_base = int(json.load(fh)["base"])
+    else:
+        existing = read_manifest(out_dir)
+        seg_base = max((int(m["segment_id"]) for m in existing.values()),
+                       default=-1) + 1
+        os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+        _atomic_write_json(base_path, {"base": int(seg_base)})
+    seg = seg_base + int(epoch_id)
+    seg_dir = os.path.join(out_dir, "segments", f"seg_{seg}")
     own_pin = False
     if cfg.id_col is not None:
         part = batch_df.withColumn("doc_id", F.col(cfg.id_col).cast("long"))
-        keep = ["doc_id"] + [c for c in batch_df.columns if c != cfg.id_col]
     else:
         # dense local ids offset by the stream's committed doc count
-        # (docBase discipline; Structured Streaming runs epochs serially)
+        # (docBase discipline; Structured Streaming runs epochs serially).
+        # The sum EXCLUDES this epoch's own manifest entry: after a crash
+        # between manifest write and checkpoint commit, the epoch is
+        # REPLAYED and counting its own previous attempt would shift the
+        # replayed ids, leaving two segments with overlapping doc_ids
+        # (round-4 review).
         from opensearch_spark.index.build import assign_doc_ids
 
         doc_base = sum(int(m["rows"])
-                       for m in read_manifest(out_dir).values())
+                       for sid, m in read_manifest(out_dir).items()
+                       if sid != seg)
         batch_df = batch_df.persist()
         own_pin = True
         part = (assign_doc_ids(batch_df, list(cfg.order_cols) or [],
                                mode="local", cache=False)
                 .withColumn("doc_id", F.col("doc_id") + F.lit(doc_base)))
-        keep = list(part.columns)
+    # keep = part.columns — the SAME keep rule as the batch path, so a
+    # mixed batch+streaming tree has one docs schema (the id_col was
+    # previously dropped here, diverging the schemas — round-4 review)
+    keep = list(part.columns)
     try:
         analyzed, docs = write_segment_tables(part, keep, seg_dir, cfg)
         try:
@@ -60,8 +86,8 @@ def index_microbatch(batch_df: DataFrame, epoch_id: int, out_dir: str,
                 F.count("*").alias("rows")).collect()[0]
             os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
             _atomic_write_json(
-                os.path.join(out_dir, "manifest", f"seg_{epoch_id}.json"),
-                {"segment_id": int(epoch_id), "rows": int(sig["rows"]),
+                os.path.join(out_dir, "manifest", f"seg_{seg}.json"),
+                {"segment_id": int(seg), "rows": int(sig["rows"]),
                  "sha256_xor_sig": int(sig["sig"])
                  if sig["sig"] is not None else 0,
                  "status": "committed", "attempt": 1},

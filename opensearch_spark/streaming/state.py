@@ -27,8 +27,12 @@ def _dedup_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
               state: GroupState) -> Iterator[pd.DataFrame]:
     batch_min: int | None = None
     for pdf in pdfs:
-        if len(pdf):
-            m = int(pdf["doc_id"].min())
+        # NULL ids surface as NaN in the pandas frame; a group of only
+        # NULL-id rows would make int(NaN) kill the whole streaming
+        # query — skip them (a doc with no id has no dedup identity)
+        ids = pdf["doc_id"].dropna()
+        if len(ids):
+            m = int(ids.min())
             batch_min = m if batch_min is None else min(batch_min, m)
     if state.exists:
         # fingerprint already emitted in an earlier micro-batch → drop

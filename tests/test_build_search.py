@@ -522,3 +522,33 @@ def test_upsert_versioned_unorderable_payload_and_lww(spark):
     assert out[0] == (2, "upd0", "aaa")
     assert out[3] == (1, "upd3", "aaa")
     assert len(out) == 4
+
+
+def test_versioning_round4_guards(spark):
+    """Round-4 review: reserved '_writer' collision fails loudly; NULL
+    routing raises unless the _id fallback is given (the reference's
+    missing-_routing behavior)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from opensearch_spark.index.versioning import (routing_bucket,
+                                                   upsert_versioned)
+
+    base = spark.createDataFrame(
+        [(1, 1, "a", 0)], "doc_id long, version long, v string, _writer int")
+    with pytest.raises(ValueError, match="_writer"):
+        upsert_versioned(base, base)
+
+    df = spark.createDataFrame([(1, "r1"), (2, None)],
+                               "doc_id long, route string")
+    # fallback: NULL routing routes by id, deterministically
+    out = {r["doc_id"]: r["b"] for r in df.select(
+        "doc_id", routing_bucket("route", id_col="doc_id").alias("b"))
+        .collect()}
+    assert out[2] is not None
+    exp = {r["doc_id"]: r["b"] for r in df.select(
+        "doc_id", routing_bucket("doc_id").alias("b")).collect()}
+    assert out[2] == exp[2]
+    # no fallback: the NULL row raises at evaluation time
+    import py4j.protocol
+    with pytest.raises(Exception):
+        df.select(routing_bucket("route").alias("b")).collect()

@@ -69,3 +69,37 @@ def test_pit_handle_json_roundtrip(spark, pit_index):
     assert back == pit
     assert _top(Searcher(spark, PitIndex(back))) == \
         _top(Searcher(spark, PitIndex(pit)))
+
+
+def test_pit_invalidated_by_in_place_rebuild(spark, tmp_path):
+    """Round-4 review: the frozen-view premise holds for APPENDS only —
+    an in-place rebuild (merge_segments overwrite) mints a new build_id
+    and a stale PIT must fail loudly, not silently serve post-merge data
+    with pre-merge stats."""
+    import json
+    import os
+
+    from opensearch_spark.index.build import IndexConfig, build_index
+    from opensearch_spark.index.pit import PitIndex, open_pit
+
+    out = str(tmp_path / "pit_rebuild")
+    docs = spark.read.parquet(
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+        + "/documents.parquet").limit(30)
+    build_index(spark, docs, out,
+                IndexConfig(field="text", analyzer="standard",
+                            id_col="doc_id"))
+    pit = open_pit(out)
+    assert pit.build_id is not None
+    PitIndex(pit)  # fresh: opens fine
+    # simulate the in-place refresh: rewrite meta with a new build_id
+    meta_path = os.path.join(out, "meta.json")
+    meta = json.load(open(meta_path))
+    meta["build_id"] = "rebuilt" + meta["build_id"][:8]
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(RuntimeError, match="PIT invalidated"):
+        PitIndex(pit)
+    # round-trip keeps the guard
+    from opensearch_spark.index.pit import PointInTime
+    with pytest.raises(RuntimeError, match="PIT invalidated"):
+        PitIndex(PointInTime.from_json(pit.to_json()))

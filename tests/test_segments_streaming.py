@@ -190,3 +190,55 @@ def test_merge_with_positions_rejects_positionless_segments(spark, tmp_path):
                           with_positions=True)
     with pytest.raises(ValueError, match="positions"):
         merge_segments(spark, seg_dir, pos_cfg)
+
+
+def test_streaming_epoch_replay_is_idempotent(spark, tmp_path):
+    """Round-4 review: a replayed epoch (crash between manifest write
+    and checkpoint commit) must produce the SAME doc_ids, not shift by
+    its own previous attempt's row count."""
+    from opensearch_spark.streaming.ingest import index_microbatch
+
+    out = str(tmp_path / "stream_replay")
+    cfg = IndexConfig(field="text", analyzer="standard", id_col=None,
+                      order_cols=("text",), n_parts=2, bucket_span=64)
+    batch = spark.read.parquet(DOCS).limit(30).select("text")
+    index_microbatch(batch, 0, out, cfg)
+    ids1 = sorted(r["doc_id"] for r in
+                  spark.read.parquet(os.path.join(
+                      out, "segments", "seg_0", "docs")).collect())
+    index_microbatch(batch, 0, out, cfg)  # REPLAY of the same epoch
+    ids2 = sorted(r["doc_id"] for r in
+                  spark.read.parquet(os.path.join(
+                      out, "segments", "seg_0", "docs")).collect())
+    assert ids1 == ids2 == list(range(30))
+    # and the next epoch continues from the true base
+    index_microbatch(batch, 1, out, cfg)
+    ids3 = sorted(r["doc_id"] for r in
+                  spark.read.parquet(os.path.join(
+                      out, "segments", "seg_1", "docs")).collect())
+    assert ids3 == list(range(30, 60))
+
+
+def test_streaming_into_batch_tree_does_not_collide(spark, tmp_path):
+    """Round-4 review: epoch 0 must NOT overwrite a batch-built seg_0 —
+    stream segment ids start above the existing committed maximum, and
+    the mixed tree keeps ONE docs schema (id_col preserved)."""
+    from opensearch_spark.streaming.ingest import index_microbatch
+
+    out = str(tmp_path / "mixed_tree")
+    corpus = spark.read.parquet(DOCS).limit(40)
+    build_segments(spark, corpus, out, CFG, n_segments=2)
+    before = spark.read.parquet(
+        os.path.join(out, "segments", "seg_0", "docs")).count()
+    batch = spark.read.parquet(DOCS).limit(10)
+    index_microbatch(batch, 0, out, CFG)
+    man = read_manifest(out)
+    assert set(man) == {0, 1, 2}  # stream epoch 0 landed as seg_2
+    assert spark.read.parquet(
+        os.path.join(out, "segments", "seg_0", "docs")).count() == before
+    stream_docs = spark.read.parquet(
+        os.path.join(out, "segments", "seg_2", "docs"))
+    assert "doc_id" in stream_docs.columns
+    batch_docs = spark.read.parquet(
+        os.path.join(out, "segments", "seg_0", "docs"))
+    assert set(stream_docs.columns) == set(batch_docs.columns)

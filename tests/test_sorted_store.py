@@ -144,3 +144,26 @@ def test_topk_on_empty_table(spark, tmp_path):
     man = write_sorted(df, d, "v", "doc_id", n_parts=2)
     assert man["files"] == []
     assert topk_sorted(spark, d, 5).count() == 0
+
+
+def test_range_prune_tz_aware_stats_vs_naive_bounds(spark, tmp_path):
+    """Round-4 review: TIMESTAMP_MICROS stats come back tz-aware from
+    pyarrow; a naive query bound at an exact file boundary must not
+    prune the boundary file (the '+00:00' suffix sorted after the naive
+    string)."""
+    from datetime import datetime
+
+    from opensearch_spark.index.sorted_store import (range_scan_sorted,
+                                                     write_sorted)
+
+    rows = [(i, datetime(2020, 1, 1 + i // 10, i % 10)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = str(tmp_path / "tzstore")
+    m = write_sorted(df, out, "ts", "id", n_parts=4)
+    for e in m["files"]:
+        assert "+" not in str(e["min"]), e  # stored naive-UTC
+    lo, hi = datetime(2020, 1, 2), datetime(2020, 1, 3)
+    got = sorted(r["id"] for r in
+                 range_scan_sorted(spark, out, lo=lo, hi=hi).collect())
+    want = sorted(i for i, ts in rows if lo <= ts <= hi)
+    assert got == want and got  # boundary instants included
