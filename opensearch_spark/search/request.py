@@ -107,21 +107,32 @@ def _compile_aggs(matching: DataFrame, docs: DataFrame, aggs: dict) -> DataFrame
 
     if kind == "terms":
         size = int(conf.get("size", 10))
-        g = (scoped.groupBy(F.col(conf["field"]).alias("key"))
+        # reference TermsAggregator SKIPS docs without a value — a NULL
+        # key must not form a bucket that displaces a real one
+        g = (scoped.where(F.col(conf["field"]).isNotNull())
+             .groupBy(F.col(conf["field"]).alias("key"))
              .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols(sub)))
         return (g.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
                 .withColumnRenamed("key", conf["field"]))
     if kind == "histogram":
         # HistogramAggregator: key = floor(value/interval)*interval,
         # present buckets in key order (min_doc_count>=1 posture, the
-        # shape our gated agg_histogram pins)
+        # shape our gated agg_histogram pins); value-less docs skipped
+        # like the reference
         interval = float(conf["interval"])
         key = (F.floor(F.col(conf["field"]) / interval)
                * F.lit(interval)).alias("key")
-        g = (scoped.groupBy(key)
+        g = (scoped.where(F.col(conf["field"]).isNotNull())
+             .groupBy(key)
              .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols(sub)))
         return g.orderBy("key")
     if kind in _METRIC_AGGS:
+        if sub:
+            # metrics are LEAVES in the reference agg tree — silently
+            # returning only the metric would drop the nested aggs
+            raise NotImplementedError(
+                f"aggs: [{kind}] is a metric aggregation and cannot "
+                "carry sub-aggregations")
         return scoped.agg(_METRIC_AGGS[kind](conf["field"]).alias(name))
     raise NotImplementedError(
         f"aggs: [{kind}] not supported in the request executor — use its "
@@ -152,7 +163,9 @@ def execute_search_request(s, body: dict, *,
     if use_cache:
         from opensearch_spark.search.request_cache import RequestCache
 
-        rc = cache if cache is not None else RequestCache(s.index)
+        rc = cache if cache is not None else RequestCache(
+            s.index,
+            extra_indexes=[sub.index for sub in s.extra_fields.values()])
         return rc.get_or_compute(
             s.spark,
             {"body": body, "round_scores": round_scores},
@@ -182,8 +195,14 @@ def execute_search_request(s, body: dict, *,
         # index's liveDocs generation — per-field indexes are separate
         # trees, so pinning those too means one open_pit per tree (the
         # reference has one Lucene reader for all fields, we have one
-        # per analyzed field)
-        s = Searcher(s.spark, PitIndex(pit), extra_fields=s.extra_fields)
+        # per analyzed field). The DICTIONARY is immutable (the PIT pins
+        # only liveDocs), so the live searcher's preloaded copy is
+        # shared instead of re-collecting up to 2M rows per request
+        pit_s = Searcher(s.spark, PitIndex(pit),
+                         preload_dictionary=False,
+                         extra_fields=s.extra_fields)
+        pit_s._dict_pd = s._dict_pd
+        s = pit_s
 
     ast = from_dsl(body["query"]) if "query" in body else Q.MatchAll()
     size = int(body.get("size", 10))
@@ -264,8 +283,23 @@ def execute_search_request(s, body: dict, *,
                     f"got {len(cursor)}")
             pred = F.col("doc_id") > cursor[-1]
             for (f, asc), v in reversed(list(zip(spec, cursor[:-1]))):
+                # NULL-safe keyset (round-4 review): Spark orders NULL
+                # keys FIRST asc / LAST desc. A plain (k > v)|(k == v &
+                # tie) evaluates NULL for null keys or a null cursor,
+                # silently dropping rows from every later page.
                 k = F.col(f)
-                pred = ((k > v) if asc else (k < v)) | ((k == v) & pred)
+                if v is None:
+                    if asc:  # nulls already paging; all non-nulls follow
+                        pred = k.isNotNull() | (k.isNull() & pred)
+                    else:    # desc: only the trailing null keys remain
+                        pred = k.isNull() & pred
+                else:
+                    strict = (k > v) if asc else (k < v)
+                    if not asc:
+                        # desc: null keys sort AFTER every value — they
+                        # are strictly after a non-null cursor
+                        strict = strict | k.isNull()
+                    pred = strict | (k.eqNullSafe(F.lit(v)) & pred)
             hits = hits.where(pred)
         hits = hits.orderBy(*order)
     else:
@@ -289,8 +323,17 @@ def execute_search_request(s, body: dict, *,
         out = fetchphase.source_filter(
             docs, out, includes=src.get("includes"),
             excludes=src.get("excludes"))
+    elif isinstance(src, str):
+        # single-pattern string form ("_source": "lang*") — previously
+        # fell through silently (round-4 review)
+        out = fetchphase.source_filter(docs, out, includes=[src])
     elif isinstance(src, list):
         out = fetchphase.source_filter(docs, out, includes=src)
+    elif src is True:
+        # full source: every doc column (the REST default when hits
+        # carry _source; the bare-hits DataFrame shape needs the ask)
+        out = fetchphase.source_filter(docs, out, includes=["*"])
+    # src False / absent: no source columns — the bare hits frame
     if "fields" in body:
         out = fetchphase.fetch_fields(docs, out, body["fields"])
     if "script_fields" in body:

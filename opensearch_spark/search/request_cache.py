@@ -34,8 +34,14 @@ from pyspark.sql import DataFrame, SparkSession
 class RequestCache:
     """Read-through result cache over one immutable index generation."""
 
-    def __init__(self, index, root: str | None = None):
+    def __init__(self, index, root: str | None = None,
+                 extra_indexes: list | None = None):
         self.index = index
+        # per-field sub-indexes (e.g. the *_title tree) are SEPARATE
+        # trees with their own build_id/deletes: a cached result computed
+        # through them must roll when THEY change, not only when the main
+        # tree does (round-4 review) — pass every tree a request can read
+        self.extra_indexes = list(extra_indexes or [])
         # SIBLING of the index tree, never inside it: snapshot/copytree
         # walks of the index must not pick up materialized query results
         # (stale-able cache entries have no place in a snapshot manifest)
@@ -45,11 +51,21 @@ class RequestCache:
 
     # -- reader identity ---------------------------------------------------
     def generation(self) -> str:
-        """Fingerprint of everything that can change a query's answer:
-        the meta keys a rebuild would bump plus the append-only deletes
-        listing (name+size per tombstone file — appends only ever add
-        files, so the listing is a monotone version vector)."""
-        m = self.index.meta
+        """Fingerprint of everything that can change a query's answer —
+        over EVERY tree the request can read (main + per-field
+        sub-indexes): the meta keys a rebuild would bump plus each
+        tree's append-only deletes listing (name+size per tombstone
+        file — appends only ever add files, so the listing is a
+        monotone version vector)."""
+        blob = json.dumps(
+            [self._tree_fingerprint(ix)
+             for ix in [self.index, *self.extra_indexes]],
+            sort_keys=True)
+        return hashlib.sha256(blob.encode()).hexdigest()[:24]
+
+    @staticmethod
+    def _tree_fingerprint(index) -> dict:
+        m = index.meta
         ident = {
             "layout_version": m.get("layout_version"),
             "doc_count": m.get("doc_count"),
@@ -68,21 +84,20 @@ class RequestCache:
             # pre-build_id tree: fall back to the meta file's identity —
             # any rewrite of meta.json rolls the generation
             try:
-                st = os.stat(os.path.join(self.index.path, "meta.json"))
+                st = os.stat(os.path.join(index.path, "meta.json"))
                 ident["build_id"] = f"mtime:{st.st_mtime_ns}:{st.st_size}"
             except OSError:
                 pass
         dels = []
-        ddir = os.path.join(self.index.path, "deletes")
+        ddir = os.path.join(index.path, "deletes")
         if os.path.isdir(ddir):
             for dirpath, _, files in os.walk(ddir):
                 for fn in sorted(files):
                     p = os.path.join(dirpath, fn)
                     dels.append((os.path.relpath(p, ddir),
                                  os.path.getsize(p)))
-        blob = json.dumps({"ident": ident, "deletes": sorted(dels)},
-                          sort_keys=True)
-        return hashlib.sha256(blob.encode()).hexdigest()[:24]
+        return {"path": os.path.basename(index.path.rstrip(os.sep)),
+                "ident": ident, "deletes": sorted(dels)}
 
     def key(self, request: dict) -> str:
         """Content address of one request against the current generation
@@ -126,6 +141,16 @@ class RequestCache:
             df.write.mode("overwrite").parquet(tmp)
             with open(os.path.join(tmp, self._OK_MARKER), "w") as f:
                 f.write("")
+            if self._is_valid(path):
+                # a concurrent filler already published a COMPLETE entry
+                # for this key while we computed — keys are
+                # content-addressed so the results are interchangeable;
+                # destroying the live entry (the old rmtree-then-replace)
+                # would break readers holding its captured file listing
+                # (round-4 review). Serve the winner, drop ours.
+                shutil.rmtree(tmp, ignore_errors=True)
+                return spark.read.parquet(path)
+            # only an INVALID leftover (crashed writer) is cleared here
             shutil.rmtree(path, ignore_errors=True)
             try:
                 os.replace(tmp, path)

@@ -64,5 +64,16 @@ class Scroll:
 
 
 def scroll(searcher, q, size: int = 10, round_scores: int | None = None) -> Scroll:
-    """Open a scroll over a query's full result set (relevance order)."""
-    return Scroll(searcher.score(q), size=size, round_scores=round_scores)
+    """Open a scroll over a query's full result set (relevance order).
+
+    The scored frame is pinned with ``localCheckpoint`` at open: each
+    ``next()`` is a separate Spark job, and re-executing the scoring
+    plan per page could reproduce a boundary doc's float score an ulp
+    off (shuffle-merge addition order is not deterministic across
+    jobs), making the keyset predicate skip or duplicate it (round-4
+    review). Checkpointing materializes the scores ONCE — every page
+    reads the same bits, the reference's pinned-reader semantics. The
+    checkpoint lives until the session ends (the reference's scroll
+    keep-alive analog); lazy, so an unused Scroll costs nothing."""
+    return Scroll(searcher.score(q).localCheckpoint(eager=False),
+                  size=size, round_scores=round_scores)
