@@ -30,6 +30,8 @@ from dataclasses import asdict, dataclass, field as dc_field
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from opensearch_spark.common.sparkconf import shuffle_partitions
 from pyspark.sql import types as T
 
 from opensearch_spark.analysis import termfreq_udf
@@ -604,7 +606,7 @@ def build_index(
             os.path.join(out_dir, "dictionary"))
 
     def write_postings():
-        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_shuffle = shuffle_partitions(spark)
         blocks = encode_blocks_segmented(
             analyzed, cfg.bucket_span, cfg.k1, cfg.b, avgdl, n_shuffle)
         blocks = blocks.withColumn(

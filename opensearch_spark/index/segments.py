@@ -31,6 +31,8 @@ from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from opensearch_spark.common.sparkconf import shuffle_partitions
+
 from opensearch_spark.analysis import termfreq_udf
 from opensearch_spark.index.build import (
     LAYOUT_VERSION,
@@ -266,7 +268,7 @@ def merge_segments(
 
     bucketed = flat.withColumn(
         "bucket", (F.col("doc_id") / F.lit(cfg.bucket_span)).cast("long"))
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_shuffle = shuffle_partitions(spark)
     blocks = encode_blocks(bucketed, cfg.k1, cfg.b, avgdl, n_shuffle)
     blocks = blocks.withColumn(
         "part", F.pmod(F.xxhash64("term"), F.lit(cfg.n_parts)).cast("int"))

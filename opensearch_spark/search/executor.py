@@ -312,7 +312,17 @@ class Searcher:
     def _n_required(self, q: Q.Match, live: list[str], terms: list[str]) -> int:
         if q.operator == "and":
             return len(set(terms))
-        return max(q.minimum_should_match, 1) if q.minimum_should_match else 1
+        msm = q.minimum_should_match
+        if isinstance(msm, str) and msm.strip().endswith("%"):
+            # Lucene Queries.calculateMinShouldMatch percentage form:
+            # positive = that share of optional clauses (rounded down);
+            # negative = that share MAY BE MISSING
+            pct = int(msm.strip()[:-1])
+            n_opt = len(set(terms))
+            n = (pct * n_opt) // 100 if pct >= 0 \
+                else n_opt + (pct * n_opt) // 100
+            return max(n, 1)
+        return max(msm, 1) if msm else 1
 
     def _match_wand(self, q: Q.Match, k: int) -> DataFrame:
         from opensearch_spark.search.wand import wand_partition_fn

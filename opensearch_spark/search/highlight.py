@@ -47,6 +47,8 @@ def highlight_fragments(hits: DataFrame, field: str, terms: list[str],
     """Windowed snippets (PlainHighlighter behavior): up to N fragments of
     ~fragment_size chars centered on match runs, best-first by match count.
     Pandas UDF over the k-row hits frame."""
+    import bisect
+
     pat = re.compile(_term_pattern(terms))
 
     def frags(s: pd.Series) -> pd.Series:
@@ -59,26 +61,45 @@ def highlight_fragments(hits: DataFrame, field: str, terms: list[str],
             if not spans:
                 out.append([])
                 continue
-            windows: list[tuple[int, int, int]] = []  # (n_matches, start, end)
-            used: set[int] = set()
-            for st, _e in spans:
-                if st in used:
+            # finditer yields non-overlapping matches in order, so both
+            # starts and ends are ascending — the fully-inside-[w0,w1]
+            # span set is the contiguous slice [lo:hi] found by bisect
+            # (was: two O(m) scans per window → O(m²) on hot terms)
+            starts = [a for a, _ in spans]
+            ends = [b for _, b in spans]
+            windows: list[tuple[int, int, int, int, int]] = []
+            consumed = 0  # spans[:consumed] already covered by a window
+            for i, (st, _e) in enumerate(spans):
+                if i < consumed:
                     continue
                 w0 = max(0, st - fragment_size // 2)
                 w1 = min(len(text), w0 + fragment_size)
-                # only matches FULLY inside the window count as covered: a
-                # term whose text extends past w1 would render truncated
-                # and untagged, yet consuming it would stop any later
-                # window from ever showing it whole
-                n = sum(1 for a, b in spans if w0 <= a and b <= w1)
-                for a, b in spans:
-                    if w0 <= a and b <= w1:
-                        used.add(a)
-                windows.append((n, w0, w1))
+                # only matches FULLY inside the window count as covered:
+                # a term whose text extends past w1 would render
+                # truncated and untagged, yet consuming it would stop
+                # any later window from ever showing it whole
+                lo = bisect.bisect_left(starts, w0)
+                hi = bisect.bisect_right(ends, w1)
+                n = max(0, hi - lo)
+                consumed = max(consumed, hi)
+                windows.append((n, w0, w1, lo, hi))
             windows.sort(key=lambda x: (-x[0], x[1]))
             sel = sorted(windows[:number_of_fragments], key=lambda x: x[1])
-            out.append([pat.sub(pre_tag + r"\1" + post_tag, text[a:b])
-                        for _n, a, b in sel])
+
+            def render(w0: int, w1: int, lo: int, hi: int) -> str:
+                # tag the ORIGINAL matches inside the window — re-running
+                # the \b pattern on the character slice would fabricate
+                # word boundaries at the cut ('blue|berry' → a bogus
+                # highlighted 'berry'; round-4 review)
+                parts, cur = [], w0
+                for a, b in spans[lo:hi]:
+                    parts += [text[cur:a], pre_tag, text[a:b], post_tag]
+                    cur = b
+                parts.append(text[cur:w1])
+                return "".join(parts)
+
+            out.append([render(w0, w1, lo, hi)
+                        for _n, w0, w1, lo, hi in sel])
         return pd.Series(out)
 
     udf = F.pandas_udf(frags, T.ArrayType(T.StringType()))

@@ -593,11 +593,17 @@ def from_dsl(d: dict) -> Query:
         f, spec = next(iter(body.items()))
         if isinstance(spec, str):
             return Match(field=f, text=spec)
+        msm = spec.get("minimum_should_match", 0)
+        if isinstance(msm, str) and msm.strip().endswith("%"):
+            pass  # percentage form resolved against the live term count
+                  # by the executor (_n_required); int() would crash here
+        else:
+            msm = int(msm or 0)
         return Match(
             field=f,
             text=spec["query"],
             operator=spec.get("operator", "or").lower(),
-            minimum_should_match=int(spec.get("minimum_should_match", 0)),
+            minimum_should_match=msm,
             boost=spec.get("boost", 1.0),
             analyzer=spec.get("analyzer"),
         )
@@ -658,17 +664,19 @@ def from_dsl(d: dict) -> Query:
             else:
                 raise ValueError(f"unsupported span_near clause: {list(c)}")
         return SpanNear(field=fld, clauses=clauses, slop=body.get("slop", 0),
-                        in_order=body.get("in_order", True))
+                        in_order=body.get("in_order", True),
+                        boost=body.get("boost", 1.0))
     if kind == "span_first":
         f, v = next(iter(body["match"]["span_term"].items()))
-        return SpanFirst(field=f, value=v, end=body.get("end", 3))
+        return SpanFirst(field=f, value=v, end=body.get("end", 3),
+                         boost=body.get("boost", 1.0))
     if kind == "span_or":
         vals, fld = [], None
         for c in body["clauses"]:
             f, v = next(iter(c["span_term"].items()))
             fld = fld or f
             vals.append(v)
-        return SpanOr(field=fld, values=vals)
+        return SpanOr(field=fld, values=vals, boost=body.get("boost", 1.0))
     if kind == "span_not":
         fi, vi = next(iter(body["include"]["span_term"].items()))
         fe, ve = next(iter(body["exclude"]["span_term"].items()))
@@ -685,8 +693,17 @@ def from_dsl(d: dict) -> Query:
         cls = SpanContaining if kind == "span_containing" else SpanWithin
         bigq = from_dsl(body["big"])
         littleq = from_dsl(body["little"])
+        if len(bigq.clauses) != 2 or not all(
+                isinstance(c, str) for c in bigq.clauses):
+            # the containing executor evaluates exactly a 2-term ordered
+            # big span; silently truncating a longer clause list would
+            # report false matches (round-4 review)
+            raise NotImplementedError(
+                f"{kind}: big must be a span_near of exactly 2 span_term "
+                f"clauses (got {len(bigq.clauses)})")
         return cls(field=bigq.field, big=tuple(bigq.clauses),
-                   slop=bigq.slop, little=littleq.value)
+                   slop=bigq.slop, little=littleq.value,
+                   boost=body.get("boost", 1.0))
     if kind == "rank_feature":
         sat = body.get("saturation", {})
         return RankFeature(field=body["field"], pivot=sat.get("pivot", 1.0),
@@ -722,9 +739,16 @@ def from_dsl(d: dict) -> Query:
         return Terms(field=f, values=body[f], boost=body.get("boost", 1.0))
     if kind == "terms_set":
         f, spec = next(iter(body.items()))
+        mss = spec.get("minimum_should_match_script")
+        if isinstance(mss, dict) or "minimum_should_match_field" in spec:
+            # the reference's script/field forms resolve msm PER DOC —
+            # silently defaulting to 1 would match docs the query
+            # rejects (round-4 review)
+            raise NotImplementedError(
+                "terms_set: minimum_should_match_script/_field forms are "
+                "not supported — pass an integer minimum_should_match")
         return TermsSet(field=f, values=spec["terms"],
-                        minimum_should_match=spec.get("minimum_should_match_script", 1)
-                        if isinstance(spec.get("minimum_should_match_script"), int)
+                        minimum_should_match=mss if isinstance(mss, int)
                         else spec.get("minimum_should_match", 1))
     if kind == "range":
         f, spec = next(iter(body.items()))
@@ -732,24 +756,35 @@ def from_dsl(d: dict) -> Query:
                      lt=spec.get("lt"), lte=spec.get("lte"),
                      boost=spec.get("boost", 1.0))
     if kind == "exists":
-        return Exists(field=body["field"])
+        return Exists(field=body["field"], boost=body.get("boost", 1.0))
     if kind == "ids":
-        return Ids(values=body["values"])
-    if kind == "prefix":
+        return Ids(values=body["values"], boost=body.get("boost", 1.0))
+    if kind in ("prefix", "wildcard", "regexp"):
+        cls = {"prefix": Prefix, "wildcard": Wildcard,
+               "regexp": Regexp}[kind]
         f, spec = next(iter(body.items()))
-        return Prefix(field=f, value=spec["value"] if isinstance(spec, dict) else spec)
-    if kind == "wildcard":
-        f, spec = next(iter(body.items()))
-        return Wildcard(field=f, value=spec["value"] if isinstance(spec, dict) else spec)
-    if kind == "regexp":
-        f, spec = next(iter(body.items()))
-        return Regexp(field=f, value=spec["value"] if isinstance(spec, dict) else spec)
+        if isinstance(spec, dict):
+            return cls(field=f, value=spec["value"],
+                       max_expansions=spec.get("max_expansions"),
+                       boost=spec.get("boost", 1.0))
+        return cls(field=f, value=spec)
     if kind == "fuzzy":
         f, spec = next(iter(body.items()))
         if isinstance(spec, dict):
             fz = spec.get("fuzziness", "AUTO")
+            if isinstance(fz, str) and fz.upper().startswith("AUTO"):
+                if ":" in fz:
+                    # AUTO:lo,hi (Fuzziness.java custom thresholds):
+                    # resolvable at parse time from the value's length
+                    lo, hi = (int(x) for x in fz.split(":", 1)[1].split(","))
+                    n = len(spec["value"])
+                    fuzz = 0 if n < lo else (1 if n < hi else 2)
+                else:
+                    fuzz = None  # default AUTO ladder (0-2, 3-5, 6+)
+            else:
+                fuzz = int(fz)
             return Fuzzy(field=f, value=spec["value"],
-                         fuzziness=None if fz == "AUTO" else int(fz),
+                         fuzziness=fuzz,
                          max_expansions=spec.get("max_expansions"),
                          boost=spec.get("boost", 1.0),
                          transpositions=bool(
@@ -769,14 +804,23 @@ def from_dsl(d: dict) -> Query:
         return ConstantScore(filter=from_dsl(body["filter"]), boost=body.get("boost", 1.0))
     if kind == "dis_max":
         return DisMax(queries=[from_dsl(q) for q in body["queries"]],
-                      tie_breaker=body.get("tie_breaker", 0.0))
+                      tie_breaker=body.get("tie_breaker", 0.0),
+                      boost=body.get("boost", 1.0))
     if kind == "boosting":
         return Boosting(positive=from_dsl(body["positive"]),
                         negative=from_dsl(body["negative"]),
-                        negative_boost=body.get("negative_boost", 0.5))
+                        negative_boost=body.get("negative_boost", 0.5),
+                        boost=body.get("boost", 1.0))
     if kind == "function_score":
         fns = []
         for fd in body.get("functions", []):
+            if "filter" in fd:
+                # a per-function filter scopes the function to a doc
+                # subset — silently applying it everywhere corrupts
+                # ranking (round-4 review)
+                raise NotImplementedError(
+                    "function_score: per-function 'filter' is not "
+                    "supported — compose with a bool query instead")
             if "field_value_factor" in fd:
                 s = fd["field_value_factor"]
                 fns.append(ScoreFunction(
@@ -861,7 +905,9 @@ def resolve_field_aliases(q: Query, aliases: dict[str, str]) -> Query:
         kw = {}
         for f in dataclasses.fields(node):
             v = getattr(node, f.name)
-            if f.name == "field" and isinstance(v, str):
+            if f.name in ("field", "inner_field") and isinstance(v, str):
+                # inner_field: SpanFieldMasking reads the SIBLING field's
+                # positions — an alias there must map too (round-4 review)
                 v = aliases.get(v, v)
             elif f.name == "fields" and isinstance(v, (list, tuple)) \
                     and all(isinstance(x, str) for x in v):

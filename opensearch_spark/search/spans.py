@@ -34,6 +34,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from opensearch_spark.common.sparkconf import shuffle_partitions
+
 SPAN_SCHEMA = "doc_id long, n_matches long"
 SPAN_SCHEMA_W = "doc_id long, n_matches double"
 
@@ -236,7 +238,7 @@ def span_containing_docs(searcher, big: tuple[str, str], slop: int,
            .where(F.col("term").isin(terms))
            .join(F.broadcast(map_df), "term")
            .select("doc_id", "clause", "positions"))
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_shuffle = shuffle_partitions(spark)
     return (pos.repartition(n_shuffle, "doc_id")
             .sortWithinPartitions("doc_id", "clause")
             .mapInPandas(_span_stream_fn(
@@ -308,7 +310,7 @@ def span_match_counts(searcher, clauses: list, slop: int,
     pos = frames[0]
     for f in frames[1:]:
         pos = pos.unionByName(f)
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_shuffle = shuffle_partitions(spark)
     if sloppy_freq:
         if not in_order or has_gaps:
             raise ValueError("sloppy_freq requires in_order and no gaps")

@@ -936,3 +936,92 @@ def test_function_score_script_only_honors_boost_modes(spark, sf_dir):
     assert out.keys() == base.keys()
     for d, v in out.items():
         assert abs(v - 2.0 * max(base[d], 0.0)) < 1e-9
+
+
+class TestRound4DslFixes:
+    def test_boosts_parsed_for_previously_dropped_kinds(self):
+        from opensearch_spark.search.queries import from_dsl
+
+        assert from_dsl({"dis_max": {"queries": [
+            {"term": {"lang": "en"}}], "boost": 3.0}}).boost == 3.0
+        assert from_dsl({"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+            "boost": 2.5}}).boost == 2.5
+        assert from_dsl({"exists": {"field": "lang",
+                                    "boost": 2.0}}).boost == 2.0
+        p = from_dsl({"prefix": {"text": {"value": "sp", "boost": 4.0,
+                                          "max_expansions": 7}}})
+        assert p.boost == 4.0 and p.max_expansions == 7
+
+    def test_percentage_msm_and_auto_fuzziness_ranges(self):
+        from opensearch_spark.search.queries import from_dsl
+
+        m = from_dsl({"match": {"text": {
+            "query": "a b c d", "minimum_should_match": "75%"}}})
+        assert m.minimum_should_match == "75%"
+        fz = from_dsl({"fuzzy": {"text": {"value": "spark",
+                                          "fuzziness": "AUTO:3,6"}}})
+        assert fz.fuzziness == 1  # len 5: 3 <= 5 < 6 -> one edit
+        fz2 = from_dsl({"fuzzy": {"text": {"value": "sparkling",
+                                           "fuzziness": "AUTO:3,6"}}})
+        assert fz2.fuzziness == 2
+
+    def test_percentage_msm_executes(self, spark, sf_dir):
+        from opensearch_spark.entry_queries import get_searcher
+        from opensearch_spark.search import queries as Q
+
+        s = get_searcher(spark, sf_dir)
+        # 4 distinct terms, 75% -> requires 3 (Lucene rounds down)
+        q_pct = Q.Match(field="text", text="spark table merge sort",
+                        minimum_should_match="75%")
+        q_int = Q.Match(field="text", text="spark table merge sort",
+                        minimum_should_match=3)
+        a = {r["doc_id"] for r in s.search(q_pct, k=50).collect()}
+        b = {r["doc_id"] for r in s.search(q_int, k=50).collect()}
+        assert a == b and a
+
+    def test_unsupported_forms_raise_not_silently_drop(self):
+        from opensearch_spark.search.queries import from_dsl
+
+        import pytest as _pt
+        with _pt.raises(NotImplementedError, match="terms_set"):
+            from_dsl({"terms_set": {"tags": {
+                "terms": ["a", "b"],
+                "minimum_should_match_script": {
+                    "source": "params.num_required_matches"}}}})
+        with _pt.raises(NotImplementedError, match="filter"):
+            from_dsl({"function_score": {
+                "query": {"match_all": {}},
+                "functions": [{"filter": {"term": {"lang": "en"}},
+                               "weight": 2.0}]}})
+        with _pt.raises(NotImplementedError, match="span_containing"):
+            from_dsl({"span_containing": {
+                "big": {"span_near": {"clauses": [
+                    {"span_term": {"text": "a"}},
+                    {"span_term": {"text": "b"}},
+                    {"span_term": {"text": "c"}}], "slop": 2}},
+                "little": {"span_term": {"text": "x"}}}})
+
+    def test_span_field_masking_alias_resolution(self):
+        from opensearch_spark.search.queries import (SpanFieldMasking,
+                                                     SpanNear,
+                                                     resolve_field_aliases)
+
+        q = SpanNear(field="text", clauses=[
+            "a", SpanFieldMasking(inner_field="t_alias", value="b")])
+        r = resolve_field_aliases(q, {"t_alias": "title"})
+        assert r.clauses[1].inner_field == "title"
+
+    def test_highlight_fragment_edges_do_not_fabricate_matches(self, spark):
+        from opensearch_spark.search.highlight import highlight_fragments
+
+        filler = "x " * 30
+        text = f"blueberry {filler}berry pie"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = highlight_fragments(df, "text", ["berry"],
+                                  fragment_size=40).collect()[0]["fragments"]
+        joined = " || ".join(out)
+        assert "<em>berry</em> pie" in joined
+        # the tail of 'blueberry' must never be tagged, even when a
+        # fragment boundary slices through the word
+        assert "blue<em>berry</em>" not in joined
