@@ -48,10 +48,27 @@ def with_derived_fields(docs: DataFrame, derived: dict) -> DataFrame:
             raise ValueError(
                 f"derived field [{name}]: unsupported type [{ftype}] "
                 f"(DerivedFieldSupportedTypes: {sorted(SUPPORTED_TYPES)})")
+        if name in docs.columns:
+            # the reference rejects a derived field shadowing a mapped
+            # field; withColumn would silently REPLACE the physical
+            # column for every downstream consumer (round-4 review)
+            raise ValueError(
+                f"derived field [{name}] conflicts with an existing "
+                "column — derived fields cannot shadow mapped fields")
         script = spec["script"]
         if isinstance(script, str):
             script = {"source": script}
         sql = painless_to_sql(script["source"], script.get("params"))
-        out = out.withColumn(
-            name, F.expr(sql).cast(SUPPORTED_TYPES[ftype]))
+        expr = F.expr(sql)
+        if ftype == "date":
+            # DerivedFieldScript's date contract emits epoch MILLIS —
+            # Spark refuses a numeric→date cast, so route numerics
+            # through timestamp_millis (strings/timestamps cast direct;
+            # round-4 review: conforming long scripts crashed)
+            dtype = out.select(expr.alias("_probe")).schema[0] \
+                .dataType.simpleString()
+            if dtype in ("bigint", "int", "smallint", "tinyint",
+                         "double", "float", "decimal"):
+                expr = F.timestamp_millis(expr.cast("long"))
+        out = out.withColumn(name, expr.cast(SUPPORTED_TYPES[ftype]))
     return out

@@ -42,26 +42,33 @@ def flatten_json(df: DataFrame, json_col: str, id_col: str = "doc_id",
     # coalesced into the leaf branch rather than dropping out of both.
     # '{}' parses to an EMPTY map and yields no leaves — the reference's
     # empty-object semantics.
-    def _is_obj():
-        return F.coalesce(
-            F.col("value").startswith("{")
-            & F.from_json(F.col("value"), _MAP).isNotNull(),
-            F.lit(False))
+    # _parsed is PROJECTED ONCE per level and the object test reads it —
+    # putting from_json inside each where() predicate re-parsed every
+    # value up to three times per round (leaf branch, object branch,
+    # next level's explode; round-4 review)
+    def _with_parsed(frame: DataFrame) -> DataFrame:
+        return frame.withColumn(
+            "_parsed",
+            F.when(F.col("value").startswith("{"),
+                   F.from_json(F.col("value"), _MAP)))
 
-    lvl = df.select(
+    is_obj = F.col("_parsed").isNotNull()
+    lvl = _with_parsed(df.select(
         F.col(id_col),
-        F.explode(F.from_json(F.col(json_col), _MAP)).alias("path", "value"))
-    out = lvl.where(~_is_obj())
-    cur = lvl.where(_is_obj())
+        F.explode(F.from_json(F.col(json_col), _MAP)).alias("path", "value")))
+    out = lvl.where(~is_obj).drop("_parsed")
+    cur = lvl.where(is_obj)
     for _ in range(max_depth - 1):
-        nxt = (cur.select(
-            F.col(id_col), F.col("path").alias("_p"),
-            F.explode(F.from_json(F.col("value"), _MAP)).alias("k", "value"))
+        nxt = _with_parsed(
+            cur.select(
+                F.col(id_col), F.col("path").alias("_p"),
+                F.explode(F.col("_parsed")).alias("k", "value"))
             .select(F.col(id_col),
                     F.concat_ws(".", "_p", "k").alias("path"), "value"))
-        out = out.unionByName(nxt.where(~_is_obj()))
-        cur = nxt.where(_is_obj())
-    return out.unionByName(cur)  # depth-capped remnants kept as raw terms
+        out = out.unionByName(nxt.where(~is_obj).drop("_parsed"))
+        cur = nxt.where(is_obj)
+    # depth-capped remnants kept as raw terms
+    return out.unionByName(cur.drop("_parsed"))
 
 
 def flat_object_match(df: DataFrame, json_col: str, value: str,

@@ -76,25 +76,44 @@ def haversine_sql(origin_lat: float, origin_lon: float) -> str:
 
 
 def _bounding_box_deg(origin_lat: float, radius_km: float) -> tuple[float, float]:
-    """Conservative lat/lon half-widths (degrees) enclosing the radius —
+    """CONSERVATIVE lat/lon half-widths (degrees) enclosing the radius —
     the cheap prefilter Lucene gets from the BKD tree; here it becomes a
-    parquet-pushable range predicate."""
-    dlat = math.degrees(radius_km / EARTH_RADIUS_KM)
-    cos_lat = max(0.01, math.cos(math.radians(origin_lat)))
-    dlon = math.degrees(radius_km / (EARTH_RADIUS_KM * cos_lat))
-    return dlat * 1.001, min(180.0, dlon * 1.001)
+    parquet-pushable range predicate. Conservative means: the lon width
+    uses the smallest cosine over the whole LAT BAND (a circle's east/
+    west extremes sit at higher |lat| than its center — using cos(origin)
+    clipped genuine matches; round-4 review), and any band that reaches
+    a pole (or a width ≥ 180°) disables the lon constraint entirely —
+    every meridian passes near a pole."""
+    dlat = math.degrees(radius_km / EARTH_RADIUS_KM) * 1.001
+    lat_lo, lat_hi = origin_lat - dlat, origin_lat + dlat
+    if lat_lo <= -90.0 or lat_hi >= 90.0:
+        return dlat, 180.0  # cap crosses a pole: no lon pruning possible
+    min_cos = min(math.cos(math.radians(lat_lo)),
+                  math.cos(math.radians(lat_hi)))
+    if min_cos <= 1e-9:
+        return dlat, 180.0
+    dlon = math.degrees(radius_km / (EARTH_RADIUS_KM * min_cos)) * 1.001
+    return dlat, min(180.0, dlon)
 
 
 def geo_distance(df: DataFrame, origin_lat: float, origin_lon: float,
                  radius_km: float, *, round_to: int = 3) -> DataFrame:
     """Filter to points within radius_km of the origin; adds ``dist_km``
     (rounded, so the inclusion decision is identical across engines).
-    Plan: bounding-box range prefilter (pushdown) → haversine → filter."""
+    Plan: bounding-box range prefilter (pushdown) → haversine → filter.
+    The lon prefilter compares MODULAR longitude distance, so an origin
+    near ±180° keeps its antimeridian neighbors (round-4 review)."""
     dlat, dlon = _bounding_box_deg(origin_lat, radius_km)
     pre = df.where(
-        (F.col("lat") >= origin_lat - dlat) & (F.col("lat") <= origin_lat + dlat)
-        & (F.col("lon") >= origin_lon - dlon) & (F.col("lon") <= origin_lon + dlon)
-    )
+        (F.col("lat") >= origin_lat - dlat)
+        & (F.col("lat") <= origin_lat + dlat))
+    if dlon < 180.0:
+        # modular lon difference in [0, 180]; plain |lon - lon0| would
+        # drop matches across the antimeridian
+        lon_diff = F.abs(
+            F.pmod(F.col("lon") - F.lit(origin_lon) + F.lit(540.0),
+                   F.lit(360.0)) - F.lit(180.0))
+        pre = pre.where(lon_diff <= F.lit(dlon))
     d = F.round(haversine_km(F.col("lat"), F.col("lon"), origin_lat, origin_lon),
                 round_to)
     return pre.withColumn("dist_km", d).where(F.col("dist_km") <= radius_km)

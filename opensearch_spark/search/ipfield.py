@@ -115,7 +115,11 @@ def ip_range_agg(df: DataFrame, ranges: list[dict]) -> DataFrame:
                 cond = cond & (F.col("ip_num") >= F.lit(parse_ip(spec["from"])))
             if spec.get("to") is not None:
                 cond = cond & (F.col("ip_num") < F.lit(parse_ip(spec["to"])))
-        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(key))
+        # coalesce: sum() over ZERO rows is NULL — the keyed-bucket
+        # contract says empty buckets surface with count 0 (round-4
+        # review: an empty input emitted NULL doc_counts)
+        aggs.append(F.coalesce(F.sum(F.when(cond, 1).otherwise(0)),
+                               F.lit(0)).alias(key))
     row = df.agg(*aggs)
     # unpivot to (key, doc_count) preserving spec order
     pairs = []

@@ -148,6 +148,11 @@ class _Parser:
         the classic parser's range production)."""
         def bound():
             kind, val = self.next()
+            if kind == "minus":
+                # negative numeric bound: the lexer emits '-' standalone
+                # ([-5 TO 5] is valid classic syntax — round-4 review)
+                kind, val = self.next()
+                val = "-" + val
             if kind != "word":
                 raise ValueError(f"query_string: bad range bound {val!r}")
             if val == "*":
@@ -183,6 +188,20 @@ class _Parser:
             self.next()
             field = val
             kind, val = self.next()
+        if kind == "lparen":
+            # field-scoped group — field:(a b) applies the field to every
+            # clause inside (classic parser; was a hard error — round-4
+            # review). Implemented by re-binding the default field for
+            # the duration of the group.
+            saved = self.default_field
+            self.default_field = field
+            try:
+                node = self.or_expr()
+            finally:
+                self.default_field = saved
+            if self.next()[0] != "rparen":
+                raise ValueError("query_string: expected ')'")
+            return self._boost_suffix(node)
         if kind == "lbracket":
             return self._boost_suffix(self._range(field, val == "["))
         if kind == "quoted":
@@ -239,7 +258,7 @@ _SIMPLE_TOKEN = re.compile(
         (?P<orop>\|) |
         (?P<andop>\+) |
         (?P<minus>-) |
-        (?P<tilde>~[0-9]+) |
+        (?P<tilde>~[0-9]*) |
         (?P<word>[^\s()"|+~-]+)
     )""",
     re.VERBOSE,
@@ -339,11 +358,17 @@ class _SimpleParser:
             node = Q.MatchPhrase(field=self.default_field,
                                  text=val.strip('"'))
             if self.peek()[0] == "tilde":
-                node.slop = int(self.next()[1][1:])
+                tval = self.next()[1][1:]
+                if tval:  # a bare '~' after a phrase carries no slop
+                    node.slop = int(tval)
             return node
         if kind == "word":
             if self.peek()[0] == "tilde":
-                fz = int(self.next()[1][1:])
+                tval = self.next()[1][1:]
+                # reference SimpleQueryParser: bare '~' = fuzzy with the
+                # default 2 edits (was: lex failure degraded the whole
+                # query to a plain match — round-4 review)
+                fz = int(tval) if tval else 2
                 return Q.Fuzzy(field=self.default_field, value=val,
                                fuzziness=fz)
             if val.endswith("*") and len(val) > 1 and "*" not in val[:-1]:

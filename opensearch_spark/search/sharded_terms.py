@@ -68,7 +68,10 @@ def sharded_terms(df: DataFrame, term_col: str, shard: Column,
     topk = (merged.orderBy(F.desc("doc_count"), F.asc("term")).limit(size)
             .select("term", "doc_count", "doc_count_error", "s"))
     top_sum = topk.agg(F.sum("doc_count").alias("top_sum"))
-    n_total = df.agg(F.count("*").alias("n_total"))
+    # total docs from the already-aggregated per-shard frame — a second
+    # df.agg(count(*)) was a full second corpus scan (round-4 review)
+    n_total = per_shard.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_total"))
     return (topk.crossJoin(F.broadcast(top_sum))
             .crossJoin(F.broadcast(n_total))
             .select("term", "doc_count", "doc_count_error",

@@ -258,3 +258,70 @@ def test_percolate_phrase_adjacency(spark):
     got = {(r["doc_id"], r["query_id"])
            for r in percolate(spark, qs, docs).collect()}
     assert got == {(1, 1), (4, 1)}
+
+
+class TestRound4GeoQsFixes:
+    def test_geo_distance_prefilter_is_conservative(self, spark):
+        """Round-4 review: the lon prefilter clipped genuine matches —
+        circle east/west extremes sit at higher |lat| than the origin,
+        pole-crossing caps prune no meridian, and the antimeridian wraps."""
+        from opensearch_spark.search.geo import geo_distance, haversine_km
+
+        pts = [(1, 59.9, 75.0), (2, 59.9, 70.0), (3, 0.0, -178.5),
+               (4, 0.0, 10.0)]
+        df = spark.createDataFrame(pts, "doc_id long, lat double, lon double")
+        # wide cap from (30, 0): point 1 is within 6371 km but outside
+        # the old cos(origin)-width lon box
+        got = {r["doc_id"] for r in
+               geo_distance(df, 30.0, 0.0, 6371.0).collect()}
+        assert 1 in got
+        # pole-crossing cap from (45, 0) reaches point 2 at ~4766 km
+        got = {r["doc_id"] for r in
+               geo_distance(df, 45.0, 0.0, 5100.0).collect()}
+        assert 2 in got
+        # antimeridian: (0, 179) to (0, -178.5) is ~278 km
+        got = {r["doc_id"] for r in
+               geo_distance(df, 0.0, 179.0, 300.0).collect()}
+        assert got == {3}
+
+    def test_query_string_negative_ranges_and_field_groups(self):
+        from opensearch_spark.search import queries as Q
+        from opensearch_spark.search.query_string import parse_query_string
+
+        r = parse_query_string("n:[-5 TO 5]", default_field="text")
+        assert r == Q.Range(field="n", gte=-5, lte=5)
+        g = parse_query_string("title:(foo bar)", default_field="text")
+        assert isinstance(g, Q.Bool)
+        assert {c.field for c in g.should} == {"title"}
+
+    def test_simple_query_string_bare_tilde_is_fuzzy2(self):
+        from opensearch_spark.search import queries as Q
+        from opensearch_spark.search.query_string import \
+            parse_simple_query_string
+
+        f = parse_simple_query_string("foo~", default_field="text")
+        assert f == Q.Fuzzy(field="text", value="foo", fuzziness=2)
+
+    def test_ip_range_agg_empty_input_counts_zero(self, spark):
+        from opensearch_spark.search.ipfield import ip_range_agg
+
+        df = spark.createDataFrame([], "ip_num long").where("1=0")
+        rows = ip_range_agg(df, [{"key": "a", "from": "10.0.0.0"},
+                                 {"key": "b", "mask": "10.0.0.0/8"}]) \
+            .collect()
+        assert [(r["key"], r["doc_count"]) for r in rows] == \
+            [("a", 0), ("b", 0)]
+
+    def test_derived_field_date_from_millis_and_collision(self, spark):
+        import pytest as _pt
+
+        from opensearch_spark.search.derivedfields import with_derived_fields
+
+        df = spark.createDataFrame([(1, 1577836800000)],
+                                   "doc_id long, ms long")
+        out = with_derived_fields(
+            df, {"d": {"type": "date", "script": "doc['ms'].value"}})
+        assert str(out.first()["d"]) == "2020-01-01"
+        with _pt.raises(ValueError, match="conflicts"):
+            with_derived_fields(
+                df, {"ms": {"type": "long", "script": "1"}})
