@@ -103,8 +103,13 @@ class TaskManager:
                 with task._slock:
                     if task.status == "cancelling":
                         task.status = "cancelled"
-                        task.error = TaskCancelledException(
+                        err = TaskCancelledException(
                             f"task {task.id} cancelled")
+                        # chain the observed exception: a genuine failure
+                        # that merely RACED the cancel must stay
+                        # diagnosable, not be discarded (round-4 review)
+                        err.__cause__ = e
+                        task.error = err
                     else:
                         task.status = "failed"
                         task.error = e
@@ -135,9 +140,13 @@ class TaskManager:
         observes the SparkException. Cancellation is PERSISTENT like the
         reference's CancellableTask flag: ``cancelJobGroup`` only hits
         jobs active at call time, so a canceller thread re-issues it
-        until the task terminates (covers jobs the fn submits later and
-        the submit/cancel race). Returns False for finished tasks (the
-        reference responds 'task is not cancellable / completed')."""
+        until the task TERMINATES — after ``grace_s`` it backs off from
+        the tight 0.2 s loop to one re-issue per 2 s, but never lapses
+        while the task is alive (a fn doing long driver-side work before
+        its first Spark job previously outlived the canceller and ran to
+        completion after a True cancel — round-4 review). Returns False
+        for finished tasks (the reference responds 'task is not
+        cancellable / completed')."""
         task = self._tasks.get(task_id)
         if task is None:
             return False
@@ -150,9 +159,10 @@ class TaskManager:
 
         def canceller():
             deadline = time.monotonic() + grace_s
-            while not task._done.is_set() and time.monotonic() < deadline:
+            while not task._done.is_set():
                 sc.cancelJobGroup(gid)
-                task._done.wait(0.2)
+                task._done.wait(
+                    0.2 if time.monotonic() < deadline else 2.0)
 
         t = threading.Thread(target=canceller, daemon=True)
         t.start()

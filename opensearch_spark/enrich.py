@@ -263,14 +263,24 @@ def process_attachment(df: DataFrame, data_col: str = "data") -> DataFrame:
     ctype = (F.when(h.startswith(_MAGIC_PDF), "application/pdf")
               .when(h.startswith(_MAGIC_PNG), "image/png")
               .otherwise("text/plain"))
+    # text/plain only when the bytes round-trip UTF-8: Spark's decode
+    # replaces invalid sequences with U+FFFD while the DuckDB twin's
+    # decode() ERRORS on them (round-4 review) — non-UTF-8 unknown
+    # payloads classify as octet-stream on the engine side, keeping the
+    # twins aligned on every input they can both process (the oracle's
+    # derived corpus is valid UTF-8 by construction)
+    decoded = F.decode(F.col(data_col), "utf-8")
+    is_utf8 = F.encode(decoded, "utf-8") == F.col(data_col)
+    ctype = F.when(ctype == "text/plain",
+                   F.when(is_utf8, "text/plain")
+                    .otherwise("application/octet-stream")) \
+             .otherwise(ctype)
     is_plain = ctype == "text/plain"
     return (df.withColumn("content_type", ctype)
               .withColumn("content_length",
                           F.octet_length(F.col(data_col)).cast("long"))
               .withColumn("content",
-                          F.when(is_plain,
-                                 F.decode(F.col(data_col), "utf-8"))
-                           .otherwise(F.lit("")))
+                          F.when(is_plain, decoded).otherwise(F.lit("")))
               .withColumn("status",
                           F.when(is_plain, "extracted").otherwise("stub")))
 

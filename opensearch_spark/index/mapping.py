@@ -100,7 +100,13 @@ def infer_mapping_sql(docs_cte: str) -> str:
     return f"""
 WITH docs AS ({docs_cte}),
 keys AS (SELECT doc, unnest(json_keys(doc)) AS key FROM docs),
-kv AS (SELECT key, json_extract_string(doc, '$.' || key) AS value FROM keys),
+kv AS (SELECT key,
+              -- quote the key inside the JSON path so metacharacters
+              -- ('.', '[') extract the literal key like the Spark
+              -- map<string,string> side does (round-4 review)
+              json_extract_string(
+                  doc, '$."' || replace(key, '"', '\\"') || '"') AS value
+       FROM keys),
 typed AS (SELECT key, {detect_type_sql('value')} AS t
           FROM kv WHERE value IS NOT NULL),
 agg AS (SELECT key, {count_cols}, CAST(count(*) AS BIGINT) AS n_vals
@@ -156,7 +162,10 @@ def with_size_field(df, string_cols: list[str],
     what SizeFieldMapper's LongPoint buys Lucene."""
     size = F.lit(8 * len(list(fixed_cols)))
     for c in string_cols:
-        size = size + F.octet_length(F.col(c))
+        # NULL strings contribute 0 bytes — one NULL column must not
+        # NULL the whole _size and vanish the doc from every size
+        # filter/sort (round-4 review; SizeFieldMapper always stores)
+        size = size + F.coalesce(F.octet_length(F.col(c)), F.lit(0))
     return df.withColumn("_size", size.cast("long"))
 
 
@@ -253,7 +262,10 @@ def resolve_constant_fields(q, constants: dict):
 
     def walk(node):
         if isinstance(node, list):
-            return [walk(n) for n in node]
+            out = [walk(n) for n in node]
+            # preserve identity when nothing folded so the parent's
+            # `w is not v` fast path actually triggers for containers
+            return node if all(a is b for a, b in zip(out, node)) else out
         if not _dc.is_dataclass(node) or isinstance(node, type):
             return node
         changes = {}

@@ -22,9 +22,28 @@ from dataclasses import dataclass, field as dc_field
 
 
 def simple_match(pattern: str, name: str) -> bool:
-    """Regex.simpleMatch: '*' matches any run, everything else literal."""
-    rx = "^" + ".*".join(re.escape(p) for p in pattern.split("*")) + "$"
-    return re.match(rx, name) is not None
+    """Regex.simpleMatch: '*' matches any run, everything else literal.
+    Delegates to the manual matcher in index/mapping.py — the old
+    per-call regex here had drifted semantics ('$' matched before a
+    trailing newline, '.*' did not cross newlines; round-4 review)."""
+    from opensearch_spark.index.mapping import simple_match as _sm
+
+    return _sm(pattern, name)
+
+
+def _deep_merge(base: dict, extra: dict) -> dict:
+    """Recursive dict merge, later wins per leaf — the reference's
+    resolveSettings/collectMappings composition. A shallow update would
+    let a later component wholesale REPLACE a shared nested section
+    (e.g. mappings.properties), dropping earlier components' fields
+    (round-4 review)."""
+    out = dict(base)
+    for k, v in extra.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
 
 
 def globs_intersect(p1: str, p2: str) -> bool:
@@ -130,9 +149,9 @@ class TemplateRegistry:
         mappings: dict = {}
         for comp in t.composed_of:
             c = self.components[comp]
-            settings.update(c.settings)
-            mappings.update(c.mappings)
-        settings.update(t.settings)
-        mappings.update(t.mappings)
+            settings = _deep_merge(settings, c.settings)
+            mappings = _deep_merge(mappings, c.mappings)
+        settings = _deep_merge(settings, t.settings)
+        mappings = _deep_merge(mappings, t.mappings)
         return {"template": name, "settings": settings,
                 "mappings": mappings}

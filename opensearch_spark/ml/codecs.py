@@ -97,6 +97,23 @@ def encode_png(img: np.ndarray, filter_type: int | None = None) -> bytes:
             + _chunk(b"IEND", b""))
 
 
+def _guard_struct(fn):
+    """Truncated/garbage containers surface as the documented ValueError
+    family, not struct.error — callers skipping corrupt media with
+    `except (ValueError, NotImplementedError)` must not crash the task
+    (round-4 review)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except struct.error as e:
+            raise ValueError(f"{fn.__name__}: truncated container ({e})")
+    return wrapped
+
+
+@_guard_struct
 def decode_png(data: bytes) -> np.ndarray:
     """8-bit non-interlaced PNG decoder (greyscale/RGB/RGBA): chunk walk,
     zlib inflate, per-row unfilter incl. Paeth. Returns uint8 (H, W[, C])."""
@@ -180,6 +197,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_guard_struct
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """PCM16 WAV decoder: RIFF chunk walk. Returns (sample_rate,
     int16 array — (N,) mono or (N, n_ch))."""
@@ -247,6 +265,7 @@ def encode_avi_mjpg(frames: list[np.ndarray], fps: int = 10,
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
+@_guard_struct
 def decode_avi_mjpg(data: bytes) -> tuple[int, list[np.ndarray]]:
     """Decode a minimal AVI/MJPG file: RIFF walk to the movi LIST,
     decode every '00dc'/'00db' chunk as baseline JPEG. Returns

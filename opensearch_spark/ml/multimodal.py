@@ -142,7 +142,11 @@ def extract_features(
             for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
                 img = decoder(bytes(payload), int(w), int(h))
                 gh, gw = max(1, img.shape[0] // grid), max(1, img.shape[1] // grid)
-                whole = img.reshape(-1, 3).mean(axis=0)
+                # zero-area image: the whole-image mean is itself NaN and
+                # the NaN guard below would re-poison every cell — use
+                # zeros (round-4 review)
+                whole = (img.reshape(-1, 3).mean(axis=0)
+                         if img.size else np.zeros(3))
                 cells = []
                 for gy in range(grid):
                     for gx in range(grid):

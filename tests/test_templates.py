@@ -103,3 +103,30 @@ def test_missing_component_rejected():
     with pytest.raises(ValueError, match="do not exist"):
         r.put_template("bad", IndexTemplate(
             index_patterns=("x-*",), composed_of=("nope",)))
+
+
+def test_component_mappings_deep_merge(tmp_path):
+    """Round-4 review: composing components must merge nested sections
+    recursively (resolveSettings/collectMappings), not let a later
+    component wholesale replace mappings.properties."""
+    from opensearch_spark.index.templates import (ComponentTemplate,
+                                                  IndexTemplate,
+                                                  TemplateRegistry)
+
+    reg = TemplateRegistry()
+    reg.put_component("a", ComponentTemplate(
+        mappings={"properties": {"f1": {"type": "long"}}}))
+    reg.put_component("b", ComponentTemplate(
+        mappings={"properties": {"f2": {"type": "text"}}}))
+    reg.put_template("t", IndexTemplate(
+        index_patterns=["logs-*"], priority=1, composed_of=["a", "b"]))
+    r = reg.resolve("logs-1")
+    assert set(r["mappings"]["properties"]) == {"f1", "f2"}
+
+
+def test_simple_match_no_trailing_newline_leak():
+    from opensearch_spark.index.templates import simple_match
+
+    assert simple_match("logs", "logs")
+    assert not simple_match("logs", "logs\n")  # old regex '$' leaked this
+    assert simple_match("lo*gs", "lo\ngs")     # '*' crosses newlines
