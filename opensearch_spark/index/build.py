@@ -631,16 +631,21 @@ def build_index(
     jobs = [write_docs, write_dictionary, write_postings]
     if cfg.with_positions:
         jobs.append(write_positions)
-    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-        futures = [pool.submit(j) for j in jobs]
-        for f in futures:
-            f.result()  # surface the first failure
+    try:
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futures = [pool.submit(j) for j in jobs]
+            for f in futures:
+                f.result()  # surface the first failure
 
-    spark.createDataFrame(
-        [(doc_count, sum_dl, float(avgdl))], "doc_count long, sum_dl long, avgdl double"
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
-
-    pre.unpersist()
+        spark.createDataFrame(
+            [(doc_count, sum_dl, float(avgdl))],
+            "doc_count long, sum_dl long, avgdl double"
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
+    finally:
+        # release the full-corpus cache on failure paths too — a driver
+        # retrying builds must not accumulate one pinned copy per failed
+        # attempt (round-4 review)
+        pre.unpersist()
     # vocabulary size cached at build time (parquet-footer count — cheap
     # here, but a per-Searcher-construction Spark job if left to query
     # time; the Searcher's preload-posture decision reads it from meta)
@@ -749,23 +754,26 @@ class InvertedIndex:
 
             from opensearch_spark.common.breaker import fielddata_breaker
 
-            rows = (spark.read.parquet(*srcs)
-                    .select("doc_id").distinct().collect())
-            if rows:
-                # liveDocs lives with the reader: charge the fielddata
-                # breaker (HierarchyCircuitBreakerService posture) so a
-                # pathological tombstone count degrades into a clean
-                # CircuitBreakingException instead of a driver OOM that
-                # would poison every broadcast downstream. The charge is
-                # tracked per reader and RELEASED on refresh (the next
-                # load re-charges the new, larger set) — otherwise every
-                # delete→refresh cycle leaks accounting until the breaker
-                # trips permanently with no real memory held.
+            dels = spark.read.parquet(*srcs).select("doc_id").distinct()
+            # liveDocs lives with the reader: charge the fielddata
+            # breaker (HierarchyCircuitBreakerService posture) so a
+            # pathological tombstone count degrades into a clean
+            # CircuitBreakingException instead of a driver OOM that
+            # would poison every broadcast downstream. CHARGE BEFORE
+            # COLLECT — counting first costs one tiny aggregate, and a
+            # 500M-row delete set must trip here, not OOM the driver
+            # materializing Row objects (round-4 review). The charge is
+            # tracked per reader and RELEASED on refresh (the next load
+            # re-charges the new, larger set) — otherwise every
+            # delete→refresh cycle leaks accounting until the breaker
+            # trips permanently with no real memory held.
+            n = dels.count()
+            if n:
                 fielddata_breaker.add_estimate(
-                    8 * len(rows), f"tombstones[{self.path}]")
-                self._tomb_charged = 8 * len(rows)
-                self._tomb = _np.sort(
-                    _np.array([r["doc_id"] for r in rows], dtype="int64"))
+                    8 * n, f"tombstones[{self.path}]")
+                self._tomb_charged = 8 * n
+                arr = dels.toPandas()["doc_id"].to_numpy(dtype="int64")
+                self._tomb = _np.sort(arr)
         self._tomb_loaded = True
         return self._tomb
 
@@ -797,6 +805,7 @@ class InvertedIndex:
         memory actually held."""
         self._tomb_loaded = False
         self._release_tomb_charge()
+        self._tomb_df = None  # the anti-join frame follows the same generation
         if getattr(self, "_tomb_bcast", None) is not None:
             self._tomb_bcast.unpersist()
             self._tomb_bcast = None
@@ -808,9 +817,16 @@ class InvertedIndex:
             return df
         if len(tomb) <= self.TOMBSTONE_ISIN_MAX:
             return df.where(~F.col("doc_id").isin([int(x) for x in tomb]))
-        dels = spark.read.parquet(*self._delete_sources()) \
-            .select("doc_id").distinct()
-        return df.join(F.broadcast(dels), "doc_id", "left_anti")
+        # anti-join against the CACHED-AT-LOAD set, not a re-read of the
+        # deletes dir: after an unrefreshed delete_docs the re-read would
+        # filter docs that scoring (tombstones_bcast, same cached set)
+        # still ranks — one reader must see ONE liveDocs generation
+        # (round-4 review; the contract is refresh-to-observe). Arrow
+        # path (pandas) — a Python tuple list would crawl at 10M+ ids.
+        if getattr(self, "_tomb_df", None) is None:
+            self._tomb_df = spark.createDataFrame(
+                pd.DataFrame({"doc_id": tomb}))
+        return df.join(F.broadcast(self._tomb_df), "doc_id", "left_anti")
 
     def docs(self, spark: SparkSession) -> DataFrame:
         return self._live(spark, self._table(spark, "docs"))

@@ -71,9 +71,22 @@ def _canon_ts(s: str | None) -> str | None:
 class DataStream:
     def __init__(self, out_dir: str, config: IndexConfig = IndexConfig(),
                  rollover_max_docs: int = 1_000_000):
+        if rollover_max_docs <= 0:
+            # doc_id/0 is NULL under non-ANSI Spark: append() would
+            # silently write NOTHING and report success (round-4 review)
+            raise ValueError("rollover_max_docs must be positive")
         self.out_dir = out_dir
         self.cfg = config
         self.rollover_max_docs = rollover_max_docs
+        # append() reads the manifest to pick the next generation id and
+        # doc_base; two concurrent appends would both claim the same
+        # generation (mode=overwrite last-wins) and mint overlapping doc
+        # ids — serialize per DataStream instance (round-4 review).
+        # Cross-PROCESS appends need external coordination, like the
+        # reference's single primary per shard.
+        import threading
+
+        self._append_lock = threading.Lock()
         os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
 
     # ---------- manifest ----------
@@ -88,6 +101,20 @@ class DataStream:
                ts_col: str | None = None) -> list[int]:
         """Index a batch as one or more new generations (rollover split).
         Returns the new generation ids."""
+        if "_chunk" in batch.columns:
+            # withColumn would silently REPLACE and later drop the user's
+            # column (the assign_doc_ids reserved-column rule)
+            raise ValueError(
+                "append: input column '_chunk' collides with an internal "
+                "working column — rename it first")
+        self._append_lock.acquire()
+        try:
+            return self._append_locked(spark, batch, ts_col)
+        finally:
+            self._append_lock.release()
+
+    def _append_locked(self, spark: SparkSession, batch: DataFrame,
+                       ts_col: str | None) -> list[int]:
         gens = self.generations()
         next_gen = (gens[-1]["segment_id"] + 1) if gens else 0
         doc_base = self.doc_count()
@@ -185,8 +212,17 @@ class DataStream:
         ts_min, ts_max = _canon_ts(ts_min), _canon_ts(ts_max)
         out = []
         for m in self.generations():
-            if ts_min is not None and m.get("ts_max") is not None \
-                    and m["ts_max"] < ts_min:
+            gmax = m.get("ts_max")
+            if gmax is not None and len(gmax) == 10:
+                # DATE column: the manifest stores bare 'YYYY-MM-DD',
+                # which covers the WHOLE day — compared raw against a
+                # canonicalized datetime bound ('YYYY-MM-DD 00:00:00')
+                # it sorts LOWER and boundary-day generations get
+                # wrongly pruned (round-4 review). Extend to end-of-day
+                # for the upper stat; the lower stat needs no pad (a
+                # bare date already sorts <= any same-day datetime).
+                gmax = gmax + " 23:59:59.999999"
+            if ts_min is not None and gmax is not None and gmax < ts_min:
                 continue
             if ts_max is not None and m.get("ts_min") is not None \
                     and m["ts_min"] > ts_max:

@@ -73,6 +73,16 @@ def index_microbatch(batch_df: DataFrame, epoch_id: int, out_dir: str,
         part = (assign_doc_ids(batch_df, list(cfg.order_cols) or [],
                                mode="local", cache=False)
                 .withColumn("doc_id", F.col("doc_id") + F.lit(doc_base)))
+        # the same loud row-conservation invariant as datastream.append:
+        # never commit a lossy segment if AQE relaid partitions between
+        # the id-assignment jobs (round-4 review — only the datastream
+        # copy carried this check)
+        n_in, n_ids = batch_df.count(), part.count()
+        if n_ids != n_in:
+            raise RuntimeError(
+                f"streaming ingest lost rows: batch={n_in} "
+                f"with_ids={n_ids} — partition layout changed between "
+                "id-assignment jobs")
     # keep = part.columns — the SAME keep rule as the batch path, so a
     # mixed batch+streaming tree has one docs schema (the id_col was
     # previously dropped here, diverging the schemas — round-4 review)

@@ -219,3 +219,33 @@ def test_assign_doc_ids_pins_are_per_thread_and_swept(spark):
     assert out.count() == 100
     assert dead_tid not in B._ASSIGN_PINS          # swept
     assert threading.get_ident() in B._ASSIGN_PINS  # current pin kept
+
+
+def test_date_column_boundary_generation_not_pruned(spark, tmp_path):
+    """Round-4 review: a DATE ts column's manifest stats are bare
+    'YYYY-MM-DD'; a datetime-form lower bound on the boundary day must
+    not prune the generation whose rows the row filter keeps."""
+    from datetime import date
+
+    d = str(tmp_path / "ds_date")
+    ds = DataStream(d, CFG, rollover_max_docs=100)
+    rows = [(f"r{i}", f"p/{i}", "c", "py", f"import spark word{i}",
+             date(2024, 1, 5)) for i in range(10)]
+    batch = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, ts date")
+    ds.append(spark, batch, ts_col="ts")
+    v = ds.docs_view(spark, "2024-01-05 00:00:00", "2024-01-05 23:59:59")
+    assert v.count() == 10
+    assert ds.docs_view(spark, "2024-01-06", None).count() == 0
+
+
+def test_rollover_zero_and_chunk_collision_rejected(spark, tmp_path):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="rollover_max_docs"):
+        DataStream(str(tmp_path / "bad"), CFG, rollover_max_docs=0)
+    ds = DataStream(str(tmp_path / "ok"), CFG, rollover_max_docs=10)
+    batch = _batch(spark, 0, 3, day=1).withColumn("_chunk", F.lit(1))
+    with _pt.raises(ValueError, match="_chunk"):
+        ds.append(spark, batch, ts_col="ts")
