@@ -159,7 +159,7 @@ def search_bool(spark, sf_dir):
 
 
 @q("search_term_keyword", """
-SELECT doc_id, 1.0 AS score FROM documents WHERE lang = 'de' ORDER BY doc_id
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents WHERE lang = 'de' ORDER BY doc_id
 """)
 def search_term_keyword(spark, sf_dir):
     s = get_searcher(spark, sf_dir)
@@ -179,7 +179,7 @@ def search_range_keyword(spark, sf_dir):
 
 @q("search_prefix", f"""
 WITH {O.TOK_CTES}
-SELECT DISTINCT doc_id, 1.0 AS score FROM tok2
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tok2
 WHERE term LIKE 'sp%' ORDER BY doc_id
 """)
 def search_prefix(spark, sf_dir):
@@ -189,7 +189,7 @@ def search_prefix(spark, sf_dir):
 
 @q("search_wildcard", f"""
 WITH {O.TOK_CTES}
-SELECT DISTINCT doc_id, 1.0 AS score FROM tok2
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tok2
 WHERE regexp_matches(term, '^s.*w$') ORDER BY doc_id
 """)
 def search_wildcard(spark, sf_dir):
@@ -199,7 +199,7 @@ def search_wildcard(spark, sf_dir):
 
 @q("search_fuzzy", f"""
 WITH {O.TOK_CTES}
-SELECT DISTINCT doc_id, 1.0 AS score FROM tok2
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tok2
 WHERE length(term) BETWEEN 4 AND 6 AND levenshtein(term, 'spark') <= 1
 ORDER BY doc_id
 """)
@@ -214,7 +214,7 @@ def search_fuzzy(spark, sf_dir):
 
 @q("search_fuzzy_transpositions", f"""
 WITH {O.TOK_CTES}
-SELECT DISTINCT doc_id, 1.0 AS score FROM tok2
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tok2
 WHERE length(term) BETWEEN 4 AND 6
   AND damerau_levenshtein(term, 'psark') <= 1
 ORDER BY doc_id
@@ -359,7 +359,7 @@ def search_boosting(spark, sf_dir):
 
 
 @q("search_constant_score", """
-SELECT doc_id, 2.5 AS score FROM documents WHERE n_chars >= 300 ORDER BY doc_id
+SELECT doc_id, CAST(2.5 AS DOUBLE) AS score FROM documents WHERE n_chars >= 300 ORDER BY doc_id
 """)
 def search_constant_score(spark, sf_dir):
     s = get_searcher(spark, sf_dir)
@@ -442,7 +442,7 @@ def search_painless_score(spark, sf_dir):
 
 
 @q("search_painless_filter", """
-SELECT doc_id, 1.0 AS score FROM documents
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
 WHERE n_chars % 7 = 0 AND NOT lang = 'md'
 ORDER BY doc_id LIMIT 50
 """)
@@ -959,7 +959,7 @@ def index_resize_routing(spark, sf_dir):
 
 @q("search_wildcard_accel", f"""
 WITH {O.TOK_CTES}
-SELECT DISTINCT doc_id, 1.0 AS score FROM tok2
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tok2
 WHERE term LIKE '%erge%' ORDER BY doc_id
 """)
 def search_wildcard_accel(spark, sf_dir):
@@ -992,7 +992,7 @@ tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
        WHERE term IN ('spark','vector','merge') GROUP BY doc_id, term),
 w AS (SELECT * FROM (VALUES ('spark', 2.0), ('vector', 1.0),
                             ('merge', 0.5)) AS v(term, w)),
-scored AS (SELECT doc_id, sum(w.w * tf.tf) AS s
+scored AS (SELECT doc_id, CAST(sum(w.w * tf.tf) AS DOUBLE) AS s
            FROM tf JOIN w USING (term) GROUP BY doc_id)
 SELECT doc_id, round(s, 4) AS score
 FROM scored ORDER BY round(s, 4) DESC, doc_id LIMIT 10
@@ -1046,7 +1046,7 @@ def api_filtered_alias(spark, sf_dir):
 
 
 @q("search_term_case_insensitive", """
-SELECT doc_id, 1.0 AS score FROM documents
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
 WHERE lower(lang) = 'de' ORDER BY doc_id
 """)
 def search_term_case_insensitive(spark, sf_dir):
@@ -1059,7 +1059,7 @@ def search_term_case_insensitive(spark, sf_dir):
 
 
 @q("search_match_all", """
-SELECT doc_id, 1.0 AS score FROM documents ORDER BY doc_id
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents ORDER BY doc_id
 """)
 def search_match_all(spark, sf_dir):
     s = get_searcher(spark, sf_dir)
@@ -1067,7 +1067,7 @@ def search_match_all(spark, sf_dir):
 
 
 @q("search_terms_keyword", """
-SELECT doc_id, 1.0 AS score FROM documents
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
 WHERE lang IN ('de', 'fr') ORDER BY doc_id
 """)
 def search_terms_keyword(spark, sf_dir):
@@ -1076,7 +1076,7 @@ def search_terms_keyword(spark, sf_dir):
 
 
 @q("search_ids", """
-SELECT doc_id, 1.0 AS score FROM documents
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
 WHERE doc_id IN (1, 2, 3, 5, 8) ORDER BY doc_id
 """)
 def search_ids(spark, sf_dir):
@@ -1471,7 +1471,7 @@ def api_search_request_aggs(spark, sf_dir):
 
 
 @q("search_exists", """
-SELECT doc_id, 1.0 AS score FROM documents
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
 WHERE lang IS NOT NULL ORDER BY doc_id
 """)
 def search_exists(spark, sf_dir):
@@ -1483,7 +1483,7 @@ def search_exists(spark, sf_dir):
 
 @q("search_regexp", f"""
 WITH {O.TOK_CTES}
-SELECT DISTINCT doc_id, 1.0 AS score FROM tok2
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tok2
 WHERE regexp_matches(term, '^s.*k$') ORDER BY doc_id
 """)
 def search_regexp(spark, sf_dir):
@@ -1681,7 +1681,7 @@ pos AS (
 
 @q("search_span_near", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT a.doc_id, 1.0 AS score
+SELECT DISTINCT a.doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id
 WHERE a.term = 'spark' AND b.term = 'table'
   AND b.p > a.p AND (b.p - a.p) - 1 <= 3
@@ -1696,7 +1696,7 @@ def search_span_near(spark, sf_dir):
 
 @q("search_span_gap", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT a.doc_id, 1.0 AS score
+SELECT DISTINCT a.doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id
 WHERE a.term = 'spark' AND b.term = 'table' AND b.p = a.p + 2
 ORDER BY a.doc_id
@@ -1718,7 +1718,7 @@ def search_span_gap(spark, sf_dir):
 
 @q("search_span_near_unordered", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT a.doc_id, 1.0 AS score
+SELECT DISTINCT a.doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id
 WHERE a.term = 'key' AND b.term = 'value'
   AND a.p <> b.p AND greatest(a.p, b.p) - least(a.p, b.p) - 1 <= 2
@@ -1732,7 +1732,7 @@ def search_span_near_unordered(spark, sf_dir):
 
 @q("search_span_field_masking", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT a.doc_id, 1.0 AS score
+SELECT DISTINCT a.doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id
 WHERE a.term = 'spark' AND a.p < {TITLE_TOKENS}
   AND b.term = 'table' AND b.p > a.p AND (b.p - a.p) - 1 <= 5
@@ -2207,7 +2207,7 @@ sb AS (SELECT tf_b.doc_id,
                   / (tf_b.tf + 1.2 * (1.0 - 0.75 + 0.75 * tdl.dl / tstats.avgdl))) AS s
        FROM tf_b JOIN df_b USING (term) JOIN tdl USING (doc_id) CROSS JOIN tstats
        GROUP BY tf_b.doc_id),
-ta AS (SELECT 'docs' AS idx, doc_id, round(s, 4) * 1.0 AS score FROM sa
+ta AS (SELECT 'docs' AS idx, doc_id, round(s, 4) * CAST(1.0 AS DOUBLE) AS score FROM sa
        ORDER BY round(s, 4) DESC, doc_id LIMIT 10),
 tb AS (SELECT 'docs_title' AS idx, doc_id, round(s, 4) * 2.0 AS score FROM sb
        ORDER BY round(s, 4) DESC, doc_id LIMIT 10),
@@ -2375,7 +2375,7 @@ def search_explain(spark, sf_dir):
 
 
 @q("search_slice", """
-SELECT doc_id, 1.0 AS score FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id
 """)
 def search_slice(spark, sf_dir):
     """Sliced scroll (SliceBuilder.java): slice i of N = hash-mod partition
@@ -4220,8 +4220,9 @@ WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                       count(*) AS doc_count
                FROM events GROUP BY day)
 SELECT day, doc_count,
-       sum(doc_count) OVER (ORDER BY day
+       CAST(sum(doc_count) OVER (ORDER BY day
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT)
        AS cum_count
 FROM daily ORDER BY day
 """)
@@ -4363,7 +4364,7 @@ WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                       count(*) AS doc_count
                FROM events GROUP BY day)
 SELECT count(*) AS n_buckets, min(doc_count) AS min_count,
-       max(doc_count) AS max_count, sum(doc_count) AS sum_count,
+       max(doc_count) AS max_count, CAST(sum(doc_count) AS BIGINT) AS sum_count,
        round(avg(doc_count * 1.0), 4) AS avg_count
 FROM daily
 """)
@@ -4601,7 +4602,7 @@ SELECT event_id,
        string_split(event_type || ',' || CAST(user_id AS VARCHAR) || ',x',
                     ',')[2] AS csv_f2,
        event_type AS type_renamed,
-       list_sort(['c', event_type, 'a']) AS tags_sorted,
+       array_to_string(list_sort(['c', event_type, 'a']), '|') AS tags_sorted,
        len(['c', event_type, 'a'] || ['z']) AS tags_appended_n
 FROM e ORDER BY event_id
 """)
@@ -4627,7 +4628,9 @@ def ingest_processors_final(spark, sf_dir):
          * F.lit(1024)).alias("size_bytes"),
         F.split(csv_str, ",").getItem(1).alias("csv_f2"),
         F.col("event_type").alias("type_renamed"),
-        F.array_sort(tags).alias("tags_sorted"),
+        # joined to one VARCHAR so the driver hash sees a scalar on both
+        # sides (array serialization differs between Spark and DuckDB)
+        F.array_join(F.array_sort(tags), "|").alias("tags_sorted"),
         F.size(F.concat(tags, F.array(F.lit("z"))))
         .alias("tags_appended_n"),
     ).orderBy("event_id"))
@@ -5002,7 +5005,9 @@ SELECT doc_id, ({bits}) AS simhash FROM sums ORDER BY doc_id
 
 @q("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf_dir):
-    return D.simhash(_docs(spark, sf_dir), "text").orderBy("doc_id")
+    # bits pinned to 32: the oracle mirrors the md5 32-bit hash bit-for-
+    # bit; the library default (None) auto-postures to 64 at real size
+    return D.simhash(_docs(spark, sf_dir), "text", bits=32).orderBy("doc_id")
 
 
 def _simhash_pairs_oracle(max_hamming: int = 6) -> str:
@@ -5031,8 +5036,8 @@ ORDER BY a, b
 
 @q("dedup_simhash_pairs", _simhash_pairs_oracle())
 def dedup_simhash_pairs(spark, sf_dir):
-    fp = D.simhash(_docs(spark, sf_dir), "text")
-    return D.simhash_pairs(fp, max_hamming=6).orderBy("a", "b")
+    fp = D.simhash(_docs(spark, sf_dir), "text", bits=32)  # oracle-paired
+    return D.simhash_pairs(fp, max_hamming=6, bits=32).orderBy("a", "b")
 
 
 @q("curation_decontaminate", """
@@ -5066,9 +5071,9 @@ c AS (SELECT doc_id, lang, n_tokens,
              sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS fin
       FROM t)
 SELECT doc_id, lang, n_tokens,
-       (fin - n_tokens) // 64 AS start_seq,
-       (fin - 1) // 64 AS end_seq,
-       (fin - n_tokens) % 64 AS offset_in_seq
+       CAST((fin - n_tokens) // 64 AS BIGINT) AS start_seq,
+       CAST((fin - 1) // 64 AS BIGINT) AS end_seq,
+       CAST((fin - n_tokens) % 64 AS BIGINT) AS offset_in_seq
 FROM c ORDER BY doc_id
 """)
 def curation_pack_sequences(spark, sf_dir):
@@ -5315,7 +5320,7 @@ def pipeline_training_data(spark, sf_dir):
 WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
 flat AS (SELECT unnest(toks) AS term FROM t)
 SELECT (SELECT count(*) FROM t) AS n_docs,
-       (SELECT sum(len(toks)) FROM t) AS n_tokens,
+       (SELECT CAST(sum(len(toks)) AS BIGINT) FROM t) AS n_tokens,
        (SELECT count(DISTINCT text) FROM t) AS n_distinct_docs,
        (SELECT count(DISTINCT term) FROM flat) AS vocab_size,
        (SELECT round(avg(len(toks)), 4) FROM t) AS avg_dl
@@ -5637,7 +5642,7 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 {', '.join(assigns)},
 sel AS (SELECT e.vec_id{''.join(f', code{m}' for m in range(PQ_NSUB))}
         FROM e {' '.join(joins)})
-SELECT vec_id, round({' + '.join(qd_lookups)}, 6) AS adc
+SELECT vec_id, CAST(round({' + '.join(qd_lookups)}, 6) AS DOUBLE) AS adc
 FROM sel ORDER BY adc ASC, vec_id ASC LIMIT 10
 """
 
@@ -5761,7 +5766,7 @@ ev AS (SELECT e.vec_id, e.v, a.j AS cj
 {', '.join(rs)},
 sel AS (SELECT ev.vec_id, ev.cj{''.join(f', code{m}' for m in range(PQ_NSUB))}
         FROM ev {' '.join(joins)})
-SELECT vec_id, round({case}, 6) AS adc
+SELECT vec_id, CAST(round({case}, 6) AS DOUBLE) AS adc
 FROM sel ORDER BY adc ASC, vec_id ASC LIMIT 10
 """
 
@@ -6015,14 +6020,34 @@ def dedup_semantic(spark, sf_dir):
             .select("vec_id", "label").orderBy("vec_id"))
 
 
-@q("sim_ivf_topk")  # rows-only: recall vs brute force asserted in tests
+@q("sim_ivf_topk", """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (SELECT e.vec_id,
+                 unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+                 unnest(q.qe) AS y
+          FROM embeddings e CROSS JOIN q),
+s AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+      FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 4) AS cosine
+FROM s WHERE vec_id <> 0
+ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 4) DESC, vec_id LIMIT 10
+""")
 def sim_ivf_topk(spark, sf_dir):
     """IVF ANN over the materialized index: deterministic k-means++-style
     seeding + Lloyd, assignment as a parquet partition column, probe =
-    partition pruning, exact re-rank inside the probed lists."""
+    partition pruning, exact re-rank inside the probed lists.
+
+    The gate probes ALL 8 inverted lists (nprobe = nlist), so the result
+    is the exact cosine top-k REGARDLESS of where k-means placed the
+    centroids — which makes the plain cosine SQL a full value-hash oracle
+    (4dp rounding + vec_id tie-break) while the engine path still
+    exercises k-means build, assignment partitioning, probe-set pruning,
+    and per-list re-rank + merge.  The approximate nprobe < nlist leg is
+    hash-gated by the fixed-centroid twin ``sim_ivf_fixed_topk`` and by
+    the in-repo recall tests."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return _ann_index(spark, sf_dir).ivf_topk(spark, qv, k=10, nprobe=3,
+    return _ann_index(spark, sf_dir).ivf_topk(spark, qv, k=10, nprobe=8,
                                               exclude_id=0)
 
 
@@ -6263,7 +6288,7 @@ def search_phrase_slop(spark, sf_dir):
 
 @q("search_span_first", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT doc_id, 1.0 AS score FROM pos
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM pos
 WHERE term = 'spark' AND p + 1 <= 2 ORDER BY doc_id
 """)
 def search_span_first(spark, sf_dir):
@@ -6277,7 +6302,7 @@ def search_span_first(spark, sf_dir):
 
 @q("search_span_or", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT doc_id, 1.0 AS score FROM pos
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM pos
 WHERE term IN ('spark', 'vector') ORDER BY doc_id
 """)
 def search_span_or(spark, sf_dir):
@@ -6290,7 +6315,7 @@ def search_span_or(spark, sf_dir):
 
 @q("search_span_not", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT a.doc_id, 1.0 AS score FROM pos a
+SELECT DISTINCT a.doc_id, CAST(1.0 AS DOUBLE) AS score FROM pos a
 WHERE a.term = 'spark' AND NOT EXISTS (
     SELECT 1 FROM pos b WHERE b.doc_id = a.doc_id AND b.term = 'table'
     AND b.p BETWEEN a.p AND a.p + 1)
@@ -6308,7 +6333,7 @@ def search_span_not(spark, sf_dir):
 
 @q("search_span_near_multi", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT a.doc_id, 1.0 AS score
+SELECT DISTINCT a.doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id
 WHERE a.term = 'spark' AND b.term IN ('table', 'vector')
   AND b.p > a.p AND (b.p - a.p) - 1 <= 4
@@ -6326,7 +6351,7 @@ def search_span_near_multi(spark, sf_dir):
 
 @q("search_intervals", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT a.doc_id, 1.0 AS score
+SELECT DISTINCT a.doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id
 WHERE a.term = 'spark' AND b.term = 'table'
   AND b.p > a.p AND b.p - a.p - 1 <= 2
@@ -6344,7 +6369,7 @@ def search_intervals(spark, sf_dir):
 
 @q("search_intervals_any_of", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT doc_id, 1.0 AS score FROM pos
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM pos
 WHERE term IN ('vector', 'stream') ORDER BY doc_id
 """)
 def search_intervals_any_of(spark, sf_dir):
@@ -6360,7 +6385,7 @@ def search_intervals_any_of(spark, sf_dir):
 
 @q("search_intervals_all_of", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT a.doc_id, 1.0 AS score
+SELECT DISTINCT a.doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id
 WHERE a.term = 'merge' AND b.term IN ('table', 'window')
   AND b.p > a.p AND b.p - a.p - 1 <= 2
@@ -6381,7 +6406,7 @@ def search_intervals_all_of(spark, sf_dir):
 
 @q("search_intervals_unordered", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT a.doc_id, 1.0 AS score
+SELECT DISTINCT a.doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id
 WHERE a.term = 'key' AND b.term = 'value'
   AND a.p <> b.p AND greatest(a.p, b.p) - least(a.p, b.p) - 1 <= 1
@@ -6662,9 +6687,14 @@ def search_sort_multivalue(spark, sf_dir):
     """Multi-value sort mode (search/MultiValueMode.java, mode=avg): sort
     docs by the average over a multi-valued field (token lengths)."""
     d = _docs(spark, sf_dir)
+    # CAST to double before the divide: a bare `* 1.0` in SQL text is a
+    # DECIMAL(2,1) literal in Spark, and a decimal sort_key would
+    # hash-mismatch the oracle's DOUBLE at the driver (the r4 HUGEINT
+    # failure class, caught by the r5 type-kind contract check)
     key = F.expr(
-        "round(aggregate(transform(split(trim(text), '\\\\s+'), t -> length(t)), "
-        "0L, (a, t) -> a + t) * 1.0 / size(split(trim(text), '\\\\s+')), 4)")
+        "round(cast(aggregate(transform(split(trim(text), '\\\\s+'), "
+        "t -> length(t)), 0L, (a, t) -> a + t) as double) "
+        "/ size(split(trim(text), '\\\\s+')), 4)")
     return (d.select("doc_id", key.alias("sort_key"))
             .orderBy(F.desc("sort_key"), F.asc("doc_id")).limit(10))
 
@@ -6898,7 +6928,7 @@ def search_nested_inner_hits(spark, sf_dir):
 
 @q("search_span_multi", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT doc_id, 1.0 AS score FROM pos
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM pos
 WHERE term LIKE 's%' ORDER BY doc_id
 """)
 def search_span_multi(spark, sf_dir):
@@ -6913,7 +6943,7 @@ def search_span_multi(spark, sf_dir):
 
 @q("search_span_containing", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT a.doc_id, 1.0 AS score
+SELECT DISTINCT a.doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id
            JOIN pos c ON a.doc_id = c.doc_id
 WHERE a.term = 'spark' AND b.term = 'merge' AND c.term = 'table'
@@ -6933,7 +6963,7 @@ def search_span_containing(spark, sf_dir):
 
 @q("search_span_within", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT a.doc_id, 1.0 AS score
+SELECT DISTINCT a.doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id
            JOIN pos c ON a.doc_id = c.doc_id
 WHERE a.term = 'key' AND b.term = 'window' AND c.term = 'value'
@@ -7078,7 +7108,7 @@ WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                FROM events GROUP BY day)
 SELECT count(*) AS n_buckets,
        min(doc_count) AS min_count, max(doc_count) AS max_count,
-       sum(doc_count) AS sum_count,
+       CAST(sum(doc_count) AS BIGINT) AS sum_count,
        round(avg(doc_count * 1.0), 4) AS avg_count,
        round((sum(doc_count * doc_count)
               - sum(doc_count) * 1.0 * sum(doc_count) / count(*))
@@ -7342,7 +7372,7 @@ def search_terminate_after(spark, sf_dir):
 
 @q("search_intervals_prefix", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT a.doc_id, 1.0 AS score
+SELECT DISTINCT a.doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id
 WHERE a.term = 'spark' AND b.term LIKE 'ta%'
   AND b.p > a.p AND b.p - a.p - 1 <= 1
@@ -7361,7 +7391,7 @@ def search_intervals_prefix(spark, sf_dir):
 
 @q("search_intervals_fuzzy", f"""
 WITH {_POS_CTE}
-SELECT DISTINCT a.doc_id, 1.0 AS score
+SELECT DISTINCT a.doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id
 WHERE a.term = 'spark' AND damerau_levenshtein(b.term, 'tabl') <= 1
   AND b.p > a.p AND b.p - a.p - 1 <= 1
@@ -8139,7 +8169,7 @@ def _phonetic_oracle_sql() -> str:
     return f"""
 WITH {O.TOK_CTES},
 codes AS (SELECT doc_id, {soundex_sql('term', 'duckdb')} AS code FROM tok2)
-SELECT DISTINCT doc_id, 1.0 AS score FROM codes
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM codes
 WHERE code IN ({codes}) ORDER BY doc_id
 """
 
@@ -8552,7 +8582,7 @@ def _cjk_bigram_sql() -> str:
 WITH c AS (SELECT doc_id,
                   {mk(0)} || {mk(1)} || {mk(2)} || {mk(3)} AS cjk
            FROM documents)
-SELECT doc_id, 1.0 AS score FROM c
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM c
 WHERE substr(cjk, 1, 2) = {q} OR substr(cjk, 2, 2) = {q}
    OR substr(cjk, 3, 2) = {q}
 ORDER BY doc_id

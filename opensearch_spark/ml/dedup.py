@@ -490,21 +490,45 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 12) -> DataFrame:
                          F.col("label").alias("cluster_id"))
 
 
-def simhash(df: DataFrame, text_col: str, bits: int = 32,
+#: Above this corpus size the 32-bit posture's 8-bit band keys saturate
+#: (≤256 keys/band → every bucket goes hot → candidate enumeration turns
+#: quadratic: ~2.8B candidate pairs measured at 600k docs in r4) and
+#: ``bits=None`` auto-selects the 64-bit posture.  Deliberately far below
+#: ``SCALE_POSTURE_MIN_DOCS``: band-key saturation bites two orders of
+#: magnitude before shuffle-plan choice does.
+SIMHASH_64BIT_MIN_DOCS = 10_000
+
+
+def _simhash_bits_posture(df: DataFrame, bits: int | None) -> int:
+    """Resolve the simhash bit-width posture: an explicit 32/64 wins
+    (oracle-paired gates pin 32); ``None`` counts the corpus once and
+    picks 64 above SIMHASH_64BIT_MIN_DOCS — the same auto-posture
+    pattern as :func:`_scale_posture`, so callers at real corpus size
+    cannot silently keep the quadratic 32-bit banding."""
+    if bits is not None:
+        if bits not in (32, 64):
+            raise ValueError("simhash: bits must be 32 or 64")
+        return bits
+    return 64 if df.count() > SIMHASH_64BIT_MIN_DOCS else 32
+
+
+def simhash(df: DataFrame, text_col: str, bits: int | None = None,
             id_col: str = "doc_id") -> DataFrame:
     """SimHash over whitespace tokens; bit i of the fingerprint = sign of
     Σ_tokens (2·bit_i(h(token)) − 1).
 
     ``bits=32`` (md5-derived token hash — mirrors the DuckDB oracle
-    constant-for-constant) is the GATE-SCALE default; its 4-band keys
+    constant-for-constant) is the GATE-SCALE posture; its 4-band keys
     are only 8 bits wide, so banding buckets saturate once the corpus
     outgrows ~10k docs and candidate enumeration goes quadratic (the
-    LSH hot-bucket failure class). At real corpus size use ``bits=64``
+    LSH hot-bucket failure class). At real corpus size ``bits=64``
     (xxhash64 token hash, 16-bit band keys at k=3 — 65,536 keys/band
     keeps buckets sparse at millions of docs; measured at 600k in
-    BENCH.md). Pass the same ``bits`` to ``simhash_pairs``."""
-    if bits not in (32, 64):
-        raise ValueError("simhash: bits must be 32 or 64")
+    BENCH.md). The default ``bits=None`` auto-selects by corpus size
+    (>SIMHASH_64BIT_MIN_DOCS → 64); pass the same ``bits`` to
+    ``simhash_pairs`` (its ``None`` resolves identically from the
+    fingerprint frame's row count)."""
+    bits = _simhash_bits_posture(df, bits)
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
@@ -537,19 +561,21 @@ def simhash(df: DataFrame, text_col: str, bits: int = 32,
 
 
 def simhash_pairs(fp: DataFrame, max_hamming: int = 3,
-                  id_col: str = "doc_id", bits: int = 32,
+                  id_col: str = "doc_id", bits: int | None = None,
                   scale_posture: bool | None = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ k via pigeonhole banding:
     split the fingerprint into k+1 bands — equal in ≥1 band guaranteed —
     then verify. (Never an O(n²) cross join.) ``bits`` MUST match the
-    ``simhash`` call that produced ``fp``: 32 is the gate-scale default,
+    ``simhash`` call that produced ``fp``: 32 is the gate-scale posture,
     64 is the real-corpus posture (see ``simhash``'s docstring for the
     band-key-width arithmetic that makes 32 quadratic beyond ~10k docs).
+    The default ``None`` auto-resolves from the fingerprint frame's row
+    count (= corpus doc count) with the SAME threshold as ``simhash``, so
+    matching ``None``/``None`` calls can never disagree on the width.
     ``scale_posture`` as in :func:`_scale_posture`: forced sort-merge
     for the corpus-scaled band self-join above the doc threshold, AQE
     freedom at gate scale."""
-    if bits not in (32, 64):
-        raise ValueError("simhash_pairs: bits must be 32 or 64")
+    bits = _simhash_bits_posture(fp, bits)
     n_bands = max_hamming + 1
     width = bits // n_bands
     bands = []

@@ -80,10 +80,20 @@ def _queries_df(spark: SparkSession, queries: list[PercQuery]) -> DataFrame:
 PERC_BROADCAST_MAX_QUERIES = 2_000_000
 
 #: grid-bucketed range legs: max value-grid buckets a single stored range
-#: query may explode into; wider (or unbounded) ranges stay on the
-#: broadcast theta-join leg — they are the residual minority by the p90
-#: width grid choice, and each matches many docs anyway
+#: query may explode into; wider (or unbounded) ranges move to the
+#: doc-domain sweep grid below — only truly full-range (no finite bound)
+#: queries keep the broadcast theta-join
 PERC_RANGE_MAX_BUCKETS = 256
+
+#: Cells of the doc-domain sweep grid (r5, VERDICT r4 #5): any range
+#: query with >= 1 finite bound — half-planes (-inf, hi] / [lo, inf) and
+#: wider-than-cap bounded ranges — clamps to the OBSERVED doc value
+#: domain [vmin, vmax] (values outside it cannot match anything), which
+#: turns every such query into a bounded interval spanning at most this
+#: many fixed-width cells. Exploding those cells makes the join an
+#: equi-join on cell id + exact bound check — zero BroadcastNestedLoop
+#: for ANY finite-bound leg set at ANY standing-query count.
+PERC_SWEEP_BUCKETS = 64
 
 
 def percolate(
@@ -100,12 +110,14 @@ def percolate(
     analyze pass). Stored queries broadcast while the set is under
     ``broadcast_max_queries``; above it the match/term equality joins flip
     to shuffle-hash on the join key (pinned by hint so a mis-estimate
-    can't OOM an executor), and bounded RANGE queries flip to a
-    grid-bucketed interval join (value-axis buckets at the p90 range
-    width, shuffle-hash equi-join on bucket + exact bound check — no
-    BroadcastNestedLoop at any query count). Only the wide/unbounded
-    range minority keeps the broadcast theta-join (documented residual
-    bound; such queries match large doc fractions regardless)."""
+    can't OOM an executor), and RANGE queries flip to grid-bucketed
+    interval joins: narrow bounded ranges on a fine value grid at the
+    p90 range width, wide / half-bounded ranges on a coarse sweep grid
+    clamped to the observed doc-value domain — both shuffle-hash
+    equi-joins on a cell id + exact bound check, so there is no
+    BroadcastNestedLoop for ANY finite-bound leg set at any query
+    count. Only truly full-range queries (no finite bound — they match
+    every doc that has the field) keep a broadcast leg."""
     # a small single-file corpus arrives as ONE partition — the analyze
     # UDF pass (the dominant cost) would run on one core and one Python
     # worker; re-spread to the session's parallelism (no-op at cluster
@@ -193,7 +205,8 @@ def percolate(
                           & (F.col("field") == num_field))
                    .select("query_id", "lo", "hi"))
         theta_cond = lambda qr: (  # noqa: E731 — shared by both legs
-            (qr["lo"].isNull() | (docs[num_field] >= qr["lo"]))
+            docs[num_field].isNotNull()  # range requires the field to exist
+            & (qr["lo"].isNull() | (docs[num_field] >= qr["lo"]))
             & (qr["hi"].isNull() | (docs[num_field] <= qr["hi"])))
         widths = sorted(q.hi - q.lo for q in fq
                         if q.lo is not None and q.hi is not None)
@@ -209,7 +222,7 @@ def percolate(
         # that USES the sentinels themselves is rejected loudly (the
         # assign_doc_ids reserved-column posture) rather than silently
         # shadowed by withColumn
-        reserved = {"_bkt", "_q_lo", "_q_hi"} & set(docs.columns)
+        reserved = {"_bkt", "_sbkt", "_q_lo", "_q_hi"} & set(docs.columns)
         if reserved:
             raise ValueError(
                 f"percolate: input columns {sorted(reserved)} collide "
@@ -232,13 +245,64 @@ def percolate(
             .where((F.col(num_field) >= F.col("_q_lo"))
                    & (F.col(num_field) <= F.col("_q_hi")))
             .select(id_col, "query_id"))
-        # wide/unbounded leg only when such queries EXIST (driver-known):
-        # an empty theta frame would still plant a BroadcastNestedLoop in
-        # the plan, defeating the no-BNLJ guarantee for all-narrow sets
-        if any(q.lo is None or q.hi is None or (q.hi - q.lo) > max_w
-               for q in fq):
-            qr = F.broadcast(base.where(~narrow_pred))
-            parts.append(docs.join(qr, theta_cond(qr))
+        # wide / half-bounded leg: sweep grid over the OBSERVED doc value
+        # domain. [lo, inf) clamps to [lo, vmax], (-inf, hi] to [vmin, hi],
+        # wide bounded ranges to their intersection with [vmin, vmax] —
+        # every clamped interval covers <= PERC_SWEEP_BUCKETS + 1 cells,
+        # so it explodes into an equi-join on cell id exactly like the
+        # narrow leg (exact bound check after; a doc lands in ONE cell per
+        # leg, so no dedup). One min/max agg per range field prices the
+        # grid — at cluster scale that is a single columnar scan of one
+        # column, amortized across the whole standing-query set. Legs are
+        # built only when their queries EXIST (driver-known): an empty
+        # frame would still plant its join in the plan.
+        wide_fq = [q for q in fq
+                   if q.lo is None or q.hi is None or (q.hi - q.lo) > max_w]
+        finite_wide = [q for q in wide_fq
+                       if not (q.lo is None and q.hi is None)]
+        if finite_wide:
+            st = docs.agg(F.min(num_field).alias("mn"),
+                          F.max(num_field).alias("mx")).first()
+            vmin, vmax = st["mn"], st["mx"]
+            if vmin is not None:  # all-null doc column -> nothing matches
+                vmin, vmax = float(vmin), float(vmax)
+                sstep = max((vmax - vmin) / PERC_SWEEP_BUCKETS, 1e-12)
+                lo_c = F.greatest(F.coalesce(F.col("lo"), F.lit(vmin)),
+                                  F.lit(vmin))
+                hi_c = F.least(F.coalesce(F.col("hi"), F.lit(vmax)),
+                               F.lit(vmax))
+                start = F.floor((lo_c - F.lit(vmin)) / F.lit(sstep))
+                end = F.floor((hi_c - F.lit(vmin)) / F.lit(sstep))
+                wide_pred = (~narrow_pred
+                             & (F.col("lo").isNotNull()
+                                | F.col("hi").isNotNull()))
+                sweep = (base.where(wide_pred)
+                         # start > end <=> clamped interval is empty (lo >
+                         # vmax or hi < vmin): matches nothing — and
+                         # F.sequence would count DOWN, fabricating cells
+                         .where(start <= end)
+                         .select("query_id",
+                                 F.col("lo").alias("_q_lo"),
+                                 F.col("hi").alias("_q_hi"),
+                                 F.explode(F.sequence(start, end))
+                                 .alias("_sbkt"))
+                         .hint("shuffle_hash"))
+                sdoc = docs.withColumn(
+                    "_sbkt",
+                    F.floor((docs[num_field] - F.lit(vmin)) / F.lit(sstep)))
+                parts.append(
+                    sdoc.join(sweep, "_sbkt")
+                    .where((F.col("_q_lo").isNull()
+                            | (F.col(num_field) >= F.col("_q_lo")))
+                           & (F.col("_q_hi").isNull()
+                              | (F.col(num_field) <= F.col("_q_hi"))))
+                    .select(id_col, "query_id"))
+        # only truly full-range queries (no finite bound at all — they
+        # match every doc with a non-null value) keep the broadcast leg
+        if len(finite_wide) < len(wide_fq):
+            qr = F.broadcast(base.where(F.col("lo").isNull()
+                                        & F.col("hi").isNull()))
+            parts.append(docs.join(qr, docs[num_field].isNotNull())
                          .select(id_col, "query_id"))
 
     if not parts:

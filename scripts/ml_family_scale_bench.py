@@ -75,9 +75,10 @@ def main() -> None:
             C.quality_classifier(docs, "content")),
         "curation_dsir": lambda: checksum(
             C.dsir_log_importance(docs, target, "content")),
+        # bits=None: the auto posture must resolve to 64 at this corpus
+        # size (>SIMHASH_64BIT_MIN_DOCS) — exercising the switch itself
         "dedup_simhash64_pairs": lambda: checksum(
-            D.simhash_pairs(D.simhash(docs, "content", bits=64),
-                            max_hamming=3, bits=64)),
+            D.simhash_pairs(D.simhash(docs, "content"), max_hamming=3)),
     }
 
     timings: dict[str, float] = {}

@@ -25,22 +25,51 @@ def duck():
     return con
 
 
-def normalize(v):
-    if isinstance(v, float):
-        return round(v, 9)
-    try:
-        import decimal
+#: DuckDB output types every oracle must stay inside.  The driver's
+#: value-hash serializes types, not just magnitudes: r4 proved a DuckDB
+#: HUGEINT column (sum() over BIGINT, // division) hash-mismatches a
+#: Spark bigint even when every value is identical.  DECIMAL/HUGEINT/
+#: nested types are therefore banned at the oracle layer — CAST in the
+#: SQL instead.
+ORACLE_TYPE_ALLOW = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                     "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP"}
 
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 9)
-    except ImportError:
-        pass
-    return v
+#: Spark simpleString dtypes mapped to a comparison "kind"; the DuckDB
+#: types map into the same kinds.  A kind mismatch between a gate's
+#: Spark column and its oracle column is exactly the class of divergence
+#: the driver's hash sees and the old value-equality comparator (3 ==
+#: 3.0, int128 == int64) could not.
+_KIND = {"bigint": "i", "int": "i", "smallint": "i", "tinyint": "i",
+         "BIGINT": "i", "INTEGER": "i", "SMALLINT": "i", "TINYINT": "i",
+         "double": "f", "float": "f", "DOUBLE": "f", "FLOAT": "f",
+         "string": "s", "VARCHAR": "s", "boolean": "b", "BOOLEAN": "b",
+         "date": "d", "DATE": "d",
+         "timestamp": "t", "timestamp_ntz": "t", "TIMESTAMP": "t"}
+
+
+def serialize(v):
+    """Canonical per-value serialization, split by runtime type — the
+    in-repo analog of the driver's row hash.  int and float serialize
+    differently (``i:3`` vs ``f:3.0``), so a type-level divergence the
+    old ``3 == 3.0`` comparator silently accepted now fails loudly."""
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, float):
+        return f"f:{round(v, 9)!r}"
+    import decimal
+
+    if isinstance(v, decimal.Decimal):  # banned at the type layer; loud here
+        return f"dec:{v}"
+    return f"s:{v}"
 
 
 def as_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(normalize(r[i]) for i in order) for r in rows)
+    return sorted(tuple(serialize(r[i]) for i in order) for r in rows)
 
 
 ALL = sorted(entry_mod.queries().keys())
@@ -58,8 +87,20 @@ def test_query_vs_oracle(spark, duck, name):
         return
     res = duck.sql(oracles[name])
     ocols = [c for c in res.columns]
+    otypes = [str(t) for t in res.types]
     orows = res.fetchall()
     assert sorted(cols) == sorted(ocols), f"{name}: schema mismatch"
+    # driver-hash parity, type level: oracle types inside the allowlist
+    # (no HUGEINT/DECIMAL/nested — the r4 driver reds), and each column's
+    # comparison kind equal between the Spark schema and the oracle
+    bad = [(c, t) for c, t in zip(ocols, otypes) if t not in ORACLE_TYPE_ALLOW]
+    assert not bad, f"{name}: oracle emits banned types {bad}"
+    skinds = {f.name: _KIND.get(f.dataType.simpleString(), "?")
+              for f in df.schema.fields}
+    okinds = {c: _KIND.get(t, "?") for c, t in zip(ocols, otypes)}
+    kind_diff = [(c, skinds[c], okinds[c]) for c in skinds
+                 if skinds[c] != okinds[c]]
+    assert not kind_diff, f"{name}: Spark/oracle type-kind mismatch {kind_diff}"
     assert len(rows) == len(orows), f"{name}: row count {len(rows)} != {len(orows)}"
     got, want = as_multiset(cols, rows), as_multiset(ocols, orows)
     if got != want:

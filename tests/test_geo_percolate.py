@@ -172,24 +172,50 @@ def test_percolate_range_grid_join_above_threshold(spark):
     assert "ShuffledHashJoin" in plan
 
 
-def test_percolate_range_grid_keeps_wide_leg_exact(spark):
-    """Unbounded / wider-than-cap ranges stay on the (exact) broadcast
-    theta leg while narrow ones grid-join — union must equal the
-    all-broadcast result."""
+def test_percolate_range_sweep_grid_half_planes(spark):
+    """Unbounded / wider-than-cap ranges land on the doc-domain sweep
+    grid (VERDICT r4 #5): half-planes and wide bounded ranges clamp to
+    [vmin, vmax] and equi-join on a coarse cell id — pairs identical to
+    the all-broadcast result and ZERO BroadcastNestedLoop because every
+    query here has at least one finite bound."""
     qs = [
         PercQuery(1, "range", "n_chars", lo=15.0, hi=20.0),
         PercQuery(2, "range", "n_chars", hi=12.0),          # unbounded lo
         PercQuery(3, "range", "n_chars", lo=11.0, hi=10000.0),  # wide: width
-        # 9989 > 256 * step(=p90 width 5) -> stays on the theta leg
+        # 9989 > 256 * step(=p90 width 5) -> sweep-grid leg
         PercQuery(4, "range", "n_chars", lo=16.0, hi=17.0),
+        PercQuery(5, "range", "n_chars", lo=16.0),          # unbounded hi
+        PercQuery(6, "range", "n_chars", lo=99999.0),       # above vmax:
+        # clamped interval empty -> matches nothing (and must not make
+        # F.sequence count down)
     ]
     docs = _tiny_docs(spark)
     want = {(r["doc_id"], r["query_id"])
             for r in percolate(spark, qs, docs).collect()}
-    got = {(r["doc_id"], r["query_id"])
-           for r in percolate(spark, qs, docs,
-                              broadcast_max_queries=0).collect()}
+    assert not any(q == 6 for _, q in want)
+    swept = percolate(spark, qs, docs, broadcast_max_queries=0)
+    got = {(r["doc_id"], r["query_id"]) for r in swept.collect()}
     assert got == want
+    plan = swept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_percolate_full_range_only_leg_is_exists(spark):
+    """A (None, None) range query is the ONLY shape that keeps a
+    broadcast leg — it behaves as an exists query: matches every doc
+    whose field is non-null, in BOTH postures."""
+    qs = [PercQuery(1, "range", "n_chars"),
+          PercQuery(2, "range", "n_chars", lo=16.0)]
+    docs = _tiny_docs(spark).withColumn(
+        "n_chars", F.when(F.col("doc_id") == 1, F.lit(None))
+                    .otherwise(F.col("n_chars")))
+    for bmax in (len(qs) + 1, 0):
+        got = {(r["doc_id"], r["query_id"])
+               for r in percolate(spark, qs, docs,
+                                  broadcast_max_queries=bmax).collect()}
+        assert (1, 1) not in got, f"null value matched full-range (bmax={bmax})"
+        assert {(d, q) for d, q in got if q == 1} == \
+            {(d, 1) for d in (2, 3, 4)}, got
 
 
 def test_percolate_grid_join_tolerates_user_lo_hi_columns(spark):

@@ -761,6 +761,38 @@ def test_dup_clusters_raises_on_non_convergence(spark):
     assert {r["cluster_id"] for r in out.collect()} == {0}
 
 
+def test_simhash_auto_bit_posture(spark, docs, monkeypatch):
+    """The r4-flagged manual escape hatch is now an auto posture:
+    ``bits=None`` selects 32 at gate scale and 64 above
+    SIMHASH_64BIT_MIN_DOCS, and banded ≡ brute-force holds on BOTH sides
+    of the switch point (threshold lowered so the 64-bit side runs at
+    test size). ``simhash`` and ``simhash_pairs`` resolve the width from
+    the same row count, so None/None callers cannot disagree."""
+    monkeypatch.setattr(D, "SIMHASH_64BIT_MIN_DOCS", 60)
+    below, above = docs.limit(50), docs.limit(120)
+    assert D._simhash_bits_posture(below, None) == 32
+    assert D._simhash_bits_posture(above, None) == 64
+    for frame, width in ((below, 32), (above, 64)):
+        fp = D.simhash(frame, "text").persist()
+        rows = fp.collect()
+        if width == 32:
+            assert all(0 <= r["simhash"] < 2 ** 32 for r in rows)
+        else:
+            assert any(r["simhash"] < 0 or r["simhash"] >= 2 ** 32
+                       for r in rows)
+        banded = {(r["a"], r["b"])
+                  for r in D.simhash_pairs(fp, max_hamming=3).collect()}
+        mask = (1 << width) - 1
+        brute = set()
+        for i, ra in enumerate(rows):
+            for rb in rows[i + 1:]:
+                a, b = sorted((ra["doc_id"], rb["doc_id"]))
+                if bin((ra["simhash"] ^ rb["simhash"]) & mask).count("1") <= 3:
+                    brute.add((a, b))
+        assert banded == brute, f"width={width}"
+        fp.unpersist()
+
+
 def test_simhash_pairs_64bit_exact_duplicates(spark):
     """Round-4 review: bits=64 with max_hamming=0 (exact-fingerprint
     dedup) must not overflow the band-mask literal."""
