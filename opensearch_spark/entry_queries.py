@@ -9659,12 +9659,28 @@ def _is_ml_family(name: str) -> bool:
     return name.startswith(_ML_FAMILY_PREFIXES) or name == "corpus_stats"
 
 
+#: Gates whose ORACLE SQL (or Spark twin) changed in round 5 (the
+#: HUGEINT→BIGINT / DECIMAL→DOUBLE canonicalization sweep + the decimal
+#: sort-key fix) and that no driver window has ever hash-checked.
+#: Changed-oracle gates carry the round's only real red risk, so they
+#: outrank unchanged never-verified gates for the remaining window slots.
+_R5_ORACLE_TOUCHED = frozenset({
+    "agg_extended_stats_bucket", "search_cjk_bigram",
+    "search_phonetic_match", "search_intervals_fuzzy",
+    "search_intervals_prefix", "search_span_containing",
+    "search_span_within", "search_span_multi", "search_sort_multivalue",
+    "ingest_processors_final",
+})
+
+
 def _rotate_verified_to_back() -> None:
     global QUERIES, ORACLES
     verified = _driver_verified()
     unverified = [k for k in QUERIES if k not in verified]
+    rest = [k for k in unverified if not _is_ml_family(k)]
     order = ([k for k in unverified if _is_ml_family(k)]
-             + [k for k in unverified if not _is_ml_family(k)]
+             + [k for k in rest if k in _R5_ORACLE_TOUCHED]
+             + [k for k in rest if k not in _R5_ORACLE_TOUCHED]
              + [k for k in QUERIES if k in verified])
     QUERIES = {k: QUERIES[k] for k in order}
     ORACLES = {k: ORACLES[k] for k in order if k in ORACLES}

@@ -12,8 +12,10 @@ Every op is materialized through a checksum aggregate over ALL of its
 output columns (xor of xxhash64) — a bare count() lets Catalyst prune
 the computed columns and time nothing (BENCH.md methodology).
 
-Usage: python scripts/ml_family_scale_bench.py [n_docs] [n_reps]
-Prints one JSON line; recorded in BENCH.md.
+Usage: python scripts/ml_family_scale_bench.py [n_docs] [n_reps] [only]
+``only`` is an optional comma-separated op-name filter (re-record a
+subset without paying the full sweep). Prints one JSON line; recorded
+in BENCH.md.
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
     n_reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
     from pyspark.sql import functions as F
 
@@ -83,6 +86,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in ops.items():
+        if only is not None and name not in only:
+            continue
         reps = []
         for _ in range(n_reps):
             t0 = time.perf_counter()

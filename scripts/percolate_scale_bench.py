@@ -10,9 +10,11 @@ over the same 600k-doc code corpus the other real-size benches use:
   (q × 600k BroadcastNestedLoop probes) is the reference engine's
   documented no-go zone
 
-Queries are deterministic bounded ranges over n_chars with a mixed
-width distribution (p90-width grid step exercises both 1-bucket and
-multi-bucket explodes, plus a 2% wide tail that stays on the theta leg).
+Queries are deterministic ranges over n_chars with a mixed width
+distribution (p90-width grid step exercises both 1-bucket and
+multi-bucket explodes), a 2% wide tail and ~1% half-plane
+(lo-only / hi-only) queries — the latter two land on the r5 doc-domain
+sweep grid, so the forced-grid posture has ZERO BroadcastNestedLoop.
 
 Usage: python scripts/percolate_scale_bench.py [n_docs] [n_small] [n_big]
 Prints one JSON line; recorded in BENCH.md.
@@ -38,8 +40,16 @@ def make_queries(n: int):
         # deterministic LCG-ish spread, no RNG (bench reproducibility)
         base = 200.0 + (i * 9973) % 1500
         width = 10.0 + (i * 31) % 40          # narrow majority
+        if i % 97 == 0:                        # ~1% half-planes -> r5
+            if i % 194 == 0:                   # sweep-grid leg (was the
+                qs.append(PercQuery(i, "range", "n_chars",  # theta leg)
+                                    lo=float(base)))
+            else:
+                qs.append(PercQuery(i, "range", "n_chars",
+                                    hi=float(base)))
+            continue
         if i % 50 == 0:
-            width = 5000.0                     # 2% wide tail -> theta leg
+            width = 5000.0                     # 2% wide tail -> sweep leg
         qs.append(PercQuery(i, "range", "n_chars",
                             lo=float(base), hi=float(base + width)))
     return qs

@@ -26,19 +26,29 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def normalize(v):
+def serialize(v):
+    """Type-aware value serialization (r5): int and float serialize
+    differently so HUGEINT/DECIMAL-class type divergence fails here the
+    way it fails the driver's value hash — mirrors
+    tests/test_entry_contract.py."""
     import decimal
 
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
-        return round(v, 9)
+        return f"f:{round(v, 9)!r}"
     if isinstance(v, decimal.Decimal):
-        return round(float(v), 9)
-    return v
+        return f"dec:{v}"
+    return f"s:{v}"
 
 
 def as_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(normalize(r[i]) for i in order) for r in rows)
+    return sorted(tuple(serialize(r[i]) for i in order) for r in rows)
 
 
 def main() -> int:

@@ -108,6 +108,21 @@ def test_query_vs_oracle(spark, duck, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
 
 
+def test_all_oracle_output_types_canonical(duck):
+    """Spark-free sweep of EVERY oracle's DuckDB output types: none may
+    emit HUGEINT/DECIMAL/nested types (the r4 driver-hash failure class)
+    — the per-gate kind check above only runs for gates whose Spark side
+    executes, this one covers the whole catalogue in seconds."""
+    offenders = {}
+    for name, sql in entry_mod.oracle_sql().items():
+        res = duck.sql(sql)
+        bad = [(c, str(t)) for c, t in zip(res.columns, res.types)
+               if str(t) not in ORACLE_TYPE_ALLOW]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
