@@ -9659,17 +9659,32 @@ def _is_ml_family(name: str) -> bool:
     return name.startswith(_ML_FAMILY_PREFIXES) or name == "corpus_stats"
 
 
-#: Gates whose ORACLE SQL (or Spark twin) changed in round 5 (the
-#: HUGEINT→BIGINT / DECIMAL→DOUBLE canonicalization sweep + the decimal
-#: sort-key fix) and that no driver window has ever hash-checked.
-#: Changed-oracle gates carry the round's only real red risk, so they
-#: outrank unchanged never-verified gates for the remaining window slots.
+#: EVERY gate whose ORACLE SQL (or Spark twin) changed in round 5 — the
+#: HUGEINT→BIGINT / DECIMAL→DOUBLE canonicalization sweep, the decimal
+#: sort-key fix, the ivf all-lists oracle, and the array→string
+#: canonicalization. Changed-oracle gates carry the round's only real
+#: red risk, so the still-unverified among them outrank unchanged
+#: never-verified gates for the window slots (already-verified members
+#: are unaffected — the verified tier still sorts last).
 _R5_ORACLE_TOUCHED = frozenset({
-    "agg_extended_stats_bucket", "search_cjk_bigram",
-    "search_phonetic_match", "search_intervals_fuzzy",
-    "search_intervals_prefix", "search_span_containing",
-    "search_span_within", "search_span_multi", "search_sort_multivalue",
-    "ingest_processors_final",
+    "curation_pack_sequences", "corpus_stats", "agg_cumulative_sum",
+    "agg_stats_bucket", "agg_extended_stats_bucket", "sim_ivf_topk",
+    "ingest_processors_final", "search_sort_multivalue",
+    "search_cjk_bigram", "search_constant_score", "search_exists",
+    "search_fuzzy", "search_fuzzy_transpositions", "search_ids",
+    "search_intervals", "search_intervals_all_of",
+    "search_intervals_any_of", "search_intervals_fuzzy",
+    "search_intervals_prefix", "search_intervals_unordered",
+    "search_match_all", "search_painless_filter",
+    "search_phonetic_match", "search_prefix", "search_regexp",
+    "search_slice", "search_span_containing",
+    "search_span_field_masking", "search_span_first", "search_span_gap",
+    "search_span_multi", "search_span_near", "search_span_near_multi",
+    "search_span_near_unordered", "search_span_not", "search_span_or",
+    "search_span_within", "search_sparse_vector",
+    "search_term_case_insensitive", "search_term_keyword",
+    "search_terms_keyword", "search_wildcard", "search_wildcard_accel",
+    "sim_ivfpq_topk", "sim_pq_topk",
 })
 
 

@@ -500,11 +500,15 @@ SIMHASH_64BIT_MIN_DOCS = 10_000
 
 
 def _simhash_bits_posture(df: DataFrame, bits: int | None) -> int:
-    """Resolve the simhash bit-width posture: an explicit 32/64 wins
+    """Resolve ``simhash``'s bit-width posture: an explicit 32/64 wins
     (oracle-paired gates pin 32); ``None`` counts the corpus once and
     picks 64 above SIMHASH_64BIT_MIN_DOCS — the same auto-posture
     pattern as :func:`_scale_posture`, so callers at real corpus size
-    cannot silently keep the quadratic 32-bit banding."""
+    cannot silently keep the quadratic 32-bit banding.
+    (``simhash_pairs`` does NOT use this: it resolves from the
+    fingerprint values instead, which tracks the producer's actual
+    choice even when dropped null/empty docs shift the row count across
+    the threshold.)"""
     if bits is not None:
         if bits not in (32, 64):
             raise ValueError("simhash: bits must be 32 or 64")
@@ -526,8 +530,9 @@ def simhash(df: DataFrame, text_col: str, bits: int | None = None,
     keeps buckets sparse at millions of docs; measured at 600k in
     BENCH.md). The default ``bits=None`` auto-selects by corpus size
     (>SIMHASH_64BIT_MIN_DOCS → 64); pass the same ``bits`` to
-    ``simhash_pairs`` (its ``None`` resolves identically from the
-    fingerprint frame's row count)."""
+    ``simhash_pairs``, or leave both ``None`` — its ``None`` resolves
+    from the fingerprint values, so it follows whatever this call
+    actually emitted."""
     bits = _simhash_bits_posture(df, bits)
     toks = df.select(
         F.col(id_col),
@@ -569,13 +574,29 @@ def simhash_pairs(fp: DataFrame, max_hamming: int = 3,
     ``simhash`` call that produced ``fp``: 32 is the gate-scale posture,
     64 is the real-corpus posture (see ``simhash``'s docstring for the
     band-key-width arithmetic that makes 32 quadratic beyond ~10k docs).
-    The default ``None`` auto-resolves from the fingerprint frame's row
-    count (= corpus doc count) with the SAME threshold as ``simhash``, so
-    matching ``None``/``None`` calls can never disagree on the width.
+    The default ``None`` auto-resolves from the fingerprint VALUES, not
+    a row count: a 64-bit ``simhash`` output contains a negative or
+    ≥ 2³² fingerprint with overwhelming probability, while the 32-bit
+    posture can only emit [0, 2³²) — and in the astronomically unlikely
+    corner where every 64-bit fingerprint fits 32 bits, their high bits
+    are all EQUAL (zero), so banding only the low 32 is still exhaustive
+    and the pairs stay exact. Row counts would be wrong here: ``simhash``
+    resolves from the input doc count, but null-text / empty docs are
+    dropped before fingerprinting, so the fingerprint frame can sit on
+    the other side of the threshold (review r5). Value inspection cannot
+    disagree with whatever the producer actually emitted. (Resolution
+    costs one min/max agg over ``fp`` — persist ``fp`` or pass ``bits``
+    explicitly to avoid recomputing an unpersisted fingerprint plan.)
     ``scale_posture`` as in :func:`_scale_posture`: forced sort-merge
     for the corpus-scaled band self-join above the doc threshold, AQE
     freedom at gate scale."""
-    bits = _simhash_bits_posture(fp, bits)
+    if bits is None:
+        r = fp.agg(F.min("simhash").alias("mn"),
+                   F.max("simhash").alias("mx")).first()
+        bits = 64 if (r["mn"] is not None
+                      and (r["mn"] < 0 or r["mx"] >= 1 << 32)) else 32
+    elif bits not in (32, 64):
+        raise ValueError("simhash_pairs: bits must be 32 or 64")
     n_bands = max_hamming + 1
     width = bits // n_bands
     bands = []

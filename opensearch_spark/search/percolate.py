@@ -210,13 +210,11 @@ def percolate(
             & (qr["hi"].isNull() | (docs[num_field] <= qr["hi"])))
         widths = sorted(q.hi - q.lo for q in fq
                         if q.lo is not None and q.hi is not None)
-        if use_bcast or len(fq) <= broadcast_max_queries or not widths:
+        if use_bcast or len(fq) <= broadcast_max_queries:
             qr = F.broadcast(base)
             parts.append(docs.join(qr, theta_cond(qr))
                          .select(id_col, "query_id"))
             continue
-        step = max(float(widths[int(0.9 * (len(widths) - 1))]), 1e-12)
-        max_w = PERC_RANGE_MAX_BUCKETS * step
         # working columns are underscore-namespaced so a docs frame with
         # ordinary lo/hi/query_id columns keeps percolating; a frame
         # that USES the sentinels themselves is rejected loudly (the
@@ -227,24 +225,33 @@ def percolate(
             raise ValueError(
                 f"percolate: input columns {sorted(reserved)} collide "
                 "with internal working columns — rename them first")
-        narrow_pred = (F.col("lo").isNotNull() & F.col("hi").isNotNull()
-                       & ((F.col("hi") - F.col("lo")) <= F.lit(max_w)))
-        narrow = (base.where(narrow_pred)
-                  .select("query_id",
-                          F.col("lo").alias("_q_lo"),
-                          F.col("hi").alias("_q_hi"),
-                          F.explode(F.sequence(
-                              F.floor(F.col("lo") / F.lit(step)),
-                              F.floor(F.col("hi") / F.lit(step)),
-                          )).alias("_bkt"))
-                  .hint("shuffle_hash"))
-        doc_side = docs.withColumn(
-            "_bkt", F.floor(F.col(num_field) / F.lit(step)))
-        parts.append(
-            doc_side.join(narrow, "_bkt")
-            .where((F.col(num_field) >= F.col("_q_lo"))
-                   & (F.col(num_field) <= F.col("_q_hi")))
-            .select(id_col, "query_id"))
+        if widths:
+            step = max(float(widths[int(0.9 * (len(widths) - 1))]), 1e-12)
+            max_w = PERC_RANGE_MAX_BUCKETS * step
+            narrow_pred = (F.col("lo").isNotNull() & F.col("hi").isNotNull()
+                           & ((F.col("hi") - F.col("lo")) <= F.lit(max_w)))
+            narrow = (base.where(narrow_pred)
+                      .select("query_id",
+                              F.col("lo").alias("_q_lo"),
+                              F.col("hi").alias("_q_hi"),
+                              F.explode(F.sequence(
+                                  F.floor(F.col("lo") / F.lit(step)),
+                                  F.floor(F.col("hi") / F.lit(step)),
+                              )).alias("_bkt"))
+                      .hint("shuffle_hash"))
+            doc_side = docs.withColumn(
+                "_bkt", F.floor(F.col(num_field) / F.lit(step)))
+            parts.append(
+                doc_side.join(narrow, "_bkt")
+                .where((F.col(num_field) >= F.col("_q_lo"))
+                       & (F.col(num_field) <= F.col("_q_hi")))
+                .select(id_col, "query_id"))
+        else:
+            # no bounded query at all (review r5: an all-half-plane set
+            # must NOT fall back to the broadcast theta join — the sweep
+            # grid needs no p90 step); everything goes to the sweep leg
+            max_w = 0.0
+            narrow_pred = F.lit(False)
         # wide / half-bounded leg: sweep grid over the OBSERVED doc value
         # domain. [lo, inf) clamps to [lo, vmax], (-inf, hi] to [vmin, hi],
         # wide bounded ranges to their intersection with [vmin, vmax] —
@@ -253,9 +260,17 @@ def percolate(
         # narrow leg (exact bound check after; a doc lands in ONE cell per
         # leg, so no dedup). One min/max agg per range field prices the
         # grid — at cluster scale that is a single columnar scan of one
-        # column, amortized across the whole standing-query set. Legs are
-        # built only when their queries EXIST (driver-known): an empty
-        # frame would still plant its join in the plan.
+        # column, amortized across the whole standing-query set. The agg
+        # runs EAGERLY at plan-build time, so the grid snapshots the doc
+        # domain as of the percolate() call: re-executing the returned
+        # frame after appending docs OUTSIDE the snapshot's [vmin, vmax]
+        # is undefined (re-call percolate for a changed corpus; the
+        # streaming path re-plans per micro-batch). The lazy alternative
+        # — crossJoining a broadcast 1-row stats frame — would plant a
+        # (benign) BroadcastNestedLoopJoin and forfeit the zero-BNLJ
+        # plan guarantee this leg exists to provide. Legs are built only
+        # when their queries EXIST (driver-known): an empty frame would
+        # still plant its join in the plan.
         wide_fq = [q for q in fq
                    if q.lo is None or q.hi is None or (q.hi - q.lo) > max_w]
         finite_wide = [q for q in wide_fq

@@ -26,29 +26,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def serialize(v):
-    """Type-aware value serialization (r5): int and float serialize
-    differently so HUGEINT/DECIMAL-class type divergence fails here the
-    way it fails the driver's value hash — mirrors
-    tests/test_entry_contract.py."""
-    import decimal
-
-    if v is None:
-        return "∅"
-    if isinstance(v, bool):
-        return f"b:{v}"
-    if isinstance(v, int):
-        return f"i:{v}"
-    if isinstance(v, float):
-        return f"f:{round(v, 9)!r}"
-    if isinstance(v, decimal.Decimal):
-        return f"dec:{v}"
-    return f"s:{v}"
-
-
-def as_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(serialize(r[i]) for i in order) for r in rows)
+# type-aware value serialization (r5): int and float serialize
+# differently so HUGEINT/DECIMAL-class type divergence fails here the
+# way it fails the driver's value hash — ONE shared definition with
+# tests/test_entry_contract.py
+from opensearch_spark.contract_hash import as_multiset  # noqa: E402
 
 
 def main() -> int:

@@ -47,29 +47,11 @@ _KIND = {"bigint": "i", "int": "i", "smallint": "i", "tinyint": "i",
          "timestamp": "t", "timestamp_ntz": "t", "TIMESTAMP": "t"}
 
 
-def serialize(v):
-    """Canonical per-value serialization, split by runtime type — the
-    in-repo analog of the driver's row hash.  int and float serialize
-    differently (``i:3`` vs ``f:3.0``), so a type-level divergence the
-    old ``3 == 3.0`` comparator silently accepted now fails loudly."""
-    if v is None:
-        return "∅"
-    if isinstance(v, bool):
-        return f"b:{v}"
-    if isinstance(v, int):
-        return f"i:{v}"
-    if isinstance(v, float):
-        return f"f:{round(v, 9)!r}"
-    import decimal
-
-    if isinstance(v, decimal.Decimal):  # banned at the type layer; loud here
-        return f"dec:{v}"
-    return f"s:{v}"
-
-
-def as_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(serialize(r[i]) for i in order) for r in rows)
+# the in-repo analog of the driver's row hash: int and float serialize
+# differently (``i:3`` vs ``f:3.0``), so a type-level divergence the old
+# ``3 == 3.0`` comparator silently accepted now fails loudly; ONE shared
+# definition with scripts/window_audit.py
+from opensearch_spark.contract_hash import as_multiset  # noqa: E402
 
 
 ALL = sorted(entry_mod.queries().keys())

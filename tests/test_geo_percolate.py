@@ -200,6 +200,25 @@ def test_percolate_range_sweep_grid_half_planes(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_percolate_all_half_plane_set_has_no_bnlj(spark):
+    """Review r5: a standing set with NO bounded query (all half-planes)
+    has no p90 width — it must go to the sweep grid above the broadcast
+    threshold, not silently fall back to the broadcast theta join."""
+    qs = [PercQuery(1, "range", "n_chars", lo=15.0),
+          PercQuery(2, "range", "n_chars", hi=16.0),
+          PercQuery(3, "range", "n_chars", lo=1000.0)]
+    docs = _tiny_docs(spark)
+    want = {(r["doc_id"], r["query_id"])
+            for r in percolate(spark, qs, docs).collect()}
+    assert want == {(1, 1), (2, 1), (4, 1), (1, 2), (3, 2)}  # q3 empty:
+    # lo=1000 is above every doc value (max n_chars = 300)
+    swept = percolate(spark, qs, docs, broadcast_max_queries=0)
+    got = {(r["doc_id"], r["query_id"]) for r in swept.collect()}
+    assert got == want
+    plan = swept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_percolate_full_range_only_leg_is_exists(spark):
     """A (None, None) range query is the ONLY shape that keeps a
     broadcast leg — it behaves as an exists query: matches every doc

@@ -793,6 +793,38 @@ def test_simhash_auto_bit_posture(spark, docs, monkeypatch):
         fp.unpersist()
 
 
+def test_simhash_auto_width_survives_null_text_docs(spark, docs, monkeypatch):
+    """Review r5: null-text docs are dropped before fingerprinting, so a
+    corpus just above the auto threshold can yield a fingerprint frame
+    just below it — count-based resolution in simhash_pairs would pick
+    32 against the producer's 64. Value-based resolution must follow the
+    producer regardless."""
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(D, "SIMHASH_64BIT_MIN_DOCS", 100)
+    base = docs.limit(120)
+    nulled = base.withColumn(
+        "text", F.when(F.col("doc_id") % 3 == 0, F.lit(None))
+                 .otherwise(F.col("text")))
+    # 120 docs > 100 -> producer picks 64; ~40 null-text docs dropped ->
+    # fp has ~80 rows < 100, the count trap
+    fp = D.simhash(nulled, "text").persist()
+    rows = fp.collect()
+    assert len(rows) < 100 < 120
+    assert any(r["simhash"] < 0 or r["simhash"] >= 2 ** 32 for r in rows)
+    banded = {(r["a"], r["b"])
+              for r in D.simhash_pairs(fp, max_hamming=3).collect()}
+    brute = set()
+    for i, ra in enumerate(rows):
+        for rb in rows[i + 1:]:
+            a, b = sorted((ra["doc_id"], rb["doc_id"]))
+            if bin((ra["simhash"] ^ rb["simhash"])
+                   & ((1 << 64) - 1)).count("1") <= 3:
+                brute.add((a, b))
+    assert banded == brute
+    fp.unpersist()
+
+
 def test_simhash_pairs_64bit_exact_duplicates(spark):
     """Round-4 review: bits=64 with max_hamming=0 (exact-fingerprint
     dedup) must not overflow the band-mask literal."""
