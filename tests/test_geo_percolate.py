@@ -370,3 +370,45 @@ class TestRound4GeoQsFixes:
         with _pt.raises(ValueError, match="conflicts"):
             with_derived_fields(
                 df, {"ms": {"type": "long", "script": "1"}})
+
+
+def test_percolate_range_postures_randomized_vs_bruteforce(spark):
+    """Seeded randomized equivalence: every range-query shape (narrow,
+    wide, half-planes both directions, full-range, empty-above-vmax,
+    point) over docs INCLUDING null values, compared across the
+    broadcast posture, the forced grid/sweep posture, and an
+    independent pure-Python brute force. Guards the whole leg-routing
+    surface far beyond the hand-picked cases."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    doc_rows = []
+    for i in range(400):
+        v = None if rng.random() < 0.08 else round(rng.uniform(-50, 950), 2)
+        doc_rows.append((i, v))
+    docs = spark.createDataFrame(doc_rows, "doc_id long, val double")
+    qs = []
+    for qid in range(120):
+        shape = rng.random()
+        if shape < 0.55:                       # bounded, mixed widths
+            lo = round(rng.uniform(-100, 900), 2)
+            w = rng.choice([0.0, rng.uniform(0.1, 30),
+                            rng.uniform(100, 2000)])
+            qs.append(PercQuery(qid, "range", "val", lo=lo,
+                                hi=round(lo + w, 2)))
+        elif shape < 0.75:                     # half-plane [lo, inf)
+            qs.append(PercQuery(qid, "range", "val",
+                                lo=round(rng.uniform(-100, 1100), 2)))
+        elif shape < 0.95:                     # half-plane (-inf, hi]
+            qs.append(PercQuery(qid, "range", "val",
+                                hi=round(rng.uniform(-100, 1100), 2)))
+        else:                                  # full-range (exists)
+            qs.append(PercQuery(qid, "range", "val"))
+    brute = {(d, q.query_id) for d, v in doc_rows if v is not None
+             for q in qs
+             if (q.lo is None or v >= q.lo) and (q.hi is None or v <= q.hi)}
+    for bmax in (len(qs) + 1, 0):
+        got = {(r["doc_id"], r["query_id"])
+               for r in percolate(spark, qs, docs,
+                                  broadcast_max_queries=bmax).collect()}
+        assert got == brute, f"posture bmax={bmax} diverged"
