@@ -4631,7 +4631,9 @@ def ingest_processors_final(spark, sf_dir):
         # joined to one VARCHAR so the driver hash sees a scalar on both
         # sides (array serialization differs between Spark and DuckDB)
         F.array_join(F.array_sort(tags), "|").alias("tags_sorted"),
-        F.size(F.concat(tags, F.array(F.lit("z"))))
+        # long, not int: the oracle's len() is BIGINT and the driver
+        # serializes types — keep widths identical too
+        F.size(F.concat(tags, F.array(F.lit("z")))).cast("long")
         .alias("tags_appended_n"),
     ).orderBy("event_id"))
 
