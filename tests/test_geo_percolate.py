@@ -412,3 +412,53 @@ def test_percolate_range_postures_randomized_vs_bruteforce(spark):
                for r in percolate(spark, qs, docs,
                                   broadcast_max_queries=bmax).collect()}
         assert got == brute, f"posture bmax={bmax} diverged"
+
+
+def test_percolate_text_legs_randomized_vs_bruteforce(spark):
+    """Seeded randomized equivalence for the text legs: match (msm 1..n),
+    keyword term, and phrase queries over random word-soup docs vs a
+    pure-Python brute force, in the broadcast AND the shuffle posture."""
+    import random
+
+    rng = random.Random(0xBEEF)
+    vocab = [f"w{i}" for i in range(12)]
+    langs = ["en", "fr", "de"]
+    doc_rows = []
+    for i in range(250):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(1, 12))]
+        doc_rows.append((i, " ".join(toks), rng.choice(langs), "s", len(toks)))
+    docs = spark.createDataFrame(
+        doc_rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long")
+    qs, brute = [], set()
+    toklists = {d: t.split() for d, t, *_ in doc_rows}
+    for qid in range(60):
+        shape = rng.random()
+        if shape < 0.5:
+            terms = tuple(rng.sample(vocab, rng.randint(1, 4)))
+            msm = rng.randint(1, len(terms))
+            qs.append(PercQuery(qid, "match", "text", terms=terms,
+                                min_should_match=msm))
+            for d, toks in toklists.items():
+                if sum(1 for t in set(terms) if t in toks) >= msm:
+                    brute.add((d, qid))
+        elif shape < 0.7:
+            lang = rng.choice(langs)
+            qs.append(PercQuery(qid, "term", "lang", value=lang))
+            for row in doc_rows:
+                if row[2] == lang:
+                    brute.add((row[0], qid))
+        else:
+            phrase = tuple(rng.choice(vocab)
+                           for _ in range(rng.randint(2, 3)))
+            qs.append(PercQuery(qid, "phrase", "text", terms=phrase))
+            n = len(phrase)
+            for d, toks in toklists.items():
+                if any(tuple(toks[i:i + n]) == phrase
+                       for i in range(len(toks) - n + 1)):
+                    brute.add((d, qid))
+    for bmax in (len(qs) + 1, 0):
+        got = {(r["doc_id"], r["query_id"])
+               for r in percolate(spark, qs, docs,
+                                  broadcast_max_queries=bmax).collect()}
+        assert got == brute, f"text posture bmax={bmax} diverged"
