@@ -979,7 +979,24 @@ class Searcher:
         elif base is not None:
             out = base
         elif should_agg is not None:
-            out = should_agg.select("doc_id", F.col("_ss").alias("score"))
+            if msm == 0 and q.filter:
+                # required FILTER clauses present and msm resolved to 0:
+                # should is purely score-boosting (BooleanWeight — optional
+                # scorers never gate matching when required clauses exist).
+                # Seed the match set from the first filter (the remaining
+                # filters still semi-join below) and left-join the should
+                # scores; seeding from should_agg would wrongly drop docs
+                # that match the filter but no should clause (found by the
+                # r5 randomized bool-tree test).
+                seed = self.matching_docs(q.filter[0]).select("doc_id")
+                out = (seed.join(should_agg, "doc_id", "left")
+                       .select("doc_id",
+                               F.coalesce(F.col("_ss"), F.lit(0.0))
+                               .alias("score")))
+            else:
+                # no must/filter: Lucene requires the disjunction — at
+                # least one optional clause must match even at msm=0
+                out = should_agg.select("doc_id", F.col("_ss").alias("score"))
         else:
             out = self.index.docs(self.spark).select(
                 "doc_id", F.lit(0.0).alias("score"))

@@ -552,3 +552,79 @@ def test_versioning_round4_guards(spark):
     import py4j.protocol
     with pytest.raises(Exception):
         df.select(routing_bucket("route").alias("b")).collect()
+
+
+def test_bool_tree_randomized_match_set_vs_bruteforce(spark, sf_dir):
+    """Seeded randomized bool algebra: 80 random must/should/must_not/
+    filter trees (nested one level, random msm) over keyword/range/exists
+    leaves, match SET compared against an independent Python evaluation
+    of the same tree on the collected rows — guards the msm defaulting
+    rule (0 with must/filter present, else 1) and the four-clause
+    combination logic far beyond the hand-written cases."""
+    import random
+
+    from opensearch_spark.entry_queries import get_searcher
+    from opensearch_spark.search import queries as Q
+
+    s = get_searcher(spark, sf_dir)
+    rows = [r.asDict() for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "lang", "source", "n_chars").collect()]
+    langs = sorted({r["lang"] for r in rows})
+    sources = sorted({r["source"] for r in rows})
+    rng = random.Random(0xB001)
+
+    def leaf():
+        k = rng.random()
+        if k < 0.4:
+            v = rng.choice(langs)
+            return Q.Term("lang", v), lambda r, v=v: r["lang"] == v
+        if k < 0.6:
+            v = rng.choice(sources)
+            return Q.Term("source", v), lambda r, v=v: r["source"] == v
+        if k < 0.9:
+            lo = rng.randint(0, 400)
+            hi = lo + rng.randint(0, 300)
+            return (Q.Range("n_chars", gte=lo, lte=hi),
+                    lambda r, lo=lo, hi=hi: lo <= r["n_chars"] <= hi)
+        return Q.Exists("lang"), lambda r: r["lang"] is not None
+
+    def tree(depth):
+        if depth == 0 or rng.random() < 0.5:
+            return leaf()
+        clauses = {"must": [], "should": [], "must_not": [], "filter": []}
+        preds = {k: [] for k in clauses}
+        for _ in range(rng.randint(1, 4)):
+            kind = rng.choice(list(clauses))
+            qq, pp = tree(depth - 1)
+            clauses[kind].append(qq)
+            preds[kind].append(pp)
+        msm = (rng.randint(1, len(clauses["should"]))
+               if clauses["should"] and rng.random() < 0.5 else None)
+        q = Q.Bool(must=clauses["must"], should=clauses["should"],
+                   must_not=clauses["must_not"], filter=clauses["filter"],
+                   minimum_should_match=msm)
+
+        def ev(r, preds=preds, msm=msm):
+            if preds["should"]:
+                eff = msm if msm is not None else (
+                    0 if (preds["must"] or preds["filter"]) else 1)
+                if not (preds["must"] or preds["filter"]):
+                    # Lucene disjunction rule: with only optional clauses
+                    # at least one must match, even under explicit msm=0
+                    eff = max(eff, 1)
+                should_ok = sum(1 for p in preds["should"] if p(r)) >= eff
+            else:
+                should_ok = True  # msm is vacuous with no should clauses
+            return (should_ok
+                    and all(p(r) for p in preds["must"])
+                    and all(p(r) for p in preds["filter"])
+                    and not any(p(r) for p in preds["must_not"]))
+
+        return q, ev
+
+    for case in range(80):
+        q, ev = tree(2)
+        got = {r["doc_id"] for r in s.matching_docs(q).collect()}
+        want = {r["doc_id"] for r in rows if ev(r)}
+        assert got == want, f"case {case}: {q}"
