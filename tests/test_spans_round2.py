@@ -811,3 +811,53 @@ def test_span_gap_dsl_parse():
     assert isinstance(q, Q.SpanNear)
     assert q.clauses[0] == "spark" and q.clauses[2] == "table"
     assert isinstance(q.clauses[1], Q.SpanGap) and q.clauses[1].width == 2
+
+
+# ------------- randomized query_string render -> parse round-trip -------------
+def test_query_string_randomized_roundtrip_match_sets(spark, sf_dir):
+    """Seeded randomized parser check: generate a random boolean query
+    AST (terms, quoted phrases, field-scoped keyword terms, NOT,
+    AND/OR with parentheses), render it to classic query_string syntax,
+    parse the string, and compare MATCH SETS of the parsed vs the
+    directly-constructed query on the real corpus. The executor is the
+    same on both sides — this isolates the parser (lexing, precedence,
+    grouping, field scoping), the r4 bug-fix surface."""
+    import random
+
+    from opensearch_spark.entry_queries import get_searcher
+
+    s = get_searcher(spark, sf_dir)
+    rng = random.Random(0x9A55)
+    words = ["spark", "merge", "table", "query", "index", "vector"]
+    langs = ["en", "fr", "de"]
+
+    def leaf():
+        k = rng.random()
+        if k < 0.5:
+            w = rng.choice(words)
+            return w, Q.Match("text", w)
+        if k < 0.7:
+            a, b = rng.choice(words), rng.choice(words)
+            return f'"{a} {b}"', Q.MatchPhrase("text", f"{a} {b}")
+        lang = rng.choice(langs)
+        return f"lang:{lang}", Q.Term("lang", lang)
+
+    def tree(depth):
+        if depth == 0 or rng.random() < 0.45:
+            return leaf()
+        op = rng.choice(["AND", "OR"])
+        a_src, a_q = tree(depth - 1)
+        b_src, b_q = tree(depth - 1)
+        if rng.random() < 0.3:
+            b_src, b_q = f"(NOT {b_src})", Q.Bool(must_not=[b_q])
+        src = f"({a_src} {op} {b_src})"
+        if op == "AND":
+            return src, Q.Bool(must=[a_q, b_q])
+        return src, Q.Bool(should=[a_q, b_q])
+
+    for case in range(60):
+        src, expected = tree(2)
+        parsed = parse_query_string(src, default_field="text")
+        got = {r["doc_id"] for r in s.matching_docs(parsed).collect()}
+        want = {r["doc_id"] for r in s.matching_docs(expected).collect()}
+        assert got == want, f"case {case}: {src!r}\nparsed={parsed}"
