@@ -364,3 +364,71 @@ def test_search_after_randomized_pagination_partitions_full_order(s):
             [r.doc_id for r in full[:n]], \
             f"case {case}: sort={sort} size={size}"
         assert n > 0
+
+
+def test_collapse_randomized_invariants(s, spark):
+    """Seeded randomized collapse invariant: for random match queries,
+    collapsing on a keyword field must return exactly one row per
+    distinct group value among the query's matches, and each row must
+    be that group's best hit (max rounded score, doc_id tiebreak) in
+    the UNcollapsed result."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from opensearch_spark.search.queries import Match
+
+    rng = random.Random(0x11A7)
+    docs = s.index.docs(spark).select("doc_id", "lang")
+    for case in range(8):
+        text = " ".join(rng.sample(
+            ["spark", "merge", "table", "query", "index", "batch"],
+            rng.randint(1, 3)))
+        scores = (s.score(Match(field="text", text=text))
+                  .withColumn("score", F.round("score", 4))
+                  .join(docs, "doc_id"))
+        w = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+        collapsed = {(r["lang"], r["doc_id"])
+                     for r in scores.withColumn("rn", F.row_number().over(w))
+                     .where(F.col("rn") == 1)
+                     .select("lang", "doc_id").collect()}
+        rows = scores.collect()
+        best = {}
+        for r in rows:
+            cur = best.get(r["lang"])
+            key = (-r["score"], r["doc_id"])
+            if cur is None or key < cur[0]:
+                best[r["lang"]] = (key, r["doc_id"])
+        want = {(lang, v[1]) for lang, v in best.items()}
+        assert collapsed == want, f"case {case}: {text!r}"
+
+
+def test_highlight_fragments_randomized_every_fragment_has_a_match(s, spark):
+    """Randomized highlight invariant (the r4 fabricated-match fix,
+    generalized): every returned fragment must contain at least one
+    tagged term, and stripping the tags must yield a substring of the
+    original document."""
+    import random
+
+    from opensearch_spark.search.highlight import highlight_fragments
+    from opensearch_spark.search.queries import Match
+
+    rng = random.Random(0xF1A6)
+    docs_tbl = s.index.docs(spark)
+    for case in range(6):
+        terms = rng.sample(
+            ["spark", "merge", "table", "query", "index", "batch"],
+            rng.randint(1, 2))
+        hits = (s.search(Match(field="text", text=" ".join(terms)), k=8)
+                .join(docs_tbl.select("doc_id", "text"), "doc_id"))
+        out = highlight_fragments(hits, "text", terms,
+                                  fragment_size=40, number_of_fragments=2)
+        originals = {r["doc_id"]: r["text"] for r in hits.collect()}
+        for r in out.collect():
+            for frag in r["fragments"]:
+                assert "<em>" in frag and "</em>" in frag, \
+                    f"case {case}: fragment without a match: {frag!r}"
+                stripped = frag.replace("<em>", "").replace("</em>", "")
+                assert stripped in originals[r["doc_id"]], \
+                    f"case {case}: fragment not a substring: {frag!r}"
