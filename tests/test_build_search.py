@@ -628,3 +628,33 @@ def test_bool_tree_randomized_match_set_vs_bruteforce(spark, sf_dir):
         got = {r["doc_id"] for r in s.matching_docs(q).collect()}
         want = {r["doc_id"] for r in rows if ev(r)}
         assert got == want, f"case {case}: {q}"
+
+
+def test_wand_randomized_rank_identical_to_exhaustive(spark, sf_dir):
+    """Seeded randomized block-max WAND check: for random multi-term
+    match queries (1-5 terms, mixed hot/rare, or/and msm), WAND top-k
+    must be RANK-IDENTICAL to the exhaustive scorer with scores equal
+    to 6dp — the north-star invariant, far beyond the single gate
+    query."""
+    import random
+
+    from opensearch_spark.entry_queries import get_searcher
+    from opensearch_spark.search import queries as Q
+
+    s = get_searcher(spark, sf_dir)
+    rng = random.Random(0x3A2D)
+    vocab = ["spark", "merge", "table", "query", "index", "vector",
+             "batch", "stream", "shard", "segment"]
+    for case in range(20):
+        terms = rng.sample(vocab, rng.randint(1, 5))
+        text = " ".join(terms)
+        op = rng.choice(["or", "and"])
+        msm = rng.randint(1, len(terms)) if op == "or" else None
+        q = Q.Match("text", text, operator=op,
+                    minimum_should_match=msm or 1)
+        k = rng.choice([3, 10, 25])
+        w = [(r["doc_id"], round(r["score"], 6))
+             for r in s.search(q, k=k, mode="wand").collect()]
+        e = [(r["doc_id"], round(r["score"], 6))
+             for r in s.search(q, k=k, mode="exhaustive").collect()]
+        assert w == e, f"case {case}: {text!r} op={op} msm={msm} k={k}"
