@@ -658,3 +658,67 @@ def test_wand_randomized_rank_identical_to_exhaustive(spark, sf_dir):
         e = [(r["doc_id"], round(r["score"], 6))
              for r in s.search(q, k=k, mode="exhaustive").collect()]
         assert w == e, f"case {case}: {text!r} op={op} msm={msm} k={k}"
+
+
+def test_multiterm_expansion_randomized_vs_bruteforce(spark, sf_dir):
+    """Seeded randomized multi-term queries: random prefix, wildcard
+    (*/?) and fuzzy (Damerau, 0-2 edits) probes — the engine's match
+    set must equal a Python brute force over the full corpus vocabulary
+    (prefix/wildcard via fnmatch, fuzzy via a Damerau-Levenshtein DP),
+    guarding the dictionary-scan expansion beyond the fixed gates."""
+    import fnmatch
+    import random
+
+    from opensearch_spark.entry_queries import get_searcher
+    from opensearch_spark.search import queries as Q
+
+    def damerau(a, b, cap):
+        if abs(len(a) - len(b)) > cap:
+            return cap + 1
+        la, lb = len(a), len(b)
+        d = [[0] * (lb + 1) for _ in range(la + 1)]
+        for i in range(la + 1):
+            d[i][0] = i
+        for j in range(lb + 1):
+            d[0][j] = j
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                cost = 0 if a[i - 1] == b[j - 1] else 1
+                d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                              d[i - 1][j - 1] + cost)
+                if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                        and a[i - 2] == b[j - 1]):
+                    d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+        return d[la][lb]
+
+    s = get_searcher(spark, sf_dir)
+    docs = [(r["doc_id"], set(s.analyze(r["text"])))
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").collect()]
+    vocab = sorted(set().union(*[t for _, t in docs]))
+    rng = random.Random(0xE4FA)
+    for case in range(30):
+        base = rng.choice(vocab)
+        kind = rng.random()
+        if kind < 0.35:
+            pat = base[: rng.randint(1, max(1, len(base) - 1))]
+            q = Q.Prefix("text", pat)
+            keep = {t for t in vocab if t.startswith(pat)}
+            label = f"prefix:{pat}"
+        elif kind < 0.7:
+            chars = list(base)
+            i = rng.randrange(len(chars))
+            chars[i] = "*" if rng.random() < 0.6 else "?"
+            pat = "".join(chars)
+            q = Q.Wildcard("text", pat)
+            keep = {t for t in vocab
+                    if fnmatch.fnmatchcase(t, pat.replace("[", "[[]"))}
+            label = f"wildcard:{pat}"
+        else:
+            fuzz = rng.randint(0, 2)
+            q = Q.Fuzzy("text", base, fuzziness=fuzz)
+            keep = {t for t in vocab if damerau(base, t, fuzz) <= fuzz}
+            label = f"fuzzy:{base}~{fuzz}"
+        got = {r["doc_id"] for r in s.matching_docs(q).collect()}
+        want = {d for d, toks in docs if toks & keep}
+        assert got == want, f"case {case} {label}"
