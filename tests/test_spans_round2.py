@@ -855,7 +855,7 @@ def test_query_string_randomized_roundtrip_match_sets(spark, sf_dir):
             return src, Q.Bool(must=[a_q, b_q])
         return src, Q.Bool(should=[a_q, b_q])
 
-    for case in range(60):
+    for case in range(30):  # 30 trees ≈ 50 s; diminishing returns past that
         src, expected = tree(2)
         parsed = parse_query_string(src, default_field="text")
         got = {r["doc_id"] for r in s.matching_docs(parsed).collect()}
