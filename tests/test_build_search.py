@@ -722,3 +722,60 @@ def test_multiterm_expansion_randomized_vs_bruteforce(spark, sf_dir):
         got = {r["doc_id"] for r in s.matching_docs(q).collect()}
         want = {d for d, toks in docs if toks & keep}
         assert got == want, f"case {case} {label}"
+
+
+def test_term_suggest_randomized_vs_bruteforce(spark, sf_dir):
+    """Seeded randomized term suggester: corrupt real vocabulary words
+    with 1-2 random edits and compare suggestions against a Python
+    brute force over the dictionary — candidate set (levenshtein <=
+    max_edits, length band), ranking (distance asc, df desc, term asc)
+    and the size cut must all agree."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from opensearch_spark.entry_queries import get_searcher
+    from opensearch_spark.search.suggest import term_suggest
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                cur = d[j]
+                d[j] = min(d[j] + 1, d[j - 1] + 1,
+                           prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return d[lb]
+
+    s = get_searcher(spark, sf_dir)
+    dict_rows = {r["term"]: r["df"] for r in
+                 s.index.dictionary(spark).select("term", "df").collect()}
+    vocab = sorted(dict_rows)
+    rng = random.Random(0x5E66)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    for case in range(15):
+        base = rng.choice([t for t in vocab if len(t) >= 4])
+        chars = list(base)
+        for _ in range(rng.randint(1, 2)):
+            op = rng.random()
+            i = rng.randrange(len(chars))
+            if op < 0.4:
+                chars[i] = rng.choice(alpha)
+            elif op < 0.7 and len(chars) > 2:
+                del chars[i]
+            else:
+                chars.insert(i, rng.choice(alpha))
+        probe = "".join(chars)
+        size, max_edits = rng.choice([1, 3, 5]), 2
+        got = [(r["suggestion"], r["distance"], r["df"]) for r in
+               term_suggest(s, probe, size=size, max_edits=max_edits,
+                            suggest_mode="always")
+               .where(F.col("term") == probe)
+               .orderBy("rank").collect()]
+        cands = [(t, lev(probe, t), dict_rows[t]) for t in vocab
+                 if t != probe and abs(len(t) - len(probe)) <= max_edits
+                 and lev(probe, t) <= max_edits]
+        want = sorted(cands, key=lambda x: (x[1], -x[2], x[0]))[:size]
+        assert got == want, f"case {case}: probe={probe!r} size={size}"

@@ -462,3 +462,38 @@ def test_percolate_text_legs_randomized_vs_bruteforce(spark):
                for r in percolate(spark, qs, docs,
                                   broadcast_max_queries=bmax).collect()}
         assert got == brute, f"text posture bmax={bmax} diverged"
+
+
+def test_geo_distance_randomized_centers_vs_bruteforce(spark, sf_dir):
+    """Seeded randomized geo_distance: random origins INCLUDING
+    antimeridian and near-pole centers, random radii — the
+    prefilter+haversine result must equal a pure-Python haversine brute
+    force over every doc (the r4 conservative-prefilter surface:
+    latitude-band cosine, pole caps, modular longitude)."""
+    import random
+
+    docs = with_geo(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    rows = [(r["doc_id"], r["lat"], r["lon"])
+            for r in docs.select("doc_id", "lat", "lon").collect()]
+
+    def hav_km(lat1, lon1, lat2, lon2):
+        R = 6371.0088
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dp = math.radians(lat2 - lat1)
+        dl = math.radians(lon2 - lon1)
+        a = (math.sin(dp / 2) ** 2
+             + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2)
+        return 2 * R * math.asin(min(1.0, math.sqrt(a)))
+
+    rng = random.Random(0x6E0)
+    centers = [(rng.uniform(-55, 55), rng.uniform(-170, 170))
+               for _ in range(6)]
+    centers += [(10.0, 179.5), (-20.0, -179.8),     # antimeridian
+                (88.0, 45.0), (-87.5, -120.0)]      # near-pole caps
+    for case, (clat, clon) in enumerate(centers):
+        radius = rng.choice([50.0, 500.0, 2500.0, 9000.0])
+        got = {r["doc_id"] for r in
+               geo_distance(docs, clat, clon, radius).collect()}
+        want = {d for d, la, lo in rows
+                if round(hav_km(clat, clon, la, lo), 3) <= radius}
+        assert got == want, f"case {case}: center=({clat},{clon}) r={radius}"
