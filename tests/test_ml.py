@@ -884,3 +884,78 @@ def test_hnsw_build_guards_and_safe_blob(spark, emb, tmp_path):
     import pickle as _p
     with pytest.raises(ValueError, match="npz"):
         HnswGraph.from_blob(__import__("zlib").compress(_p.dumps({"x": 1})))
+
+
+def test_dup_clusters_randomized_vs_union_find(spark):
+    """Seeded randomized connected components: random edge sets
+    (chains, stars, cycles, isolated pairs) vs a Python union-find with
+    min-id labels — the pointer-jumping path must produce the exact
+    same partition on every topology."""
+    import random
+
+    rng = random.Random(0xC1)
+    for case in range(6):
+        n = rng.randint(10, 60)
+        edges = set()
+        # random edges + a guaranteed long chain (pointer-jump stressor)
+        for _ in range(rng.randint(5, n)):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        chain = rng.sample(range(n), min(12, n))
+        edges |= {(min(a, b), max(a, b))
+                  for a, b in zip(chain, chain[1:])}
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        want = {x: find(x) for x in touched}
+        pairs = spark.createDataFrame(sorted(edges), "a long, b long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in D.dup_clusters(pairs, max_iters=16).collect()}
+        assert got == want, f"case {case}: n={n} |E|={len(edges)}"
+
+
+def test_dedup_chunks_global_randomized_vs_reference(spark):
+    """Seeded randomized corpus-global chunk dedup vs an independent
+    Python evaluation of the first-occurrence rule (min (doc_id,
+    chunk_no) keeps; later repeats drop; per-doc order preserved)."""
+    import random
+
+    rng = random.Random(0xC4)
+    for case in range(5):
+        chunk_tokens = rng.choice([2, 3])
+        vocab = ["aa", "bb", "cc", "dd"]
+        rows = []
+        for d in range(rng.randint(4, 10)):
+            n = rng.randint(1, 5) * chunk_tokens + rng.randint(0, chunk_tokens - 1)
+            rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["text_dedup"], r["n_chunks"], r["n_kept"])
+               for r in D.dedup_chunks_global(
+                   df, chunk_tokens=chunk_tokens).collect()}
+        # independent reference
+        first = {}
+        chunks_by_doc = {}
+        for d, text in rows:
+            toks = text.split()
+            cs = [" ".join(toks[i:i + chunk_tokens])
+                  for i in range(0, len(toks), chunk_tokens)]
+            chunks_by_doc[d] = cs
+            for i, c in enumerate(cs):
+                if c not in first or (d, i) < first[c]:
+                    first[c] = (d, i)
+        for d, text in rows:
+            cs = chunks_by_doc[d]
+            kept = [c for i, c in enumerate(cs) if first[c] == (d, i)]
+            want = (" ".join(kept), len(cs), len(kept))
+            assert got[d] == want, f"case {case} doc {d}: {got[d]} != {want}"
