@@ -861,3 +861,31 @@ def test_query_string_randomized_roundtrip_match_sets(spark, sf_dir):
         got = {r["doc_id"] for r in s.matching_docs(parsed).collect()}
         want = {r["doc_id"] for r in s.matching_docs(expected).collect()}
         assert got == want, f"case {case}: {src!r}\nparsed={parsed}"
+
+
+def test_query_string_parsers_garbage_fuzz():
+    """Seeded garbage fuzz over both parsers: the classic parser may
+    reject malformed input ONLY via ValueError (never a hang, crash, or
+    foreign exception); the simple parser is lenient by contract
+    (SimpleQueryStringBuilder.java) and must NEVER raise — every input
+    degrades to some Query."""
+    import random
+    import string
+
+    from opensearch_spark.search.query_string import (
+        parse_simple_query_string,
+    )
+    from opensearch_spark.search import queries as Q
+
+    alphabet = (string.ascii_lowercase + ' ()[]{}"~^:+-|&!*?<>\\/')
+    rng = random.Random(0x6A2B)
+    for case in range(500):
+        n = rng.randint(0, 30)
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        try:
+            out = parse_query_string(s, default_field="text")
+            assert isinstance(out, Q.Query), f"classic case {case}: {s!r}"
+        except ValueError:
+            pass  # the only legal rejection
+        out = parse_simple_query_string(s, default_field="text")
+        assert isinstance(out, Q.Query), f"simple case {case}: {s!r}"
